@@ -1,0 +1,22 @@
+"""pixelspark — a PySpark-native analytics engine with the query and
+data-processing capabilities of the reference daily usage-billing batch
+(Trans-ltd/web-pixel-billing-batch), re-expressed Spark-first.
+
+Layout:
+  session.py        SparkSession factory (AQE on, UTC, tuned shuffle)
+  schemas.py        StructType registry + testdata loaders
+  io.py             sources/sinks: append w/ stamp, schema-align, upsert,
+                    tableExists guard (reference: src/services/bigquery.ts)
+  ops/scalar.py     scalar function pack F1-F13 (built-in expressions only)
+  ops/billing.py    the domain pipeline (reference: src/services/billing.ts)
+  ops/relational.py joins/aggregates/set-op helpers
+  ops/windows.py    latest-state, top-N, analytic windows
+  ops/external.py   rate-limited idempotent external charge sink (S8)
+  ops/llm.py        LLM-data-pipeline pack: dedup, MinHash-LSH, SimHash,
+                    ANN similarity, text analysis
+  ops/multimodal.py binary-column plumbing (decode stubs, real Spark side)
+  report.py         report aggregation (reference: src/services/slack.ts)
+  streaming/        Structured Streaming variant of the daily pipeline
+"""
+
+__version__ = "0.2.0"
