@@ -1,0 +1,134 @@
+"""Sources and sinks — the reference's BigQuery write path re-expressed
+over parquet (reference src/services/bigquery.ts).
+
+S4  append sink with auto-create + created_at stamp (bigquery.ts:58-137)
+S5  schema evolution on sink (bigquery.ts:74-110)
+S6  missing-table -> empty relation (bigquery.ts:159-165)
+S7  keyed upsert (bigquery.ts:168-190) as left-anti + union rewrite
+W1  latest-state read view over the append-only log (billing.ts:133-163)
+
+Scale posture: appends are blind (cheapest write Spark has — same
+reasoning as the reference's append-instead-of-UPDATE); the upsert
+rewrite is a full-partition rewrite, which at 100 TB you'd bound by
+partitioning the table on billing_date and rewriting only the touched
+date partitions (partitionBy below does exactly that layout).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pixelspark.schemas import SHOPIFY_STATUS_COLUMNS
+
+
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """S6 guard — the reference catches 'Not found: Table'
+    (bigquery.ts:159-165); for path-based tables: does the directory
+    hold any parquet footers."""
+    if not os.path.isdir(path):
+        return False
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def read_table_or_empty(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """S6 — missing table -> empty relation with the declared schema."""
+    if not table_exists(spark, path):
+        return spark.createDataFrame([], schema)
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """S5 — schema-evolution aligner: add any missing target column as
+    NULL of the right type, cast mismatched columns, order columns
+    (mirrors the ALTER-missing-columns-in-as-NULLABLE loop,
+    bigquery.ts:78-110)."""
+    existing = {f.name for f in df.schema.fields}
+    out = df
+    for field in schema.fields:
+        if field.name not in existing:
+            out = out.withColumn(field.name, F.lit(None).cast(field.dataType))
+        else:
+            current = out.schema[field.name].dataType
+            if current != field.dataType:
+                out = out.withColumn(field.name, F.col(field.name).cast(field.dataType))
+    return out.select(*[f.name for f in schema.fields])
+
+
+def evolve_with_status_columns(df: DataFrame) -> DataFrame:
+    """S5 — ensure the four shopify status columns exist (nullable),
+    exactly the set the reference evolves in (bigquery.ts:95-106)."""
+    existing = {f.name for f in df.schema.fields}
+    out = df
+    for name, dtype in SHOPIFY_STATUS_COLUMNS.items():
+        if name not in existing:
+            out = out.withColumn(name, F.lit(None).cast(dtype))
+    return out
+
+
+def append_records(
+    df: DataFrame,
+    path: str,
+    schema: T.StructType | None = None,
+    stamp: bool = True,
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """S4/P7 — append sink with auto-create and created_at stamp
+    (bigquery.ts:112-137, stamp at :130-133)."""
+    out = df.withColumn("created_at", F.current_timestamp()) if stamp else df
+    if schema is not None:
+        out = align_to_schema(out, schema)
+    writer = out.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def latest_state(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("shop", "billing_date"),
+    order_col: str = "created_at",
+    tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """W1 — latest-row-per-key view over the append-only log: the true
+    'current state' of a bill is the most recent row for its key
+    (reference append-as-update pattern, billing.ts:133-163)."""
+    order = [F.col(order_col).desc()] + [F.col(c).desc() for c in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: tuple[str, ...] = ("shop", "billing_date"),
+) -> None:
+    """S7 — keyed upsert: keep existing rows whose key is NOT updated
+    (left-anti), union the updates, atomically swap the table directory
+    (the vanilla-parquet equivalent of the reference's per-key UPDATE
+    batch, bigquery.ts:168-190; on Delta this is a single MERGE INTO).
+    """
+    existing = spark.read.parquet(path) if table_exists(spark, path) else None
+    if existing is None:
+        updates.write.mode("overwrite").parquet(path)
+        return
+    keep = existing.join(F.broadcast(updates.select(*keys).distinct()), list(keys), "left_anti")
+    merged = keep.unionByName(updates, allowMissingColumns=True)
+    tmp = tempfile.mkdtemp(prefix="pixelspark_upsert_")
+    tmp_path = os.path.join(tmp, "data")
+    merged.write.mode("overwrite").parquet(tmp_path)
+    back = path.rstrip("/") + ".bak"
+    shutil.rmtree(back, ignore_errors=True)
+    os.rename(path, back)
+    shutil.move(tmp_path, path)
+    shutil.rmtree(back, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,129 @@
+"""S8 — the external charge sink: bounded-concurrency, retrying,
+idempotent per-shop external API calls (reference
+src/services/shopifyBilling.ts:58-140,234-280).
+
+The reference runs in exactly one process (max-instances=1) with
+p-limit(5) and 3 retries at 1s*2^(n-1) backoff.  Spark executes tasks
+at-least-once, so a naive port would double-charge on task retry — the
+#1 semantic hazard (SURVEY.md §7).  Design:
+
+* concurrency bound: the plan is repartitioned to `max_concurrency`
+  partitions and each partition processes serially -> at most
+  `max_concurrency` calls in flight cluster-wide, matching p-limit(N)
+  without any cross-executor coordination.
+* retries: per-call retry loop with exponential backoff inside the
+  task (Spark task retries alone would replay whole partitions).
+* idempotency: an at-most-once ledger keyed by (shop, billing_date).
+  A key is claimed with an atomic O_CREAT|O_EXCL file create before
+  the external call; a replayed task sees the claim and skips the
+  call, reporting 'duplicate'.  On a cluster the ledger dir lives on
+  shared storage (the semantics only need atomic create).
+* results come back as a DataFrame via mapInPandas so the enrich
+  stage (J3) is a plain join.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("shop", T.LongType(), False),
+        T.StructField("billing_date", T.StringType(), False),
+        T.StructField("amount", T.DoubleType(), True),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("charge_id", T.StringType(), True),
+        T.StructField("error_message", T.StringType(), True),
+        T.StructField("attempts", T.IntegerType(), False),
+    ]
+)
+
+
+def claim_key(ledger_dir: str, shop: object, billing_date: str) -> bool:
+    """Atomically claim an idempotency key. True = first claim (caller
+    performs the external call), False = already claimed (skip)."""
+    os.makedirs(ledger_dir, exist_ok=True)
+    key_path = os.path.join(ledger_dir, f"{shop}__{billing_date}")
+    try:
+        fd = os.open(key_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+        return True
+    except FileExistsError:
+        return False
+
+
+def charge_with_retry(
+    charge_fn: Callable[[int, float], str],
+    shop: int,
+    amount: float,
+    max_retries: int = 3,
+    base_delay: float = 1.0,
+    sleep: Callable[[float], None] = time.sleep,
+) -> tuple[str, str | None, str | None, int]:
+    """Retry loop mirroring chargeShopWithRetry
+    (shopifyBilling.ts:91-140): attempts <= max_retries, backoff
+    base_delay * 2^(n-1). Returns (status, charge_id, error, attempts)."""
+    last_err: str | None = None
+    for attempt in range(1, max_retries + 1):
+        try:
+            charge_id = charge_fn(shop, amount)
+            return "success", charge_id, None, attempt
+        except Exception as exc:  # transient or permanent — retry like the reference
+            last_err = str(exc)
+            if attempt < max_retries:
+                sleep(base_delay * (2 ** (attempt - 1)))
+    return "failed", None, last_err, max_retries
+
+
+def charge_shops(
+    plan: DataFrame,
+    billing_date: str,
+    charge_fn: Callable[[int, float], str],
+    ledger_dir: str,
+    max_concurrency: int = 5,
+    max_retries: int = 3,
+    base_delay: float = 1.0,
+) -> DataFrame:
+    """Execute the charge plan. `plan` needs (shop, amount, status)
+    where status 'skipped' rows bypass the external call entirely
+    (zero-amount skip, shopifyBilling.ts:68-74)."""
+
+    def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                shop, amount, status = row.shop, row.amount, row.status
+                if status == "skipped" or (amount is None) or amount <= 0:
+                    out.append((shop, billing_date, amount, "skipped", None, None, 0))
+                    continue
+                if not claim_key(ledger_dir, shop, billing_date):
+                    out.append((shop, billing_date, amount, "duplicate", None, None, 0))
+                    continue
+                status2, charge_id, err, attempts = charge_with_retry(
+                    charge_fn, shop, amount, max_retries, base_delay
+                )
+                out.append((shop, billing_date, amount, status2, charge_id, err, attempts))
+            yield pd.DataFrame(out, columns=[f.name for f in RESULT_SCHEMA.fields])
+
+    bounded = plan.select("shop", "amount", "status").repartition(max_concurrency, "shop")
+    return bounded.mapInPandas(run_partition, RESULT_SCHEMA)
+
+
+def enrich_with_results(records: DataFrame, results: DataFrame) -> DataFrame:
+    """J3 — attach charge outcomes back onto billing records
+    (reference billing.ts:133-149); results are per-shop, broadcast."""
+    res = results.select(
+        "shop",
+        F.col("charge_id").alias("shopify_charge_id"),
+        F.col("status").alias("shopify_billing_status"),
+        F.col("error_message").alias("shopify_error_message"),
+    )
+    return records.join(F.broadcast(res), "shop", "left")

@@ -1,0 +1,516 @@
+"""LLM-data-pipeline operator pack: deduplication (exact, MinHash-LSH,
+SimHash, n-gram Jaccard, embedding-cosine), similarity search
+(brute-force + hyperplane-LSH ANN), and text analysis — all over the
+driver's `documents` / `embeddings` tables.
+
+No reference counterpart (the reference is a billing batch); this pack
+is the brief's first-class extension surface.  Everything is built from
+pyspark.sql.functions built-ins (higher-order array functions, xxhash64)
+— no Python UDFs — so the whole pack stays JVM-side and Catalyst keeps
+pushdown/codegen.
+
+Scale notes per operator:
+* exact dedup          — hash groupBy on the dedup key: one shuffle.
+* MinHash-LSH near-dup — banded: signatures via one explode+groupBy
+  (map-side partial min), candidates via an equi-join on
+  (band, band_hash) buckets.  NO all-pairs crossJoin anywhere; cost is
+  O(sum of bucket^2) which the band/row parameters keep tiny.
+* SimHash              — one explode+groupBy producing a 64-bit
+  fingerprint; near-dup candidates via 16-bit chunk buckets (pigeonhole:
+  hamming<=3 pairs share at least one of 4 chunks).
+* ANN                  — brute-force top-k is a broadcast of the (few)
+  query vectors over the corpus: embarrassingly parallel, no shuffle of
+  the corpus; the LSH variant buckets by hyperplane signs first so the
+  per-bucket work is corpus/2^planes.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"  # BPE-ish pre-tokenizer classes
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "auf", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "de", "un", "une", "dans", "pour"],
+    "es": ["el", "la", "los", "y", "es", "de", "un", "una", "en", "por"],
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for dedup/fingerprinting: lowercase, strip
+    non-alphanumerics, collapse whitespace."""
+    c = F.lower(_c(col))
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of trimmed text (empty text -> empty array)."""
+    t = F.trim(_c(col))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def token_count_regex(col: Column | str) -> Column:
+    """Sub-word-ish token count: letters / digits / punctuation runs."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(TOKEN_RE), F.lit(0)))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text (stable across
+    engines — DuckDB md5 produces the same hex)."""
+    return F.md5(normalize_text(col))
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality stats: token count, distinct tokens,
+    char length, avg token length, stopword ratio (ANSI-safe division)."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    distinct_tokens = F.size(F.array_distinct(toks))
+    n_chars_calc = F.length(_c(text_col))
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(toks, sw))  # distinct-stopword hits
+    safe_n = F.nullif(n_tokens.cast("double"), F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n_chars_calc.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        distinct_tokens.alias("n_distinct_tokens"),
+        F.round((n_chars_calc.cast("double") / safe_n), 6).alias("chars_per_token"),
+        F.round(distinct_tokens.cast("double") / safe_n, 6).alias("distinct_ratio"),
+        n_stop.alias("n_stopword_kinds"),
+    )
+
+
+def lang_score(col: Column | str, lang: str) -> Column:
+    """Stopword-hit count for one language (n-gram-free heuristic)."""
+    sw = F.array([F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(tokens(col), sw))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hits,
+    ties broken by language code order, no hits -> 'und'."""
+    scored = docs.select(
+        "doc_id",
+        *[lang_score(text_col, lg).alias(f"score_{lg}") for lg in sorted(STOPWORDS)],
+    )
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in sorted(STOPWORDS)])
+    pred = F.lit("und")
+    for lg in sorted(STOPWORDS, reverse=True):
+        pred = F.when((best > 0) & (F.col(f"score_{lg}") == best), F.lit(lg)).otherwise(pred)
+    return scored.withColumn("pred_lang", pred)
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, key: Column | str = "text") -> DataFrame:
+    """Exact dedup via hash groupBy: one representative (min doc_id)
+    per key + the duplicate count."""
+    return docs.groupBy(_c(key).alias("dedup_key")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("copies"),
+    )
+
+
+def word_shingles(toks: Column, k: int = 3) -> Column:
+    """k-word shingles from a token array (docs shorter than k yield
+    one shingle of the whole doc so they still get a signature)."""
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: explode shingles once, take the
+    per-seed min of xxhash64(shingle, seed) in a single groupBy (partial
+    aggregation makes this one map-combined shuffle)."""
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(tokens(text_col), shingle_k)).alias("shingle"),
+    ).dropDuplicates([id_col, "shingle"])
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(j))).alias(f"mh_{j}") for j in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded LSH: hash each band of the signature, bucket-join on
+    (band_idx, band_hash), emit unordered candidate pairs (a < b).
+    This is the scale path — candidate generation is an equi-join, not
+    an all-pairs product."""
+    band_hashes = F.array(
+        *[
+            F.hash(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
+            for b in range(bands)
+        ]
+    )
+    buckets = signatures.select(
+        F.col(id_col), F.posexplode(band_hashes).alias("band_idx", "band_hash")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(tok_a: Column, tok_b: Column) -> Column:
+    """Token-set Jaccard similarity (ANSI-safe on empty union)."""
+    inter = F.size(F.array_intersect(tok_a, tok_b)).cast("double")
+    union = F.size(F.array_union(tok_a, tok_b)).cast("double")
+    return F.round(inter / F.nullif(union, F.lit(0.0)), 6)
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pipeline: signatures -> banded
+    candidates -> exact Jaccard verification >= threshold.
+
+    Verification uses the SAME k-shingle space the signatures hash —
+    MinHash approximates shingle-set Jaccard, so verifying on a
+    different token space would filter with an unrelated similarity.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    shingle_sets = docs.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(tokens(text_col), shingle_k)).alias("shset"),
+    )
+    return (
+        cands.join(shingle_sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("shset", "sh_a"), "id_a")
+        .join(shingle_sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("shset", "sh_b"), "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.3,
+    max_id: int | None = None,
+) -> DataFrame:
+    """Exact n-gram (word) Jaccard for all pairs in a bounded id range —
+    the exact-answer baseline the LSH path approximates.  The optional
+    max_id bound keeps the quadratic pair space explicit and testable;
+    at scale use near_dup_pairs instead."""
+    d = docs if max_id is None else docs.where(F.col(id_col) < max_id)
+    grams = d.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(tokens(text_col), n)).alias("grams"),
+    )
+    a = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
+    b = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jaccard(F.col("g_a"), F.col("g_b")).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document: per-token xxhash64, per-bit vote
+    (+1 if set else -1) summed across tokens, bit j of the fingerprint
+    set iff the vote is positive.  One explode + one groupBy (64 sum
+    aggregates fuse into a single partial-aggregated shuffle)."""
+    tok = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v_{j}")
+            for j in range(64)
+        ]
+    )
+    fp = None
+    for j in range(64):
+        # building the bit pattern by adding disjoint powers of two is
+        # exact in two's complement, including the sign bit (j=63)
+        term = F.when(F.col(f"v_{j}") > 0, F.lit(1).cast("long") * F.lit(2 ** j if j < 63 else -(2 ** 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_chunks(sim_col: Column, chunk_bits: int = 16) -> Column:
+    """Split a 64-bit simhash into 64/chunk_bits chunks for banded
+    candidate search (pigeonhole: hamming<=k-1 pairs share a chunk)."""
+    n = 64 // chunk_bits
+    mask = (1 << chunk_bits) - 1
+    return F.array(
+        *[
+            F.shiftrightunsigned(sim_col, i * chunk_bits).bitwiseAND(F.lit(mask))
+            for i in range(n)
+        ]
+    )
+
+
+def simhash_near_pairs(
+    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Candidate pairs via 16-bit chunk buckets, verified by exact
+    Hamming distance <= max_hamming."""
+    buckets = sims.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(simhash_chunks(F.col("simhash"))).alias("chunk_idx", "chunk_val"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cands.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+
+def dot_product(a: Column, b: Column) -> Column:
+    """In-order double fold — bitwise-reproducible across engines
+    (matches DuckDB list_sum(list_transform(list_zip(...)))."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def vector_norm(v: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_product(a, b) / F.nullif(vector_norm(a) * vector_norm(b), F.lit(0.0))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (few) query vectors over
+    the corpus — a map-only pass plus a per-query top-k window over the
+    scored rows. The corpus is never shuffled by pair."""
+    q = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            # rank on the raw double (bitwise-reproducible), round only for output
+            cosine(F.col("q_vec"), F.col("n_vec")).alias("raw_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("raw_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("raw_cosine"), 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure python LCG so
+    the plan is reproducible with no runtime RNG)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        vals = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            # map to (-1, 1)
+            vals.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        norm = math.sqrt(sum(v * v for v in vals)) or 1.0
+        planes.append([v / norm for v in vals])
+    return planes
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit j = sign(v . plane_j)."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        plane_lit = F.array(*[F.lit(p) for p in plane])
+        d = F.aggregate(
+            F.zip_with(vec_col, plane_lit, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: multi-table hyperplane LSH — each of
+    `n_tables` independent plane sets buckets the corpus; candidates
+    are the union of same-bucket rows across tables (IVF-style recall
+    boost: P[candidate] = 1-(1-p^planes)^tables).  At 100 TB the bucket
+    equi-join replaces the broadcast scan of the brute-force path;
+    recall/cost is traded via n_planes x n_tables."""
+    table_buckets = F.array(
+        *[
+            lsh_bucket(F.col(vec_col), _hyperplanes(n_planes, dim, seed=42 + t))
+            for t in range(n_tables)
+        ]
+    )
+    bucketed = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(table_buckets).alias("table_idx", "bucket"),
+    )
+    q = bucketed.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "table_idx", "bucket"
+    )
+    c = bucketed.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"), "table_idx", "bucket"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, ["table_idx", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "q_vec", "n_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("n_vec")).alias("raw_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("raw_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("raw_cosine"), 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets (near-dups
+    at high cosine land in the same sign-bucket with high probability)."""
+    planes = _hyperplanes(n_planes, dim)
+    bucketed = emb.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -680,3 +680,436 @@ def q_report_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("page_views").desc(), F.col("shop").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# M2b — star-schema multi-join (bench heavy hitter #2)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_star_join",
+    """
+    SELECT r.r_name AS region,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+    GROUP BY r.r_name
+    """,
+)
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join over the star schema (TPC-H Q5 shape): the fact table
+    joins dims that Catalyst broadcast-hash-joins (all dims are tiny);
+    the only shuffle is lineitem->orders and the final group."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.to_date("o_orderdate") >= S.date_literal("1996-01-01"))
+        & (F.to_date("o_orderdate") < S.date_literal("1997-01-01"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M4 — write path (rows-only: sinks are not SQL-expressible for DuckDB)
+# ---------------------------------------------------------------------------
+
+@query("q_schema_evolve")
+def q_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5/P7/W1 — write path end-to-end: append pending records,
+    schema-evolve in the shopify status columns, append enriched rows,
+    read back through the latest-state view
+    (reference src/services/bigquery.ts:58-137 + billing.ts:133-163)."""
+    import tempfile
+
+    from pixelspark import io as pio
+    from pixelspark.schemas import USAGE_RECORDS
+
+    bill = B.daily_billing(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "events"), TD)
+    records = bill.withColumn("shop", F.col("shop").cast("string")).withColumn(
+        "shopify_billing_status", F.lit("pending")
+    )
+    path = tempfile.mkdtemp(prefix="pixelspark_evolve_") + "/usage_records"
+    pio.append_records(records, path, schema=USAGE_RECORDS)
+    enriched = records.withColumn("shopify_billing_status", F.lit("success")).withColumn(
+        "shopify_charge_id", F.concat(F.lit("gid://charge/"), F.col("shop"))
+    )
+    pio.append_records(enriched, path, schema=USAGE_RECORDS)
+    log = pio.read_table_or_empty(spark, path, USAGE_RECORDS)
+    latest = pio.latest_state(log, keys=("shop", "billing_date"), order_col="created_at",
+                              tiebreak=("shopify_billing_status",))
+    return latest.select("shop", "billing_date", "page_views", "billing_amount",
+                         "shopify_billing_status", "shopify_charge_id")
+
+
+@query("q_upsert_roundtrip")
+def q_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/S7 — missing-table guard + keyed upsert: read-or-empty, write,
+    upsert a subset with new statuses, return the merged table
+    (reference src/services/bigquery.ts:159-190)."""
+    import tempfile
+
+    from pixelspark import io as pio
+    from pixelspark.schemas import USAGE_RECORDS
+
+    path = tempfile.mkdtemp(prefix="pixelspark_upsert_") + "/usage_records"
+    empty = pio.read_table_or_empty(spark, path, USAGE_RECORDS)
+    assert empty.count() == 0  # S6: missing table -> empty relation
+    bill = B.daily_billing(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "events"), TD)
+    base = (
+        bill.withColumn("shop", F.col("shop").cast("string"))
+        .withColumn("shopify_billing_status", F.lit("pending"))
+        .withColumn("created_at", F.current_timestamp())
+    )
+    pio.append_records(base, path, schema=USAGE_RECORDS, stamp=False)
+    updates = (
+        spark.read.parquet(path)
+        .where(F.col("page_views") > 0)
+        .withColumn("shopify_billing_status", F.lit("success"))
+    )
+    pio.upsert(spark, path, updates, keys=("shop", "billing_date"))
+    return (
+        spark.read.parquet(path)
+        .groupBy("shopify_billing_status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# M6 — LLM-data-pipeline pack
+# ---------------------------------------------------------------------------
+
+from pixelspark.ops import llm as L  # noqa: E402
+from pixelspark.ops import multimodal as MM  # noqa: E402
+
+
+@query(
+    "q_docs_exact_dedup",
+    """
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS copies
+    FROM documents GROUP BY text
+    """,
+)
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — exact dedup via hash groupBy on text."""
+    return L.exact_dedup(_t(spark, sf_dir, "documents"), "text").select("keep_id", "copies")
+
+
+@query(
+    "q_docs_dedup_norm",
+    r"""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS copies
+    FROM documents
+    GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                 '\s+', ' ', 'g'))
+    """,
+)
+def q_docs_dedup_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — exact dedup on normalized text (case/punct/ws-insensitive)."""
+    d = _t(spark, sf_dir, "documents")
+    return L.exact_dedup(d, L.normalize_text("text")).select("keep_id", "copies")
+
+
+@query(
+    "q_text_stats",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars_calc,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+           ROUND(CAST(length(text) AS DOUBLE) / NULLIF(CAST(len(toks) AS DOUBLE), 0.0), 6)
+             AS chars_per_token,
+           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / NULLIF(CAST(len(toks) AS DOUBLE), 0.0), 6)
+             AS distinct_ratio,
+           CAST(len(list_intersect(toks,
+                ['the','a','of','and','to','in','is','on','for','with'])) AS INT)
+             AS n_stopword_kinds
+    FROM t
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — per-document quality stats (token counts, ratios)."""
+    return L.text_stats(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_lang_stats",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — corpus composition by language label."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@query(
+    "q_lang_id",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+        CAST(len(list_intersect(toks, ['der','die','das','und','ist','von','mit','auf','ein','zu'])) AS INT) AS score_de,
+        CAST(len(list_intersect(toks, ['the','a','of','and','to','in','is','on','for','with'])) AS INT) AS score_en,
+        CAST(len(list_intersect(toks, ['el','la','los','y','es','de','un','una','en','por'])) AS INT) AS score_es,
+        CAST(len(list_intersect(toks, ['le','la','les','et','est','de','un','une','dans','pour'])) AS INT) AS score_fr
+      FROM t
+    )
+    SELECT doc_id, score_de, score_en, score_es, score_fr,
+           CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+                WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+                WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+                WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM s
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — heuristic language ID via stopword-hit argmax."""
+    return L.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_token_count",
+    r"""
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
+             AS n_tokens_regex
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — whitespace + BPE-ish regex token counting."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(L.tokens("text")).alias("n_tokens_ws"),
+        L.token_count_regex("text").alias("n_tokens_regex"),
+    )
+
+
+@query(
+    "q_doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                   '\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — document fingerprint: md5 of normalized text."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", L.fingerprint("text").alias("fp"))
+
+
+@query(
+    "q_ngram_jaccard",
+    r"""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1) + 1),
+               i -> array_to_string(toks[i:i+1], ' '))) AS grams
+      FROM (SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+            FROM documents WHERE doc_id < 100) t
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                 NULLIF(CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE), 0.0), 6)
+             AS jaccard
+    FROM g a, g b
+    WHERE a.doc_id < b.doc_id
+      AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+          NULLIF(CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE), 0.0) >= 0.1
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — exact bigram Jaccard near-dup pairs on a bounded id range
+    (the exact baseline the MinHash-LSH path approximates)."""
+    return L.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=2, threshold=0.1, max_id=100
+    )
+
+
+@query("q_minhash_pairs")  # xxhash64 has no DuckDB equivalent -> rows-only
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — MinHash-LSH near-dup pipeline (banded candidates + exact
+    Jaccard verify >= 0.5). Verified against the exact baseline in
+    tests/test_llm.py."""
+    return L.near_dup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query("q_simhash")  # xxhash64 has no DuckDB equivalent -> rows-only
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — 64-bit SimHash fingerprints."""
+    return L.simhash64(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_vector_norm",
+    """
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm,
+           label
+    FROM embeddings
+    """,
+)
+def q_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — L2 norm via array higher-order fold (in-order double fold,
+    bitwise-reproducible vs the DuckDB list fold)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(L.vector_norm(F.col("embedding")), 6).alias("norm"),
+        "label",
+    )
+
+
+@query(
+    "q_ann_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+      WHERE vec_id IN (0, 1, 2, 3, 4)
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(q.q_vec, e.embedding),
+                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+             NULLIF(sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                    sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+                    0) AS raw_cosine
+      FROM q, embeddings e WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, raw_cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY raw_cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(raw_cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — brute-force cosine top-k (the exact ANN baseline): queries
+    broadcast over the corpus, per-query top-k window."""
+    return L.cosine_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5)
+
+
+@query("q_ann_lsh")  # approximate (bucket recall) -> rows-only
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — hyperplane-LSH bucketed ANN (the 100-TB scale path; recall
+    vs the exact baseline is asserted in tests/test_llm.py)."""
+    return L.ann_lsh_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5, n_planes=2, n_tables=4)
+
+
+@query(
+    "q_embed_neardup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+                 NULLIF(sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                        sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+                        0), 6) AS cosine
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300
+      AND list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+          NULLIF(sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                 sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+                 0) >= 0.4
+    """,
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — embedding-cosine near-dup pairs, exact on a bounded id
+    range (LSH-bucketed variant for scale lives in
+    llm.embedding_near_dup / q_ann_lsh)."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    raw = L.cosine(F.col("v_a"), F.col("v_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(raw >= 0.4)
+        .select("id_a", "id_b", F.round(raw, 6).alias("cosine"))
+    )
+
+
+@query(
+    "q_multimodal_meta",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                ELSE 'mp4' END AS format,
+           CAST((doc_id % 16 + 1) * 64 AS INT) AS width,
+           CAST((doc_id % 9 + 1) * 64 AS INT) AS height,
+           CAST(n_chars * 10 AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM/multimodal — binary payload + typed metadata plumbing (the
+    decode kernels are stubbed; schema and batch shape are real)."""
+    media = MM.attach_fake_media(_t(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        "format",
+        "width",
+        "height",
+        "duration_ms",
+    )
+
+
+@query("q_media_features")  # mapInPandas decode stub -> rows-only
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM/multimodal — Arrow-batched feature extraction over binary
+    payloads via mapInPandas (deterministic fake kernel)."""
+    media = MM.attach_fake_media(_t(spark, sf_dir, "documents"))
+    return MM.extract_features(media, fake=True)

@@ -1,0 +1,116 @@
+"""Structured Streaming variant of the daily billing pipeline
+(SURVEY.md §2.9 / §7 M7).
+
+The reference has no streaming path (Pub/Sub is a dead dependency) —
+its batch-over-a-closed-day IS a tumbling 1-day event-time window.  The
+faithful streaming translation: readStream over the event log, 1-day
+tumbling window on event time with a watermark bounding late data (the
+reference's implicit policy is "late events are never billed" —
+src/services/bigquery.ts:41-52 reads one closed day), then the same
+count -> amount math.
+
+Sink patterns provided:
+* memory sink (tests / interactive)
+* foreachBatch -> io.upsert: each micro-batch merges its window counts
+  into the billing table keyed by (shop, billing_date) — giving the
+  same latest-state semantics as the batch path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pixelspark.ops.billing import PAGE_VIEW_EVENT, RATE_PER_MILLION
+from pixelspark.ops.scalar import usage_amount
+
+EVENT_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = EVENT_STREAM_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_pageviews(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Tumbling event-time window page-view counts with late-data bound.
+
+    State scales with (#open windows x #shops) — the watermark closes
+    windows so state is bounded regardless of stream length.
+    """
+    return (
+        events.where(F.col("event_type") == PAGE_VIEW_EVENT)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("user_id").alias("shop"))
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.col("win.start").cast("date").alias("billing_date"),
+            "shop",
+            "event_count",
+        )
+    )
+
+
+def with_billing_amount(pv: DataFrame, rate_per_million: float = RATE_PER_MILLION) -> DataFrame:
+    return pv.withColumn("page_views", F.col("event_count").cast("long")).withColumn(
+        "billing_amount", usage_amount("page_views", rate_per_million)
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
+    """One-shot (availableNow) run into an in-memory table; returns the
+    finished StreamingQuery. Complete mode re-emits all windows —
+    right for tests; production uses update/append + foreachBatch."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def run_upsert_sink(df: DataFrame, table_path: str, checkpoint: str):
+    """foreachBatch merge sink: each micro-batch upserts its window
+    counts into the billing table keyed by (shop, billing_date) —
+    streaming writes land with the same latest-state semantics the
+    batch path guarantees (reference append-as-update pattern)."""
+    from pixelspark import io as pio
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        pio.upsert(
+            batch_df.sparkSession, table_path, batch_df, keys=("shop", "billing_date")
+        )
+
+    q = (
+        df.writeStream.foreachBatch(merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

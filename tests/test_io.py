@@ -1,0 +1,96 @@
+"""Write-path tests: append/stamp, schema evolution, missing-table
+guard, upsert, latest-state equivalence (reference bigquery.ts write
+surface)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pixelspark import io as pio
+from pixelspark.schemas import USAGE_RECORDS
+
+BASE = T.StructType(
+    [
+        T.StructField("shop", T.StringType(), False),
+        T.StructField("billing_date", T.DateType(), False),
+        T.StructField("page_views", T.LongType(), False),
+        T.StructField("billing_amount", T.DoubleType(), False),
+        T.StructField("rate_per_million", T.DoubleType(), False),
+    ]
+)
+
+D = datetime.date(2024, 1, 2)
+
+
+def _records(spark, rows):
+    return spark.createDataFrame(rows, BASE)
+
+
+def test_read_missing_table_returns_empty(spark, tmp_path):
+    df = pio.read_table_or_empty(spark, str(tmp_path / "nope"), USAGE_RECORDS)
+    assert df.count() == 0
+    assert df.schema == USAGE_RECORDS
+
+
+def test_append_stamps_created_at(spark, tmp_path):
+    path = str(tmp_path / "t")
+    pio.append_records(_records(spark, [("s1", D, 10, 0.0, 10.0)]), path, schema=USAGE_RECORDS)
+    back = spark.read.parquet(path)
+    row = back.collect()[0]
+    assert row["created_at"] is not None
+    assert [f.name for f in back.schema.fields] == [f.name for f in USAGE_RECORDS.fields]
+
+
+def test_schema_evolution_align(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # first write WITHOUT status cols, second write WITH them (bigquery.ts:74-110)
+    pio.append_records(_records(spark, [("s1", D, 10, 0.0, 10.0)]), path, schema=USAGE_RECORDS)
+    enriched = _records(spark, [("s2", D, 20, 0.0, 10.0)]).withColumn(
+        "shopify_billing_status", F.lit("success")
+    )
+    pio.append_records(enriched, path, schema=USAGE_RECORDS)
+    back = spark.read.parquet(path)
+    got = {r["shop"]: r["shopify_billing_status"] for r in back.collect()}
+    assert got == {"s1": None, "s2": "success"}
+
+
+def test_upsert_keyed(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = _records(spark, [("s1", D, 10, 0.0, 10.0), ("s2", D, 20, 0.0, 10.0)])
+    pio.append_records(base, path, schema=USAGE_RECORDS)
+    updates = pio.align_to_schema(
+        _records(spark, [("s2", D, 99, 1.0, 10.0)]).withColumn(
+            "shopify_billing_status", F.lit("success")
+        ),
+        USAGE_RECORDS,
+    ).withColumn("created_at", F.current_timestamp())
+    pio.upsert(spark, path, updates, keys=("shop", "billing_date"))
+    back = {r["shop"]: r for r in spark.read.parquet(path).collect()}
+    assert len(back) == 2
+    assert back["s2"]["page_views"] == 99  # updated
+    assert back["s1"]["page_views"] == 10  # untouched
+
+
+def test_latest_state_matches_upsert(spark, tmp_path):
+    """Append-as-update log read through latest_state == upsert result
+    (the reference's two storage strategies agree, billing.ts:161-163)."""
+    log_path = str(tmp_path / "log")
+    pend = _records(spark, [("s1", D, 10, 0.0, 10.0)]).withColumn(
+        "shopify_billing_status", F.lit("pending")
+    )
+    pio.append_records(pend, log_path, schema=USAGE_RECORDS)
+    done = _records(spark, [("s1", D, 10, 0.0, 10.0)]).withColumn(
+        "shopify_billing_status", F.lit("success")
+    )
+    pio.append_records(done, log_path, schema=USAGE_RECORDS)
+    log = spark.read.parquet(log_path)
+    latest = pio.latest_state(
+        log, keys=("shop", "billing_date"), order_col="created_at",
+        tiebreak=("shopify_billing_status",)
+    )
+    rows = latest.collect()
+    assert len(rows) == 1
+    assert rows[0]["shopify_billing_status"] == "success"

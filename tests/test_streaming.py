@@ -1,0 +1,51 @@
+"""Structured Streaming variant: windowed counts equal the batch
+pipeline's day counts; the foreachBatch upsert sink lands latest-state
+rows."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pixelspark.ops.billing import pageviews_agg
+from pixelspark.schemas import load_table
+from pixelspark.streaming import daily as SD
+
+
+def _stage_events(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "events_in")
+    events = load_table(spark, sf_dir, "events")
+    events.coalesce(4).write.mode("overwrite").parquet(src)
+    # drop _SUCCESS etc is fine; readStream globs *.parquet via schema reader
+    return src, events
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, tmp_path):
+    src, events = _stage_events(spark, sf_dir, tmp_path)
+    stream = SD.read_event_stream(spark, src, max_files_per_trigger=2)
+    pv = SD.windowed_pageviews(stream, window="1 day", watermark="1 day")
+    q = SD.run_to_memory(pv, "pv_mem", output_mode="complete")
+    got = {
+        (str(r["billing_date"]), r["shop"]): r["event_count"]
+        for r in spark.sql("SELECT * FROM pv_mem").collect()
+    }
+    want_day = {
+        r["shop"]: r["event_count"] for r in pageviews_agg(events, "2024-01-02").collect()
+    }
+    for shop, n in want_day.items():
+        assert got[("2024-01-02", shop)] == n
+
+
+def test_streaming_upsert_sink(spark, sf_dir, tmp_path):
+    src, events = _stage_events(spark, sf_dir, tmp_path)
+    stream = SD.read_event_stream(spark, src)
+    pv = SD.with_billing_amount(SD.windowed_pageviews(stream))
+    table = str(tmp_path / "billing_table")
+    ckpt = str(tmp_path / "ckpt")
+    SD.run_upsert_sink(pv, table, ckpt)
+    back = spark.read.parquet(table)
+    assert back.count() > 0
+    # keyed uniqueness: latest-state semantics hold in the sink table
+    dup = back.groupBy("shop", "billing_date").count().where(F.col("count") > 1).count()
+    assert dup == 0
