@@ -1,0 +1,70 @@
+"""Bench harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing uses a noop-format write so every column expression is fully
+computed (df.count() lets Spark skip projections).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pixelspark.session import get_spark  # noqa: E402
+from pixelspark import queries as Q  # noqa: E402
+
+HEADLINE = [
+    "q_daily_billing",
+    "q_pageviews_agg",
+    "q_revenue_by_flag",
+    "q_star_join",
+    "q_latest_state",
+    "q_top_shops",
+    "q_rollup_day_type",
+    "q_daily_active_users",
+    "q_running_total",
+    "q_docs_exact_dedup",
+    "q_text_stats",
+    "q_doc_fingerprint",
+    "q_minhash_pairs",
+    "q_ann_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("pixelspark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up the JVM / parquet footer caches outside the measurement
+    Q.QUERIES["q_sessions_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        Q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

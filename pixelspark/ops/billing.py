@@ -15,13 +15,48 @@ partition pruning kick in.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import datetime as _dt
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pixelspark.ops.scalar import date_literal, event_day, usage_amount
 
 RATE_PER_MILLION = 10.0  # reference src/services/billing.ts:20
 PAGE_VIEW_EVENT = "view"  # plays name='page_viewed' (bigquery.ts:47)
+
+
+def day_filter(df: DataFrame, target_date: str) -> Column:
+    """UTC-day predicate on the event timestamp, written to push down.
+
+    When the source exposes the raw nanosecond long (`ts_ns`), the day
+    becomes a half-open ns range directly on the scan column — parquet
+    row-group stats then skip whole chunks, which `to_date(ts) = d`
+    over the derived timestamp can never do.  This is the predicate
+    that makes the daily batch a partition-pruned read at 100 TB.
+    """
+    if "ts_ns" in df.columns:
+        day = _dt.datetime.strptime(target_date, "%Y-%m-%d").replace(
+            tzinfo=_dt.timezone.utc
+        )
+        lo = int(day.timestamp()) * 1_000_000_000
+        hi = lo + 86_400 * 1_000_000_000
+        return (F.col("ts_ns") >= F.lit(lo)) & (F.col("ts_ns") < F.lit(hi))
+    return event_day("ts") == date_literal(target_date)
+
+
+def day_range_filter(df: DataFrame, start_date: str, end_date: str) -> Column:
+    """Half-open [start, end) UTC-day range predicate, pushdown-shaped
+    like day_filter."""
+    if "ts_ns" in df.columns:
+        def ns(d: str) -> int:
+            day = _dt.datetime.strptime(d, "%Y-%m-%d").replace(tzinfo=_dt.timezone.utc)
+            return int(day.timestamp()) * 1_000_000_000
+
+        return (F.col("ts_ns") >= F.lit(ns(start_date))) & (F.col("ts_ns") < F.lit(ns(end_date)))
+    return (event_day("ts") >= date_literal(start_date)) & (
+        event_day("ts") < date_literal(end_date)
+    )
 
 
 def sessions_scan(customer: DataFrame) -> DataFrame:
@@ -54,8 +89,7 @@ def pageviews_agg(events: DataFrame, target_date: str) -> DataFrame:
     """
     return (
         events.where(
-            (F.col("event_type") == PAGE_VIEW_EVENT)
-            & (event_day("ts") == date_literal(target_date))
+            (F.col("event_type") == PAGE_VIEW_EVENT) & day_filter(events, target_date)
         )
         .groupBy(F.col("user_id").alias("shop"))
         .agg(F.count(F.lit(1)).alias("event_count"))
@@ -106,8 +140,7 @@ def usage_value_plan(events: DataFrame, target_date: str) -> DataFrame:
     """
     return (
         events.where(
-            (F.col("event_type") == PAGE_VIEW_EVENT)
-            & (event_day("ts") == date_literal(target_date))
+            (F.col("event_type") == PAGE_VIEW_EVENT) & day_filter(events, target_date)
         )
         .groupBy(F.col("user_id").alias("shop"))
         .agg(F.round(F.sum("value"), 2).alias("amount"))

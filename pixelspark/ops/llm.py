@@ -149,10 +149,12 @@ def minhash_signatures(
     """MinHash signature per document: explode shingles once, take the
     per-seed min of xxhash64(shingle, seed) in a single groupBy (partial
     aggregation makes this one map-combined shuffle)."""
+    # no dropDuplicates: min() is duplicate-insensitive, so deduping
+    # shingles first would only add a shuffle without changing results
     sh = docs.select(
         F.col(id_col),
         F.explode(word_shingles(tokens(text_col), shingle_k)).alias("shingle"),
-    ).dropDuplicates([id_col, "shingle"])
+    )
     aggs = [
         F.min(F.xxhash64("shingle", F.lit(j))).alias(f"mh_{j}") for j in range(num_hashes)
     ]

@@ -214,10 +214,7 @@ def q_records_for_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_status_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 — CASE WHEN status mapping (reference src/services/billing.ts:136-138)."""
     e = _t(spark, sf_dir, "events")
-    return e.where(
-        (F.to_date("ts") >= S.date_literal("2024-01-01"))
-        & (F.to_date("ts") < S.date_literal("2024-01-08"))
-    ).select(
+    return e.where(B.day_range_filter(e, "2024-01-01", "2024-01-08")).select(
         "event_id",
         "event_type",
         F.when(F.col("event_type") == "error", "failed")
@@ -320,7 +317,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12 — JSON extraction over events.props
     (reference src/services/shopifyBilling.ts:247-259)."""
     e = _t(spark, sf_dir, "events")
-    return e.where(F.to_date("ts") == S.date_literal(TD)).select(
+    return e.where(B.day_filter(e, TD)).select(
         "event_id",
         S.json_get("props", "$.k").alias("k_str"),
         S.json_get("props", "$.k").cast("long").alias("k"),
@@ -420,7 +417,7 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 — UNION ALL (engine surface; the reference's insert-twice
     pattern is physically a union, src/services/billing.ts:92,162)."""
     e = _t(spark, sf_dir, "events")
-    day = F.to_date("ts") == S.date_literal(TD)
+    day = B.day_filter(e, TD)
     a = e.where((F.col("event_type") == "click") & day).select("event_id", "event_type")
     b = e.where((F.col("event_type") == "view") & day).select("event_id", "event_type")
     return a.unionByName(b)
@@ -439,7 +436,7 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 — EXCEPT (distinct) over user sets."""
     e = _t(spark, sf_dir, "events")
-    day = F.to_date("ts") == S.date_literal(TD)
+    day = B.day_filter(e, TD)
     a = e.where((F.col("event_type") == "purchase") & day).select("user_id")
     b = e.where((F.col("event_type") == "view") & day).select("user_id")
     return a.subtract(b)

@@ -72,7 +72,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            # keep the raw scan column: predicates on ts_ns push down to
+            # the parquet scan (row-group skipping), which filters on the
+            # derived timestamp cannot do
+            df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+                "ts", F.expr("timestamp_micros(ts div 1000)")
+            )
     return df
 
 
