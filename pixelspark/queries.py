@@ -1110,3 +1110,148 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads via mapInPandas (deterministic fake kernel)."""
     media = MM.attach_fake_media(_t(spark, sf_dir, "documents"))
     return MM.extract_features(media, fake=True)
+
+
+# ---------------------------------------------------------------------------
+# M2c — additional analytics surface (set ops, cube, percentiles,
+# histogram, approximate aggregates, sampling)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_intersect",
+    f"""
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase' AND CAST(ts AS DATE) = DATE '{TD}'
+    INTERSECT
+    SELECT user_id FROM events
+    WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '{TD}'
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — INTERSECT (distinct) over user sets."""
+    e = _t(spark, sf_dir, "events")
+    day = B.day_filter(e, TD)
+    a = e.where((F.col("event_type") == "purchase") & day).select("user_id")
+    b = e.where((F.col("event_type") == "view") & day).select("user_id")
+    return a.intersect(b)
+
+
+@query(
+    "q_cube_flag_status",
+    """
+    SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext — CUBE grouping sets over the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "q_percentiles",
+    """
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext — exact interpolated percentiles (Spark percentile ==
+    DuckDB quantile_cont, both linear interpolation)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@query(
+    "q_value_histogram",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext — fixed-width histogram binning."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000.0).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query("q_approx_distinct")  # approximate by design -> rows-only
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext — approx_count_distinct (HLL): the 100-TB cardinality path;
+    exactness vs countDistinct asserted within rsd in tests."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+
+
+@query("q_head_sample")  # unordered LIMIT -> set is engine-dependent, rows-only
+def q_head_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 — head-N sample for logging (reference billing.ts:311)."""
+    return _t(spark, sf_dir, "lineitem").limit(5)
+
+
+@query("q_charge_execute")  # side-effecting external sink -> rows-only
+def q_charge_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — the external charge stage executed with a deterministic
+    local charge function: bounded concurrency, retry w/ backoff,
+    idempotency ledger (reference shopifyBilling.ts:58-140)."""
+    import tempfile
+
+    from pixelspark.ops import external as X
+
+    plan = B.charge_plan(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "events"), TD)
+    ledger = tempfile.mkdtemp(prefix="pixelspark_ledger_")
+    res = X.charge_shops(
+        plan, TD, lambda shop, amount: f"gid://charge/{shop}", ledger_dir=ledger,
+        base_delay=0.0,
+    )
+    return res.select("shop", "billing_date", "amount", "status", "charge_id")
+
+
+@query(
+    "q_streaming_counts",
+    """
+    SELECT CAST(ts AS DATE) AS billing_date, user_id AS shop,
+           CAST(COUNT(*) AS BIGINT) AS event_count
+    FROM events WHERE event_type = 'view'
+    GROUP BY CAST(ts AS DATE), user_id
+    """,
+)
+def q_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 — Structured Streaming variant: the same per-day page-view
+    counts computed through readStream + 1-day tumbling event-time
+    window + watermark, one-shot availableNow trigger into a memory
+    sink.  Complete mode re-emits every window, so the result equals
+    the batch GROUP BY — which is exactly the oracle."""
+    import tempfile
+    import uuid
+
+    from pixelspark.streaming import daily as SD
+
+    staging = tempfile.mkdtemp(prefix="pixelspark_stream_src_")
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    events.coalesce(4).write.mode("overwrite").parquet(staging)
+    stream = SD.read_event_stream(spark, staging)
+    pv = SD.windowed_pageviews(stream, window="1 day", watermark="1 day")
+    name = f"pv_mem_{uuid.uuid4().hex[:8]}"
+    SD.run_to_memory(pv, name, output_mode="complete")
+    return spark.sql(f"SELECT billing_date, shop, event_count FROM {name}")

@@ -1,0 +1,54 @@
+"""End-to-end job orchestration: write-before-charge ordering,
+dry-run parity, latest-state read-back, rerun idempotency."""
+
+from __future__ import annotations
+
+import datetime
+
+from pixelspark import job as J
+
+
+def test_default_target_date_jst():
+    # 2024-01-02 00:30 JST -> yesterday is 2024-01-01 (JST), even though
+    # it is still 2024-01-01 15:30 UTC
+    now = datetime.datetime(2024, 1, 1, 15, 30, tzinfo=datetime.timezone.utc)
+    assert J.default_target_date("Asia/Tokyo", today=now) == "2024-01-01"
+    now2 = datetime.datetime(2024, 1, 2, 14, 0, tzinfo=datetime.timezone.utc)  # 23:00 JST
+    assert J.default_target_date("Asia/Tokyo", today=now2) == "2024-01-01"
+
+
+def test_dry_run_no_writes(spark, sf_dir, tmp_path):
+    out = J.run_daily_billing(spark, sf_dir, "2024-01-02", dry_run=True)
+    assert out["dry_run"] is True
+    assert out["n_shops"] == 150
+    assert not list(tmp_path.iterdir())  # nothing written anywhere
+
+
+def test_full_job_and_state(spark, sf_dir, tmp_path):
+    table = str(tmp_path / "usage_records")
+    ledger = str(tmp_path / "ledger")
+    charged = []
+
+    def charge(shop, amount):
+        charged.append(shop)
+        return f"gid://charge/{shop}"
+
+    out = J.run_daily_billing(
+        spark, sf_dir, "2024-01-02", table_path=table, ledger_dir=ledger,
+        charge_fn=charge, dry_run=False,
+    )
+    assert out["dry_run"] is False
+    assert out["status_counts"].get("skipped", 0) > 0  # zero-amount shops skipped
+    # at sf0.001 all amounts are ~0 -> all skipped; nobody charged
+    state = J.current_billing_state(spark, table)
+    rows = state.collect()
+    assert len(rows) == 150  # one current row per shop
+    # every shop has both a pending and an outcome row in the log
+    log = spark.read.parquet(table)
+    assert log.count() == 300
+    # rerunning the job must not double-charge (idempotency ledger)
+    J.run_daily_billing(
+        spark, sf_dir, "2024-01-02", table_path=table, ledger_dir=ledger,
+        charge_fn=charge, dry_run=False,
+    )
+    assert len(charged) == len(set(charged))  # no shop charged twice
