@@ -1,0 +1,84 @@
+"""Generic relational helpers: broadcast-hinted joins, set ops, and the
+skew-resilient two-stage (salted) aggregation.
+
+Skew posture (SURVEY.md §7 hard part 5): at 100 TB a single viral shop
+makes `groupBy('shop')` shuffle one giant partition.  Spark's partial
+aggregation already collapses per-map-task duplicates, and AQE splits
+skewed shuffle joins — but for extreme key skew the explicit two-stage
+salt spreads ONE key over `salt_buckets` reducers before the final
+combine.  Results are identical to the plain aggregation (verified by
+the oracle on q_pageviews_salted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def broadcast_left_join(big: DataFrame, small: DataFrame, on: list[str] | str, how: str = "left") -> DataFrame:
+    """Left join with an explicit broadcast hint on the small side —
+    the Map-based probe of the reference (billing.ts:254-261) done
+    shuffle-free."""
+    return big.join(F.broadcast(small), on, how)
+
+
+def salted_count(
+    df: DataFrame,
+    key: str,
+    out_key: str | None = None,
+    count_alias: str = "n",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """COUNT(*) GROUP BY key, skew-resilient: stage 1 counts per
+    (key, salt) spreading hot keys over `salt_buckets` reducers,
+    stage 2 sums the partials per key.  Deterministic salt (hash of a
+    monotonically increasing id is unnecessary — spark_partition_id
+    spreads uniformly and is shuffle-free to compute)."""
+    out_key = out_key or key
+    salted = df.withColumn("__salt", F.spark_partition_id() % salt_buckets)
+    partial = salted.groupBy(F.col(key).alias(out_key), F.col("__salt")).agg(
+        F.count(F.lit(1)).alias("__partial")
+    )
+    return partial.groupBy(out_key).agg(F.sum("__partial").cast("long").alias(count_alias))
+
+
+def salted_sum(
+    df: DataFrame,
+    key: str,
+    value: Column | str,
+    out_key: str | None = None,
+    sum_alias: str = "total",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """SUM(value) GROUP BY key with the same two-stage salt."""
+    out_key = out_key or key
+    v = F.col(value) if isinstance(value, str) else value
+    salted = df.withColumn("__salt", F.spark_partition_id() % salt_buckets).withColumn(
+        "__v", v
+    )
+    partial = salted.groupBy(F.col(key).alias(out_key), F.col("__salt")).agg(
+        F.sum("__v").alias("__partial")
+    )
+    return partial.groupBy(out_key).agg(F.sum("__partial").alias(sum_alias))
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to
+    the previous event of the same user exceeds `gap_minutes`.
+    Classic lag + cumulative-sum window — one shuffle on the user key,
+    both windows share the same partitioning so Spark plans a single
+    exchange."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.lag(ts_col).over(w))
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return events.withColumn("__new_session", is_new).withColumn(
+        "session_seq", F.sum("__new_session").over(w).cast("long")
+    ).drop("__new_session")

@@ -1255,3 +1255,74 @@ def q_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"pv_mem_{uuid.uuid4().hex[:8]}"
     SD.run_to_memory(pv, name, output_mode="complete")
     return spark.sql(f"SELECT billing_date, shop, event_count FROM {name}")
+
+
+# ---------------------------------------------------------------------------
+# M2d — skew-resilient aggregation + sessionization
+# ---------------------------------------------------------------------------
+
+from pixelspark.ops import relational as R  # noqa: E402
+
+
+@query(
+    "q_pageviews_salted",
+    """
+    SELECT user_id AS shop, CAST(COUNT(*) AS BIGINT) AS event_count
+    FROM events WHERE event_type = 'view'
+    GROUP BY user_id
+    """,
+)
+def q_pageviews_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 under skew — two-stage salted count; identical results to the
+    plain aggregation (same oracle), resilient to one viral shop
+    dominating the shuffle at 100 TB."""
+    e = _t(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    return R.salted_count(e, "user_id", out_key="shop", count_alias="event_count")
+
+
+@query(
+    "q_sessionize",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+    FROM seq
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-ext — gap-based sessionization (30-min gap): lag + cumulative
+    sum over one user-keyed shuffle."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("__new", is_new)
+        .withColumn(
+            "session_seq",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"),
+        )
+        .select("user_id", "event_id", "session_seq")
+    )
+
+
+@query(
+    "q_distinct_triples",
+    """
+    SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS day
+    FROM events
+    """,
+)
+def q_distinct_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DISTINCT (exact dedup of projected tuples)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select("user_id", "event_type", F.to_date("ts").alias("day")).distinct()
