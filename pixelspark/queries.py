@@ -1326,3 +1326,69 @@ def q_distinct_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level DISTINCT (exact dedup of projected tuples)."""
     e = _t(spark, sf_dir, "events")
     return e.select("user_id", "event_type", F.to_date("ts").alias("day")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# M2e — as-of join + range join (custom operators Spark lacks natively)
+# ---------------------------------------------------------------------------
+
+from pixelspark.ops import asof as AJ  # noqa: E402
+
+
+@query(
+    "q_asof_join",
+    """
+    SELECT p.event_id, p.user_id, v.event_id AS asof_event_id, v.ts AS asof_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom operator — backward as-of join (view-attribution: each
+    purchase gets the latest prior view of the same user).  Union +
+    carry-forward window: one shuffle, no per-pair work; DuckDB's
+    native ASOF JOIN is the oracle."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = e.where(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    out = AJ.asof_join_backward(
+        purchases, views, key="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["event_id"],
+    )
+    return out.select("event_id", "user_id", F.col("asof_event_id"), F.col("asof_ts"))
+
+
+@query(
+    "q_range_join",
+    """
+    SELECT o.o_orderkey,
+           CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_shipped_30d
+    FROM orders o LEFT JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1996-07-01'
+    GROUP BY o.o_orderkey
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom operator — interval range join: per order, lineitems
+    shipped within 30 days of the order date.  Equi-join on the order
+    key keeps it a hash join; the range predicate rides the join."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.to_date("o_orderdate") >= S.date_literal("1996-01-01"))
+        & (F.to_date("o_orderdate") < S.date_literal("1996-07-01"))
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    joined = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left",
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count("l_orderkey").alias("n_shipped_30d")
+    )
