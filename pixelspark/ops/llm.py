@@ -150,13 +150,17 @@ def minhash_signatures(
     per-seed min of xxhash64(shingle, seed) in a single groupBy (partial
     aggregation makes this one map-combined shuffle)."""
     # no dropDuplicates: min() is duplicate-insensitive, so deduping
-    # shingles first would only add a shuffle without changing results
+    # shingles first would only add a shuffle without changing results.
+    # Hash the (variable-length) shingle string ONCE, then derive the
+    # hash family from the 8-byte value — string hashing dominates the
+    # cost, so this is ~num_hashes x cheaper than num_hashes string
+    # hashes with different seeds.
     sh = docs.select(
         F.col(id_col),
         F.explode(word_shingles(tokens(text_col), shingle_k)).alias("shingle"),
-    )
+    ).select(F.col(id_col), F.xxhash64("shingle").alias("h0"))
     aggs = [
-        F.min(F.xxhash64("shingle", F.lit(j))).alias(f"mh_{j}") for j in range(num_hashes)
+        F.min(F.xxhash64("h0", F.lit(j))).alias(f"mh_{j}") for j in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
 

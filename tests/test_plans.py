@@ -1,0 +1,44 @@
+"""Physical-plan regression tests: the scale properties we rely on must
+stay visible in explain output (pushdown, broadcast, no sort-merge for
+dim joins)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_day_filter_pushes_to_scan(spark, sf_dir):
+    from pixelspark.ops.billing import daily_billing
+    from pixelspark.schemas import load_table
+
+    plan = _plan(
+        daily_billing(
+            load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "events"), "2024-01-02"
+        )
+    )
+    # the day range must reach the parquet scan as int64 bounds
+    assert "GreaterThanOrEqual(ts," in plan and "LessThan(ts," in plan
+    assert "EqualTo(event_type,view)" in plan
+
+
+def test_star_join_all_broadcast(spark, sf_dir):
+    from pixelspark.queries import QUERIES
+
+    plan = _plan(QUERIES["q_star_join"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan  # every dim side broadcasts
+
+
+def test_column_pruning(spark, sf_dir):
+    from pixelspark.queries import QUERIES
+
+    plan = _plan(QUERIES["q_pageviews_agg"](spark, sf_dir))
+    # only the three needed columns are read from the events scan
+    assert "event_id" not in plan.split("ReadSchema")[1].splitlines()[0]
