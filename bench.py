@@ -34,6 +34,9 @@ HEADLINE = [
     "q_doc_fingerprint",
     "q_minhash_pairs",
     "q_ann_topk",
+    "q_asof_join",
+    "q_sessionize",
+    "q_pivot_day_type",
 ]
 
 

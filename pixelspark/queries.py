@@ -1392,3 +1392,58 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderkey").agg(
         F.count("l_orderkey").alias("n_shipped_30d")
     )
+
+
+# ---------------------------------------------------------------------------
+# M2f — pivot + JSON-struct parsing
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_pivot_day_type",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           SUM(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           SUM(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           SUM(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+)
+def q_pivot_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext — PIVOT: event counts per day fanned into one column per
+    type (explicit value list keeps the plan a single aggregation —
+    no extra pass to discover pivot values)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )
+
+
+@query(
+    "q_json_struct",
+    f"""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                THEN 'high' ELSE 'low' END AS k_band
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '{TD}'
+    """,
+)
+def q_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 via from_json: schema-full JSON parsing (JsonToStructs),
+    complementing the path-extraction variant in q_json_extract."""
+    from pyspark.sql import types as T
+
+    e = _t(spark, sf_dir, "events")
+    parsed = e.where(B.day_filter(e, TD)).withColumn(
+        "j", F.from_json("props", T.StructType([T.StructField("k", T.LongType())]))
+    )
+    return parsed.select(
+        "event_id",
+        F.col("j.k").alias("k"),
+        F.when(F.col("j.k") >= 50, "high").otherwise("low").alias("k_band"),
+    )
