@@ -1447,3 +1447,186 @@ def q_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j.k").alias("k"),
         F.when(F.col("j.k") >= 50, "high").otherwise("low").alias("k_band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M2g — function-pack breadth (math / string / date) + window variants
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(abs(l_discount - 0.05), 6) AS abs_off,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           ROUND(sqrt(l_extendedprice), 6) AS price_sqrt,
+           ROUND(ln(l_extendedprice + 1), 6) AS price_ln,
+           ROUND(pow(1 + l_tax, 2), 6) AS tax_sq,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math built-ins: abs/ceil/floor/sqrt/ln/pow/mod."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_off"),
+        F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+        F.floor("l_quantity").cast("long").alias("qty_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        (F.col("l_quantity").cast("long") % 7).alias("qty_mod"),
+    )
+
+
+@query(
+    "q_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           lower(p_type) AS type_lower,
+           length(p_name) AS name_len,
+           replace(p_type, ' ', '_') AS type_snake,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           CAST(strpos(p_type, 'BRUSHED') AS INT) AS brushed_pos,
+           reverse(p_brand) AS brand_rev,
+           split_part(p_type, ' ', 1) AS type_first_word
+    FROM part
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String built-ins: upper/lower/length/replace/lpad/instr/reverse/
+    split-part."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.instr(F.col("p_type"), "BRUSHED").alias("brushed_pos"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first_word"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month_num,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT)
+             AS days_to_y2k
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date built-ins: date_add/trunc/year/month/dayofweek/datediff.
+    (DuckDB dayofweek is 0=Sunday; Spark is 1=Sunday — oracle adds 1.)"""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.trunc(F.to_date("o_orderdate"), "month").alias("order_month"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month_num"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.to_date("o_orderdate")).alias(
+            "days_to_y2k"
+        ),
+    )
+
+
+@query(
+    "q_moving_avg",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY CAST(ts AS DATE)
+    )
+    SELECT day, n,
+           ROUND(AVG(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+             AS ma7
+    FROM daily
+    """,
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-ext — 7-day moving average (bounded frame spec)."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.withColumn("ma7", F.round(F.avg("n").over(w), 6))
+
+
+@query(
+    "q_topn_per_group",
+    """
+    SELECT segment, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (
+      SELECT c.c_mktsegment AS segment, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rk <= 3
+    """,
+)
+def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-ext — top-N per group (rank window after a broadcast join)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return joined.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
+
+
+@query(
+    "q_dense_rank_ntile",
+    """
+    SELECT s_suppkey, s_acctbal,
+           CAST(dense_rank() OVER (ORDER BY s_acctbal DESC) AS INT) AS drank,
+           CAST(ntile(4) OVER (ORDER BY s_acctbal DESC) AS INT) AS quartile
+    FROM supplier
+    """,
+)
+def q_dense_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-ext — dense_rank + ntile quartiles."""
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.col("s_acctbal").desc())
+    return s.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "q_above_avg_price",
+    """
+    SELECT p_partkey, p_retailprice
+    FROM part
+    WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+    """,
+)
+def q_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery — parts above the average retail price (the
+    scalar aggregate broadcasts as a literal at runtime)."""
+    p = _t(spark, sf_dir, "part")
+    avg_price = p.agg(F.avg("p_retailprice").alias("__avg"))
+    return (
+        p.crossJoin(F.broadcast(avg_price))
+        .where(F.col("p_retailprice") > F.col("__avg"))
+        .select("p_partkey", "p_retailprice")
+    )

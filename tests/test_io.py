@@ -94,3 +94,31 @@ def test_latest_state_matches_upsert(spark, tmp_path):
     rows = latest.collect()
     assert len(rows) == 1
     assert rows[0]["shopify_billing_status"] == "success"
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """billing_date-partitioned layout: a single-date read must show a
+    partition filter and touch only that partition's files."""
+    import contextlib
+    import io as _io
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "part_table")
+    rows = [
+        ("s1", datetime.date(2024, 1, 1), 10, 0.0, 10.0),
+        ("s2", datetime.date(2024, 1, 2), 20, 0.0, 10.0),
+        ("s3", datetime.date(2024, 1, 3), 30, 0.0, 10.0),
+    ]
+    pio.append_records(
+        _records(spark, rows), path, schema=USAGE_RECORDS,
+        partition_by=("billing_date",),
+    )
+    back = spark.read.parquet(path).where(F.col("billing_date") == "2024-01-02")
+    assert back.count() == 1
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "2024-01-02" in plan
