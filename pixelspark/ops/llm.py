@@ -263,6 +263,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1] from cheap text signals
+    (length band, type-token ratio, stopword presence) — the filter
+    stage of a training-data pipeline.  Pure column arithmetic."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / F.nullif(
+        n_tokens.cast("double"), F.lit(0.0)
+    )
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    has_stop = (F.size(F.array_intersect(toks, sw)) > 0).cast("double")
+    len_ok = ((n_tokens >= 10) & (n_tokens <= 5000)).cast("double")
+    score = F.round(0.4 * len_ok + 0.4 * F.coalesce(distinct_ratio, F.lit(0.0)) + 0.2 * has_stop, 6)
+    return docs.select("doc_id", n_tokens.alias("n_tokens"), score.alias("quality"))
+
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Connected components over near-dup pairs via iterative min-label
+    propagation (the scalable CC pattern: each round joins current
+    labels across edges and keeps the min; converges in O(diameter)
+    rounds — near-dup clusters are tiny, so a handful).  Returns
+    (doc_id, cluster_id=min doc_id of the component): keep one canonical
+    doc per cluster, drop the rest."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "cluster_id", F.col("id")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True) if changed else new_labels
+        if not changed:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

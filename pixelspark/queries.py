@@ -1630,3 +1630,117 @@ def q_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("p_retailprice") > F.col("__avg"))
         .select("p_partkey", "p_retailprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# M6b — corpus statistics, TF-IDF, quality filtering, dedup clustering
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_vocab_topk",
+    r"""
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents)
+    GROUP BY tok ORDER BY freq DESC, tok ASC LIMIT 50
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — corpus vocabulary: top-50 token frequencies (explode +
+    partial-aggregated count + TakeOrdered)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(L.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok").asc())
+        .limit(50)
+    )
+
+
+@query(
+    "q_tfidf_top_token",
+    r"""
+    WITH tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.tok,
+             ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf, df, n WHERE tf.tok = df.tok
+    )
+    SELECT doc_id, tok AS top_token, tfidf FROM (
+      SELECT doc_id, tok, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, tok ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def q_tfidf_top_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — TF-IDF: most characteristic token per document.  One
+    explode -> (doc,tok) counts; document frequency reuses that
+    aggregate; IDF joins back broadcast (vocab is small relative to the
+    corpus); per-doc argmax via window."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(L.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()  # scalar: one job, reused as a literal
+    scored = tf.join(F.broadcast(df_), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_token"), "tfidf")
+    )
+
+
+@query(
+    "q_quality_filter",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           ROUND(0.4 * (CASE WHEN len(toks) BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
+                 + 0.4 * COALESCE(CAST(len(list_distinct(toks)) AS DOUBLE)
+                                  / NULLIF(CAST(len(toks) AS DOUBLE), 0.0), 0.0)
+                 + 0.2 * (CASE WHEN len(list_intersect(toks,
+                       ['the','a','of','and','to','in','is','on','for','with'])) > 0
+                       THEN 1.0 ELSE 0.0 END), 6) AS quality
+    FROM t
+    """,
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — composite quality score (length band + type-token ratio +
+    stopword presence): the filter stage of a training-data pipeline."""
+    return L.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@query("q_dedup_clusters")  # iterative label propagation -> rows-only
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — near-dup clustering: connected components over MinHash-LSH
+    pairs via iterative min-label propagation; one canonical doc_id per
+    cluster (verified against known clusters in tests/test_llm.py)."""
+    pairs = L.near_dup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return L.dedup_clusters(pairs)

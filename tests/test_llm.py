@@ -124,3 +124,19 @@ def test_frame_sample_plan(spark, docs):
     assert set(by_id) == set(src)
     for mid, n in by_id.items():
         assert n == src[mid] // 1000 + 1
+
+
+def test_dedup_clusters_known_components(spark):
+    # chain 1-2-3, pair 10-11, singleton edges only
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (10, 11, 0.8)],
+        "id_a long, id_b long, jaccard double",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in L.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_quality_score_bounds(spark, docs):
+    rows = L.quality_score(docs.limit(100)).collect()
+    for r in rows:
+        assert 0.0 <= r["quality"] <= 1.0
