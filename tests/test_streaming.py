@@ -49,3 +49,41 @@ def test_streaming_upsert_sink(spark, sf_dir, tmp_path):
     # keyed uniqueness: latest-state semantics hold in the sink table
     dup = back.groupBy("shop", "billing_date").count().where(F.col("count") > 1).count()
     assert dup == 0
+
+
+def test_stateful_running_totals(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: state accumulates across micro-batches;
+    the final emitted totals equal the batch aggregation."""
+    from pixelspark.streaming import stateful as ST
+
+    src = str(tmp_path / "events_state_in")
+    events = load_table(spark, sf_dir, "events")
+    events.coalesce(4).write.mode("overwrite").parquet(src)
+    stream = SD.read_event_stream(spark, src, max_files_per_trigger=1)
+    totals = ST.running_shop_totals(stream)
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("state_mem")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import pandas as pd
+
+    emitted = spark.sql("SELECT * FROM state_mem").toPandas()
+    # update mode emits one row per key per batch; the LAST emission per
+    # shop is the final state
+    final = emitted.groupby("shop").last()
+    want = {
+        r["user_id"]: (r["n"], round(r["v"], 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert len(final) == len(want)
+    for shop, row in final.iterrows():
+        n, v = want[shop]
+        assert row["total_events"] == n
+        assert abs(row["total_value"] - v) < 1e-6
