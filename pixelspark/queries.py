@@ -1744,3 +1744,29 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster (verified against known clusters in tests/test_llm.py)."""
     pairs = L.near_dup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
     return L.dedup_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
+# M6c — training-data sampling ops (hash-deterministic)
+# ---------------------------------------------------------------------------
+
+from pixelspark.ops import sampling as SP  # noqa: E402
+
+
+@query("q_stratified_sample")  # xxhash64-based sampling -> rows-only
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — per-language stratified sample, hash-deterministic per row
+    (stable under repartitioning and task retry; see tests)."""
+    docs = _t(spark, sf_dir, "documents")
+    return SP.stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.5, "fr": 0.25}, "doc_id", seed=7
+    ).select("doc_id", "lang", "source")
+
+
+@query("q_train_split")  # xxhash64-based split -> rows-only
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — seeded train/val/test split counts (disjoint, exhaustive,
+    partitioning-stable)."""
+    docs = _t(spark, sf_dir, "documents")
+    split = SP.train_val_test_split(docs, "doc_id", seed=3)
+    return split.groupBy("split").agg(F.count(F.lit(1)).alias("n"))

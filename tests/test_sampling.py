@@ -1,0 +1,50 @@
+"""Sampling ops: determinism under repartitioning, proportions,
+disjoint exhaustive splits."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pixelspark.ops import sampling as SP
+from pixelspark.schemas import load_table
+
+
+def test_stratified_sample_deterministic_and_proportional(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 0.2}
+    a = SP.stratified_sample(docs, "lang", fractions, "doc_id", seed=7)
+    b = SP.stratified_sample(docs.repartition(13), "lang", fractions, "doc_id", seed=7)
+    ids_a = {r["doc_id"] for r in a.select("doc_id").collect()}
+    ids_b = {r["doc_id"] for r in b.select("doc_id").collect()}
+    assert ids_a == ids_b  # identical rows regardless of partitioning
+    # only listed strata survive
+    assert {r["lang"] for r in a.select("lang").distinct().collect()} <= {"en", "de"}
+    n_en = docs.where(F.col("lang") == "en").count()
+    got_en = a.where(F.col("lang") == "en").count()
+    assert abs(got_en / n_en - 0.5) < 0.2  # small-sample tolerance
+
+
+def test_split_disjoint_exhaustive_stable(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = SP.train_val_test_split(docs, "doc_id", seed=3)
+    s2 = SP.train_val_test_split(docs.repartition(7), "doc_id", seed=3)
+    m1 = {r["doc_id"]: r["split"] for r in s1.select("doc_id", "split").collect()}
+    m2 = {r["doc_id"]: r["split"] for r in s2.select("doc_id", "split").collect()}
+    assert m1 == m2  # stable across partitioning
+    assert len(m1) == docs.count()  # exhaustive
+    counts = s1.groupBy("split").count().collect()
+    by = {r["split"]: r["count"] for r in counts}
+    assert set(by) == {"train", "val", "test"}
+    assert by["train"] > by["val"] and by["train"] > by["test"]
+
+
+def test_corpus_mixture_provenance(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    en = docs.where(F.col("lang") == "en")
+    de = docs.where(F.col("lang") == "de")
+    mix = SP.corpus_mixture(
+        {"en": en, "de": de}, {"en": 1.0, "de": 0.5}, "doc_id", seed=1
+    )
+    srcs = {r["mixture_source"] for r in mix.select("mixture_source").distinct().collect()}
+    assert srcs == {"en", "de"}
+    assert mix.where(F.col("mixture_source") == "en").count() == en.count()  # w=1 keeps all
