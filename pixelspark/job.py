@@ -92,6 +92,22 @@ def run_daily_billing(
     }
 
 
+def run_daily_billing_safe(spark: SparkSession, sf_dir: str, target_date: str, **kwargs) -> dict:
+    """Error-model parity with processDailyBilling
+    (reference billing.ts:191-239): never raises — failures come back
+    as an error-shaped result with context; because the pending append
+    precedes any charge, a read-path failure aborts BEFORE external
+    side effects (the reference's ordering guarantee)."""
+    try:
+        return run_daily_billing(spark, sf_dir, target_date, **kwargs)
+    except Exception as exc:
+        return {
+            "success": False,
+            "error": str(exc)[:1000],  # truncation parity: slack.ts:191
+            "target_date": target_date,
+        }
+
+
 def current_billing_state(spark: SparkSession, table_path: str) -> DataFrame:
     """Read-back: the current bill per (shop, billing_date) — the
     latest-wins view over the append-only log."""

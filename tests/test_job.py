@@ -52,3 +52,27 @@ def test_full_job_and_state(spark, sf_dir, tmp_path):
         charge_fn=charge, dry_run=False,
     )
     assert len(charged) == len(set(charged))  # no shop charged twice
+
+
+def test_safe_run_returns_error_shape(spark, tmp_path):
+    out = J.run_daily_billing_safe(spark, "/nonexistent/dir", "2024-01-02", dry_run=True)
+    assert out["success"] is False
+    assert "target_date" in out and out["target_date"] == "2024-01-02"
+    assert len(out["error"]) <= 1000
+    assert not list(tmp_path.iterdir())  # failed before any side effect
+
+
+def test_windows_module_helpers(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pixelspark.ops import windows as W
+    from pixelspark.schemas import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    rt = W.running_total(daily, "day", "n").orderBy("day").collect()
+    assert rt[-1]["running_total"] == sum(r["n"] for r in rt)
+    top = W.top_n(daily, "n", 3, "day").collect()
+    assert len(top) == 3
+    ma = W.moving_avg(daily, "day", "n", 7).collect()
+    assert all(r["ma"] is not None for r in ma)
