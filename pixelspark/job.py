@@ -66,7 +66,10 @@ def run_daily_billing(
         bill.withColumn("shop", F.col("shop").cast("string"))
         .withColumn("shopify_billing_status", F.lit("pending"))
     )
-    pio.append_records(pending, table_path, schema=USAGE_RECORDS)
+    # billing_date-partitioned layout: daily reads prune to one partition
+    pio.append_records(
+        pending, table_path, schema=USAGE_RECORDS, partition_by=("billing_date",)
+    )
 
     # stage 8: bounded, retrying, idempotent external charges
     plan = bill.select(
@@ -82,7 +85,9 @@ def run_daily_billing(
         bill.withColumn("shop", F.col("shop").cast("string")),
         results.withColumn("shop", F.col("shop").cast("string")),
     )
-    pio.append_records(enriched, table_path, schema=USAGE_RECORDS)
+    pio.append_records(
+        enriched, table_path, schema=USAGE_RECORDS, partition_by=("billing_date",)
+    )
 
     status_counts = results.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
     return {

@@ -9,7 +9,7 @@ tiebreaks always).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pixelspark.io import latest_state  # re-export: W1 (noqa: F401)
