@@ -1770,3 +1770,63 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     split = SP.train_val_test_split(docs, "doc_id", seed=3)
     return split.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# M1b — textual SQL surface (the reference embeds SQL strings; the
+# engine's spark.sql path must run the same shapes)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_sql_daily_billing",
+    f"""
+    WITH pv AS (
+      SELECT user_id AS shop, CAST(COUNT(*) AS BIGINT) AS event_count
+      FROM events
+      WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '{TD}'
+      GROUP BY user_id
+    )
+    SELECT c.c_custkey AS shop,
+           CAST(COALESCE(pv.event_count, 0) AS BIGINT) AS page_views,
+           ROUND(COALESCE(pv.event_count, 0) / 1000000.0 * 10.0, 2) AS billing_amount
+    FROM customer c LEFT JOIN pv ON c.c_custkey = pv.shop
+    """,
+)
+def q_sql_daily_billing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-SQL — the flagship expressed as a textual SQL string through
+    spark.sql over temp views (parity with the reference's embedded-SQL
+    style, src/services/bigquery.ts:20-31); Catalyst plans it
+    identically to the DataFrame version."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("v_events")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        f"""
+        WITH pv AS (
+          SELECT user_id AS shop, COUNT(*) AS event_count
+          FROM v_events
+          WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '{TD}'
+          GROUP BY user_id
+        )
+        SELECT c.c_custkey AS shop,
+               CAST(COALESCE(pv.event_count, 0) AS BIGINT) AS page_views,
+               ROUND(COALESCE(pv.event_count, 0) / 1000000.0 * 10.0, 2) AS billing_amount
+        FROM v_customer c LEFT JOIN pv ON c.c_custkey = pv.shop
+        """
+    )
+
+
+@query(
+    "q_having",
+    """
+    SELECT user_id AS shop, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id HAVING COUNT(*) > 80
+    """,
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext — HAVING (post-aggregation filter)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.col("user_id").alias("shop"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .where(F.col("n_events") > 80)
+    )

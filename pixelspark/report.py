@@ -48,3 +48,37 @@ def build_report(billing: DataFrame, status_counts: DataFrame | None = None) -> 
     if status_counts is not None:
         payload["status_counts"] = {r["status"]: r["n"] for r in status_counts.collect()}
     return payload
+
+
+def format_slack_blocks(payload: dict) -> list[dict]:
+    """Block Kit-shaped report (reference src/services/slack.ts:29-150):
+    header, totals section, top-shops list, status counts — pure driver
+    formatting over the already-aggregated payload."""
+    blocks: list[dict] = [
+        {"type": "header", "text": {"type": "plain_text", "text": "Daily billing report"}},
+        {
+            "type": "section",
+            "fields": [
+                {"type": "mrkdwn", "text": f"*Total amount:* ${payload['total_amount']:.2f}"},
+                {"type": "mrkdwn", "text": f"*Total page views:* {payload['total_page_views']:,}"},
+                {"type": "mrkdwn", "text": f"*Shops:* {payload['n_shops']:,}"},
+            ],
+        },
+    ]
+    if payload.get("top_shops"):
+        lines = [
+            f"{i + 1}. shop {r['shop']}: {r['page_views_str']} views (${r['amount_str']})"
+            for i, r in enumerate(payload["top_shops"])
+        ]
+        blocks.append(
+            {"type": "section", "text": {"type": "mrkdwn", "text": "\n".join(lines)}}
+        )
+    if payload.get("status_counts"):
+        icons = {"success": ":white_check_mark:", "failed": ":x:", "skipped": ":fast_forward:",
+                 "pending": ":hourglass:", "duplicate": ":recycle:"}
+        parts = [
+            f"{icons.get(s, ':grey_question:')} {s}: {n}"
+            for s, n in sorted(payload["status_counts"].items())
+        ]
+        blocks.append({"type": "context", "elements": [{"type": "mrkdwn", "text": " | ".join(parts)}]})
+    return blocks

@@ -76,3 +76,14 @@ def test_windows_module_helpers(spark, sf_dir):
     assert len(top) == 3
     ma = W.moving_avg(daily, "day", "n", 7).collect()
     assert all(r["ma"] is not None for r in ma)
+
+
+def test_slack_blocks_shape(spark, sf_dir):
+    from pixelspark.report import format_slack_blocks
+
+    out = J.run_daily_billing(spark, sf_dir, "2024-01-02", dry_run=True)
+    blocks = format_slack_blocks(out)
+    assert blocks[0]["type"] == "header"
+    assert any(b["type"] == "section" for b in blocks)
+    totals = blocks[1]["fields"]
+    assert any("Total amount" in f["text"] for f in totals)
