@@ -106,6 +106,25 @@ def latest_state(
     return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
 
 
+def compact(spark: SparkSession, path: str, target_files: int = 8) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    `target_files` files (atomic swap).  At 100 TB daily appends
+    accumulate thousands of small files per partition; periodic
+    compaction keeps scan task counts sane.  Returns the new file
+    count."""
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    tmp = tempfile.mkdtemp(prefix="pixelspark_compact_")
+    tmp_path = os.path.join(tmp, "data")
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp_path)
+    back = path.rstrip("/") + ".bak"
+    shutil.rmtree(back, ignore_errors=True)
+    os.rename(path, back)
+    shutil.move(tmp_path, path)
+    shutil.rmtree(back, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return sum(1 for _r, _d, files in os.walk(path) for f in files if f.endswith(".parquet"))
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,

@@ -562,6 +562,128 @@ def ann_lsh_topk(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means over the embedding column using only
+    DataFrame ops: assignment = argmin over broadcast centroid dots
+    (vectors are L2-normalized, so max-dot == min-angle), update =
+    per-cluster mean via one groupBy.  Deterministic: seeds from the k
+    lowest ids.  Centroids collect to the driver (k x dim floats) —
+    that is the only driver-side data at any corpus size."""
+    seeds = (
+        emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    centroids = [[float(x) for x in row[vec_col]] for row in seeds]
+    for _ in range(n_iter):
+        assigned = emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            _nearest_centroid(F.col(vec_col), centroids).alias("cluster"),
+        )
+        # per-cluster elementwise mean: aggregate each dimension via the
+        # array fold (posexplode keeps it one shuffle on (cluster, dim))
+        exploded = assigned.select(
+            "cluster", F.posexplode(vec_col).alias("dim", "val")
+        )
+        means = (
+            exploded.groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("mean"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "mean"))).alias("dims"))
+            .select("cluster", F.transform("dims", lambda s: s["mean"]).alias("centroid"))
+        )
+        got = {r["cluster"]: [float(x) for x in r["centroid"]] for r in means.collect()}
+        centroids = [got.get(i, centroids[i]) for i in range(k)]
+    return centroids
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Argmin over broadcast centroids as a pure column expression."""
+    best_idx = F.lit(0)
+    best_dot = F.lit(float("-inf"))
+    for i, c in enumerate(centroids):
+        c_lit = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(vec, c_lit, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        best_idx = F.when(d > best_dot, F.lit(i)).otherwise(best_idx)
+        best_dot = F.greatest(best_dot, d)
+    return best_idx
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF ANN: k-means-partition the corpus, search only the n_probe
+    clusters nearest each query.  The inverted-file structure is the
+    cluster column; at 100 TB it is the table's physical partitioning
+    and a probe reads corpus * n_probe/n_clusters."""
+    centroids = kmeans_centroids(emb, k=n_clusters, id_col=id_col, vec_col=vec_col, dim=dim)
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        _nearest_centroid(F.col(vec_col), centroids).alias("cluster"),
+    )
+    # per-query probe list: the n_probe closest centroids
+    probes = []
+    q_rows = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).collect()
+    for r in q_rows:
+        qv = [float(x) for x in r["q_vec"]]
+        dots = sorted(
+            ((sum(a * b for a, b in zip(qv, c)), i) for i, c in enumerate(centroids)),
+            reverse=True,
+        )
+        for _, ci in dots[:n_probe]:
+            probes.append((r["query_id"], qv, ci))
+    probe_df = emb.sparkSession.createDataFrame(
+        probes, "query_id long, q_vec array<double>, cluster int"
+    )
+    scored = (
+        F.broadcast(probe_df)
+        .join(corpus, "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(
+                    "q_vec", F.col("n_vec"), lambda a, b: a * b.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("raw_cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("raw_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("raw_cosine", 6).alias("cosine"), "rank"
+        )
+    )
+
+
 def embedding_near_dup(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -1830,3 +1830,13 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .where(F.col("n_events") > 80)
     )
+
+
+@query("q_ann_ivf")  # k-means partitioning is approximate -> rows-only
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — IVF ANN: k-means clusters as the inverted file, n_probe=2
+    of 8 clusters searched per query (recall vs the exact baseline
+    asserted in tests/test_llm.py)."""
+    return L.ann_ivf_topk(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5, n_clusters=8, n_probe=2
+    )

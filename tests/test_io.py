@@ -122,3 +122,18 @@ def test_partitioned_write_prunes(spark, tmp_path):
         back.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "2024-01-02" in plan
+
+
+def test_compact_reduces_files(spark, tmp_path):
+    import datetime
+
+    path = str(tmp_path / "many_files")
+    for day in range(1, 6):
+        rows = [(f"s{day}", datetime.date(2024, 1, day), day, 0.0, 10.0)]
+        pio.append_records(_records(spark, rows), path, schema=USAGE_RECORDS)
+    import os
+
+    before = sum(1 for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet"))
+    n = pio.compact(spark, path, target_files=1)
+    assert n < before
+    assert spark.read.parquet(path).count() == 5  # no data loss

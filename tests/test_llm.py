@@ -140,3 +140,25 @@ def test_quality_score_bounds(spark, docs):
     rows = L.quality_score(docs.limit(100)).collect()
     for r in rows:
         assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_ivf_ann_recall(spark, emb):
+    """IVF probes 2/8 clusters yet should recover most exact neighbors
+    (near vectors co-cluster)."""
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in L.cosine_topk(emb, qids, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in L.ann_ivf_topk(emb, qids, k=5, n_clusters=8, n_probe=2).collect()
+    }
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.5, recall
+
+
+def test_kmeans_deterministic(spark, emb):
+    c1 = L.kmeans_centroids(emb.limit(100), k=4, n_iter=2)
+    c2 = L.kmeans_centroids(emb.limit(100), k=4, n_iter=2)
+    assert c1 == c2
