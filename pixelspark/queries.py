@@ -1840,3 +1840,71 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.ann_ivf_topk(
         _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5, n_clusters=8, n_probe=2
     )
+
+
+# ---------------------------------------------------------------------------
+# M2h — regression aggregates: built-in vs custom pandas UDAF
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_trend_slope",
+    """
+    SELECT user_id AS shop,
+           ROUND(regr_slope(value, epoch(ts)), 6) AS slope,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE event_type = 'view'
+    GROUP BY user_id HAVING COUNT(*) >= 2
+    """,
+)
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext — per-shop linear trend of event value over time via the
+    BUILT-IN regr_slope aggregate (JVM-side; the pandas variant below
+    exists to show the custom-UDAF escape hatch, not because it is
+    needed)."""
+    e = _t(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    return (
+        e.groupBy(F.col("user_id").alias("shop"))
+        .agg(
+            F.round(
+                F.regr_slope(F.col("value"), F.unix_timestamp("ts").cast("double")), 6
+            ).alias("slope"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") >= 2)
+    )
+
+
+@query("q_trend_slope_pandas")  # custom UDAF demo -> rows-only
+def q_trend_slope_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext — the same per-group slope as a grouped applyInPandas
+    custom aggregate (Arrow batch per group, numpy lstsq): the pattern
+    for aggregates Spark has no built-in for.  Equivalence to the
+    built-in is asserted in tests/test_llm.py."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    e = _t(spark, sf_dir, "events").where(F.col("event_type") == "view").select(
+        "user_id", F.unix_timestamp("ts").cast("double").alias("x"), F.col("value").alias("y")
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("shop", T.LongType(), False),
+            T.StructField("slope", T.DoubleType(), True),
+            T.StructField("n", T.LongType(), False),
+        ]
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(columns=["shop", "slope", "n"])
+        x, y = pdf["x"], pdf["y"]
+        denom = ((x - x.mean()) ** 2).sum()
+        slope = float(((x - x.mean()) * (y - y.mean())).sum() / denom) if denom else None
+        return pd.DataFrame(
+            {"shop": [int(pdf["user_id"].iloc[0])], "slope": [round(slope, 6) if slope is not None else None], "n": [n]}
+        )
+
+    return e.groupBy("user_id").applyInPandas(fit, schema)

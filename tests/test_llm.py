@@ -162,3 +162,24 @@ def test_kmeans_deterministic(spark, emb):
     c1 = L.kmeans_centroids(emb.limit(100), k=4, n_iter=2)
     c2 = L.kmeans_centroids(emb.limit(100), k=4, n_iter=2)
     assert c1 == c2
+
+
+def test_trend_slope_pandas_equals_builtin(spark, sf_dir):
+    from pixelspark.queries import QUERIES
+
+    builtin = {
+        r["shop"]: (r["slope"], r["n"])
+        for r in QUERIES["q_trend_slope"](spark, sf_dir).collect()
+    }
+    pandas_v = {
+        r["shop"]: (r["slope"], r["n"])
+        for r in QUERIES["q_trend_slope_pandas"](spark, sf_dir).collect()
+    }
+    assert set(builtin) == set(pandas_v)
+    for shop, (s, n) in builtin.items():
+        s2, n2 = pandas_v[shop]
+        assert n == n2
+        if s is None:
+            assert s2 is None
+        else:
+            assert abs(s - s2) < 1e-6, (shop, s, s2)
