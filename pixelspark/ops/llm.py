@@ -625,6 +625,7 @@ def ann_ivf_topk(
     k: int = 5,
     n_clusters: int = 8,
     n_probe: int = 2,
+    n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
@@ -633,7 +634,7 @@ def ann_ivf_topk(
     clusters nearest each query.  The inverted-file structure is the
     cluster column; at 100 TB it is the table's physical partitioning
     and a probe reads corpus * n_probe/n_clusters."""
-    centroids = kmeans_centroids(emb, k=n_clusters, id_col=id_col, vec_col=vec_col, dim=dim)
+    centroids = kmeans_centroids(emb, k=n_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col, dim=dim)
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("n_vec"),
