@@ -7,19 +7,40 @@ or a task retry on a different executor — assigns every row
 identically.  This is the property `randomSplit` does NOT guarantee
 under repartitioning, and it is what makes splits reproducible at
 100 TB.
+
+The unit hash is md5-based (first 8 hex chars -> uint32 -> [0,1)):
+md5 exists in every engine, so the exact same sample is computable in
+DuckDB/BigQuery/Trino for cross-system verification — the driver's
+oracle checks the sampled sets value-for-value.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import hashlib
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _unit_hash(key_col: str, seed: int):
-    """Deterministic uniform [0,1) from (seed, key) — xxhash64 bits."""
-    h = F.xxhash64(F.col(key_col), F.lit(seed))
-    # map signed 64-bit to [0,1): shift to unsigned range then scale
-    return (h.cast("double") / F.lit(float(2**64))) + F.lit(0.5)
+def unit_hash(key_col: str, seed: int) -> Column:
+    """Deterministic uniform [0,1) from (key, seed), portable across
+    engines: first 32 bits of md5('<key>|<seed>')."""
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"|{seed}")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+
+
+def unit_hash_sql(key_expr: str, seed: int) -> str:
+    """The DuckDB-equivalent expression (used by oracle SQL)."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || '|{seed}'), 1, 8)) "
+        f"AS UBIGINT) / 4294967296.0"
+    )
+
+
+def _stable_name_offset(name: str) -> int:
+    """Per-source seed offset — md5-based, NOT python hash() (which is
+    salted per process and would make mixtures unreproducible)."""
+    return int(hashlib.md5(name.encode()).hexdigest()[:8], 16) % 1000
 
 
 def stratified_sample(
@@ -37,7 +58,7 @@ def stratified_sample(
         cond = F.when(F.col(strata_col) == value, F.lit(float(f)))
         frac = cond if frac is None else frac.when(F.col(strata_col) == value, F.lit(float(f)))
     frac = (frac.otherwise(F.lit(0.0))) if frac is not None else F.lit(0.0)
-    return df.where(_unit_hash(key_col, seed) < frac)
+    return df.where(unit_hash(key_col, seed) < frac)
 
 
 def train_val_test_split(
@@ -49,7 +70,7 @@ def train_val_test_split(
     """Adds a `split` column ('train'/'val'/'test') by hashed key —
     disjoint, exhaustive, and stable across reruns and repartitioning."""
     w_train, w_val, _ = weights
-    u = _unit_hash(key_col, seed)
+    u = unit_hash(key_col, seed)
     return df.withColumn(
         "split",
         F.when(u < w_train, "train").when(u < w_train + w_val, "val").otherwise("test"),
@@ -70,7 +91,7 @@ def corpus_mixture(
         w = float(weights.get(name, 0.0))
         if w <= 0:
             continue
-        part = df.where(_unit_hash(key_col, seed + hash(name) % 1000) < w).withColumn(
+        part = df.where(unit_hash(key_col, seed + _stable_name_offset(name)) < w).withColumn(
             "mixture_source", F.lit(name)
         )
         parts.append(part)

@@ -1753,20 +1753,40 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 from pixelspark.ops import sampling as SP  # noqa: E402
 
 
-@query("q_stratified_sample")  # xxhash64-based sampling -> rows-only
+@query(
+    "q_stratified_sample",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|7'), 1, 8)) AS UBIGINT) / 4294967296.0 <
+          CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.5
+                    WHEN 'fr' THEN 0.25 ELSE 0.0 END
+    """,
+)
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM — per-language stratified sample, hash-deterministic per row
-    (stable under repartitioning and task retry; see tests)."""
+    (stable under repartitioning and task retry) and engine-portable:
+    the md5-based unit hash lets DuckDB verify the exact sampled set."""
     docs = _t(spark, sf_dir, "documents")
     return SP.stratified_sample(
         docs, "lang", {"en": 0.5, "de": 0.5, "fr": 0.25}, "doc_id", seed=7
     ).select("doc_id", "lang", "source")
 
 
-@query("q_train_split")  # xxhash64-based split -> rows-only
+@query(
+    "q_train_split",
+    """
+    WITH s AS (
+      SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|3'), 1, 8)) AS UBIGINT) / 4294967296.0 < 0.8 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|3'), 1, 8)) AS UBIGINT) / 4294967296.0 < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY split
+    """,
+)
 def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM — seeded train/val/test split counts (disjoint, exhaustive,
-    partitioning-stable)."""
+    partitioning-stable; md5 unit hash is oracle-verifiable)."""
     docs = _t(spark, sf_dir, "documents")
     split = SP.train_val_test_split(docs, "doc_id", seed=3)
     return split.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
