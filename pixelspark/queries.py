@@ -1928,3 +1928,33 @@ def q_trend_slope_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return e.groupBy("user_id").applyInPandas(fit, schema)
+
+
+@query(
+    "q_weekly_counts",
+    """
+    SELECT CAST(FLOOR(epoch(ts) / 604800) * 604800 AS BIGINT) AS week_start_epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM events WHERE event_type = 'view'
+    GROUP BY 1
+    """,
+)
+def q_weekly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9-adjacent — F.window() as a BATCH operator: 7-day tumbling
+    buckets (epoch-aligned, identical semantics to the streaming
+    window) with weekly active users."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.where(F.col("event_type") == "view")
+        .groupBy(F.window("ts", "7 days").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("wau"),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("week_start_epoch"),
+            "n_events",
+            "wau",
+        )
+    )
