@@ -2,12 +2,14 @@
 skew-resilient two-stage (salted) aggregation.
 
 Skew posture (SURVEY.md §7 hard part 5): at 100 TB a single viral shop
-makes `groupBy('shop')` shuffle one giant partition.  Spark's partial
-aggregation already collapses per-map-task duplicates, and AQE splits
-skewed shuffle joins — but for extreme key skew the explicit two-stage
-salt spreads ONE key over `salt_buckets` reducers before the final
-combine.  Results are identical to the plain aggregation (verified by
-the oracle on q_pageviews_salted).
+makes `groupBy('shop')` shuffle one giant partition.  Measured honest
+scope (tools/scale_probe.py): for ALGEBRAIC aggregates (count/sum)
+map-side partial aggregation already collapses the hot key before the
+shuffle — plain groupBy beats the salted path there.  The two-stage
+salt earns its keep when partial aggregation can't help: holistic
+aggregates (collect/exact-distinct paths) and as the manual counterpart
+to AQE's skew-join splitting.  Results are identical to the plain
+aggregation either way (verified by the oracle on q_pageviews_salted).
 """
 
 from __future__ import annotations
