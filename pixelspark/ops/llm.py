@@ -333,6 +333,94 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+# Portable MinHash family: the production path uses xxhash64 (fastest
+# JVM-side), but xxhash64 exists in no other engine — so for
+# cross-engine verification we provide a second family built from
+# md5 + mod-p universal hashing that DuckDB can compute bit-for-bit:
+#   h   = int(first 15 hex chars of md5(shingle), 16)   (< 2^60)
+#   mh_j = (A_j * (h mod p) + B_j) mod p,  p = 2^31 - 1
+# Products stay < 2^62, so no engine hits integer overflow.
+MERSENNE_P = 2_147_483_647
+
+
+def _portable_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    coeffs = []
+    a, b = 1, 0
+    for j in range(num_hashes):
+        a = (a * 7919 + 104729) % MERSENNE_P or 1
+        b = (b * 104729 + 7919) % MERSENNE_P
+        coeffs.append((a, b))
+    return coeffs
+
+
+def portable_minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signatures from the portable (md5, mod-p) family."""
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(tokens(text_col), shingle_k)).alias("shingle"),
+    ).select(
+        F.col(id_col),
+        (F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long") % MERSENNE_P).alias("hp"),
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("hp") + F.lit(b)) % MERSENNE_P).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(_portable_coeffs(num_hashes))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def portable_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+    bands: int = 8,
+) -> DataFrame:
+    """The full banded MinHash-LSH pipeline on the portable family —
+    candidate generation AND verification reproducible in DuckDB, so
+    the driver's oracle checks the pipeline value-for-value."""
+    rows_per_band = num_hashes // bands
+    sigs = portable_minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(F.col(id_col), F.posexplode(band_keys).alias("band_idx", "band_key"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    shingle_sets = docs.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(tokens(text_col), shingle_k)).alias("shset"),
+    )
+    return (
+        cands.join(shingle_sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("shset", "sh_a"), "id_a")
+        .join(shingle_sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("shset", "sh_b"), "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -1958,3 +1958,75 @@ def q_weekly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wau",
         )
     )
+
+
+def _portable_minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    """Generate the DuckDB SQL mirroring portable_near_dup_pairs —
+    same md5 + mod-p hash family, banding, and Jaccard verification."""
+    from pixelspark.ops.llm import MERSENNE_P, _portable_coeffs
+
+    rows_per_band = num_hashes // bands
+    coeffs = _portable_coeffs(num_hashes)
+    mins = ",\n             ".join(
+        f"MIN(({a} * hp + {b}) % {MERSENNE_P}) AS mh_{j}" for j, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {b} AS band_idx, concat_ws('_', {cols}) AS band_key FROM sig".format(
+            b=b,
+            cols=", ".join(f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(bands)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+      FROM documents
+    ), shingles AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                    i -> array_to_string(t[i:i+2], ' '))) AS shingle
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {MERSENNE_P} AS hp
+      FROM shingles
+    ), sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM hashed GROUP BY doc_id
+    ), buckets AS (
+{band_selects}
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                           i -> array_to_string(t[i:i+2], ' '))) AS g
+      FROM toks
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) /
+                 NULLIF(CAST(len(list_distinct(ga.g || gb.g)) AS DOUBLE), 0.0), 6) AS jaccard
+    FROM cands c
+    JOIN grams ga ON ga.doc_id = c.id_a
+    JOIN grams gb ON gb.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) /
+          NULLIF(CAST(len(list_distinct(ga.g || gb.g)) AS DOUBLE), 0.0) >= {threshold}
+    """
+
+
+@query("q_minhash_portable", None)
+def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — the FULL banded MinHash-LSH near-dup pipeline on the
+    engine-portable (md5 + mod-p) hash family: signatures, banding,
+    candidate join, and exact-Jaccard verification all reproduced
+    bit-for-bit by the DuckDB oracle."""
+    return L.portable_near_dup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+ORACLES["q_minhash_portable"] = _portable_minhash_oracle()
