@@ -2030,3 +2030,61 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q_minhash_portable"] = _portable_minhash_oracle()
+
+
+def _portable_simhash_oracle(bits: int = 60) -> str:
+    """DuckDB SQL mirroring q_simhash_portable: per-token md5-derived
+    60-bit hash, per-bit +/-1 votes over distinct tokens, fingerprint
+    bit j set iff the vote is positive."""
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN v_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(text), '\s+') END)) AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM toks
+    ), votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@query("q_simhash_portable", None)
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — 60-bit SimHash on the portable md5-derived token hash:
+    the whole fingerprint computation is reproduced by the DuckDB
+    oracle (production q_simhash keeps the faster xxhash64)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(L.tokens("text"))).alias("tok")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v_{j}")
+            for j in range(60)
+        ]
+    )
+    fp = None
+    for j in range(60):
+        term = F.when(F.col(f"v_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.alias("simhash"))
+
+
+ORACLES["q_simhash_portable"] = _portable_simhash_oracle()
