@@ -91,6 +91,76 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("orig_width", T.IntegerType(), True),
+        T.StructField("orig_height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, target_w: int, target_h: int, fake: bool = True) -> DataFrame:
+    """Image resize over binary payloads via mapInPandas.  The real
+    kernel would be PIL `Image.open(io.BytesIO(p)).resize(...)`; the
+    container lacks codecs, so the fake kernel scales the payload
+    length proportionally to the pixel-count ratio (deterministic) —
+    batch shape, schema, and partition behavior are the real thing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if not fake:
+                    raise NotImplementedError(
+                        "real image decode requires PIL, not present in this container"
+                    )
+                if r.payload is None or not r.width or not r.height:
+                    new_payload = None
+                else:
+                    ratio = (target_w * target_h) / float(r.width * r.height)
+                    n = max(1, int(len(r.payload) * min(ratio, 1.0)))
+                    new_payload = bytes(r.payload[:n])
+                rows.append((r.media_id, new_payload, target_w, target_h, r.width, r.height))
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return media.where(F.col("format") == "png").mapInPandas(run, RESIZE_SCHEMA)
+
+
+def resample_audio(media: DataFrame, target_rate_hz: int = 16_000, fake: bool = True) -> DataFrame:
+    """Audio resampling plan: duration is invariant, byte rate scales
+    with the target sample rate.  Real kernel = soundfile/librosa; the
+    Spark side (schema, filter to audio formats, batch iteration) is
+    real and the fake kernel is deterministic."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("sample_rate_hz", T.IntegerType(), False),
+            T.StructField("duration_ms", T.LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if not fake:
+                    raise NotImplementedError(
+                        "real audio decode requires soundfile/librosa, not in this container"
+                    )
+                payload = None if r.payload is None else bytes(
+                    r.payload[: max(1, int(len(r.payload) * min(target_rate_hz / 44_100.0, 1.0)))]
+                )
+                rows.append((r.media_id, payload, target_rate_hz, r.duration_ms))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return media.where(F.col("format") == "wav").mapInPandas(run, out_schema)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per frame timestamp to
     decode (the decode itself is the stubbed kernel).  Built with

@@ -183,3 +183,21 @@ def test_trend_slope_pandas_equals_builtin(spark, sf_dir):
             assert s2 is None
         else:
             assert abs(s - s2) < 1e-6, (shop, s, s2)
+
+
+def test_multimodal_resize_and_resample(spark, docs):
+    media = MM.attach_fake_media(docs.limit(60))
+    resized = MM.resize_images(media, 128, 128).collect()
+    assert resized, "some docs map to png format"
+    for r in resized:
+        assert (r["width"], r["height"]) == (128, 128)
+        assert r["orig_width"] is not None
+        assert r["payload"] is not None and len(r["payload"]) >= 1
+    audio = MM.resample_audio(media, 16_000).collect()
+    assert audio
+    for r in audio:
+        assert r["sample_rate_hz"] == 16_000
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        MM.resize_images(media, 64, 64, fake=False).collect()
