@@ -801,3 +801,142 @@ def embedding_near_dup(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# training-data curation: chunking, PII scrub, repetition, contamination
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def doc_chunks(
+    docs: DataFrame,
+    size: int = 200,
+    stride: int = 150,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size character-window chunking with overlap — the
+    context-window split stage of a training pipeline.  `sequence`
+    generates the chunk start offsets JVM-side and `posexplode` fans
+    them out, so the whole op is one narrow stage: no shuffle, no
+    Python, and each chunk carries its provenance (doc, index, offset).
+
+    Emits an md5 fingerprint of the chunk next to its text so
+    downstream chunk-level exact dedup needs only the 32-byte key.
+    """
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(F.col(text_col)), F.lit(1)), F.lit(stride)
+    )
+    chunk = F.substring(F.col(text_col), F.col("chunk_start"), size)
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            "chunk_start",
+            F.length(chunk).alias("chunk_len"),
+            F.md5(chunk).alias("chunk_fp"),
+        )
+    )
+
+
+def pii_redact(col: Column | str) -> Column:
+    """Scrub emails and international-format phone numbers from a text
+    column.  Chained built-in regexp_replace — JVM regex, replaces every
+    occurrence, stays inside codegen."""
+    c = F.regexp_replace(_c(col), EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(c, PHONE_RE, "<PHONE>")
+
+
+def ngram_repetition(
+    docs: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of word n-gram
+    occurrences that are duplicates of an earlier occurrence in the same
+    document.  Entirely higher-order array functions (transform /
+    array_distinct) on one row — no explode, no shuffle: the natural
+    shape for a per-document quality column at 100 TB."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # n-grams as space-joined windows; empty when the doc has < n tokens
+    # (sequence(1, 0) would count DOWN, so gate on size first)
+    grams = F.expr(
+        f"CASE WHEN size({text_col}_toks) >= {n} THEN "
+        f"transform(sequence(1, size({text_col}_toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({text_col}_toks, i, {n}))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    return (
+        docs.withColumn(f"{text_col}_toks", toks)
+        .withColumn("grams", grams)
+        .select(
+            id_col,
+            F.size("grams").alias("n_grams"),
+            F.round(
+                F.when(F.size("grams") > 0,
+                       1.0 - F.size(F.array_distinct("grams"))
+                       / F.size("grams").cast("double"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def word_ngrams(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """(id, gram) rows — one per n-gram occurrence, duplicates kept."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.expr(
+        f"CASE WHEN size(__toks) >= {n} THEN "
+        f"transform(sequence(1, size(__toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(__toks, i, {n}))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    return (
+        docs.withColumn("__toks", toks)
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+    )
+
+
+def contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination check: for each training document, the
+    fraction of its word n-gram occurrences that appear anywhere in the
+    benchmark corpus.  The benchmark gram set is distinct-ed and
+    broadcast (benchmarks are tiny next to a 100 TB corpus), so the scan
+    over training grams is shuffle-free; the only wide op is the final
+    per-doc groupBy."""
+    train_grams = word_ngrams(train, n, id_col, text_col)
+    bench_grams = word_ngrams(benchmark, n, id_col, text_col).select("gram").distinct()
+    hit = F.when(F.col("b.gram").isNotNull(), 1).otherwise(0)
+    return (
+        train_grams.alias("t")
+        .join(F.broadcast(bench_grams.alias("b")), F.col("t.gram") == F.col("b.gram"), "left")
+        .groupBy(F.col(f"t.{id_col}").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(hit).cast("bigint").alias("n_contaminated"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_grams").cast("double"), 6).alias(
+                "contam_frac"
+            ),
+        )
+    )

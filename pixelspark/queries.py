@@ -2088,3 +2088,346 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q_simhash_portable"] = _portable_simhash_oracle()
+
+
+# ---------------------------------------------------------------------------
+# relational surface extensions (round 2b): session windows, grouping
+# sets, conditional aggregates, rank distributions, unpivot, array pack,
+# correlated EXISTS
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_session_window",
+    """
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+      FROM events WHERE user_id IS NOT NULL
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-ext — Spark's BUILT-IN session_window aggregation (merge-on-
+    overlap gap sessions), the declarative twin of the lag+cumsum
+    `q_sessionize`; the oracle reproduces the gap semantics (a new
+    session starts when the gap is >= the 30 min timeout) via
+    gaps-and-islands SQL."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q_grouping_sets",
+    """
+    SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(GROUPING(day) AS INT) AS g_day,
+           CAST(GROUPING(event_type) AS INT) AS g_type
+    FROM (SELECT CAST(ts AS DATE) AS day, event_type FROM events)
+    GROUP BY GROUPING SETS ((day), (event_type), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext — GROUPING SETS with GROUPING() marker columns (disjoint
+    rollup dimensions in one pass over the fact table; same textual SQL
+    runs on both engines)."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("v_events_gs")
+    return spark.sql(
+        """
+        SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(GROUPING(day) AS INT) AS g_day,
+               CAST(GROUPING(event_type) AS INT) AS g_type
+        FROM (SELECT CAST(ts AS DATE) AS day, event_type FROM v_events_gs)
+        GROUP BY GROUPING SETS ((day), (event_type), ())
+        """
+    )
+
+
+@query(
+    "q_conditional_agg",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_views,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_clicks,
+           ROUND(COALESCE(SUM(value) FILTER (WHERE event_type = 'click'), 0.0), 2)
+             AS click_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext — conditional aggregation (count_if / filtered SUM): one
+    fact pass computing per-condition metrics, the Spark idiom for
+    SQL's FILTER clause."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "view").alias("n_views"),
+        F.count_if(F.col("event_type") == "click").alias("n_clicks"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "click", F.col("value"))),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("click_value"),
+    )
+
+
+@query(
+    "q_percent_rank",
+    f"""
+    SELECT event_id, event_type,
+           ROUND(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 6)
+             AS pr,
+           ROUND(cume_dist() OVER (PARTITION BY event_type ORDER BY value), 6)
+             AS cd
+    FROM events WHERE CAST(ts AS DATE) = DATE '{TD}'
+    """,
+)
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-ext — rank distribution functions (percent_rank + cume_dist)
+    partitioned by event type over one day's events."""
+    e = _t(spark, sf_dir, "events").where(F.to_date("ts") == F.lit(TD).cast("date"))
+    w = Window.partitionBy("event_type").orderBy("value")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
+    "q_unpivot",
+    r"""
+    UNPIVOT (SELECT doc_id,
+                    CAST(n_chars AS BIGINT) AS n_chars,
+                    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                      AS n_tokens
+             FROM documents)
+    ON n_chars, n_tokens INTO NAME metric VALUE metric_value
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-ext — wide->long UNPIVOT via the native DataFrame.unpivot
+    (melt) operator; per-document metrics become (metric, value) rows."""
+    d = _t(spark, sf_dir, "documents")
+    wide = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    return wide.unpivot("doc_id", ["n_chars", "n_tokens"], "metric", "metric_value")
+
+
+@query(
+    "q_array_funcs",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_toks,
+           CAST(list_contains(toks, 'value') AS INT) AS has_value,
+           toks[1] AS first_tok,
+           toks[-1] AS last_tok,
+           array_to_string(list_sort(toks)[1:3], ' ') AS first3_sorted,
+           CAST(COALESCE(list_position(toks, 'value'), 0) AS INT) AS pos_value
+    FROM t
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext — higher-order array function pack (size / contains /
+    element_at / array_sort / slice / array_position), all JVM-side
+    codegen'd expressions."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.array_contains(toks, "value").cast("int").alias("has_value"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.array_join(F.slice(F.array_sort(toks), 1, 3), " ").alias("first3_sorted"),
+        F.array_position(toks, "value").cast("int").alias("pos_value"),
+    )
+
+
+@query(
+    "q_correlated_exists",
+    """
+    SELECT c_custkey AS shop, c_name AS shop_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 200000.0)
+    """,
+)
+def q_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext — correlated EXISTS subquery through the SQL surface;
+    Catalyst rewrites it to the same left-semi hash join as the
+    DataFrame `q_billed_shops_semi`."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_cust_ex")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_ex")
+    return spark.sql(
+        """
+        SELECT c_custkey AS shop, c_name AS shop_name
+        FROM v_cust_ex c
+        WHERE EXISTS (SELECT 1 FROM v_orders_ex o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 200000.0)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM pack (round 2b): chunking, PII scrub, repetition, contamination
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_doc_chunks",
+    """
+    WITH g AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text), 1), 150)) AS chunk_start
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((chunk_start - 1) // 150 AS INT) AS chunk_idx,
+           CAST(chunk_start AS INT) AS chunk_start,
+           CAST(length(substr(text, CAST(chunk_start AS INT), 200)) AS INT) AS chunk_len,
+           md5(substr(text, CAST(chunk_start AS INT), 200)) AS chunk_fp
+    FROM g
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — context-window chunking (200-char windows, stride 150):
+    sequence + posexplode, one narrow stage, md5 chunk fingerprints for
+    downstream chunk-level dedup."""
+    return L.doc_chunks(_t(spark, sf_dir, "documents"), size=200, stride=150)
+
+
+@query(
+    "q_pii_redact",
+    rf"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or +1-415-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{L.EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{L.PHONE_RE}')) AS INT) AS n_phones,
+           md5(regexp_replace(regexp_replace(raw, '{L.EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{L.PHONE_RE}', '<PHONE>', 'g')) AS red_fp
+    FROM aug
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — PII scrub: email + phone redaction with match counts.  The
+    testdata corpus is synthetic words, so deterministic PII is
+    appended per doc before redaction to prove the regexes fire; the
+    oracle fingerprints the redacted text."""
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(L.EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(raw, F.lit(L.PHONE_RE)).cast("int").alias("n_phones"),
+        F.md5(L.pii_redact(raw)).alias("red_fp"),
+    )
+
+
+@query(
+    "q_ngram_repetition",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             [toks[i] || ' ' || toks[i + 1] FOR i IN generate_series(1, len(toks) - 1)]
+               AS grams
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS INT) AS n_grams,
+           ROUND(CASE WHEN len(grams) > 0
+                      THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                      ELSE 0.0 END, 6) AS dup_frac
+    FROM g
+    """,
+)
+def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — Gopher-style repetition signal: duplicate word-bigram
+    fraction per document, computed entirely with higher-order array
+    functions (no explode, no shuffle)."""
+    return L.ngram_repetition(_t(spark, sf_dir, "documents"), n=2)
+
+
+@query(
+    "q_contamination",
+    r"""
+    WITH tr AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents WHERE source <> 'src0'
+    ), tg AS (
+      SELECT doc_id,
+             unnest([array_to_string(toks[i:i+4], ' ')
+                     FOR i IN generate_series(1, len(toks) - 4)]) AS gram
+      FROM tr
+    ), be AS (
+      SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents WHERE source = 'src0'
+    ), bg AS (
+      SELECT DISTINCT unnest([array_to_string(toks[i:i+4], ' ')
+                              FOR i IN generate_series(1, len(toks) - 4)]) AS gram
+      FROM be
+    )
+    SELECT tg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(bg.gram) AS BIGINT) AS n_contaminated,
+           ROUND(CAST(COUNT(bg.gram) AS DOUBLE) / COUNT(*), 6) AS contam_frac
+    FROM tg LEFT JOIN bg ON tg.gram = bg.gram
+    GROUP BY tg.doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — benchmark-contamination check: per training document, the
+    fraction of word 5-gram occurrences found anywhere in the benchmark
+    partition (source 'src0'); benchmark gram set is distinct-ed and
+    broadcast so the training scan never shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    return L.contamination(
+        d.where(F.col("source") != "src0"), d.where(F.col("source") == "src0"), n=5
+    )

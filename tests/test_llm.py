@@ -201,3 +201,56 @@ def test_multimodal_resize_and_resample(spark, docs):
 
     with _pytest.raises(Exception):
         MM.resize_images(media, 64, 64, fake=False).collect()
+
+
+def test_doc_chunks_cover_text(spark):
+    """Chunks tile the document: strides cover every char, the last
+    chunk is truncated to the text end, and fingerprints match the
+    actual substrings."""
+    df = spark.createDataFrame(
+        [(1, "a" * 450), (2, "xy"), (3, "")], ["doc_id", "text"]
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in L.doc_chunks(df, size=200, stride=150).collect()
+    }
+    # doc 1: starts 1,151,301 -> lens 200,200,150
+    assert [rows[(1, i)]["chunk_len"] for i in range(3)] == [200, 200, 150]
+    assert rows[(1, 0)]["chunk_start"] == 1 and rows[(1, 2)]["chunk_start"] == 301
+    # short and empty docs still emit exactly one chunk
+    assert rows[(2, 0)]["chunk_len"] == 2
+    assert rows[(3, 0)]["chunk_len"] == 0
+    assert len(rows) == 5
+
+
+def test_pii_redact_scrubs(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@example.co.uk and call +1-415-555-0134 now")],
+        ["doc_id", "text"],
+    )
+    out = df.select(L.pii_redact("text").alias("red")).collect()[0]["red"]
+    assert out == "mail <EMAIL> and call <PHONE> now"
+
+
+def test_ngram_repetition_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "w x y z"), (3, "solo")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in L.ngram_repetition(df, n=2).collect()}
+    # doc 1 bigrams: [a b, b a, a b, b a] -> 2 distinct of 4 -> 0.5 dup
+    assert got[1]["n_grams"] == 4 and got[1]["dup_frac"] == 0.5
+    assert got[2]["n_grams"] == 3 and got[2]["dup_frac"] == 0.0
+    # below n tokens -> zero grams, defined dup_frac
+    assert got[3]["n_grams"] == 0 and got[3]["dup_frac"] == 0.0
+
+
+def test_contamination_fraction(spark):
+    train = spark.createDataFrame(
+        [(1, "q w e r t y u"), (2, "n o p q r s")], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([(9, "q w e r t z")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in L.contamination(train, bench, n=5).collect()}
+    # doc 1 5-grams: "q w e r t"(hit) "w e r t y" "e r t y u" -> 1/3
+    assert got[1]["n_grams"] == 3 and got[1]["n_contaminated"] == 1
+    assert abs(got[1]["contam_frac"] - round(1 / 3, 6)) < 1e-9
+    assert got[2]["n_contaminated"] == 0 and got[2]["contam_frac"] == 0.0
