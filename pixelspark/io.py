@@ -171,3 +171,49 @@ def upsert(
     shutil.move(tmp_path, path)
     shutil.rmtree(back, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# interchange formats — CSV / JSON-lines sources and sinks
+# ---------------------------------------------------------------------------
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """CSV export sink (the reference's report/export surface; at scale
+    CSV is the interchange format partners actually ingest)."""
+    df.write.mode("overwrite").option("header", header).csv(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+) -> DataFrame:
+    """CSV source with an EXPLICIT schema — never schema-inference,
+    which costs a full extra pass over the data and guesses types
+    nondeterministically at 100 TB.  Malformed rows are quarantined to
+    `_corrupt_record` (PERMISSIVE) rather than failing the batch."""
+    full = T.StructType(
+        schema.fields + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    out = (
+        spark.read.schema(full)
+        .option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return out.drop("_corrupt_record")
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-lines sink (one object per line — the LLM-corpus exchange
+    format; splittable, so downstream scans stay parallel)."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSON-lines source with explicit schema (same no-inference rule
+    as read_csv: inference on JSON is another full scan)."""
+    return spark.read.schema(schema).json(path)

@@ -2299,6 +2299,130 @@ def q_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_range_frame",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(ts AS DATE) - DATE '2024-01-01' AS day_num
+      FROM events GROUP BY 1, 2, 4
+    )
+    SELECT user_id, day,
+           CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY day_num
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7
+    FROM daily
+    """,
+)
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-ext — VALUE-based window frame (RANGE BETWEEN): trailing
+    7-day event count per user.  Unlike a ROWS frame, missing days
+    don't stretch the window — the frame is bounded by the day-number
+    ordinate itself."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id",
+        F.to_date("ts").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = daily.withColumn(
+        "day_num", F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "user_id", "day", F.sum("n").over(w).cast("bigint").alias("n7")
+    )
+
+
+@query(
+    "q_lateral_join",
+    """
+    SELECT c.c_custkey AS shop, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    """,
+)
+def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext — correlated LATERAL subquery (top-2 orders per customer
+    via per-row ORDER BY ... LIMIT); Catalyst de-correlates it into a
+    ranked window join, same textual SQL on both engines."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_cust_lat")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS shop, t.o_orderkey, t.o_totalprice
+        FROM v_cust_lat c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM v_orders_lat o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        """
+    )
+
+
+@query(
+    "q_map_funcs",
+    """
+    SELECT doc_id,
+           lang AS m_lang,
+           source AS m_source,
+           'lang,source' AS m_keys,
+           2 AS m_size,
+           CAST(n_chars AS BIGINT) AS m_chars
+    FROM documents
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext — map functions (create / element_at / map_keys /
+    map_from_arrays / size); the oracle states the expected values
+    directly, so every map lookup is checked against ground truth."""
+    d = _t(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    mfa = F.map_from_arrays(
+        F.array(F.lit("a"), F.lit("b")),
+        F.array(F.col("doc_id"), F.col("n_chars")),
+    )
+    return d.select(
+        "doc_id",
+        F.element_at(m, "lang").alias("m_lang"),
+        F.element_at(m, "source").alias("m_source"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("m_keys"),
+        F.size(m).alias("m_size"),
+        F.element_at(mfa, "b").cast("bigint").alias("m_chars"),
+    )
+
+
+@query(
+    "q_try_null_safe",
+    """
+    SELECT o_orderkey,
+           ROUND(CASE WHEN o_custkey % 3 = 0 THEN NULL
+                      ELSE o_totalprice / (o_custkey % 3) END, 6) AS safe_div,
+           try_cast(o_orderpriority AS DOUBLE) AS bad_cast,
+           CAST(o_orderstatus IS NOT DISTINCT FROM 'O' AS INT) AS is_open_ns
+    FROM orders
+    """,
+)
+def q_try_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext — error-safe arithmetic (try_divide -> NULL on /0,
+    try_cast -> NULL on bad cast) and null-safe equality (<=>), the
+    semantics a pipeline needs to survive dirty data without ANSI
+    aborts."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 3), 6
+        ).alias("safe_div"),
+        F.col("o_orderpriority").try_cast("double").alias("bad_cast"),
+        F.col("o_orderstatus").eqNullSafe(F.lit("O")).cast("int").alias("is_open_ns"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM pack (round 2b): chunking, PII scrub, repetition, contamination
 # ---------------------------------------------------------------------------

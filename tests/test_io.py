@@ -137,3 +137,44 @@ def test_compact_reduces_files(spark, tmp_path):
     n = pio.compact(spark, path, target_files=1)
     assert n < before
     assert spark.read.parquet(path).count() == 5  # no data loss
+
+
+def test_csv_roundtrip_explicit_schema(spark, tmp_path):
+    path = str(tmp_path / "csv_out")
+    src = _records(
+        spark, [("s1", D, 10, 0.0, 10.0), ("s2", D, 99, 0.01, 10.0)]
+    )
+    pio.write_csv(src, path)
+    back = pio.read_csv(spark, path, BASE)
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in BASE.fields
+    ]
+    assert sorted(r["shop"] for r in back.collect()) == ["s1", "s2"]
+    assert back.where(F.col("page_views") == 99).count() == 1
+
+
+def test_csv_malformed_rows_do_not_fail(spark, tmp_path):
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part.csv").write_text(
+        "shop,billing_date,page_views,billing_amount,rate_per_million\n"
+        "s1,2024-01-02,10,0.0,10.0\n"
+        "s2,not-a-date,not-a-number,x,y\n"
+    )
+    back = pio.read_csv(spark, str(p), BASE)
+    rows = back.collect()
+    assert len(rows) == 2  # malformed row survives, bad cells null
+    bad = [r for r in rows if r["shop"] == "s2"][0]
+    assert bad["page_views"] is None and bad["billing_date"] is None
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "jsonl_out")
+    src = _records(spark, [("s1", D, 10, 0.0, 10.0)])
+    pio.write_jsonl(src, path)
+    back = pio.read_jsonl(spark, path, BASE)
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in BASE.fields
+    ]
+    got = back.collect()[0]
+    assert got["shop"] == "s1" and got["billing_date"] == D

@@ -42,3 +42,31 @@ def test_column_pruning(spark, sf_dir):
     plan = _plan(QUERIES["q_pageviews_agg"](spark, sf_dir))
     # only the three needed columns are read from the events scan
     assert "event_id" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    from pixelspark.queries import QUERIES
+
+    plan = _plan(QUERIES["q_contamination"](spark, sf_dir))
+    # benchmark gram set joins broadcast; the training-gram scan never
+    # shuffles into a sort-merge join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_correlated_exists_becomes_semi_join(spark, sf_dir):
+    from pixelspark.queries import QUERIES
+
+    plan = _plan(QUERIES["q_correlated_exists"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    # the totalprice predicate reaches the orders scan
+    assert "o_totalprice" in plan and "PushedFilters" in plan
+
+
+def test_repetition_is_narrow(spark, sf_dir):
+    from pixelspark.ops.llm import ngram_repetition
+    from pixelspark.schemas import load_table
+
+    plan = _plan(ngram_repetition(load_table(spark, sf_dir, "documents")))
+    # per-row array math: no exchange of any kind
+    assert "Exchange" not in plan
