@@ -114,3 +114,25 @@ def run_upsert_sink(df: DataFrame, table_path: str, checkpoint: str):
     )
     q.awaitTermination()
     return q
+
+
+def enrich_stream_with_shops(events: DataFrame, shops: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch broadcast-joins the static
+    shop dimension (re-read per batch, so dim updates are picked up
+    without restarting the query).  Inner join keeps only billable
+    shops — the streaming twin of the batch charge_plan lookup."""
+    return events.join(
+        F.broadcast(shops.select(F.col("c_custkey").alias("user_id"), F.col("c_name").alias("shop_name"))),
+        "user_id",
+        "inner",
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming exact dedup on event_id bounded by the event-time
+    watermark: dropDuplicatesWithinWatermark keeps state only for ids
+    newer than the watermark, so dedup state cannot grow without bound
+    (at-least-once sources -> effectively-once counts)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

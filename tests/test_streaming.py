@@ -87,3 +87,31 @@ def test_stateful_running_totals(spark, sf_dir, tmp_path):
         n, v = want[shop]
         assert row["total_events"] == n
         assert abs(row["total_value"] - v) < 1e-6
+
+
+def test_stream_static_join_enriches(spark, sf_dir, tmp_path):
+    src, events = _stage_events(spark, sf_dir, tmp_path)
+    shops = load_table(spark, sf_dir, "customer")
+    stream = SD.read_event_stream(spark, src)
+    out = SD.enrich_stream_with_shops(stream, shops)
+    q = SD.run_to_memory(out, "enriched_stream", output_mode="append")
+    got = spark.table("enriched_stream")
+    # inner join against the dim: row count matches the batch join,
+    # every row gained a shop_name
+    expected = events.join(
+        shops.select(F.col("c_custkey").alias("user_id")), "user_id", "inner"
+    ).count()
+    assert got.count() == expected
+    assert got.where(F.col("shop_name").isNull()).count() == 0
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "dup_events")
+    events = load_table(spark, sf_dir, "events").limit(500)
+    # simulate an at-least-once source: every event delivered twice
+    events.unionAll(events).coalesce(2).write.mode("overwrite").parquet(src)
+    stream = SD.read_event_stream(spark, src)
+    q = SD.run_to_memory(SD.dedup_stream(stream), "dedup_stream", output_mode="append")
+    got = spark.table("dedup_stream")
+    assert got.count() == 500
+    assert got.groupBy("event_id").count().where(F.col("count") > 1).count() == 0
