@@ -217,3 +217,36 @@ def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFram
     """JSON-lines source with explicit schema (same no-inference rule
     as read_csv: inference on JSON is another full scan)."""
     return spark.read.schema(schema).json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (zlib default): the other columnar interchange format —
+    Hive-ecosystem consumers often require ORC over parquet.  Same
+    predicate-pushdown and column-pruning properties as parquet."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source.  Schema comes from the file footer (self-describing,
+    unlike CSV/JSON — no inference pass needed); filters and column
+    pruning push down exactly as for parquet."""
+    return spark.read.orc(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: tuple[str, ...], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned layout (`col=value/` directories): the
+    physical design that makes date-scoped queries O(day) instead of
+    O(table) at 100 TB — a `WHERE day = X` prunes to one directory
+    without opening a single foreign data file.  Keep partition
+    cardinality bounded (day, region — never user_id): each partition
+    should hold >= ~1 GB or the small-file problem eats the gain
+    (see compact())."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned layout; basePath preserves the partition
+    columns as regular (pruning-eligible) columns."""
+    return spark.read.option("basePath", path).parquet(path)

@@ -2759,3 +2759,41 @@ def q_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+@query(
+    "q_incremental_rollup",
+    """
+    SELECT user_id AS shop, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 6) AS DOUBLE) AS sum_value,
+           CAST(MIN(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS min_value,
+           CAST(MAX(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY user_id, CAST(ts AS DATE)
+    """,
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup (ops/rollup.py): the table is built
+    INCREMENTALLY — two disjoint batches plus a partition-pruned merge
+    refresh — then read back; the oracle is the equivalent one-shot
+    GROUP BY over the raw events.  Exact decimal counters make the
+    incremental result bitwise-equal to the full recompute regardless
+    of merge order."""
+    import tempfile
+
+    from pixelspark.ops import rollup as R
+
+    events = _t(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="pixelspark_q_rollup_") + "/t"
+    R.refresh_rollup(spark, path, events.where(F.to_date("ts") < "2024-01-15"))
+    R.refresh_rollup(spark, path, events.where(F.to_date("ts") >= "2024-01-15"))
+    df = R.read_rollup(spark, path)
+    return df.select(
+        "shop",
+        "day",
+        "n_events",
+        F.round(F.col("sum_value"), 6).cast("double").alias("sum_value"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )

@@ -178,3 +178,48 @@ def test_jsonl_roundtrip(spark, tmp_path):
     ]
     got = back.collect()[0]
     assert got["shop"] == "s1" and got["billing_date"] == D
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    from pixelspark.schemas import load_table
+
+    df = load_table(spark, sf_dir, "customer")
+    path = str(tmp_path / "cust_orc")
+    pio.write_orc(df, path)
+    back = pio.read_orc(spark, path)
+    assert back.schema == df.schema
+    assert back.count() == df.count()
+    assert back.exceptAll(df).count() == 0
+
+
+def test_orc_filter_pushdown(spark, sf_dir, tmp_path):
+    from pixelspark.schemas import load_table
+
+    df = load_table(spark, sf_dir, "customer")
+    path = str(tmp_path / "cust_orc")
+    pio.write_orc(df, path)
+    plan = (
+        pio.read_orc(spark, path)
+        .where(F.col("c_custkey") == 7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,7)]" in plan
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    from pixelspark.schemas import load_table
+
+    events = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "events_part")
+    pio.write_partitioned(events, path, ("day",))
+    back = pio.read_partitioned(spark, path)
+    assert back.count() == events.count()
+    # partition pruning: the one-day scan reads exactly one directory
+    one = back.where(F.col("day") == "2024-01-05")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    got = one.count()
+    want = events.where(F.col("day") == "2024-01-05").count()
+    assert got == want
