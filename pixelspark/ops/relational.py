@@ -84,3 +84,35 @@ def sessionize(
     return events.withColumn("__new_session", is_new).withColumn(
         "session_seq", F.sum("__new_session").over(w).cast("long")
     ).drop("__new_session")
+
+
+def salted_join(
+    big: DataFrame,
+    other: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resilient shuffle join: salt the BIG side's key into
+    `salt_buckets` sub-keys and EXPLODE the other side across all
+    buckets, so a hot key's rows land on `salt_buckets` reducers
+    instead of one.
+
+    This is the manual counterpart to AQE's skew-join split
+    (`spark.sql.adaptive.skewJoin`, enabled in session.py) for the
+    cases AQE can't fix: a skewed key whose partition isn't detected
+    (stats collected pre-filter), or a non-AQE engine.  The other
+    side's replication factor is `salt_buckets` — use this when that
+    side is too big to broadcast but far smaller than the skewed fact
+    (the broadcast join already solves the small-dim case for free).
+
+    Results are identical to a plain join for every `how` that
+    preserves big-side rows (inner/left): each big row meets each
+    matching other row exactly once, in exactly one bucket."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted_big = big.withColumn("__salt", F.spark_partition_id() % salt_buckets)
+    exploded_other = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return salted_big.join(exploded_other, [key, "__salt"], how).drop("__salt")

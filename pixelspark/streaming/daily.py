@@ -136,3 +136,48 @@ def dedup_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def attribute_purchases(events: DataFrame, attribution_window: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to a prior
+    view by the same user within the attribution window.
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time distance, so each side's state store holds only rows
+    inside (watermark + window) — bounded state, the requirement for an
+    unbounded 100 TB/day stream.  Inner interval joins need BOTH
+    watermarks; without the time bound the state would grow forever
+    and Spark rejects the query in append mode."""
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "view_id",
+        "view_ts",
+    )

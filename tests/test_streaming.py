@@ -115,3 +115,36 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
     got = spark.table("dedup_stream")
     assert got.count() == 500
     assert got.groupBy("event_id").count().where(F.col("count") > 1).count() == 0
+
+
+def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
+    src, events = _stage_events(spark, sf_dir, tmp_path)
+    stream = SD.read_event_stream(spark, src)
+    out = SD.attribute_purchases(stream, "1 hour")
+    SD.run_to_memory(out, "attributed", output_mode="append")
+    got = spark.table("attributed")
+    # batch equivalent: same interval self-join on the static table
+    v = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    assert got.count() == want.count()
+    assert got.count() > 0
+    # spot-check: every attributed view is within the window
+    bad = got.where(
+        (F.col("view_ts") > F.col("purchase_ts"))
+        | (F.col("view_ts") < F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    assert bad.count() == 0
