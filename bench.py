@@ -37,6 +37,10 @@ HEADLINE = [
     "q_asof_join",
     "q_sessionize",
     "q_pivot_day_type",
+    "q_shipping_priority",
+    "q_local_supplier_volume",
+    "q_returned_items",
+    "q_late_order_priority",
 ]
 
 

