@@ -21,6 +21,7 @@ __all__ = [
     "running_total",
     "day_over_day",
     "moving_avg",
+    "gap_fill_days",
 ]
 
 
@@ -64,3 +65,56 @@ def moving_avg(
 ) -> DataFrame:
     w = Window.orderBy(order_col).rowsBetween(-(window_rows - 1), Window.currentRow)
     return df.withColumn(alias, F.round(F.avg(value_col).over(w), 6))
+
+
+def gap_fill_days(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_cols: tuple[str, ...],
+    fill: str = "ffill",
+) -> DataFrame:
+    """Time-series resample-to-daily with gap fill — an operator Spark
+    has no built-in for (pandas reindex+ffill equivalent), composed
+    from built-ins:
+
+      1. per key, generate the full day range (sequence + explode —
+         the row count is bounded by keys x days, independent of the
+         source row distribution);
+      2. left-join the observed rows back on (key, day);
+      3. forward-fill each value with last(ignoreNulls) over an
+         unbounded-preceding window.
+
+    One shuffle on the key (the join and the window share the
+    (key, day) clustering, so Spark plans a single exchange).  'ffill'
+    carries the last observation; 'zero' fills 0.0 — both leave
+    observed rows untouched."""
+    from pyspark.sql import Window
+
+    days = (
+        df.groupBy(key_col)
+        .agg(F.min(day_col).alias("__d0"), F.max(day_col).alias("__d1"))
+        .select(
+            key_col,
+            F.explode(F.sequence("__d0", "__d1", F.expr("INTERVAL 1 DAY"))).alias(
+                day_col
+            ),
+        )
+    )
+    obs = df.withColumn("is_observed", F.lit(True))
+    out = days.join(obs, [key_col, day_col], "left").withColumn(
+        "is_observed", F.coalesce("is_observed", F.lit(False))
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for v in value_cols:
+        if fill == "ffill":
+            out = out.withColumn(v, F.last(v, ignorenulls=True).over(w))
+        elif fill == "zero":
+            out = out.withColumn(v, F.coalesce(F.col(v), F.lit(0.0)))
+        else:
+            raise ValueError(f"unknown fill {fill!r}")
+    return out

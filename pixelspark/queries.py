@@ -2797,3 +2797,90 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_value").cast("double").alias("min_value"),
         F.col("max_value").cast("double").alias("max_value"),
     )
+
+
+@query(
+    "q_gap_fill",
+    """
+    WITH daily AS (
+      SELECT user_id AS shop, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), spans AS (
+      SELECT shop, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY shop
+    ), grid AS (
+      SELECT shop, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM spans
+    )
+    SELECT g.shop, g.day,
+           CAST(LAST_VALUE(d.n IGNORE NULLS) OVER (
+             PARTITION BY g.shop ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n,
+           d.n IS NOT NULL AS is_observed
+    FROM grid g LEFT JOIN daily d ON g.shop = d.shop AND g.day = d.day
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward-fill (ops/windows.py
+    gap_fill_days): densify each shop's purchase-count series to daily
+    resolution and carry the last observation across gaps — the
+    missing-in-Spark pandas reindex+ffill, composed from
+    sequence/explode + last(ignoreNulls) window."""
+    from pixelspark.ops.windows import gap_fill_days
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("shop"), F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return gap_fill_days(daily, "shop", "day", ("n",), fill="ffill").select(
+        "shop", "day", "n", "is_observed"
+    )
+
+
+@query(
+    "q_zscore_outliers",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             AVG(value) AS mu,
+             STDDEV_SAMP(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND((e.value - s.mu) / s.sigma, 4) AS z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE ABS(ROUND((e.value - s.mu) / s.sigma, 4)) > 2.0
+    """,
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier detection: per-event-type z-score > 2.  The stats side
+    is a tiny aggregate broadcast back onto the fact scan (no window
+    over the full table — grouped stats + broadcast join keeps the
+    fact side one pass); membership is decided on the ROUNDED z so the
+    cutoff cannot flip on float accumulation order."""
+    e = _t(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", z.alias("z"))
+        .where(F.abs(F.col("z")) > 2.0)
+    )
+
+
+@query("q_approx_quantiles")  # sketch-based -> rows-only (engine-specific estimates)
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles via Spark's Greenwald-Khanna sketch
+    (approx_percentile): mergeable across partitions — one pass, no
+    sort, bounded memory at any scale.  Estimates are engine-specific,
+    so the driver records the rows-only check; the pytest asserts the
+    estimates against exact percentiles within the declared accuracy."""
+    e = _t(spark, sf_dir, "events")
+    acc = 10000
+    return e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], acc).alias("q50_90_99")
+    )

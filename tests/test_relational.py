@@ -73,3 +73,59 @@ def test_salted_join_spreads_hot_key(spark):
     want = big.join(dim, "k", "left")
     assert got.count() == want.count() == 100_000
     assert got.exceptAll(want).count() == 0
+
+
+def test_gap_fill_days_ffill(spark, sf_dir):
+    from pixelspark.ops.windows import gap_fill_days
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("shop"), F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    filled = gap_fill_days(daily, "shop", "day", ("n",), fill="ffill")
+    # row count == sum over keys of (span days)
+    spans = daily.groupBy("shop").agg(
+        (F.datediff(F.max("day"), F.min("day")) + 1).alias("span")
+    )
+    want_rows = spans.agg(F.sum("span")).collect()[0][0]
+    assert filled.count() == want_rows
+    # grid is dense: no shop misses a day inside its span
+    assert filled.where(F.col("n").isNull()).count() == 0
+    # observed rows keep their original values
+    orig = daily.select("shop", "day", F.col("n").alias("orig_n"))
+    joined = filled.where("is_observed").join(orig, ["shop", "day"])
+    assert joined.where(F.col("n") != F.col("orig_n")).count() == 0
+    # and there were real gaps to fill
+    assert filled.where(~F.col("is_observed")).count() > 0
+
+
+def test_approx_quantiles_within_bound(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    got = {
+        r["event_type"]: r["q"]
+        for r in e.groupBy("event_type")
+        .agg(F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("q"))
+        .collect()
+    }
+    # GK bounds RANK error, not value error (and approx returns an
+    # actual sample while exact interpolates) — so assert each estimate
+    # lies between the exact quantiles one percentile point either side
+    lo_hi = [(0.49, 0.51), (0.89, 0.91), (0.98, 1.0)]
+    bounds = {
+        r["event_type"]: r["b"]
+        for r in e.groupBy("event_type")
+        .agg(
+            F.percentile(
+                "value",
+                F.array(*[F.lit(p) for pair in lo_hi for p in pair]),
+            ).alias("b")
+        )
+        .collect()
+    }
+    for et, approx in got.items():
+        b = bounds[et]
+        for i, a in enumerate(approx):
+            lo, hi = b[2 * i], b[2 * i + 1]
+            assert lo - 1e-9 <= a <= hi + 1e-9, (et, i, a, lo, hi)
