@@ -181,3 +181,31 @@ def attribute_purchases(events: DataFrame, attribution_window: str = "1 hour") -
         "view_id",
         "view_ts",
     )
+
+
+def sliding_pageviews(
+    events: DataFrame,
+    window: str = "2 days",
+    slide: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Sliding event-time window: each event lands in window/slide
+    overlapping buckets (2-day window sliding daily -> trailing 2-day
+    counts refreshed every day).  State is (#open windows x #shops),
+    still watermark-bounded; the per-event fanout factor is
+    window/slide, so keep that ratio small at scale."""
+    return (
+        events.where(F.col("event_type") == PAGE_VIEW_EVENT)
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window, slide).alias("win"),
+            F.col("user_id").alias("shop"),
+        )
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.col("win.start").cast("date").alias("window_start"),
+            F.col("win.end").cast("date").alias("window_end"),
+            "shop",
+            "event_count",
+        )
+    )

@@ -148,3 +148,29 @@ def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
         | (F.col("view_ts") < F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
     )
     assert bad.count() == 0
+
+
+def test_sliding_window_counts(spark, sf_dir, tmp_path):
+    src, events = _stage_events(spark, sf_dir, tmp_path)
+    stream = SD.read_event_stream(spark, src)
+    out = SD.sliding_pageviews(stream, "2 days", "1 day")
+    SD.run_to_memory(out, "sliding_counts", output_mode="complete")
+    got = spark.table("sliding_counts")
+    # batch equivalent with the same built-in window function
+    want = (
+        events.where(F.col("event_type") == "view")
+        .groupBy(F.window("ts", "2 days", "1 day").alias("win"), F.col("user_id").alias("shop"))
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.col("win.start").cast("date").alias("window_start"),
+            F.col("win.end").cast("date").alias("window_end"),
+            "shop",
+            "event_count",
+        )
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    # sliding fanout: every event lands in exactly window/slide = 2
+    # overlapping windows, so the global count doubles
+    n_views = events.where(F.col("event_type") == "view").count()
+    assert got.agg(F.sum("event_count")).collect()[0][0] == 2 * n_views
