@@ -250,3 +250,31 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read a partitioned layout; basePath preserves the partition
     columns as regular (pruning-eligible) columns."""
     return spark.read.option("basePath", path).parquet(path)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: tuple[str, ...],
+    num_partitions: int | None = None,
+    descending: bool = False,
+    mode: str = "overwrite",
+) -> None:
+    """Globally-sorted export without a single-reducer sort.
+
+    `repartitionByRange` samples the sort key to pick balanced range
+    boundaries (ONE shuffle; partition i holds keys strictly below
+    partition i+1), then `sortWithinPartitions` sorts each range
+    locally in parallel — so part-00000..part-NNNNN read in file order
+    form one globally ordered sequence.  This is the only way a
+    100-TB ORDER BY export scales: a plain `orderBy.write` has the
+    same plan shape, but making the partition count explicit here
+    keeps output file sizes controlled independently of
+    spark.sql.shuffle.partitions.  Per-file order + non-overlapping
+    ranges are asserted in tests/test_io.py."""
+    cols = [F.col(c).desc() if descending else F.col(c).asc() for c in sort_cols]
+    if num_partitions is None:
+        out = df.repartitionByRange(*cols)
+    else:
+        out = df.repartitionByRange(num_partitions, *cols)
+    out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)

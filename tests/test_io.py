@@ -223,3 +223,37 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     got = one.count()
     want = events.where(F.col("day") == "2024-01-05").count()
     assert got == want
+
+
+def test_sorted_export_is_globally_ordered(spark, sf_dir, tmp_path):
+    import glob
+
+    from pixelspark.schemas import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_sorted")
+    pio.write_sorted(orders, path, ("o_totalprice",), num_partitions=6)
+    # the plan must be a range exchange, never a single-partition sort
+    plan = (
+        orders.repartitionByRange(6, F.col("o_totalprice"))
+        .sortWithinPartitions("o_totalprice")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning(o_totalprice" in plan
+    assert "SinglePartition" not in plan
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) > 1
+    prev_max = None
+    total = 0
+    for f in files:
+        vals = [r[0] for r in spark.read.parquet(f).select("o_totalprice").collect()]
+        total += len(vals)
+        if not vals:
+            continue
+        assert vals == sorted(vals)  # sorted within each file
+        if prev_max is not None:
+            assert vals[0] >= prev_max  # ranges don't overlap across files
+        prev_max = vals[-1]
+    assert total == orders.count()

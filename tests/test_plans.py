@@ -70,3 +70,29 @@ def test_repetition_is_narrow(spark, sf_dir):
     plan = _plan(ngram_repetition(load_table(spark, sf_dir, "documents")))
     # per-row array math: no exchange of any kind
     assert "Exchange" not in plan
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """DPP: joining a day-partitioned fact on its partition column with
+    a filtered dim must prune fact partitions at RUNTIME from the dim's
+    build side — at 100 TB this is the difference between scanning one
+    day and scanning the table when the day list isn't a literal."""
+    from pyspark.sql import functions as F
+
+    from pixelspark import io as pio
+    from pixelspark.schemas import load_table
+
+    events = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "events_dpp")
+    pio.write_partitioned(events, path, ("day",))
+    fact = pio.read_partitioned(spark, path)
+    dim = events.select("day").distinct().where(F.dayofmonth("day") == 5)
+    joined = fact.join(F.broadcast(dim), "day").groupBy("day").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan
+    want = (
+        events.where(F.dayofmonth(F.to_date("ts")) == 5)
+        .groupBy(F.to_date("ts").alias("day"))
+        .count()
+    )
+    assert joined.exceptAll(want).count() == 0 and want.exceptAll(joined).count() == 0
