@@ -257,3 +257,38 @@ def test_sorted_export_is_globally_ordered(spark, sf_dir, tmp_path):
             assert vals[0] >= prev_max  # ranges don't overlap across files
         prev_max = vals[-1]
     assert total == orders.count()
+
+
+def test_zorder_skips_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-order layout must shrink the set of files whose min/max stats
+    intersect a narrow predicate on EITHER clustered column, vs a
+    hash-scattered layout where every file spans the full domain."""
+    import glob
+
+    from pixelspark.schemas import load_table
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    plain_path = str(tmp_path / "part_plain")
+    z_path = str(tmp_path / "part_z")
+    part.repartition(8).write.parquet(plain_path)
+    pio.write_zordered(part, z_path, ("p_retailprice", "p_size"), num_partitions=8)
+
+    def files_hit(path, col, lo, hi):
+        hit, total = 0, 0
+        for f in sorted(glob.glob(path + "/part-*.parquet")):
+            mn, mx = spark.read.parquet(f).agg(F.min(col), F.max(col)).collect()[0]
+            total += 1
+            if mn is not None and not (mx < lo or mn > hi):
+                hit += 1
+        return hit, total
+
+    # narrow range predicates on each dimension
+    for col, lo, hi in (("p_retailprice", 905.0, 910.0), ("p_size", 3, 4)):
+        p_hit, p_total = files_hit(plain_path, col, lo, hi)
+        z_hit, z_total = files_hit(z_path, col, lo, hi)
+        assert p_total == 8 and z_total >= 4
+        assert p_hit == p_total  # scattered layout: stats are useless
+        assert z_hit < p_hit  # z-ordered: most files pruned by stats
+    # and it is still the same relation
+    back = spark.read.parquet(z_path)
+    assert back.count() == part.count() and back.exceptAll(part).count() == 0

@@ -96,3 +96,39 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
         .count()
     )
     assert joined.exceptAll(want).count() == 0 and want.exceptAll(joined).count() == 0
+
+
+def test_runtime_bloom_filter_join(spark, sf_dir):
+    """Runtime row-level filtering: a selective predicate on the dim
+    side of a shuffle join builds a Bloom filter that is pushed into
+    the fact scan — at 100 TB this drops most fact rows before the
+    shuffle instead of after the join.  (Thresholds lowered because the
+    production defaults — 10 GB application-side scan — are sized for
+    real clusters, not test fixtures.)"""
+    from pyspark.sql import functions as F
+
+    from pixelspark.schemas import load_table
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        sel = orders.where(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan  # BloomFilterMightContain on the fact side
+        got = j.collect()
+        assert len(got) == 1 and got[0]["o_orderpriority"] == "1-URGENT"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

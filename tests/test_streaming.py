@@ -174,3 +174,49 @@ def test_sliding_window_counts(spark, sf_dir, tmp_path):
     # overlapping windows, so the global count doubles
     n_views = events.where(F.col("event_type") == "view").count()
     assert got.agg(F.sum("event_count")).collect()[0][0] == 2 * n_views
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Restarting a stopped stream from its checkpoint must (a) skip
+    files already committed — run 2's source offsets start where run 1
+    ended — and (b) land the sink on exactly the batch answer.  This is
+    the recovery contract a 24/7 billing stream depends on: a crashed
+    driver resumes without double-counting a single event."""
+    events = load_table(spark, sf_dir, "events")
+    split = "2024-01-05"
+    early = events.where(F.col("ts") < F.lit(split).cast("timestamp"))
+    late = events.where(F.col("ts") >= F.lit(split).cast("timestamp"))
+    src = str(tmp_path / "events_ckpt_in")
+    table = str(tmp_path / "billing_ckpt_table")
+    ckpt = str(tmp_path / "ckpt_recover")
+    early.coalesce(2).write.mode("overwrite").parquet(src)
+
+    q1 = SD.run_upsert_sink(
+        SD.with_billing_amount(SD.windowed_pageviews(SD.read_event_stream(spark, src))),
+        table,
+        ckpt,
+    )
+    run1_rows = sum(p["numInputRows"] for p in q1.recentProgress)
+    assert run1_rows == early.count()
+
+    # stream stopped; more data arrives; restart from the SAME checkpoint
+    late.coalesce(2).write.mode("append").parquet(src)
+    q2 = SD.run_upsert_sink(
+        SD.with_billing_amount(SD.windowed_pageviews(SD.read_event_stream(spark, src))),
+        table,
+        ckpt,
+    )
+    run2_rows = sum(p["numInputRows"] for p in q2.recentProgress)
+    assert run2_rows == late.count()  # early files NOT reprocessed
+
+    got = spark.read.parquet(table).select("shop", "billing_date", "page_views")
+    want = (
+        events.where(F.col("event_type") == "view")
+        .groupBy(
+            F.col("user_id").alias("shop"),
+            F.col("ts").cast("date").alias("billing_date"),
+        )
+        .agg(F.count(F.lit(1)).alias("page_views"))
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
