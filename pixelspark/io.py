@@ -252,6 +252,27 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("basePath", path).parquet(path)
 
 
+def write_xml(df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite") -> None:
+    """XML sink (built into Spark 4): one element per row under
+    `row_tag`.  Interchange format for systems that still speak XML —
+    never a scan format at scale (row-oriented, no stats, no column
+    pruning); land it into parquet on ingest."""
+    df.write.mode(mode).format("xml").option("rootTag", "rows").option("rowTag", row_tag).save(
+        path
+    )
+
+
+def read_xml(
+    spark: SparkSession, path: str, row_tag: str = "row", schema: T.StructType | None = None
+) -> DataFrame:
+    """XML source; pass an explicit schema to avoid the inference scan
+    (inference reads the data twice — never at 100 TB)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def write_sorted(
     df: DataFrame,
     path: str,

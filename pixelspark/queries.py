@@ -2884,3 +2884,60 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.percentile_approx("value", [0.5, 0.9, 0.99], acc).alias("q50_90_99")
     )
+
+
+# ---------------------------------------------------------------------------
+# Modern semi-structured + Python table-function surface
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_variant_get",
+    f"""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           json_extract_string(props, '$.k') AS k_str
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '{TD}'
+    """,
+)
+def q_variant_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse once into the
+    binary variant encoding, then typed `variant_get` extractions.
+    Unlike from_json this needs no up-front schema — the 100-TB
+    pattern for heterogeneous event payloads is to land `props` as a
+    variant column at ingest and let each query extract only the paths
+    it touches (shredded, no full re-parse per query)."""
+    e = _t(spark, sf_dir, "events")
+    v = e.where(B.day_filter(e, TD)).withColumn("v", F.parse_json("props"))
+    return v.select(
+        "event_id",
+        F.try_variant_get("v", "$.k", "long").alias("k"),
+        F.try_variant_get("v", "$.k", "string").alias("k_str"),
+    )
+
+
+@query(
+    "q_udtf_tokens",
+    """
+    SELECT doc_id, arr[pos] AS word, CAST(pos AS INT) AS pos
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+          FROM documents WHERE trim(text) <> '' AND doc_id < 100),
+         unnest(generate_series(1, len(arr))) AS g(pos)
+    """,
+)
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in a correlated LATERAL join: one document row in,
+    one row per token out (word, 1-based ordinal).  Row-at-a-time
+    Python — kept off the hot path (posexplode(split()) is the
+    JVM-side equivalent, asserted equal in tests/test_scalar.py); the
+    UDTF exists to prove the many-rows-out Python extension point the
+    way the reference's per-record JS loops would port."""
+    from pixelspark.ops.udtf import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100).createOrReplaceTempView(
+        "__docs_udtf"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, t.word, t.pos FROM __docs_udtf d, LATERAL tokenize_words(d.text) t"
+    )

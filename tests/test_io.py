@@ -292,3 +292,15 @@ def test_zorder_skips_on_both_columns(spark, sf_dir, tmp_path):
     # and it is still the same relation
     back = spark.read.parquet(z_path)
     assert back.count() == part.count() and back.exceptAll(part).count() == 0
+
+
+def test_xml_roundtrip(spark, sf_dir, tmp_path):
+    from pixelspark.schemas import load_table
+
+    df = load_table(spark, sf_dir, "region")
+    path = str(tmp_path / "region_xml")
+    pio.write_xml(df, path, row_tag="region")
+    back = pio.read_xml(spark, path, row_tag="region", schema=df.schema)
+    assert back.schema == df.schema
+    assert back.count() == df.count()
+    assert back.exceptAll(df).count() == 0

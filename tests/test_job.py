@@ -87,3 +87,30 @@ def test_slack_blocks_shape(spark, sf_dir):
     assert any(b["type"] == "section" for b in blocks)
     totals = blocks[1]["fields"]
     assert any("Total amount" in f["text"] for f in totals)
+
+
+def test_observe_metrics_piggyback(spark, sf_dir):
+    """df.observe computes audit metrics as a side effect of the action
+    — values must equal separately-computed aggregates."""
+    from pyspark.sql import functions as F
+
+    from pixelspark.metrics import billing_run_metrics
+    from pixelspark.ops.billing import daily_billing
+    from pixelspark.schemas import load_table
+
+    out = daily_billing(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "events"), "2024-01-02"
+    )
+    observed_df, obs = billing_run_metrics(out)
+    observed_df.collect()
+    m = obs.get
+    want = out.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("page_views").alias("views"),
+        F.round(F.sum("billing_amount"), 2).alias("amt"),
+        F.count_if(F.col("billing_amount") <= 0.0).alias("zeros"),
+    ).collect()[0]
+    assert m["rows"] == want["rows"]
+    assert m["total_views"] == want["views"]
+    assert m["total_amount"] == want["amt"]
+    assert m["zero_amount_rows"] == want["zeros"]

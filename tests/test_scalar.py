@@ -51,3 +51,25 @@ def test_coalesce0_and_grouped(spark):
 
 def test_truncate_str(spark):
     assert _one(spark, S.truncate_str("s", 4), s="abcdefgh") == "abcd"
+
+
+def test_udtf_tokens_equals_posexplode(spark, sf_dir):
+    """The Python UDTF path and the JVM-side posexplode(split()) path
+    must produce identical (doc_id, word, pos) rows — the UDTF is API
+    coverage; posexplode is the hot path."""
+    from pixelspark.ops.udtf import register_udtfs
+    from pixelspark.schemas import load_table
+
+    register_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("__docs_udtf_eq")
+    via_udtf = spark.sql(
+        "SELECT d.doc_id, t.word, t.pos FROM __docs_udtf_eq d, LATERAL tokenize_words(d.text) t"
+    )
+    via_explode = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("p0", "word"),
+    ).select("doc_id", "word", (F.col("p0") + 1).cast("int").alias("pos"))
+    assert via_udtf.count() > 0
+    assert via_udtf.exceptAll(via_explode).count() == 0
+    assert via_explode.exceptAll(via_udtf).count() == 0
