@@ -2941,3 +2941,64 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT d.doc_id, t.word, t.pos FROM __docs_udtf d, LATERAL tokenize_words(d.text) t"
     )
+
+
+@query(
+    "q_recursive_tree",
+    """
+    WITH RECURSIVE anc AS (
+      SELECT doc_id AS node, doc_id AS anc, 0 AS depth
+      FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT node, anc // 2, depth + 1 FROM anc WHERE anc > 1
+    )
+    SELECT node, anc, CAST(depth AS INT) AS depth FROM anc
+    """,
+)
+def q_recursive_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): ancestor walk over an implicit binary
+    tree (parent = node DIV 2) — the bill-of-materials / org-chart
+    shape.  Executes as an iterated union (one distributed job per
+    level, depth here = log2 N), so state per iteration is one
+    frontier relation — no driver-side loop, no collect.  Bounded by
+    spark.sql.cteRecursionLevelLimit against runaway recursion."""
+    _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100).createOrReplaceTempView(
+        "__docs_rec"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+          SELECT doc_id AS node, doc_id AS anc, 0 AS depth
+          FROM __docs_rec
+          UNION ALL
+          SELECT node, anc DIV 2, depth + 1 FROM anc WHERE anc > 1
+        )
+        SELECT node, anc, CAST(depth AS INT) AS depth FROM anc
+        """
+    )
+
+
+@query(
+    "q_listagg",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_seen
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2023 LISTAGG ... WITHIN GROUP,
+    Spark 4 built-in): deterministic because the within-group ORDER BY
+    fixes concatenation order regardless of partitioning."""
+    e = _t(spark, sf_dir, "events")
+    e.createOrReplaceTempView("__events_listagg")
+    return spark.sql(
+        """
+        SELECT CAST(ts AS DATE) AS day,
+               listagg(DISTINCT event_type, ',') WITHIN GROUP (ORDER BY event_type)
+                 AS types_seen
+        FROM __events_listagg
+        GROUP BY CAST(ts AS DATE)
+        """
+    )
