@@ -171,3 +171,60 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0).cast("long"), F.col("duration_ms"), F.lit(every_ms).cast("long"))
         ).alias("frame_ts_ms"),
     )
+
+
+def extract_features_arrow(media: DataFrame) -> DataFrame:
+    """mapInArrow feature extraction — the FAST Python path for binary
+    columns.  mapInPandas materializes every payload as a Python bytes
+    object inside a pandas row loop; here the Arrow RecordBatch is
+    consumed zero-copy: one contiguous uint8 view over the batch's
+    data buffer + the offsets vector, so n_bytes and byte_mean are
+    single vectorized numpy reductions (`np.add.reduceat`) over ALL
+    payloads in the batch at once.  Same FEATURE_SCHEMA, same values
+    as extract_features (asserted in tests); use this variant when the
+    kernel is expressible on raw bytes and mapInPandas only when you
+    need per-item codec calls."""
+    import numpy as np
+    import pyarrow as pa
+
+    def run(batches):
+        for batch in batches:
+            names = batch.schema.names
+            ids = batch.column(names.index("media_id")).to_numpy(zero_copy_only=False)
+            fmts = batch.column(names.index("format")).to_pylist()
+            arr = batch.column(names.index("payload"))
+            n = len(arr)
+            valid = arr.is_valid().to_numpy(zero_copy_only=False)
+            # zero-copy views: offsets buffer + data buffer
+            off_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
+            offsets = np.frombuffer(off_buf, dtype=np.int32)[arr.offset : arr.offset + n + 1]
+            data = (
+                np.frombuffer(data_buf, dtype=np.uint8)
+                if data_buf is not None
+                else np.zeros(0, np.uint8)
+            )
+            lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+            # vectorized per-item byte sums over the whole batch
+            sums = np.add.reduceat(data.astype(np.int64), offsets[:-1]) if len(data) else np.zeros(n, np.int64)
+            sums = np.where(lengths > 0, sums, 0)
+            means = np.where(lengths > 0, sums / np.maximum(lengths, 1), np.nan)
+            bins = np.array(
+                [
+                    len(np.unique(data[offsets[i] : offsets[i + 1]] >> 4)) if lengths[i] else 0
+                    for i in range(n)
+                ],
+                np.int32,
+            )
+            nb = np.where(valid, lengths, 0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(nb, pa.int64()),
+                    pa.array([None if not lengths[i] else float(means[i]) for i in range(n)], pa.float64()),
+                    pa.array(np.where(valid, bins, 0), pa.int32()),
+                    pa.array(fmts, pa.string()),
+                ],
+                names=[f.name for f in FEATURE_SCHEMA.fields],
+            )
+
+    return media.mapInArrow(run, FEATURE_SCHEMA)

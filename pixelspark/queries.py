@@ -3002,3 +3002,34 @@ def q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY CAST(ts AS DATE)
         """
     )
+
+
+@query(
+    "q_pipe_syntax",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-02'
+    GROUP BY event_type
+    """,
+)
+def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4, SQL:2023-era |> operators): the same
+    logical plan as the classic GROUP BY — Catalyst parses the pipe
+    chain into identical relational operators, so optimization
+    (pushdown, partial agg) is unchanged; this query exists to prove
+    the surface."""
+    e = _t(spark, sf_dir, "events")
+    e.createOrReplaceTempView("__events_pipe")
+    return spark.sql(
+        """
+        FROM __events_pipe
+        |> WHERE CAST(ts AS DATE) = DATE '2024-01-02'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+                     ROUND(SUM(value), 2) AS total_value
+           GROUP BY event_type
+        |> SELECT event_type, n, total_value
+        """
+    )

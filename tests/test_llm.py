@@ -254,3 +254,28 @@ def test_contamination_fraction(spark):
     assert got[1]["n_grams"] == 3 and got[1]["n_contaminated"] == 1
     assert abs(got[1]["contam_frac"] - round(1 / 3, 6)) < 1e-9
     assert got[2]["n_contaminated"] == 0 and got[2]["contam_frac"] == 0.0
+
+
+def test_arrow_features_equal_pandas_features(spark, sf_dir):
+    """The zero-copy mapInArrow kernel and the row-loop mapInPandas
+    kernel must produce identical feature rows."""
+    from pixelspark.ops import multimodal as MM
+    from pixelspark.schemas import load_table
+
+    media = MM.attach_fake_media(load_table(spark, sf_dir, "documents"))
+    via_pandas = MM.extract_features(media)
+    via_arrow = MM.extract_features_arrow(media)
+    assert via_arrow.schema == via_pandas.schema
+    a = {r["media_id"]: r for r in via_arrow.collect()}
+    p = {r["media_id"]: r for r in via_pandas.collect()}
+    assert set(a) == set(p) and len(a) > 0
+    for k in a:
+        assert a[k]["n_bytes"] == p[k]["n_bytes"]
+        assert a[k]["byte_entropy_bins"] == p[k]["byte_entropy_bins"]
+        assert a[k]["format"] == p[k]["format"]
+        if p[k]["byte_mean"] is None:
+            assert a[k]["byte_mean"] is None
+        else:
+            assert abs(a[k]["byte_mean"] - p[k]["byte_mean"]) < 1e-9
+    plan = via_arrow._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan
