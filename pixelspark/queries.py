@@ -3033,3 +3033,72 @@ def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT event_type, n, total_value
         """
     )
+
+
+@query(
+    "q_stats_pack",
+    """
+    SELECT event_type,
+           ROUND(corr(value, epoch(ts)), 6) AS corr_vt,
+           ROUND(covar_samp(value, epoch(ts)), 4) AS covar_vt,
+           ROUND(var_samp(value), 6) AS var_v,
+           ROUND(stddev_samp(value), 6) AS std_v
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate pack (corr / covar_samp / var_samp /
+    stddev_samp) — one-pass mergeable moments, identical textbook
+    definitions in both engines; rounded once so float accumulation
+    order can't flip the compare."""
+    e = _t(spark, sf_dir, "events")
+    tsd = F.col("ts").cast("double")
+    return e.groupBy("event_type").agg(
+        F.round(F.corr("value", tsd), 6).alias("corr_vt"),
+        F.round(F.covar_samp("value", tsd), 4).alias("covar_vt"),
+        F.round(F.var_samp("value"), 6).alias("var_v"),
+        F.round(F.stddev_samp("value"), 6).alias("std_v"),
+    )
+
+
+@query(
+    "q_array_agg",
+    """
+    SELECT user_id AS shop,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv,
+           CAST(len(list(DISTINCT event_type)) AS INT) AS n_types
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-02'
+    GROUP BY user_id
+    """,
+)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic array aggregation: collect_set + sort_array fixes
+    element order regardless of partitioning/merge order (a bare
+    collect_list is partition-order-dependent — never comparable)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.where(B.day_filter(e, TD))
+        .groupBy(F.col("user_id").alias("shop"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types_csv"),
+            F.size(F.collect_set("event_type")).alias("n_types"),
+        )
+    )
+
+
+@query(
+    "q_cross_join",
+    """
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (tiny dims only — a guarded operator:
+    Spark requires crossJoin() or the CROSS JOIN keyword so a missing
+    join condition can't silently explode a 100-TB plan)."""
+    r = _t(spark, sf_dir, "region").select("r_name")
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
