@@ -291,10 +291,10 @@ def ngram_jaccard_pairs(
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Composite quality score in [0,1] from cheap text signals
-    (length band, type-token ratio, stopword presence) — the filter
-    stage of a training-data pipeline.  Pure column arithmetic."""
+def quality_expr(text_col: str = "text") -> Column:
+    """Composite quality score in [0,1] as a pure column expression
+    (length band, type-token ratio, stopword presence) — usable both
+    as a projected score and as an inline filter without a join."""
     toks = tokens(text_col)
     n_tokens = F.size(toks)
     distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / F.nullif(
@@ -303,8 +303,19 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
     has_stop = (F.size(F.array_intersect(toks, sw)) > 0).cast("double")
     len_ok = ((n_tokens >= 10) & (n_tokens <= 5000)).cast("double")
-    score = F.round(0.4 * len_ok + 0.4 * F.coalesce(distinct_ratio, F.lit(0.0)) + 0.2 * has_stop, 6)
-    return docs.select("doc_id", n_tokens.alias("n_tokens"), score.alias("quality"))
+    return F.round(
+        0.4 * len_ok + 0.4 * F.coalesce(distinct_ratio, F.lit(0.0)) + 0.2 * has_stop, 6
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality score per document — the filter stage of a training-data
+    pipeline.  Pure column arithmetic."""
+    return docs.select(
+        "doc_id",
+        F.size(tokens(text_col)).alias("n_tokens"),
+        quality_expr(text_col).alias("quality"),
+    )
 
 
 def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
@@ -956,4 +967,41 @@ def contamination(
                 "contam_frac"
             ),
         )
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    quality_threshold: float = 0.5,
+    chunk_size: int = 200,
+    chunk_stride: int = 150,
+    split_seed: int = 3,
+) -> DataFrame:
+    """End-to-end corpus curation: the whole training-data prep chain
+    as ONE composed Spark plan —
+
+        normalized exact-dedup -> quality gate -> PII redaction ->
+        context-window chunking -> doc-level train/val/test tag
+
+    Scale shape: ONE hash exchange (the dedup groupBy on normalized
+    text) plus the winner-set semi join — broadcast at test scale
+    (verified in tests/test_plans.py); at 100 TB the winner set is
+    ~corpus-sized, so it becomes a doc_id-partitioned shuffle join and
+    the chain is two exchanges total.  Quality is an INLINE column
+    filter (no score-then-join round trip); redaction, chunking, and
+    split tagging are all narrow JVM-side stages.  The split is keyed
+    on doc_id, not chunk, so every chunk of a document lands in the
+    same split — no train/test leakage through overlapping chunks.
+    """
+    from pixelspark.ops.sampling import train_val_test_split
+
+    winners = exact_dedup(docs, normalize_text("text")).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    kept = docs.join(winners, "doc_id", "left_semi")
+    survivors = kept.where(quality_expr("text") >= quality_threshold)
+    red = survivors.select("doc_id", pii_redact("text").alias("text"))
+    chunks = doc_chunks(red, size=chunk_size, stride=chunk_stride)
+    return train_val_test_split(chunks, "doc_id", seed=split_seed).select(
+        "doc_id", "chunk_idx", "chunk_len", "chunk_fp", "split"
     )

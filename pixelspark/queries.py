@@ -3102,3 +3102,61 @@ def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").select("r_name")
     n = _t(spark, sf_dir, "nation").select("n_name")
     return r.crossJoin(n)
+
+
+@query(
+    "q_curate_corpus",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                 '\s+', ' ', 'g')) AS ntext
+      FROM documents
+    ),
+    keep AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY ntext),
+    kept AS (SELECT n.doc_id, n.text FROM norm n JOIN keep k ON n.doc_id = k.doc_id),
+    toked AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      FROM kept
+    ),
+    qual AS (
+      SELECT doc_id, text FROM toked
+      WHERE ROUND(0.4 * (CASE WHEN len(toks) BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
+            + 0.4 * COALESCE(CAST(len(list_distinct(toks)) AS DOUBLE)
+                             / NULLIF(CAST(len(toks) AS DOUBLE), 0.0), 0.0)
+            + 0.2 * (CASE WHEN len(list_intersect(toks,
+                  ['the','a','of','and','to','in','is','on','for','with'])) > 0
+                  THEN 1.0 ELSE 0.0 END), 6) >= 0.5
+    ),
+    red AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS text
+      FROM qual
+    ),
+    g AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text), 1), 150)) AS chunk_start
+      FROM red
+    )
+    SELECT doc_id,
+           CAST((chunk_start - 1) // 150 AS INT) AS chunk_idx,
+           CAST(length(substr(text, CAST(chunk_start AS INT), 200)) AS INT) AS chunk_len,
+           md5(substr(text, CAST(chunk_start AS INT), 200)) AS chunk_fp,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|3'), 1, 8)) AS UBIGINT) / 4294967296.0 < 0.8 THEN 'train'
+                WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|3'), 1, 8)) AS UBIGINT) / 4294967296.0 < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM g
+    """,
+)
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — the END-TO-END curation pipeline as one composed plan:
+    normalized exact-dedup -> inline quality gate -> PII redaction ->
+    context-window chunking -> leakage-safe doc-level split tag.
+    One shuffle total (the dedup groupBy); everything downstream is
+    narrow.  The full chain is reproduced in DuckDB, so the oracle
+    checks the composition, not just the stages."""
+    return L.curate_corpus(_t(spark, sf_dir, "documents"))

@@ -132,3 +132,22 @@ def test_runtime_bloom_filter_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_curate_corpus_single_shuffle(spark, sf_dir):
+    """The composed curation chain must stay one hash exchange (the
+    dedup groupBy) — quality/redact/chunk/split are narrow stages and
+    must not introduce extra shuffles."""
+    import re
+
+    from pixelspark.ops.llm import curate_corpus
+    from pixelspark.schemas import load_table
+
+    plan = (
+        curate_corpus(load_table(spark, sf_dir, "documents"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "SortMergeJoin" not in plan
