@@ -41,6 +41,8 @@ HEADLINE = [
     "q_local_supplier_volume",
     "q_returned_items",
     "q_late_order_priority",
+    "q_curate_corpus",
+    "q_gap_fill",
 ]
 
 

@@ -151,3 +151,30 @@ def test_curate_corpus_single_shuffle(spark, sf_dir):
     )
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_join_strategy_hints(spark, sf_dir):
+    """Hints are the manual override when stats mislead the planner:
+    BROADCAST must force a broadcast join on a side the threshold
+    would reject, MERGE must force sort-merge where broadcast would
+    win.  Values must be identical either way."""
+    from pyspark.sql import functions as F
+
+    from pixelspark.schemas import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    merged = orders.join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
+    assert "SortMergeJoin" in merged._jdf.queryExecution().executedPlan().toString()
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plain = orders.join(cust, orders.o_custkey == cust.c_custkey)
+        assert "BroadcastHashJoin" not in plain._jdf.queryExecution().executedPlan().toString()
+        hinted = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        assert "BroadcastHashJoin" in hinted._jdf.queryExecution().executedPlan().toString()
+        assert hinted.count() == plain.count() == merged.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
