@@ -273,6 +273,24 @@ def read_xml(
     return reader.load(path)
 
 
+def overwrite_partitions(df: DataFrame, path: str, partition_cols: tuple[str, ...]) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in `df`, leave every other partition untouched.  This is what makes
+    a daily batch IDEMPOTENT at the storage layer — re-running day X
+    (after a failure, a backfill, a late correction) rewrites the
+    `day=X` directory atomically and cannot touch the other ~36,499
+    day-partitions of a 100-year 100-TB table.  Static overwrite mode
+    (the default) would drop the whole table first — the config below
+    is the entire difference."""
+    spark = df.sparkSession
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+
 def write_sorted(
     df: DataFrame,
     path: str,
