@@ -178,3 +178,22 @@ def test_join_strategy_hints(spark, sf_dir):
         assert hinted.count() == plain.count() == merged.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
+    """AQE must shrink the configured 8 shuffle partitions down to the
+    few the data actually needs — the runtime re-plan that keeps a
+    fixed spark.sql.shuffle.partitions setting from fragmenting small
+    aggregates into thousands of empty tasks at any scale."""
+    from pyspark.sql import functions as F
+
+    from pixelspark.schemas import load_table
+
+    agg = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg.collect()  # materialize so AQE finalizes the plan
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan
