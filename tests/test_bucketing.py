@@ -45,3 +45,31 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_events")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_analyze_table_feeds_cbo_stats(spark, sf_dir, tmp_path):
+    """ANALYZE TABLE statistics must reach the optimizer: after
+    COMPUTE STATISTICS the logical plan carries real rowCount/sizeInBytes
+    for the table — what cost-based join reordering and broadcast
+    decisions consume when file-size heuristics are unavailable or
+    wrong (e.g. highly compressed or wide-but-filtered tables)."""
+    from pixelspark.schemas import load_table
+
+    load_table(spark, sf_dir, "supplier").write.mode("overwrite").saveAsTable("supplier_cbo")
+    saved = spark.conf.get("spark.sql.cbo.enabled")
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.sql("ANALYZE TABLE supplier_cbo COMPUTE STATISTICS")
+        stats = (
+            spark.table("supplier_cbo")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+        )
+        n = spark.table("supplier_cbo").count()
+        assert stats.rowCount().isDefined()
+        assert stats.rowCount().get() == n
+        assert stats.sizeInBytes() > 0
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", saved)
+        spark.sql("DROP TABLE IF EXISTS supplier_cbo")
