@@ -1005,3 +1005,43 @@ def curate_corpus(
     return train_val_test_split(chunks, "doc_id", seed=split_seed).select(
         "doc_id", "chunk_idx", "chunk_len", "chunk_fp", "split"
     )
+
+
+def sequence_pack(
+    docs: DataFrame,
+    budget_tokens: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing — the concat-and-chop step that turns variable
+    -length documents into fixed-budget training sequences: lay all
+    documents end-to-end in deterministic id order, then cut every
+    `budget_tokens`.  Emits per doc its token count, global start
+    offset, and the first/last sequence ids it lands in (a doc spans
+    multiple sequences when it crosses a cut).
+
+    Scale note: the global running offset is a window cumsum over
+    id order WITHOUT partitions — Spark executes it as one
+    range-partitioned sort (the same shape as a global orderBy, no
+    single-reducer stage), which is the honest cost of any
+    order-dependent packing.  At 100 TB, pack per shard instead:
+    add a shard column to the partitionBy and the cumsum runs
+    per-shard in parallel (sequences then never cross shards, which
+    is what large training pipelines do anyway)."""
+    n_tok = F.size(tokens(text_col))
+    w = Window.orderBy(F.col(id_col)).rowsBetween(Window.unboundedPreceding, -1)
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return (
+        docs.select(F.col(id_col), n_tok.alias("n_tokens"))
+        .withColumn("start_offset", start)
+        .select(
+            id_col,
+            "n_tokens",
+            "start_offset",
+            F.floor(F.col("start_offset") / budget_tokens).cast("long").alias("first_seq"),
+            F.floor(
+                (F.col("start_offset") + F.greatest(F.col("n_tokens") - 1, F.lit(0)))
+                / budget_tokens
+            ).cast("long").alias("last_seq"),
+        )
+    )

@@ -3160,3 +3160,32 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow.  The full chain is reproduced in DuckDB, so the oracle
     checks the composition, not just the stages."""
     return L.curate_corpus(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_sequence_pack",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, start_offset,
+           start_offset // 512 AS first_seq,
+           (start_offset + greatest(n_tokens - 1, 0)) // 512 AS last_seq
+    FROM o
+    """,
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — sequence packing (concat-and-chop into 512-token training
+    sequences): global cumsum offsets + chop boundaries, fully
+    reproduced in DuckDB."""
+    return L.sequence_pack(_t(spark, sf_dir, "documents"), budget_tokens=512)

@@ -279,3 +279,24 @@ def test_arrow_features_equal_pandas_features(spark, sf_dir):
             assert abs(a[k]["byte_mean"] - p[k]["byte_mean"]) < 1e-9
     plan = via_arrow._jdf.queryExecution().executedPlan().toString()
     assert "MapInArrow" in plan
+
+
+def test_sequence_pack_invariants(spark, sf_dir):
+    """Packing must tile the token stream exactly: offsets contiguous
+    in id order, sequence ids consistent with the 512 budget, and the
+    total stream length equals the sum of token counts."""
+    from pixelspark.ops.llm import sequence_pack
+    from pixelspark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = sequence_pack(docs, budget_tokens=512).orderBy("doc_id").collect()
+    offset = 0
+    for r in packed:
+        assert r["start_offset"] == offset  # contiguous: no gaps, no overlap
+        assert r["first_seq"] == r["start_offset"] // 512
+        end = r["start_offset"] + max(r["n_tokens"] - 1, 0)
+        assert r["last_seq"] == end // 512
+        offset += r["n_tokens"]
+    assert offset == sum(r["n_tokens"] for r in packed)
+    # some doc must span a cut (docs are longer than 1 token)
+    assert any(r["last_seq"] > r["first_seq"] for r in packed)
