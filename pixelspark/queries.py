@@ -3189,3 +3189,24 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequences): global cumsum offsets + chop boundaries, fully
     reproduced in DuckDB."""
     return L.sequence_pack(_t(spark, sf_dir, "documents"), budget_tokens=512)
+
+
+@query("q_pagerank")  # iterative power method -> rows-only check
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph — distributed PageRank (10 power-iteration rounds, exact
+    dangling-mass redistribution) over a deterministic directed graph
+    derived from doc ids.  Matches a dense numpy reference to 1e-9 in
+    tests/test_graph.py; iterative, so no single-statement SQL oracle."""
+    from pixelspark.ops.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 97)
+    edges = (
+        docs.select(F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 3) % 97).alias("dst"))
+        .unionByName(
+            docs.select(
+                F.col("doc_id").alias("src"), ((F.col("doc_id") * 13 + 5) % 97).alias("dst")
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    return pagerank(edges, iterations=10).select("id", F.round("rank", 9).alias("rank"))
