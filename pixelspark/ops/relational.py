@@ -116,3 +116,77 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
     return salted_big.join(exploded_other, [key, "__salt"], how).drop("__salt")
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: bucket every user by first-seen day, then
+    count distinct active users per (cohort_day, day_offset) — the
+    standard product-analytics retention triangle.
+
+    Two shuffles: the first-seen aggregation (map-side partial min)
+    and the user-keyed join back; the final (cohort, offset) aggregate
+    rides the join's partitioning.  The first-seen table is one row
+    per user — at 100 TB it shuffle-joins on user_id (AQE handles the
+    skewed mega-user tail)."""
+    day = F.col(ts_col).cast("date")
+    first_seen = (
+        events.groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(day).alias("cohort_day"))
+    )
+    active = events.select(F.col(user_col).alias("u"), day.alias("day")).distinct()
+    return (
+        active.join(first_seen, "u")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .agg(F.countDistinct("u").alias("n_users"))
+    )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: how many users completed step k AFTER step k-1
+    (strictly increasing first-completion times).  One conditional
+    aggregation pass per step over the per-user event set — step k's
+    earliest-valid time is min(ts WHERE type=step_k AND ts > t_{k-1}),
+    which needs t_{k-1} resolved first, so k steps cost k user-keyed
+    aggregations; all of them reuse the same user_id partitioning
+    (one real shuffle, the rest exchange-free).  Returns one row per
+    step: (step_idx, step, n_users reaching it)."""
+    per_user = events.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("et"), F.col(ts_col).alias("t")
+    )
+    reached = None  # DataFrame (u, t_k): users who reached the current step
+    counts = []
+    for k, step in enumerate(steps):
+        if reached is None:
+            cur = (
+                per_user.where(F.col("et") == step)
+                .groupBy("u")
+                .agg(F.min("t").alias("t_k"))
+            )
+        else:
+            cur = (
+                per_user.where(F.col("et") == step)
+                .join(reached.withColumnRenamed("t_k", "t_prev"), "u")
+                .where(F.col("t") > F.col("t_prev"))
+                .groupBy("u")
+                .agg(F.min("t").alias("t_k"))
+            )
+        reached = cur
+        counts.append((k, step, cur))
+    spark = events.sparkSession
+    out = None
+    for k, step, cur in counts:
+        row = cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(k).alias("step_idx"), F.lit(step).alias("step"), "n_users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

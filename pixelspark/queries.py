@@ -3210,3 +3210,66 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("src") != F.col("dst"))
     )
     return pagerank(edges, iterations=10).select("id", F.round("rank", 9).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Product-analytics shapes (the web-pixel domain's classic queries)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id AS u, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.day) AS INT) AS day_offset,
+           CAST(COUNT(DISTINCT a.u) AS BIGINT) AS n_users
+    FROM active a JOIN first_seen f ON a.u = f.u
+    GROUP BY f.cohort_day, date_diff('day', f.cohort_day, a.day)
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics — cohort retention triangle (first-seen day x day
+    offset x distinct active users)."""
+    from pixelspark.ops.relational import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "q_funnel",
+    """
+    WITH s0 AS (
+      SELECT user_id AS u, MIN(ts) AS t_k FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s1 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS t_k
+      FROM events e JOIN s0 ON e.user_id = s0.u
+      WHERE e.event_type = 'click' AND e.ts > s0.t_k
+      GROUP BY e.user_id
+    ),
+    s2 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS t_k
+      FROM events e JOIN s1 ON e.user_id = s1.u
+      WHERE e.event_type = 'purchase' AND e.ts > s1.t_k
+      GROUP BY e.user_id
+    )
+    SELECT 0 AS step_idx, 'view' AS step, CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 1, 'click', CAST((SELECT COUNT(*) FROM s1) AS BIGINT)
+    UNION ALL
+    SELECT 2, 'purchase', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics — ordered view -> click -> purchase funnel (strictly
+    increasing first-completion times per user)."""
+    from pixelspark.ops.relational import funnel
+
+    return funnel(_t(spark, sf_dir, "events"), ["view", "click", "purchase"])
