@@ -153,13 +153,15 @@ def funnel(
     type_col: str = "event_type",
 ) -> DataFrame:
     """Ordered funnel: how many users completed step k AFTER step k-1
-    (strictly increasing first-completion times).  One conditional
-    aggregation pass per step over the per-user event set — step k's
+    (strictly increasing first-completion times).  Step k's
     earliest-valid time is min(ts WHERE type=step_k AND ts > t_{k-1}),
-    which needs t_{k-1} resolved first, so k steps cost k user-keyed
-    aggregations; all of them reuse the same user_id partitioning
-    (one real shuffle, the rest exchange-free).  Returns one row per
-    step: (step_idx, step, n_users reaching it)."""
+    which needs t_{k-1} resolved first — so k steps are inherently k
+    user-keyed aggregation rounds (measured plan at k=3: 5 hash
+    exchanges; each step scans the events table with its own
+    event_type pushed filter and joins the previous step's user set,
+    broadcast when it is small).  At 100 TB, cut the re-scans by
+    caching a pre-filtered (user, type, ts) projection of just the
+    funnel's event types — the step list is known up front."""
     per_user = events.select(
         F.col(user_col).alias("u"), F.col(type_col).alias("et"), F.col(ts_col).alias("t")
     )
