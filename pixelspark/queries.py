@@ -3273,3 +3273,40 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pixelspark.ops.relational import funnel
 
     return funnel(_t(spark, sf_dir, "events"), ["view", "click", "purchase"])
+
+
+@query(
+    "q_dq_violations",
+    """
+    WITH a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(count_if(NOT (user_id IS NOT NULL)) AS BIGINT) AS v_user,
+             CAST(count_if(NOT COALESCE(event_type IN ('view','click','purchase','signup','error'), FALSE)) AS BIGINT) AS v_type,
+             CAST(count_if(NOT COALESCE(value BETWEEN 0 AND 1000, FALSE)) AS BIGINT) AS v_value,
+             CAST(count_if(NOT COALESCE(CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-12-31', FALSE)) AS BIGINT) AS v_ts
+      FROM events
+    )
+    SELECT 'not_null_user_id' AS rule, n_rows, v_user AS n_violations, ROUND(CAST(v_user AS DOUBLE)/n_rows, 6) AS violation_rate FROM a
+    UNION ALL SELECT 'in_set_event_type', n_rows, v_type, ROUND(CAST(v_type AS DOUBLE)/n_rows, 6) FROM a
+    UNION ALL SELECT 'in_range_value', n_rows, v_value, ROUND(CAST(v_value AS DOUBLE)/n_rows, 6) FROM a
+    UNION ALL SELECT 'ts_in_2024', n_rows, v_ts, ROUND(CAST(v_ts AS DOUBLE)/n_rows, 6) FROM a
+    """,
+)
+def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: the declarative constraint pack compiled to
+    one aggregation pass (count_if per rule, single scan)."""
+    from pixelspark.ops import quality as DQ
+
+    e = _t(spark, sf_dir, "events")
+    return DQ.check_constraints(
+        e,
+        [
+            DQ.not_null("user_id"),
+            DQ.in_set("event_type", ["view", "click", "purchase", "signup", "error"]),
+            DQ.in_range("value", 0, 1000),
+            DQ.satisfies(
+                "ts_in_2024",
+                F.col("ts").cast("date").between("2024-01-01", "2024-12-31"),
+            ),
+        ],
+    )
