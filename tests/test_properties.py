@@ -40,3 +40,76 @@ def test_normalize_text_idempotent(spark, s):
     once = df.select(normalize_text("t").alias("n"))
     twice = once.select(normalize_text("n").alias("n"))
     assert once.collect()[0]["n"] == twice.collect()[0]["n"]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=120),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_doc_chunks_python_parity(spark, texts):
+    """Chunking must equal the plain-Python sliding window for any
+    ASCII input: same chunk count, offsets, lengths, fingerprints."""
+    import hashlib
+
+    from pixelspark.ops.llm import doc_chunks
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_start"], r["chunk_len"], r["chunk_fp"])
+        for r in doc_chunks(df, size=50, stride=30).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        for ci, start in enumerate(range(1, max(len(t), 1) + 1, 30)):
+            piece = t[start - 1 : start - 1 + 50]
+            want[(i, ci)] = (start, len(piece), hashlib.md5(piece.encode()).hexdigest())
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=100),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_sequence_pack_python_parity(spark, texts):
+    """Packing offsets must equal the plain-Python cumulative sum of
+    whitespace token counts in doc_id order."""
+    from pixelspark.ops.llm import sequence_pack
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_offset"], r["first_seq"], r["last_seq"])
+        for r in sequence_pack(df, budget_tokens=7).collect()
+    }
+    offset = 0
+    for i, t in enumerate(texts):
+        n = len(t.split())
+        end = offset + max(n - 1, 0)
+        assert got[i] == (n, offset, offset // 7, end // 7)
+        offset += n
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=80))
+def test_pii_redact_idempotent(spark, s):
+    """Redaction must be a fixpoint: the replacement tokens can never
+    re-match the PII patterns."""
+    from pyspark.sql import functions as F
+
+    from pixelspark.ops.llm import pii_redact
+
+    df = spark.createDataFrame(
+        [(s + " a.b@ex.com x +1-415-555-0000",)], "t string"
+    )
+    once = df.select(pii_redact("t").alias("r"))
+    twice = once.select(pii_redact("r").alias("r"))
+    a, b = once.collect()[0]["r"], twice.collect()[0]["r"]
+    assert a == b
+    assert "<EMAIL>" in a and "<PHONE>" in a
