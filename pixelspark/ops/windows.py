@@ -118,3 +118,32 @@ def gap_fill_days(
         else:
             raise ValueError(f"unknown fill {fill!r}")
     return out
+
+
+def scd2(
+    changes: DataFrame,
+    keys: tuple[str, ...],
+    order_col: str,
+    end_of_time: str = "2200-01-01 00:00:00",
+) -> DataFrame:
+    """Build a slowly-changing-dimension Type 2 view from a change log:
+    each version row gets [valid_from, valid_to) from its own change
+    time to the next change of the same key (lead over the key
+    window), open versions get the sentinel end-of-time, and
+    is_current flags the newest row per key.
+
+    This is the queryable form of the reference's append-as-update
+    billing log (billing.ts:161-163): `latest_state` answers "what is
+    true now", scd2 answers "what was true at time T" — the
+    point-in-time read is then a plain BETWEEN filter (or an as-of
+    join from ops/asof.py).  One window pass over (keys, order_col):
+    a single shuffle, no self-join."""
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(order_col).asc())
+    nxt = F.lead(order_col).over(w)
+    return (
+        changes.withColumn("valid_from", F.col(order_col))
+        .withColumn(
+            "valid_to", F.coalesce(nxt, F.lit(end_of_time).cast("timestamp"))
+        )
+        .withColumn("is_current", nxt.isNull())
+    )

@@ -3310,3 +3310,27 @@ def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ],
     )
+
+
+@query(
+    "q_scd2",
+    """
+    SELECT user_id AS shop, event_type AS status, ts AS valid_from,
+           COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                    TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+           (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL) AS is_current
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-02' AND user_id < 200
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 from a change log: validity intervals via one lead()
+    window pass — the queryable history of the reference's
+    append-as-update pattern."""
+    from pixelspark.ops.windows import scd2
+
+    e = _t(spark, sf_dir, "events")
+    log = e.where(B.day_filter(e, TD) & (F.col("user_id") < 200)).select(
+        F.col("user_id").alias("shop"), F.col("event_type").alias("status"), "ts"
+    )
+    return scd2(log, keys=("shop",), order_col="ts", end_of_time="2200-01-01 00:00:00").drop("ts")

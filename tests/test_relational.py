@@ -129,3 +129,36 @@ def test_approx_quantiles_within_bound(spark, sf_dir):
         for i, a in enumerate(approx):
             lo, hi = b[2 * i], b[2 * i + 1]
             assert lo - 1e-9 <= a <= hi + 1e-9, (et, i, a, lo, hi)
+
+
+def test_scd2_intervals_tile_history(spark, sf_dir):
+    """SCD2 invariants: per key, intervals are contiguous (valid_to of
+    version k == valid_from of k+1), exactly one is_current, and the
+    point-in-time read at any version's start returns that version."""
+    from pixelspark.ops.windows import scd2
+    from pixelspark.schemas import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    log = e.where(F.col("user_id") < 50).select(
+        F.col("user_id").alias("shop"), F.col("event_type").alias("status"), "ts"
+    )
+    hist = scd2(log, keys=("shop",), order_col="ts").collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r["shop"], []).append(r)
+    assert by_key
+    for shop, rows in by_key.items():
+        rows.sort(key=lambda r: r["valid_from"])
+        assert sum(r["is_current"] for r in rows) == 1
+        assert rows[-1]["is_current"]
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"]  # contiguous, no gaps
+    # point-in-time: status at a middle version's valid_from is that version
+    shop, rows = next((s, r) for s, r in by_key.items() if len(r) >= 3)
+    probe = rows[1]["valid_from"]
+    pit = [
+        r
+        for r in rows
+        if r["valid_from"] <= probe < r["valid_to"]
+    ]
+    assert len(pit) == 1 and pit[0]["status"] == rows[1]["status"]
