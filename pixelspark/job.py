@@ -113,6 +113,41 @@ def run_daily_billing_safe(spark: SparkSession, sf_dir: str, target_date: str, *
         }
 
 
+def run_backfill(
+    spark: SparkSession,
+    sf_dir: str,
+    start_date: str,
+    end_date: str,
+    table_path: str,
+) -> dict:
+    """Backfill a date range into the billing table, idempotently.
+
+    Unlike the daily run's append-as-update path (which preserves the
+    reference's audit-log semantics for live operation), a backfill
+    re-DERIVES each day from source events, so the right storage
+    semantic is dynamic partition overwrite: each recomputed day
+    replaces exactly its own `billing_date=` partition and nothing
+    else — re-running the backfill (crash recovery, corrected input)
+    converges to the same table instead of growing it.  Each day is
+    one independent Spark job over a partition-pruned scan; the loop
+    over days is driver-side orchestration, not data movement."""
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    d0 = datetime.date.fromisoformat(start_date)
+    d1 = datetime.date.fromisoformat(end_date)
+    days = []
+    d = d0
+    while d <= d1:
+        day = d.isoformat()
+        bill = B.daily_billing(customer, events, day).withColumn(
+            "shop", F.col("shop").cast("string")
+        )
+        pio.overwrite_partitions(bill, table_path, ("billing_date",))
+        days.append(day)
+        d += datetime.timedelta(days=1)
+    return {"backfilled_days": days, "table_path": table_path}
+
+
 def current_billing_state(spark: SparkSession, table_path: str) -> DataFrame:
     """Read-back: the current bill per (shop, billing_date) — the
     latest-wins view over the append-only log."""

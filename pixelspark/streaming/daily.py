@@ -209,3 +209,32 @@ def sliding_pageviews(
             "event_count",
         )
     )
+
+
+def session_windowed_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization via the built-in session_window: a
+    session extends while events arrive within `gap` of the previous
+    one; the watermark closes sessions whose gap has provably expired,
+    so state is (#open sessions x #shops), never unbounded.  This is
+    the stateful dual of the batch gaps-and-islands sessionize()
+    (ops/relational.py) — equality with the batch session_window agg
+    is asserted in tests/test_streaming.py."""
+    return (
+        events.where(F.col("event_type") == PAGE_VIEW_EVENT)
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", gap).alias("win"),
+            F.col("user_id").alias("shop"),
+        )
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "shop",
+            "event_count",
+        )
+    )

@@ -114,3 +114,31 @@ def test_observe_metrics_piggyback(spark, sf_dir):
     assert m["total_views"] == want["views"]
     assert m["total_amount"] == want["amt"]
     assert m["zero_amount_rows"] == want["zeros"]
+
+
+def test_backfill_idempotent_range(spark, sf_dir, tmp_path):
+    """Backfilling a 3-day range then re-running one day must converge
+    to the identical table (dynamic overwrite replaces, never appends)."""
+    from pyspark.sql import functions as F
+
+    from pixelspark.job import run_backfill
+    from pixelspark.ops.billing import daily_billing
+    from pixelspark.schemas import load_table
+
+    table = str(tmp_path / "bill_backfill")
+    out = run_backfill(spark, sf_dir, "2024-01-02", "2024-01-04", table)
+    assert out["backfilled_days"] == ["2024-01-02", "2024-01-03", "2024-01-04"]
+    first = sorted(map(tuple, spark.read.parquet(table).collect()))
+
+    # rerun the middle day: nothing may change
+    run_backfill(spark, sf_dir, "2024-01-03", "2024-01-03", table)
+    second = sorted(map(tuple, spark.read.parquet(table).collect()))
+    assert first == second
+
+    # and each day equals a fresh computation
+    want = daily_billing(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "events"), "2024-01-03"
+    ).withColumn("shop", F.col("shop").cast("string"))
+    got = spark.read.parquet(table).where(F.col("billing_date") == "2024-01-03")
+    assert got.count() == want.count()
+    assert got.select(*want.columns).exceptAll(want).count() == 0

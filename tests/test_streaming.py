@@ -220,3 +220,27 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     )
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_streaming_session_window_matches_batch(spark, sf_dir, tmp_path):
+    src, events = _stage_events(spark, sf_dir, tmp_path)
+    stream = SD.read_event_stream(spark, src)
+    out = SD.session_windowed_counts(stream, gap="30 minutes")
+    SD.run_to_memory(out, "sess_mem", output_mode="complete")
+    got = spark.table("sess_mem")
+    want = (
+        events.where(F.col("event_type") == "view")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("win"),
+            F.col("user_id").alias("shop"),
+        )
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "shop",
+            "event_count",
+        )
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
