@@ -192,3 +192,46 @@ def funnel(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture between two table snapshots: full outer join
+    on the key, classify each key as inserted / deleted / updated /
+    unchanged (updated = any compared column differs, null-safe via
+    eqNullSafe so a legitimate NULL value never misclassifies).
+
+    Presence on each side is tracked with explicit marker columns, not
+    value null-ness.  One co-partitioned shuffle join on the key set;
+    the classification is pure column logic.  Feed the output to
+    `io.upsert` / `overwrite_partitions` to propagate a diff instead
+    of rewriting a 100-TB table."""
+    cols = compare_cols or [c for c in new.columns if c not in keys]
+    o = old.select(
+        *keys, F.lit(True).alias("__in_old"), *[F.col(c).alias(f"old_{c}") for c in cols]
+    )
+    n = new.select(
+        *keys, F.lit(True).alias("__in_new"), *[F.col(c).alias(f"new_{c}") for c in cols]
+    )
+    joined = o.join(n, keys, "full_outer")
+    old_present = F.coalesce(F.col("__in_old"), F.lit(False))
+    new_present = F.coalesce(F.col("__in_new"), F.lit(False))
+    changed = None
+    for c in cols:
+        ne = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        changed = ne if changed is None else (changed | ne)
+    change_type = (
+        F.when(old_present & ~new_present, "deleted")
+        .when(~old_present & new_present, "inserted")
+        .when(changed, "updated")
+        .otherwise("unchanged")
+    )
+    return joined.select(
+        *keys,
+        change_type.alias("change_type"),
+        *[F.col(f"new_{c}").alias(c) for c in cols],
+    )

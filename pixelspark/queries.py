@@ -3334,3 +3334,42 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("shop"), F.col("event_type").alias("status"), "ts"
     )
     return scd2(log, keys=("shop",), order_col="ts", end_of_time="2200-01-01 00:00:00").drop("ts")
+
+
+@query(
+    "q_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 10 <> 0
+    ),
+    new AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 7 = 0 THEN ROUND(c_acctbal + 100.0, 2)
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 10 <> 1
+    )
+    SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN n.c_custkey IS NULL THEN 'deleted'
+                WHEN o.c_custkey IS NULL THEN 'inserted'
+                WHEN o.c_name IS DISTINCT FROM n.c_name
+                  OR o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'updated'
+                ELSE 'unchanged' END AS change_type,
+           n.c_name, n.c_acctbal
+    FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC — snapshot diff (insert/update/delete/unchanged classification
+    via null-safe full outer join) between two derived versions of the
+    customer table."""
+    from pixelspark.ops.relational import snapshot_diff
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    old = c.where(F.col("c_custkey") % 10 != 0)
+    new = c.where(F.col("c_custkey") % 10 != 1).withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 7 == 0, F.round(F.col("c_acctbal") + 100.0, 2)).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    return snapshot_diff(old, new, keys=["c_custkey"])

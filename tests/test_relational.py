@@ -162,3 +162,25 @@ def test_scd2_intervals_tile_history(spark, sf_dir):
         if r["valid_from"] <= probe < r["valid_to"]
     ]
     assert len(pit) == 1 and pit[0]["status"] == rows[1]["status"]
+
+
+def test_snapshot_diff_classifications(spark):
+    """Each change class must be detected, including NULL-to-value and
+    value-to-NULL updates (null-safe compare) and all-NULL rows that
+    exist on only one side (presence markers, not value nulls)."""
+    from pixelspark.ops.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c"), (5, None)], "k int, v string"
+    )
+    got = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "updated",
+        3: "updated",  # NULL -> 'c'
+        4: "deleted",
+        5: "inserted",  # present with NULL value: still an insert
+    }
