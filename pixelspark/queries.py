@@ -3373,3 +3373,227 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return snapshot_diff(old, new, keys=["c_custkey"])
+
+
+# ---------------------------------------------------------------------------
+# TPC-H pack, part 2 — Q14 / Q12 / Q19 / Q2 / Q22 shapes
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_promo_revenue",
+    """
+    SELECT ROUND(
+             CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                           THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                * CAST(1 - l.l_discount AS DECIMAL(9,4))
+                           ELSE 0 END) AS DOUBLE) * 100.0
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l.l_discount AS DECIMAL(9,4))) AS DOUBLE),
+             4) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1996-03-01'
+    """,
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promo revenue as a percentage of total revenue
+    (ratio of a conditional sum to a total, one aggregate pass).  Both
+    sums accumulate in DECIMAL so they are order-exact; the division
+    happens once, in double, on the two exact totals — so the ratio is
+    bit-identical across engines and across cluster runs.  part is
+    broadcast; the shipdate range reaches the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.to_date("l_shipdate") >= S.date_literal("1996-01-01"))
+        & (F.to_date("l_shipdate") < S.date_literal("1996-03-01"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(9,4)")
+    zero = F.lit(0).cast("decimal(27,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).alias("num"),
+            F.sum(rev).alias("den"),
+        )
+        .select(
+            F.round(
+                F.col("num").cast("double") * 100.0 / F.col("den").cast("double"), 4
+            ).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "q_urgent_share",
+    """
+    SELECT l.l_linestatus AS linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q_urgent_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — per line-status, how many lineitems belong to
+    high-priority orders vs the rest (conditional counts in one
+    aggregate, no second scan).  The shipdate window prunes lineitem
+    before the orders join — the only shuffle — and the two CASE
+    counters fold into the same partial aggregate."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.to_date("l_shipdate") >= S.date_literal("1996-01-01"))
+        & (F.to_date("l_shipdate") < S.date_literal("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_count"),
+        )
+    )
+
+
+@query(
+    "q_disjunctive_parts",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1 - l.l_discount AS DECIMAL(9,4))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q_disjunctive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — disjunction of conjunctive brand/size/quantity
+    branches across the part-lineitem join.  Catalyst pushes the
+    per-side residue of the OR into each scan (lineitem gets the
+    quantity-range union 1..40, part gets the brand/size union) while
+    the cross-table correlation stays a post-join filter; DECIMAL sum
+    keeps the single output row exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    branch = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 20)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return j.where(branch).agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(9,4)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@query(
+    "q_min_price_lines",
+    """
+    SELECT l.l_orderkey AS orderkey,
+           CAST(l.l_linenumber AS BIGINT) AS linenumber,
+           l.l_extendedprice AS price
+    FROM lineitem l
+    WHERE l.l_extendedprice = (
+            SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+            WHERE l2.l_orderkey = l.l_orderkey)
+    """,
+)
+def q_min_price_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — the correlated scalar subquery "rows matching
+    the per-group minimum".  Spark-first form: a window MIN over the
+    grouping key then an equality filter — ONE shuffle and one pass,
+    where the literal subquery translation would rescan and re-join
+    the 100-TB fact against its own aggregate.  Equality on the
+    untouched stored double is exact (both sides read the same value),
+    and ties are kept — same as the subquery semantics."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_orderkey")
+    return (
+        li.withColumn("min_price", F.min("l_extendedprice").over(w))
+        .where(F.col("l_extendedprice") == F.col("min_price"))
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").cast("long").alias("linenumber"),
+            F.col("l_extendedprice").alias("price"),
+        )
+    )
+
+
+@query(
+    "q_idle_rich_customers",
+    """
+    WITH pos AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT SUBSTR(c.c_name, 17, 2) AS code,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_bal
+    FROM customer c CROSS JOIN pos
+    WHERE c.c_acctbal > pos.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01')
+    GROUP BY SUBSTR(c.c_name, 17, 2)
+    """,
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — above-average-balance customers with no RECENT
+    orders (none since 2000-01-01; the fixture assigns every customer
+    at least one lifetime order, so the classic no-orders-ever filter
+    would be vacuously empty), grouped by a name-derived code.  The
+    global average is a 1-row broadcast (scalar-subquery translation),
+    the NOT EXISTS is a left-anti join against the date-pruned orders
+    scan, and the threshold is computed as exact-decimal sum / exact
+    count — one double division — so the cutoff cannot drift between
+    engines or partition orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.to_date("o_orderdate") >= S.date_literal("2000-01-01"))
+        .select("o_custkey")
+    )
+    pos = c.where(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    rich = c.crossJoin(F.broadcast(pos)).where(F.col("c_acctbal") > F.col("avg_bal"))
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy(F.substring("c_name", 17, 2).alias("code")).agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_bal"),
+    )
