@@ -3597,3 +3597,101 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_bal"),
     )
+
+
+@query(
+    "q_first_last_window",
+    """
+    SELECT user_id,
+           first_value(event_type) OVER w AS first_ev,
+           last_value(event_type) OVER w AS last_ev,
+           nth_value(event_type, 2) OVER w AS second_ev,
+           last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                      IGNORE NULLS) OVER w AS last_ok_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts) = 1
+    """,
+)
+def q_first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W+ — positional window pack: first_value / last_value /
+    nth_value(2) and an IGNORE-NULLS last over a derived nullable
+    column (value is NULLed on 'error' rows, so last_ok_value is the
+    most recent non-error reading per user).  One shuffle on user_id
+    serves every window including the row_number that collapses to
+    one row per user; the full-row frame is explicit because Spark's
+    default ordered frame stops at CURRENT ROW."""
+    ev = _t(spark, sf_dir, "events")
+    full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ordered = Window.partitionBy("user_id").orderBy("ts")
+    ok_value = F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    return (
+        ev.select(
+            "user_id",
+            F.first("event_type").over(full).alias("first_ev"),
+            F.last("event_type").over(full).alias("last_ev"),
+            F.nth_value("event_type", 2).over(full).alias("second_ev"),
+            F.last(ok_value, ignorenulls=True).over(full).alias("last_ok_value"),
+            F.row_number().over(ordered).alias("__rn"),
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+@query("q_hll_sketch")
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A+ — Datasketches HLL: per-day user sketches merged into a
+    global distinct estimate (hll_sketch_agg -> hll_union_agg).  This
+    is the 100-TB shape for COUNT(DISTINCT): per-partition sketches
+    are tiny (<= 2^lgk registers), merge is register-wise max
+    (commutative + associative, so any merge tree gives the identical
+    estimate), and no shuffle of raw user ids ever happens.  Estimate
+    is approximate by design -> rows-only check; the pytest asserts
+    merged == one-shot exactly and both within 5%% of exact."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch")
+    )
+    return daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("long").alias("approx_users"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+
+
+@query(
+    "q_datetime_pack",
+    """
+    SELECT o_orderkey AS orderkey,
+           CAST(o_orderdate AS DATE) AS odate,
+           CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS plus_2m,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS week_start,
+           CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+             AS days_since_epoch_start
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+)
+def q_datetime_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F+ — calendar arithmetic pack: add_months, last_day, ISO week
+    truncation, quarter extraction, day difference from an anchor.
+    All built-in JVM expressions (no UDFs), constant-folded where
+    literal, and the modulus predicate pushes to the scan."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 97 == 0)
+    od = F.to_date("o_orderdate")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        od.alias("odate"),
+        F.add_months(od, 2).alias("plus_2m"),
+        F.last_day(od).alias("month_end"),
+        F.date_trunc("week", od).cast("date").alias("week_start"),
+        F.quarter(od).cast("int").alias("qtr"),
+        F.datediff(od, F.lit("1995-01-01").cast("date")).cast("int")
+          .alias("days_since_epoch_start"),
+    )

@@ -184,3 +184,26 @@ def test_snapshot_diff_classifications(spark):
         4: "deleted",
         5: "inserted",  # present with NULL value: still an insert
     }
+
+
+def test_hll_sketch_merge_equals_oneshot(spark, sf_dir):
+    """HLL register-max merge is order-independent: the union of per-day
+    sketches must give the IDENTICAL estimate to one global sketch,
+    and both must sit within 5% of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from pixelspark.schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    merged = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("s"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("s")).alias("est"))
+        .first()["est"]
+    )
+    oneshot = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est")
+    ).first()["est"]
+    exact = ev.select("user_id").distinct().count()
+    assert merged == oneshot
+    assert abs(merged - exact) / exact < 0.05
