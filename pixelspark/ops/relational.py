@@ -235,3 +235,79 @@ def snapshot_diff(
         change_type.alias("change_type"),
         *[F.col(f"new_{c}").alias(c) for c in cols],
     )
+
+
+def assign_row_ids(
+    df: DataFrame,
+    order_by: list[str],
+    id_col: str = "rid",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Contiguous global row ids 0..n-1 in `order_by` order, with NO
+    single-reducer global sort.  The naive row_number() over an
+    unpartitioned window funnels all 100 TB through one task; this is
+    the distributed zipWithIndex, DataFrame-first:
+
+      1. bucket boundaries for the leading (numeric) order key are
+         computed ONCE via approxQuantile and frozen as literals —
+         NOT repartitionByRange, whose sampled boundaries can differ
+         between the two jobs below and silently misalign counts vs
+         ids;
+      2. per-bucket row counts — a tiny aggregate collected to the
+         driver, turned into cumulative offsets;
+      3. one hash exchange on the bucket id + in-partition sort on the
+         full order_by tuple, then a narrow Arrow-batched pass
+         (mapInPandas) stamps offset + per-bucket local index.
+
+    Two passes over the data, nothing ever concentrates on one node,
+    and correctness does not depend on any sampling being repeatable:
+    both passes share the same literal boundaries by construction.
+    The bucket id is monotone in the leading key and ties share a
+    bucket, so per-bucket numbering matches the global row_number
+    (make order_by a unique tuple for fully stable ids)."""
+    import pandas as pd
+
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    key = order_by[0]
+    bounds: list = []
+    if n_parts > 1:
+        probs = [i / n_parts for i in range(1, n_parts)]
+        bounds = sorted(set(df.stat.approxQuantile(key, probs, 0.001)))
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + F.when(F.col(key) > F.lit(b), 1).otherwise(0)
+    tagged = df.withColumn("__pid", pid.cast("int"))
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    # fresh StructType — StructType.add mutates the instance, and
+    # df.schema is cached on the DataFrame, so .add would poison it
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema_out = StructType(list(df.schema.fields) + [StructField(id_col, LongType())])
+    placed = tagged.repartition(max(len(bounds) + 1, 1), "__pid").sortWithinPartitions(
+        *order_by
+    )
+
+    def stamp(batches):
+        seen: dict[int, int] = {}
+        for pdf in batches:
+            base = pdf["__pid"].map(offsets)
+            # rows are sorted, buckets are contiguous: cumcount within
+            # the batch + carry of rows already emitted per bucket
+            local = pdf.groupby("__pid").cumcount() + pdf["__pid"].map(
+                lambda p: seen.get(p, 0)
+            )
+            for p, c in pdf["__pid"].value_counts().items():
+                seen[p] = seen.get(p, 0) + int(c)
+            out = pdf.drop(columns="__pid")
+            out[id_col] = (base + local).astype("int64")
+            yield out
+
+    return placed.mapInPandas(stamp, schema_out)

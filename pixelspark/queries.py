@@ -3695,3 +3695,25 @@ def q_datetime_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(od, F.lit("1995-01-01").cast("date")).cast("int")
           .alias("days_since_epoch_start"),
     )
+
+
+@query(
+    "q_row_ids",
+    """
+    SELECT event_id, user_id,
+           CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS rid
+    FROM events WHERE user_id < 20
+    """,
+)
+def q_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global contiguous row-id assignment (ops/relational.py
+    assign_row_ids) — the distributed zipWithIndex: range exchange +
+    per-partition counts + broadcast offsets + narrow Arrow stamp.
+    The oracle is the single-threaded row_number() definition; the
+    engine never runs that single-reducer window."""
+    from pixelspark.ops.relational import assign_row_ids
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 20).select(
+        "event_id", "user_id"
+    )
+    return assign_row_ids(ev, order_by=["event_id"], num_partitions=8)

@@ -207,3 +207,22 @@ def test_hll_sketch_merge_equals_oneshot(spark, sf_dir):
     exact = ev.select("user_id").distinct().count()
     assert merged == oneshot
     assert abs(merged - exact) / exact < 0.05
+
+
+def test_assign_row_ids_contiguous_and_ordered(spark, sf_dir):
+    """Ids must be exactly 0..n-1 with no gaps and must follow the
+    order key, across bucket counts that do and don't divide the data
+    evenly (including 1 bucket and more buckets than distinct keys)."""
+    from pyspark.sql import functions as F
+
+    from pixelspark.ops.relational import assign_row_ids
+    from pixelspark.schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id").limit(500)
+    n = ev.count()
+    for parts in (1, 4, 64):
+        got = assign_row_ids(ev, ["event_id"], num_partitions=parts)
+        rows = got.orderBy("rid").collect()
+        assert [r["rid"] for r in rows] == list(range(n))
+        ids = [r["event_id"] for r in rows]
+        assert ids == sorted(ids)
