@@ -3717,3 +3717,559 @@ def q_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id"
     )
     return assign_row_ids(ev, order_by=["event_id"], num_partitions=8)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion pack — the remaining classic shapes expressible over
+# the driver's trimmed star schema (no partsupp table, no
+# commit/receipt dates; Q9/Q16/Q21 are adapted to the columns that
+# exist while keeping the plan shape that makes each query a
+# benchmark: see each docstring).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_forecast_revenue",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(9,4))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — pure filtered scan + global sum, zero joins.
+    The whole predicate (shipdate range, discount band, quantity cap)
+    reaches the parquet scan as PushedFilters, so at 100 TB this reads
+    only row groups whose min/max stats overlap the band; the sum
+    accumulates in DECIMAL (order-exact), map-side partial, one-row
+    exchange."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.to_date("l_shipdate") >= S.date_literal("1996-01-01"))
+        & (F.to_date("l_shipdate") < S.date_literal("1997-01-01"))
+        & F.col("l_discount").between(0.04, 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(9,4)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@query(
+    "q_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM CAST(l.l_shipdate AS DATE)) AS BIGINT) AS l_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1 - l.l_discount AS DECIMAL(9,4))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name,
+             CAST(EXTRACT(YEAR FROM CAST(l.l_shipdate AS DATE)) AS BIGINT)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — bilateral trade volume between two nations by
+    year.  nation is joined twice under different roles (supplier side
+    and customer side) — both broadcasts; the disjunctive nation-pair
+    predicate is applied after both enrichments because it correlates
+    the two dims through the fact row.  orders->lineitem is the one
+    shuffle; year extraction groups on top of it."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.to_date("l_shipdate") >= S.date_literal("1996-01-01"))
+        & (F.to_date("l_shipdate") < S.date_literal("1998-01-01"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(9,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.to_date("l_shipdate")).cast("long").alias("l_year"),
+        )
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q_market_share",
+    """
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                               ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 4) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l.l_discount AS DECIMAL(9,4)) AS volume,
+             n2.n_name AS nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'STANDARD'
+        AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+    ) allnations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — one supplier-nation's share of regional revenue
+    for one part type, by order year.  Ratio-of-conditional-sums: both
+    numerator and denominator accumulate in DECIMAL (order-exact), the
+    division happens once per year row in double, so the 4dp rounding
+    cannot flip between engines or cluster runs.  All five dims
+    broadcast; lineitem->orders is the only shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.to_date("o_orderdate") >= S.date_literal("1996-01-01"))
+        & (F.to_date("o_orderdate") < S.date_literal("1998-01-01"))
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD").select("p_partkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(9,4)")
+    zero = F.lit(0).cast("decimal(27,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .groupBy(F.year(F.to_date("o_orderdate")).cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(zero)).alias("num"),
+            F.sum(vol).alias("den"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 4
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q_profit_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) AS BIGINT) AS o_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1 - l.l_discount AS DECIMAL(9,4))), 2)
+                AS DOUBLE) AS amount
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, CAST(EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) AS BIGINT)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape, adapted — revenue by supplier nation and order
+    year for parts whose name matches a substring (the driver schema
+    has no partsupp, so profit = revenue without the supplycost term;
+    the plan shape — LIKE-filtered part dim driving a fact join, two
+    broadcast dims, group on (nation, year) — is Q9's).  The LIKE
+    filter cannot prune row groups but runs JVM-side in the scan;
+    part/supplier/nation broadcast, lineitem->orders shuffles once."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(9,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "nation", F.year(F.to_date("o_orderdate")).cast("long").alias("o_year")
+        )
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("amount"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+@query(
+    "q_cust_order_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — distribution of customers by order count,
+    including zero-order customers (LEFT join with the filter inside
+    the join condition, not a WHERE — moving it to WHERE would drop
+    the NULL-extended rows and silently lose the zero bucket).  The
+    second aggregation is on an already-tiny (custkey, count) relation.
+    COUNT(o_orderkey) counts matched rows only, per SQL NULL-count
+    semantics."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").cast("long").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(9,4))) AS total_rev
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS name,
+           CAST(ROUND(r.total_rev, 2) AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    ORDER BY suppkey
+    """,
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — supplier(s) achieving the maximum quarterly
+    revenue.  The revenue CTE aggregates the fact once; the MAX scalar
+    subquery becomes a 1-row aggregate broadcast-joined back onto the
+    same per-supplier aggregate — no unpartitioned window, so no
+    single-partition exchange even if supplier cardinality is large;
+    Spark reuses the groupBy exchange for both branches
+    (ReusedExchange in the plan).  Revenue accumulates in DECIMAL so
+    the equality against the max is exact (a double sum here could
+    make the top supplier differ between engines)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.to_date("l_shipdate") >= S.date_literal("1996-01-01"))
+        & (F.to_date("l_shipdate") < S.date_literal("1996-04-01"))
+    )
+    per_supp = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(9,4)")
+        ).alias("total_rev")
+    )
+    mx = per_supp.agg(F.max("total_rev").alias("max_rev"))
+    rev = per_supp.join(
+        F.broadcast(mx), per_supp.total_rev == mx.max_rev
+    ).drop("max_rev")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(s), rev.suppkey == s.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            F.round("total_rev", 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+@query(
+    "q_supplier_concentration",
+    """
+    SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'SMALL%'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, brand, type, size
+    """,
+)
+def q_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape, adapted — how many distinct suppliers serve
+    each (brand, type, size) bucket, excluding one brand, a type
+    family, and a denylist of suppliers (the driver schema has no
+    partsupp, so lineitem is the part<->supplier relation; acctbal<0
+    stands in for the complaints filter).  The NOT IN compiles to a
+    broadcast left-anti against the tiny denylist (NOT IN is
+    three-valued — safe here because s_suppkey is non-null); distinct
+    counting shuffles once on the group key."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#1")
+            & ~F.col("p_type").like("SMALL%")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.count_distinct(F.col("l_suppkey")).cast("long").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "brand", "type", "size")
+    )
+
+
+@query(
+    "q_small_qty_revenue",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 7.0, 2)
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#2' AND p.p_size <= 15
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — revenue from unusually-small-quantity orders
+    of one brand.  The correlated per-part AVG becomes a window AVG
+    partitioned by partkey computed in the same pass (no re-scan, no
+    self-join shuffle beyond the one partition exchange).  Quantities
+    are integer-valued doubles, so SUM/COUNT — and hence the 0.2*AVG
+    threshold — are exact in both engines regardless of accumulation
+    order."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 15))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) / 7.0, 2
+                )
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q_large_orders",
+    """
+    SELECT c.c_name AS name, c.c_custkey AS custkey, o.o_orderkey AS orderkey,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           o.o_totalprice AS totalprice,
+           SUM(l.l_quantity) AS sum_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey,
+             CAST(o.o_orderdate AS DATE), o.o_totalprice
+    ORDER BY totalprice DESC, orderkey
+    LIMIT 100
+    """,
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume orders (IN over a HAVING
+    aggregate -> aggregate once, semi-join the fact).  The qualifying
+    keyset is aggregated from lineitem, then semi-joins lineitem
+    again; both shuffles share the l_orderkey partitioning so AQE
+    reuses the exchange.  Quantity sums are integer-valued doubles —
+    exact in any accumulation order."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .where(F.col("sq") > 250)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "bk"), F.col("l_orderkey") == F.col("bk"), "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.to_date("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .orderBy(F.col("totalprice").desc(), F.col("orderkey").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "q_sole_blame_suppliers",
+    """
+    WITH lall AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         lret AS (
+           SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+           WHERE l_returnflag = 'R'
+         )
+    SELECT s.s_name AS name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lret l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+            SELECT 1 FROM lall l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM lret l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+          )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, name
+    LIMIT 20
+    """,
+)
+def q_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape, adapted — suppliers who were the SOLE supplier
+    with returned lines on a multi-supplier order (the driver schema
+    has no commit/receipt dates, so returnflag='R' stands in for the
+    late-delivery predicate; the plan shape — an EXISTS(other
+    supplier) semi join plus a NOT EXISTS(other offending supplier)
+    anti join against the same derived relation — is Q21's).  Both
+    the semi and anti sides join on l_orderkey, sharing one exchange
+    partitioning; the inequality on suppkey rides along as a join
+    condition."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    lall = li.distinct()
+    lret = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l2 = lall.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = lret.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lret.join(
+            l2,
+            (lret.l_orderkey == l2.k2) & (lret.l_suppkey != l2.s2),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == l3.k3) & (F.col("l_suppkey") != l3.s3),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy(F.col("s_name").alias("name"))
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("name").asc())
+        .limit(20)
+    )
