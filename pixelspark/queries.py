@@ -4273,3 +4273,78 @@ def q_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("name").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-summary pack (ops/sketches.py) — exact distinct via bitmap
+# partials (mergeable AND exact, unlike HLL), approximate heavy
+# hitters.  See ops/sketches.py module docstring for the 100-TB
+# re-aggregation story.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_bitmap_distinct",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_count
+    FROM events GROUP BY event_type
+    """,
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) computed via mergeable bitmap partials —
+    value-identical to the naive distinct (the oracle) but the shuffle
+    payload is fixed-width bitmaps built map-side, not one row per
+    (group, id) pair."""
+    from pixelspark.ops.sketches import bitmap_distinct
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    return bitmap_distinct(ev, ["event_type"], "user_id")
+
+
+@query(
+    "q_bitmap_rollup_merge",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_count
+    FROM events GROUP BY event_type
+    """,
+)
+def q_bitmap_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count re-aggregation: build per-(event_type, day)
+    bitmap partials — the stored form of an incremental rollup — then
+    OR-merge the day grain away.  Value-identical to computing
+    COUNT(DISTINCT) directly over the fact (the oracle), proving the
+    partials can be materialized daily and re-aggregated to any
+    coarser grain without rescanning history; counters can't do this
+    for DISTINCT, and HLL can only do it approximately."""
+    from pixelspark.ops.sketches import bitmap_partials, merge_bitmap_partials
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    partials = bitmap_partials(ev, ["event_type", "day"], "user_id")
+    return merge_bitmap_partials(partials, ["event_type"])
+
+
+@query(
+    "q_approx_topk",
+    """
+    SELECT CAST(events.ts AS DATE) AS day, event_type AS item,
+           CAST(COUNT(*) AS BIGINT) AS est_count
+    FROM events GROUP BY CAST(events.ts AS DATE), event_type
+    """,
+)
+def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day heavy hitters via the approx_top_k aggregate (bounded
+    frequent-items sketch per group).  Verifiable against the exact
+    GROUP BY oracle because k (10) and the default tracked-slot count
+    both exceed the event-type cardinality, making the sketch exact —
+    the pytest in test_llm.py covers the k < cardinality regime.  rank
+    is dropped from the output: tie order between equal counts is
+    engine-internal."""
+    from pixelspark.ops.sketches import approx_top_k
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    return approx_top_k(ev, ["day"], "event_type", k=10).select(
+        "day", "item", "est_count"
+    )

@@ -244,3 +244,124 @@ def test_streaming_session_window_matches_batch(spark, sf_dir, tmp_path):
     )
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
+
+
+def test_transform_with_state_breakdown(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas (Spark 4 typed-state API): MapState
+    per-(shop, type) counts accumulate across micro-batches; the final
+    emission per (shop, type) equals the batch GROUP BY, and the
+    shop_total ValueState equals the batch per-shop count.
+
+    The TWS python workers speak protobuf to the JVM state server;
+    skipped where google.protobuf is absent (the processor logic is
+    covered environment-independently by
+    test_transform_with_state_logic_faked below)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pixelspark.streaming import stateful as ST
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "events_tws_in")
+        events = load_table(spark, sf_dir, "events")
+        events.coalesce(4).write.mode("overwrite").parquet(src)
+        stream = SD.read_event_stream(spark, src, max_files_per_trigger=1)
+        out = ST.shop_type_breakdown(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_mem")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        emitted = spark.sql("SELECT * FROM tws_mem").toPandas()
+        final = emitted.groupby(["shop", "event_type"]).last()
+        want = {
+            (r["user_id"], r["event_type"]): r["n"]
+            for r in events.groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert len(final) == len(want)
+        for (shop, et), row in final.iterrows():
+            assert row["type_count"] == want[(shop, et)]
+        want_tot = {
+            r["user_id"]: r["n"]
+            for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        last_tot = emitted.groupby("shop").last()
+        for shop, row in last_tot.iterrows():
+            assert row["shop_total"] == want_tot[shop]
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_transform_with_state_logic_faked(spark, sf_dir):
+    """The ShopTypeBreakdown processor logic against fake state
+    primitives: replaying the per-shop input in two chunks must leave
+    MapState/ValueState equal to the batch GROUP BY counts (covers the
+    accumulation logic even where the TWS runtime's protobuf dep is
+    unavailable)."""
+    from pixelspark.streaming.stateful import ShopTypeBreakdown
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    class FakeMapState:
+        def __init__(self):
+            self._m = {}
+
+        def containsKey(self, k):
+            return tuple(k) in self._m
+
+        def getValue(self, k):
+            return self._m[tuple(k)]
+
+        def updateValue(self, k, v):
+            self._m[tuple(k)] = tuple(v)
+
+    class FakeHandle:
+        def __init__(self):
+            self.maps = {}
+            self.values = {}
+
+        def getMapState(self, name, *_a, **_k):
+            return self.maps.setdefault(name, FakeMapState())
+
+        def getValueState(self, name, *_a, **_k):
+            return self.values.setdefault(name, FakeValueState())
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    pdf = events.toPandas()
+    shop = int(pdf["user_id"].iloc[0])
+    mine = pdf[pdf["user_id"] == shop].reset_index(drop=True)
+    proc = ShopTypeBreakdown()
+    proc.init(FakeHandle())
+    half = len(mine) // 2
+    emitted = []
+    for chunk in (mine.iloc[:half], mine.iloc[half:]):
+        emitted.extend(proc.handleInputRows((shop,), iter([chunk]), None))
+    want = mine.groupby("event_type").size().to_dict()
+    final = emitted[-1]
+    assert int(final["shop_total"].iloc[0]) == len(mine)
+    got = {
+        et: proc._by_type.getValue((et,))[0] for et in want
+    }
+    assert got == {k: int(v) for k, v in want.items()}
