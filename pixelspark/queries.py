@@ -4021,14 +4021,19 @@ def q_cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape — supplier(s) achieving the maximum quarterly
-    revenue.  The revenue CTE aggregates the fact once; the MAX scalar
-    subquery becomes a 1-row aggregate broadcast-joined back onto the
-    same per-supplier aggregate — no unpartitioned window, so no
-    single-partition exchange even if supplier cardinality is large;
-    Spark reuses the groupBy exchange for both branches
-    (ReusedExchange in the plan).  Revenue accumulates in DECIMAL so
-    the equality against the max is exact (a double sum here could
-    make the top supplier differ between engines)."""
+    revenue.  The revenue CTE aggregates the fact once and is CACHED —
+    it is supplier-cardinality (tiny), and both consumers (the 1-row
+    MAX aggregate and the join probe) read the cached copy, so the
+    fact is scanned and aggregated exactly once.  Without the cache
+    Spark plans two full fact aggregations: the MAX branch and the
+    probe branch do not canonicalize equal (the join inserts
+    IsNotNull filters on its side only), so ReuseExchange never fires
+    — measured, not assumed.  The MAX scalar subquery becomes a 1-row
+    aggregate broadcast-joined back — no unpartitioned window, so no
+    single-partition exchange even if supplier cardinality is large.
+    Revenue accumulates in DECIMAL so the equality against the max is
+    exact (a double sum here could make the top supplier differ
+    between engines)."""
     li = _t(spark, sf_dir, "lineitem").where(
         (F.to_date("l_shipdate") >= S.date_literal("1996-01-01"))
         & (F.to_date("l_shipdate") < S.date_literal("1996-04-01"))
@@ -4038,7 +4043,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("decimal(18,2)")
             * (F.lit(1) - F.col("l_discount")).cast("decimal(9,4)")
         ).alias("total_rev")
-    )
+    ).cache()
     mx = per_supp.agg(F.max("total_rev").alias("max_rev"))
     rev = per_supp.join(
         F.broadcast(mx), per_supp.total_rev == mx.max_rev
@@ -4175,10 +4180,13 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape — large-volume orders (IN over a HAVING
     aggregate -> aggregate once, semi-join the fact).  The qualifying
-    keyset is aggregated from lineitem, then semi-joins lineitem
-    again; both shuffles share the l_orderkey partitioning so AQE
-    reuses the exchange.  Quantity sums are integer-valued doubles —
-    exact in any accumulation order."""
+    keyset is aggregated from lineitem once, then semi-joins lineitem:
+    the semi join shuffles both sides on l_orderkey, and the keyset
+    side arrives already partitioned by its groupBy exchange, so no
+    extra exchange is inserted on that side (the probe side's shuffle
+    is unavoidable — it feeds the later o_orderkey join as well).
+    Quantity sums are integer-valued doubles — exact in any
+    accumulation order."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
         li.groupBy("l_orderkey")

@@ -197,3 +197,45 @@ def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
     agg.collect()  # materialize so AQE finalizes the plan
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan and "coalesced" in plan
+
+
+def test_forecast_revenue_full_pushdown(spark, sf_dir):
+    """TPC-H Q6 is a pure scan query: every predicate (date range,
+    discount band, quantity cap) must reach the parquet scan so row
+    groups outside the bands are skipped via min/max stats."""
+    from pixelspark.queries import QUERIES
+
+    plan = _plan(QUERIES["q_forecast_revenue"](spark, sf_dir))
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate,",
+        "LessThan(l_shipdate,",
+        "GreaterThanOrEqual(l_discount,0.04)",
+        "LessThanOrEqual(l_discount,0.06)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in plan, frag
+    # only the four referenced columns are read
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>" in plan
+
+
+def test_volume_shipping_dims_broadcast(spark, sf_dir):
+    """Q7 joins nation twice under two roles plus customer/supplier —
+    all four dim joins must broadcast; the only SortMergeJoin (if any)
+    is the lineitem->orders fact join."""
+    from pixelspark.queries import QUERIES
+
+    plan = _plan(QUERIES["q_volume_shipping"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_bitmap_distinct_two_level_shape(spark, sf_dir):
+    """bitmap_distinct must build bitmaps map-side: partial
+    HashAggregate below the Exchange, final above — the payload of the
+    wide shuffle is fixed-width bitmaps, not raw (group, id) rows."""
+    from pixelspark.ops.sketches import bitmap_distinct
+    from pixelspark.schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    plan = _plan(bitmap_distinct(ev, ["event_type"], "user_id"))
+    assert plan.count("HashAggregate") >= 4  # partial+final x two levels
+    assert "bitmap_construct_agg" in plan
