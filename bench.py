@@ -43,6 +43,12 @@ HEADLINE = [
     "q_late_order_priority",
     "q_curate_corpus",
     "q_gap_fill",
+    "q_forecast_revenue",
+    "q_volume_shipping",
+    "q_market_share",
+    "q_large_orders",
+    "q_bitmap_distinct",
+    "q_approx_topk",
 ]
 
 
