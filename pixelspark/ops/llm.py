@@ -1045,3 +1045,33 @@ def sequence_pack(
             ).cast("long").alias("last_seq"),
         )
     )
+
+
+def quantize_sq8(v: Column) -> Column:
+    """Per-vector scalar quantization to uint8 codes (0..255) — 4x
+    storage/bandwidth reduction for ANN shortlists, re-rankable against
+    the full-precision vectors kept cold.
+
+    Codes: round((x - min) / (max - min) * 255), degenerate
+    constant vectors map to all-zeros.  All arithmetic is double and
+    the inputs are float32-exact-in-double, so the codes are
+    deterministic across engines (round(half-up) == round(half-away)
+    here because the operand is non-negative).
+    """
+    mn = F.array_min(v).cast("double")
+    mx = F.array_max(v).cast("double")
+    return F.when(mx == mn, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.round((x.cast("double") - mn) / (mx - mn) * 255.0, 0).cast(
+                "int"
+            ),
+        )
+    )
+
+
+def dequantize_sq8(codes: Column, mn: Column, mx: Column) -> Column:
+    """Inverse of quantize_sq8 given the stored per-vector (min, max)."""
+    return F.transform(
+        codes, lambda c: mn + c.cast("double") / 255.0 * (mx - mn)
+    )

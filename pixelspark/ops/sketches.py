@@ -114,3 +114,42 @@ def approx_top_k(
         F.col("_entry.item").alias("item"),
         F.col("_entry.count").cast("long").alias("est_count"),
     )
+
+
+def inlist_pushdown_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    max_keys: int = 100_000,
+) -> DataFrame:
+    """Exact join with a manual IN-list pushdown on the fact side.
+
+    Collects the (filtered) dim keyset to the driver and pushes an
+    isin() predicate into the FACT'S PARQUET SCAN (`PushedFilters:
+    In(fact_key, [...])`), then runs the exact equi-join.  The isin
+    prefilter keeps exactly the matching rows, so the result is
+    value-identical to the plain join — that equivalence is this
+    query's oracle.
+
+    This is the manual row-level counterpart of dynamic partition
+    pruning for NON-partition columns, and stronger than Catalyst's
+    runtime Bloom join (tests/test_plans.py::
+    test_runtime_bloom_filter_join): the Bloom filter evaluates after
+    the scan, while the IN list prunes row groups via column min/max
+    stats before decoding.  The cost is the driver collect — gated by
+    max_keys, so apply it only when the dim side is known-selective
+    (here: LIMIT max_keys+1 and a hard error rather than a silent
+    mis-scale; at 100 TB a 10^5-key IN list is fine, a 10^8 one is
+    not — fall back to the plain shuffle join or Bloom above that).
+    """
+    keys = [
+        r[0] for r in dim.select(dim_key).distinct().limit(max_keys + 1).collect()
+    ]
+    if len(keys) > max_keys:
+        raise ValueError(
+            f"inlist_pushdown_join: dim keyset exceeds max_keys={max_keys}; "
+            "use a shuffle join instead"
+        )
+    pre = fact.where(F.col(fact_key).isin(keys))
+    return pre.join(F.broadcast(dim), pre[fact_key] == dim[dim_key])

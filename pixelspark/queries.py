@@ -4356,3 +4356,102 @@ def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_top_k(ev, ["day"], "event_type", k=10).select(
         "day", "item", "est_count"
     )
+
+
+@query(
+    "q_inlist_pushdown_join",
+    """
+    SELECT o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1 - l.l_discount AS DECIMAL(9,4))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_totalprice > 475000
+    GROUP BY o.o_orderpriority
+    ORDER BY priority
+    """,
+)
+def q_inlist_pushdown_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual IN-list pushdown join (ops/sketches.py
+    inlist_pushdown_join): the selective dim side (top ~5% orders by
+    totalprice) is collected as a keyset and pushed into the fact's
+    parquet scan as an In() filter — row groups outside the keyset are
+    pruned via min/max stats before decoding, which Catalyst's
+    post-scan runtime Bloom filter cannot do.  The exact equi-join
+    after the prefilter makes the result — and the oracle — the plain
+    join."""
+    from pixelspark.ops.sketches import inlist_pushdown_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 475000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    joined = inlist_pushdown_join(li, o, "l_orderkey", "o_orderkey")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(9,4)")
+    return (
+        joined.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        )
+        .orderBy("priority")
+    )
+
+
+@query(
+    "q_quantize_sq8",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             CASE WHEN CAST(list_aggregate(embedding, 'max') AS DOUBLE)
+                       = CAST(list_aggregate(embedding, 'min') AS DOUBLE)
+                  THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(
+                    embedding,
+                    x -> CAST(round(
+                           (CAST(x AS DOUBLE)
+                            - CAST(list_aggregate(embedding, 'min') AS DOUBLE))
+                           / (CAST(list_aggregate(embedding, 'max') AS DOUBLE)
+                              - CAST(list_aggregate(embedding, 'min') AS DOUBLE))
+                           * 255.0) AS INT)
+                  )
+             END AS codes
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(codes) AS INT) AS n_codes,
+           CAST(list_aggregate(codes, 'min') AS INT) AS c_min,
+           CAST(list_aggregate(codes, 'max') AS INT) AS c_max,
+           md5(array_to_string(codes, ',')) AS codes_fp
+    FROM q
+    """,
+)
+def q_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector scalar quantization (SQ8) of the embedding column —
+    the storage/bandwidth layer under the ANN pack (ops/llm.py
+    quantize_sq8).  Codes are order-deterministic (double arithmetic
+    on float32-exact inputs), so the oracle reproduces them bit-for-bit
+    in DuckDB; the output row carries scalar summaries + an md5
+    fingerprint of the code array (array-typed columns hash
+    engine-differently in the driver compare)."""
+    from pixelspark.ops.llm import quantize_sq8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = quantize_sq8(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.size(codes).cast("int").alias("n_codes"),
+        F.array_min(codes).cast("int").alias("c_min"),
+        F.array_max(codes).cast("int").alias("c_max"),
+        F.md5(F.concat_ws(",", F.transform(codes, lambda c: c.cast("string")))).alias(
+            "codes_fp"
+        ),
+    )
