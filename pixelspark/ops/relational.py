@@ -311,3 +311,55 @@ def assign_row_ids(
             yield out
 
     return placed.mapInPandas(stamp, schema_out)
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_len: int = 15,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: blocked levenshtein self-join.
+
+    The classic record-linkage shape: an all-pairs levenshtein
+    comparison is O(n^2) and impossible at corpus scale, so rows are
+    first bucketed by a BLOCKING KEY (here: string length + a prefix —
+    two strings within edit distance d share a prefix unless an edit
+    falls inside it, so a prefix block trades a bounded miss rate for
+    a quadratic-to-linear blowup reduction; production systems union
+    several complementary blockers).  The self-join then runs only
+    within blocks, with id1 < id2 deduplicating the symmetric pair.
+
+    At 100 TB the block key is the shuffle key: block-size skew is the
+    risk (a degenerate blocker recreates the cross join), so size the
+    prefix so the largest block fits an executor — or salt it.
+    """
+    left = df.select(
+        F.col(id_col).alias("id1"),
+        F.col(name_col).alias("name1"),
+        F.length(name_col).alias("_len1"),
+        F.substring(name_col, 1, block_len).alias("_blk1"),
+    )
+    right = df.select(
+        F.col(id_col).alias("id2"),
+        F.col(name_col).alias("name2"),
+        F.length(name_col).alias("_len2"),
+        F.substring(name_col, 1, block_len).alias("_blk2"),
+    )
+    return (
+        left.join(
+            right,
+            (F.col("_blk1") == F.col("_blk2"))
+            & (F.col("_len1") == F.col("_len2"))
+            & (F.col("id1") < F.col("id2")),
+        )
+        .where(F.levenshtein("name1", "name2") <= max_dist)
+        .select(
+            "id1",
+            "id2",
+            "name1",
+            "name2",
+            F.levenshtein("name1", "name2").cast("int").alias("dist"),
+        )
+    )

@@ -4455,3 +4455,69 @@ def q_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "codes_fp"
         ),
     )
+
+
+@query(
+    "q_fuzzy_pairs",
+    """
+    SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+           a.c_name AS name1, b.c_name AS name2,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM customer a
+    JOIN customer b
+      ON substring(a.c_name, 1, 15) = substring(b.c_name, 1, 15)
+     AND length(a.c_name) = length(b.c_name)
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs (ops/relational.py
+    fuzzy_pairs): blocked levenshtein self-join — prefix+length
+    blocking turns the O(n^2) comparison into per-block joins; the
+    oracle runs the identical blocking in DuckDB, so the miss rate of
+    the blocker (edits inside the prefix) is part of the agreed
+    semantics, not an engine difference."""
+    from pixelspark.ops.relational import fuzzy_pairs
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return fuzzy_pairs(c, "c_custkey", "c_name", block_len=15, max_dist=1)
+
+
+@query(
+    "q_union_by_name",
+    """
+    SELECT shop, amount, src FROM (
+      SELECT c_custkey AS shop, c_acctbal AS amount, 'customer' AS src
+      FROM customer WHERE c_acctbal > 9000
+      UNION ALL BY NAME
+      SELECT 'supplier' AS src, s_acctbal AS amount, s_suppkey AS shop
+      FROM supplier WHERE s_acctbal > 1000
+    )
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName — positional UNION silently mis-aligns when two
+    pipelines emit the same columns in different orders (the second
+    SELECT here is deliberately permuted); name-based union is the
+    safe default for schema-drifting sources.  Maps to DuckDB's
+    UNION ALL BY NAME."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select(
+            F.col("c_custkey").alias("shop"),
+            F.col("c_acctbal").alias("amount"),
+            F.lit("customer").alias("src"),
+        )
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 1000)
+        .select(
+            F.lit("supplier").alias("src"),
+            F.col("s_acctbal").alias("amount"),
+            F.col("s_suppkey").alias("shop"),
+        )
+    )
+    return c.unionByName(s).select("shop", "amount", "src")
