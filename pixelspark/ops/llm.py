@@ -1075,3 +1075,91 @@ def dequantize_sq8(codes: Column, mn: Column, mx: Column) -> Column:
     return F.transform(
         codes, lambda c: mn + c.cast("double") / 255.0 * (mx - mn)
     )
+
+
+def ann_sq8_rerank(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: SQ8 coarse scan -> exact re-rank of a shortlist.
+
+    Stage 1 scores every corpus vector against each query using the
+    DEQUANTIZED SQ8 codes (quantize_sq8) — at 100 TB this is the stage
+    that touches the whole corpus, and it reads the 4x-smaller code
+    table (int8 codes + two floats per vector) instead of the
+    full-precision embeddings; per-query top-`shortlist` survives.
+    Stage 2 joins only the shortlist back to the full-precision
+    vectors and re-ranks exactly — the standard recall repair for
+    quantization error (shortlist >> k makes recall@k -> 1).
+
+    Output schema matches cosine_topk, so the exact brute-force result
+    is the recall yardstick (tests/test_llm.py).
+    """
+    q = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        vector_norm(F.col(vec_col)).alias("q_norm"),
+    )
+    mn = F.array_min(vec_col).cast("double")
+    mx = F.array_max(vec_col).cast("double")
+    # dequantize + norm ONCE PER VECTOR before the fan-out — inside the
+    # crossJoin projection they would be re-evaluated once per
+    # (query, neighbor) pair, multiplying the array work by #queries
+    code_table = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        dequantize_sq8(
+            quantize_sq8(F.col(vec_col)), mn, mx
+        ).alias("a_vec"),
+    ).select(
+        "neighbor_id",
+        "a_vec",
+        vector_norm(F.col("a_vec")).alias("a_norm"),
+    )
+    coarse = (
+        F.broadcast(q)
+        .crossJoin(code_table)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_product(F.col("q_vec"), F.col("a_vec"))
+                / F.nullif(F.col("q_norm") * F.col("a_norm"), F.lit(0.0))
+            ).alias("approx_cosine"),
+        )
+    )
+    w_coarse = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    survivors = (
+        coarse.withColumn("crank", F.row_number().over(w_coarse))
+        .where(F.col("crank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    full = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
+    rescored = (
+        survivors.join(full, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("n_vec")).alias("raw_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("raw_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("raw_cosine"), 6).alias("cosine"),
+            "rank",
+        )
+    )

@@ -4521,3 +4521,16 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return c.unionByName(s).select("shop", "amount", "src")
+
+
+@query("q_ann_sq8")  # quantized coarse stage is approximate -> rows-only
+def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — two-stage ANN: SQ8 quantized coarse scan (reads the
+    4x-smaller code table at corpus scale) -> exact re-rank of the
+    per-query shortlist; recall vs the exact baseline is asserted in
+    tests/test_llm.py."""
+    from pixelspark.ops.llm import ann_sq8_rerank
+
+    return ann_sq8_rerank(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5, shortlist=50
+    )

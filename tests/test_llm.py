@@ -300,3 +300,28 @@ def test_sequence_pack_invariants(spark, sf_dir):
     assert offset == sum(r["n_tokens"] for r in packed)
     # some doc must span a cut (docs are longer than 1 token)
     assert any(r["last_seq"] > r["first_seq"] for r in packed)
+
+
+def test_ann_sq8_rerank_recall(spark, emb):
+    """SQ8 coarse + exact re-rank: with shortlist >> k the re-ranked
+    result should match the exact brute-force top-k almost everywhere
+    (quantization error only costs recall when a true neighbor falls
+    off the 10x shortlist)."""
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in L.cosine_topk(emb, qids, k=5).collect()
+    }
+    reranked = L.ann_sq8_rerank(emb, qids, k=5, shortlist=50).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in reranked}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, recall
+    # the surviving pairs carry EXACT cosines (stage 2 is full precision)
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in L.cosine_topk(emb, qids, k=50).collect()
+    }
+    for r in reranked:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(r["cosine"] - exact_scores[key]) < 1e-9
