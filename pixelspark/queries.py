@@ -4534,3 +4534,211 @@ def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_sq8_rerank(
         _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5, shortlist=50
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral-analytics completion pack: sequence-pattern detection
+# (MATCH_RECOGNIZE-style CEP on batch), co-occurrence mining, triangle
+# counting, one-pass data profiling.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_event_pattern",
+    """
+    WITH seq AS (
+      SELECT user_id AS shop,
+             string_agg(CASE event_type
+                          WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                          WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                          ELSE 'e' END, ''
+                        ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT shop, CAST(length(s) AS INT) AS seq_len,
+           CAST(length(list_filter(regexp_extract_all(s, 'v+p'), x -> x <> ''))
+                AS INT) AS n_patterns
+    FROM seq
+    """,
+)
+def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (the batch form of streaming CEP /
+    SQL MATCH_RECOGNIZE): per-user event-initial strings, ordered by
+    (ts, event_id) so ties are deterministic, scanned for the
+    'views-then-purchase' pattern v+p via regexp_count.  One shuffle
+    (the groupBy); the per-key sequence build is sort_array over
+    collected structs — bounded by per-user event count, the same
+    bound any per-entity CEP carries."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("shop"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+        .alias("ch"),
+    )
+    seq = (
+        ev.groupBy("shop")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("ts", "event_id", "ch"))),
+                    lambda s: s["ch"],
+                ),
+            ).alias("s")
+        )
+    )
+    return seq.select(
+        "shop",
+        F.length("s").cast("int").alias("seq_len"),
+        F.regexp_count(F.col("s"), F.lit("v+p")).cast("int").alias("n_patterns"),
+    )
+
+
+@query(
+    "q_cooccurrence",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    ORDER BY type_a, type_b
+    """,
+)
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: for each unordered pair of event
+    types, how many users produced both.  The distinct projection
+    collapses the fact FIRST (one shuffle on user), so the pair
+    self-join runs on |users| x |types| rows, never on raw events —
+    the difference between a per-user fan-out and a fact-squared
+    blow-up at 100 TB."""
+    ut = _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, ["user_id"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "q_triangle_count",
+    """
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 97),
+         raw AS (
+           SELECT doc_id AS src, (doc_id * 7 + 3) % 97 AS dst FROM docs
+           UNION ALL
+           SELECT doc_id AS src, (doc_id * 13 + 5) % 97 AS dst FROM docs
+         ),
+         und AS (
+           SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM raw WHERE src <> dst
+         )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM und e1
+    JOIN und e2 ON e1.b = e2.a
+    WHERE EXISTS (SELECT 1 FROM und e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph — triangle counting (ops/graph.py triangle_count) over the
+    same deterministic doc graph as q_pagerank: canonicalize to a<b,
+    enumerate wedges with one join, close them with a semi join; each
+    triangle counted once via a<b<c.  The DuckDB oracle replays the
+    identical edge derivation and join shape."""
+    from pixelspark.ops.graph import triangle_count
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 97)
+    edges = (
+        docs.select(F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 3) % 97).alias("dst"))
+        .unionByName(
+            docs.select(
+                F.col("doc_id").alias("src"), ((F.col("doc_id") * 13 + 5) % 97).alias("dst")
+            )
+        )
+    )
+    return triangle_count(edges)
+
+
+@query(
+    "q_profile",
+    """
+    WITH agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(o_custkey) AS BIGINT) AS nn_custkey,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_custkey,
+             CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+             CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+             CAST(COUNT(o_orderstatus) AS BIGINT) AS nn_status,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_status
+      FROM orders
+    )
+    SELECT 'o_custkey' AS column_name, n_rows,
+           nn_custkey AS n_non_null, nd_custkey AS n_distinct,
+           CAST(NULL AS DOUBLE) AS min_value, CAST(NULL AS DOUBLE) AS max_value
+    FROM agg
+    UNION ALL
+    SELECT 'o_totalprice', n_rows, n_rows, CAST(NULL AS BIGINT),
+           min_price, max_price FROM agg
+    UNION ALL
+    SELECT 'o_orderstatus', n_rows, nn_status, nd_status,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM agg
+    """,
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data profiling: every per-column statistic (null
+    counts, exact distincts, min/max) computed in a SINGLE aggregate
+    over one scan, then pivoted to (column, metric) rows — profiling
+    N columns must not cost N scans of a 100-TB table.  (Spark plans
+    multi-distinct aggregates via one expand + aggregate, still one
+    scan.)"""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("o_custkey").cast("long").alias("nn_custkey"),
+        F.count_distinct("o_custkey").cast("long").alias("nd_custkey"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+        F.count("o_orderstatus").cast("long").alias("nn_status"),
+        F.count_distinct("o_orderstatus").cast("long").alias("nd_status"),
+    )
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    rows = [
+        agg.select(
+            F.lit("o_custkey").alias("column_name"),
+            "n_rows",
+            F.col("nn_custkey").alias("n_non_null"),
+            F.col("nd_custkey").alias("n_distinct"),
+            F.lit(None).cast("double").alias("min_value"),
+            F.lit(None).cast("double").alias("max_value"),
+        ),
+        agg.select(
+            F.lit("o_totalprice").alias("column_name"),
+            "n_rows",
+            F.col("n_rows").alias("n_non_null"),
+            null_l.alias("n_distinct"),
+            F.col("min_price").alias("min_value"),
+            F.col("max_price").alias("max_value"),
+        ),
+        agg.select(
+            F.lit("o_orderstatus").alias("column_name"),
+            "n_rows",
+            F.col("nn_status").alias("n_non_null"),
+            F.col("nd_status").alias("n_distinct"),
+            null_d.alias("min_value"),
+            null_d.alias("max_value"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
