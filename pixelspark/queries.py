@@ -4742,3 +4742,134 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Feature-engineering pack — the ML-prep surface between the analytics
+# queries and the LLM curation chain: robust clipping, scaling, and
+# the hashing trick, all built-ins, all oracle-verified.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_winsorize",
+    """
+    WITH bounds AS (
+      SELECT quantile_cont(o_totalprice, 0.05) AS p05,
+             quantile_cont(o_totalprice, 0.95) AS p95
+      FROM orders
+    )
+    SELECT o.o_orderkey AS orderkey,
+           ROUND(least(greatest(o.o_totalprice, b.p05), b.p95), 2) AS clipped_price,
+           CASE WHEN o.o_totalprice < b.p05 THEN 'low'
+                WHEN o.o_totalprice > b.p95 THEN 'high'
+                ELSE 'kept' END AS clip_flag
+    FROM orders o CROSS JOIN bounds b
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (robust outlier clipping to the [p05, p95] band).
+    The bounds are a 1-row exact-percentile aggregate broadcast onto
+    the fact — no window over the full table, so the fact stays one
+    pass; at 100 TB swap the exact percentile for approx_percentile
+    and keep the identical plan shape.  Spark percentile() and DuckDB
+    quantile_cont share linear-interpolation semantics, so the bounds
+    are cross-engine equal."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bounds = o.agg(
+        F.percentile(F.col("o_totalprice"), F.lit(0.05)).alias("p05"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.95)).alias("p95"),
+    )
+    return o.crossJoin(F.broadcast(bounds)).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(
+            F.least(F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95")), 2
+        ).alias("clipped_price"),
+        F.when(F.col("o_totalprice") < F.col("p05"), "low")
+        .when(F.col("o_totalprice") > F.col("p95"), "high")
+        .otherwise("kept")
+        .alias("clip_flag"),
+    )
+
+
+@query(
+    "q_minmax_scale",
+    """
+    WITH stats AS (
+      SELECT c_mktsegment, MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
+           ROUND(CASE WHEN s.hi = s.lo THEN 0.0
+                      ELSE (c.c_acctbal - s.lo) / (s.hi - s.lo) END, 6) AS scaled
+    FROM customer c JOIN stats s ON c.c_mktsegment = s.c_mktsegment
+    """,
+)
+def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature scaling to [0, 1].  Grouped stats are
+    a tiny aggregate broadcast back onto the fact (the zscore-outlier
+    pattern); the degenerate constant-group case maps to 0 rather than
+    NaN.  One division per row on two exact extrema — deterministic
+    across engines and cluster runs."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    stats = c.groupBy("c_mktsegment").agg(
+        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
+    )
+    return c.join(F.broadcast(stats), "c_mktsegment").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round(
+            F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
+                (F.col("c_acctbal") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+            ),
+            6,
+        ).alias("scaled"),
+    )
+
+
+@query(
+    "q_feature_hash",
+    """
+    SELECT user_id AS shop,
+           CAST(CAST(('0x' || substr(md5(event_type || '|'
+                        || CAST(json_extract(props, '$.k') AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 8 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY user_id,
+             CAST(('0x' || substr(md5(event_type || '|'
+                    || CAST(json_extract(props, '$.k') AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 8
+    """,
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: cross-feature (event_type x props.k) hashed into
+    a fixed 8-bucket feature space — unbounded categorical vocabulary,
+    bounded feature width, no dictionary to maintain or broadcast.
+    Uses the engine-portable md5-prefix hash (the q_minhash_portable
+    family) so the oracle reproduces bucket ids exactly; a production
+    Spark pipeline would swap in xxhash64 for speed with the same
+    plan."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("shop"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col("event_type"),
+                            F.get_json_object("props", "$.k"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 8
+        ).alias("bucket"),
+    )
+    return ev.groupBy("shop", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
