@@ -127,3 +127,88 @@ def enrich_with_results(records: DataFrame, results: DataFrame) -> DataFrame:
         F.col("error_message").alias("shopify_error_message"),
     )
     return records.join(F.broadcast(res), "shop", "left")
+
+
+RECONCILE_SCHEMA = T.StructType(
+    [
+        T.StructField("shop", T.LongType(), False),
+        T.StructField("billing_date", T.StringType(), True),
+        T.StructField("amount", T.DoubleType(), True),
+        T.StructField("charge_id", T.LongType(), True),
+        T.StructField("status", T.StringType(), False),
+    ]
+)
+
+
+def _fifo_match(bills_pdf: pd.DataFrame, charges_pdf: pd.DataFrame) -> list[tuple]:
+    """Single-shop FIFO reconciliation: walk bills oldest-first, claim
+    the first unclaimed charge with the exact amount; leftovers on
+    either side become uncharged_bill / unbilled_charge rows.  Shared
+    by the distributed cogroup path and the test reference."""
+    bills = bills_pdf.sort_values(["billing_date"]).reset_index(drop=True)
+    charges = charges_pdf.sort_values(["charge_id"]).reset_index(drop=True)
+    used = [False] * len(charges)
+    out: list[tuple] = []
+    for _, b in bills.iterrows():
+        hit = None
+        for j in range(len(charges)):
+            if not used[j] and charges.at[j, "amount"] == b["amount"]:
+                hit = j
+                break
+        if hit is None:
+            out.append(
+                (int(b["shop"]), str(b["billing_date"]), float(b["amount"]), None, "uncharged_bill")
+            )
+        else:
+            used[hit] = True
+            out.append(
+                (
+                    int(b["shop"]),
+                    str(b["billing_date"]),
+                    float(b["amount"]),
+                    int(charges.at[hit, "charge_id"]),
+                    "matched",
+                )
+            )
+    for j in range(len(charges)):
+        if not used[j]:
+            out.append(
+                (
+                    int(charges.at[j, "shop"]),
+                    None,
+                    float(charges.at[j, "amount"]),
+                    int(charges.at[j, "charge_id"]),
+                    "unbilled_charge",
+                )
+            )
+    return out
+
+
+def reconcile_charges(bills: DataFrame, charges: DataFrame) -> DataFrame:
+    """Bill-vs-charge reconciliation via COGROUPED applyInPandas.
+
+    The matching is ORDER-DEPENDENT (greedy FIFO claim of charges by
+    bills, oldest bill first) — a per-entity sequential algorithm that
+    relational joins cannot express without a quadratic unrolling, the
+    textbook case for cogroup: Spark shuffles BOTH relations once on
+    the shop key and hands each shop's two aligned pandas frames to
+    one task.  State is bounded by a single shop's rows, the same
+    bound any per-entity reconciliation carries at 100 TB; there is no
+    driver-side collection anywhere.
+    """
+
+    def _reconcile(key, bills_pdf: pd.DataFrame, charges_pdf: pd.DataFrame):
+        shop = key[0]
+        if bills_pdf.empty and charges_pdf.empty:
+            return pd.DataFrame(columns=[f.name for f in RECONCILE_SCHEMA.fields])
+        for pdf in (bills_pdf, charges_pdf):
+            if "shop" not in pdf.columns or pdf.empty:
+                pdf["shop"] = shop
+        rows = _fifo_match(bills_pdf, charges_pdf)
+        return pd.DataFrame(rows, columns=[f.name for f in RECONCILE_SCHEMA.fields])
+
+    return (
+        bills.groupBy("shop")
+        .cogroup(charges.groupBy("shop"))
+        .applyInPandas(_reconcile, RECONCILE_SCHEMA)
+    )

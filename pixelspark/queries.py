@@ -4873,3 +4873,104 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("shop", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+@query(
+    "q_reconcile",
+    f"""
+    WITH bills AS (
+      SELECT user_id AS shop, '{TD}' AS billing_date,
+             ROUND(COUNT(*) / 1000000.0 * 10.0, 2) AS amount
+      FROM events
+      WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '{TD}'
+      GROUP BY user_id
+    ),
+    charges AS (
+      SELECT shop, 1000 + shop AS charge_id, amount
+      FROM bills WHERE shop % 2 = 0
+    )
+    SELECT b.shop, b.billing_date, b.amount,
+           c.charge_id,
+           CASE WHEN c.charge_id IS NULL THEN 'uncharged_bill'
+                ELSE 'matched' END AS status
+    FROM bills b LEFT JOIN charges c ON b.shop = c.shop
+    """,
+)
+def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped FIFO bill-vs-charge reconciliation (ops/external.py
+    reconcile_charges — groupBy.cogroup.applyInPandas, the per-entity
+    sequential-matching surface).  This query runs it on a degenerate
+    one-bill-per-shop instance where FIFO matching provably reduces to
+    a left join — giving the cogroup path a value-level oracle; the
+    general order-dependent case (multiple bills racing for charges)
+    is pytest-verified against a single-threaded reference in
+    tests/test_external.py."""
+    from pixelspark.ops.external import reconcile_charges
+
+    pv = (
+        B.pageviews_agg(_t(spark, sf_dir, "events"), TD)
+        .select(
+            "shop",
+            F.lit(TD).alias("billing_date"),
+            F.round(F.col("event_count") / 1000000.0 * 10.0, 2).alias("amount"),
+        )
+    )
+    charges = pv.where(F.col("shop") % 2 == 0).select(
+        "shop", (F.lit(1000) + F.col("shop")).cast("long").alias("charge_id"), "amount"
+    )
+    return reconcile_charges(pv, charges)
+
+
+@query(
+    "q_sql_udf",
+    """
+    SELECT user_id AS shop,
+           ROUND(COUNT(*) / 1000000.0 * 10.0, 2) AS amount
+    FROM events
+    WHERE event_type = 'view'
+    GROUP BY user_id
+    """,
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL UDF (Spark 4 CREATE FUNCTION ... RETURN expr):
+    the F5 usage->amount formula registered as a catalog function and
+    applied in SQL.  Unlike Python UDFs, SQL UDFs are inlined into the
+    plan at analysis time — full Catalyst optimization and codegen,
+    zero serialization boundary; the oracle is the same expression
+    written inline."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION usage_amount_udf(pv BIGINT) "
+        "RETURNS DOUBLE RETURN round(pv / 1000000.0 * 10.0, 2)"
+    )
+    ev = _t(spark, sf_dir, "events")
+    ev.where(F.col("event_type") == "view").createOrReplaceTempView("_sqludf_events")
+    return spark.sql(
+        "SELECT user_id AS shop, usage_amount_udf(COUNT(*)) AS amount "
+        "FROM _sqludf_events GROUP BY user_id"
+    )
+
+
+@query(
+    "q_param_sql",
+    f"""
+    SELECT user_id AS shop, CAST(COUNT(*) AS BIGINT) AS event_count
+    FROM events
+    WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '{TD}'
+    GROUP BY user_id
+    """,
+)
+def q_param_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named parameter markers, Spark 3.4+): the
+    day and event type are bound server-side as typed parameters, not
+    string-interpolated — the injection-safe surface a multi-tenant
+    report layer needs.  Catalyst constant-folds the bound literals,
+    so pushdown is identical to the inlined query."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_param_events")
+    return spark.sql(
+        "SELECT user_id AS shop, CAST(COUNT(*) AS BIGINT) AS event_count "
+        "FROM _param_events "
+        "WHERE event_type = :etype AND CAST(ts AS DATE) = CAST(:day AS DATE) "
+        "GROUP BY user_id",
+        args={"etype": "view", "day": TD},
+    )

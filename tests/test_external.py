@@ -102,3 +102,63 @@ def test_enrich_with_results(spark, tmp_path):
     enriched = X.enrich_with_results(records, res)
     got = {r["shop"]: r["shopify_billing_status"] for r in enriched.collect()}
     assert got == {1: "success", 2: "skipped"}
+
+
+def test_cogroup_reconcile_matches_reference(spark, sf_dir):
+    """Cogrouped FIFO reconciliation: statuses follow the synthetic
+    perturbation exactly, and the distributed result equals the
+    single-threaded pandas reference on the same inputs."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from pixelspark.ops.billing import daily_billing
+    from pixelspark.ops.external import _fifo_match, reconcile_charges
+    from pixelspark.schemas import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    bills = (
+        daily_billing(cust, ev, "2024-01-02")
+        .where(F.col("page_views") > 0)
+        .select(
+            "shop",
+            F.col("billing_date").cast("string").alias("billing_date"),
+            F.col("billing_amount").alias("amount"),
+        )
+    )
+    bpdf = bills.toPandas()
+    # perturb: shop%3==0 exact charge, %3==1 no charge, %3==2 wrong amount
+    rows = []
+    for i, r in bpdf.iterrows():
+        m = int(r["shop"]) % 3
+        if m == 1:
+            continue
+        amt = float(r["amount"]) if m == 0 else float(r["amount"]) + 1.0
+        rows.append((int(r["shop"]), 1000 + i, amt))
+    cpdf = pd.DataFrame(rows, columns=["shop", "charge_id", "amount"])
+    charges = spark.createDataFrame(cpdf)
+    got = reconcile_charges(bills, charges).toPandas()
+    by_status = got.groupby("status").size().to_dict()
+    n0 = (bpdf["shop"] % 3 == 0).sum()
+    n1 = (bpdf["shop"] % 3 == 1).sum()
+    n2 = (bpdf["shop"] % 3 == 2).sum()
+    assert by_status.get("matched", 0) == n0
+    assert by_status.get("uncharged_bill", 0) == n1 + n2
+    assert by_status.get("unbilled_charge", 0) == n2
+    # distributed == single-threaded reference, shop by shop
+    ref_rows = []
+    for shop in set(bpdf["shop"]) | set(cpdf["shop"]):
+        ref_rows.extend(
+            _fifo_match(
+                bpdf[bpdf["shop"] == shop],
+                cpdf[cpdf["shop"] == shop],
+            )
+        )
+    ref = pd.DataFrame(
+        ref_rows, columns=["shop", "billing_date", "amount", "charge_id", "status"]
+    )
+    key = ["shop", "billing_date", "amount", "charge_id", "status"]
+    a = got[key].fillna(-1).sort_values(key).reset_index(drop=True)
+    b = ref[key].fillna(-1).sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
