@@ -4974,3 +4974,109 @@ def q_param_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY user_id",
         args={"etype": "view", "day": TD},
     )
+
+
+@query(
+    "q_array_funcs2",
+    """
+    SELECT doc_id,
+           CASE WHEN len(list_filter(toks, x -> x = 'table')) > 0
+                THEN TRUE ELSE FALSE END AS has_table,
+           list_bool_and(list_transform(toks, x -> length(x) > 0)) AS all_nonempty,
+           CAST(len(list_filter(toks, x -> length(x) >= 5)) AS INT) AS n_long,
+           CAST(len(flatten([toks[1:2], toks[-2:]])) AS INT) AS n_edges,
+           CAST(list_sum(list_transform(range(1, 4), x -> x * x)) AS BIGINT) AS sq_sum
+    FROM (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents WHERE doc_id < 100
+    )
+    """,
+)
+def q_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array pack 2 — exists / forall / filter+size /
+    flatten-of-slices / sequence+transform+aggregate, the predicate and
+    construction half of the lambda surface (pack 1 covers
+    access/sort/slice).  All JVM-side codegen'd expressions over the
+    tokenized documents — the no-UDF rule holds even for per-token
+    predicates."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+    )
+    return d.select(
+        "doc_id",
+        F.exists("toks", lambda x: x == "table").alias("has_table"),
+        F.forall("toks", lambda x: F.length(x) > 0).alias("all_nonempty"),
+        F.size(F.filter("toks", lambda x: F.length(x) >= 5)).cast("int").alias("n_long"),
+        F.size(
+            F.flatten(
+                F.array(
+                    F.slice("toks", 1, 2),
+                    F.slice("toks", -2, 2),
+                )
+            )
+        )
+        .cast("int")
+        .alias("n_edges"),
+        F.aggregate(
+            F.transform(F.sequence(F.lit(1), F.lit(3)), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long"),
+        ).alias("sq_sum"),
+    )
+
+
+@query(
+    "q_binary_funcs",
+    """
+    SELECT doc_id,
+           base64(CAST(substring(text, 1, 12) AS BLOB)) AS b64,
+           lower(hex(substring(text, 1, 8))) AS hx,
+           sha256(text) AS sha,
+           md5(text) AS md5h
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def q_binary_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/encoding pack — base64, hex, sha2-256, md5 over document
+    prefixes: the byte-level toolkit the multimodal columns
+    (ops/multimodal.py) rely on for content addressing and transport
+    encoding.  Spark sha2(·,256) == DuckDB sha256; hex is lowercased
+    to one casing convention."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.base64(F.substring("text", 1, 12).cast("binary")).alias("b64"),
+        F.lower(F.hex(F.substring("text", 1, 8))).alias("hx"),
+        F.sha2(F.col("text"), 256).alias("sha"),
+        F.md5(F.col("text")).alias("md5h"),
+    )
+
+
+@query(
+    "q_bitwise",
+    """
+    SELECT event_id,
+           CAST(user_id & 255 AS BIGINT) AS masked,
+           CAST(user_id | 4096 AS BIGINT) AS tagged,
+           CAST(xor(user_id, event_id) AS BIGINT) AS mixed,
+           CAST(user_id << 4 AS BIGINT) AS shifted,
+           CAST(event_id >> 2 AS BIGINT) AS bucket4
+    FROM events WHERE event_id < 500
+    """,
+)
+def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise pack — and/or/xor/shifts on key columns: the bit
+    surgery under bitmap indexes, Z-order interleaving (io.py
+    write_zordered) and hash partitioners, exposed as first-class
+    expressions."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    return ev.select(
+        "event_id",
+        F.col("user_id").bitwiseAND(F.lit(255)).cast("long").alias("masked"),
+        F.col("user_id").bitwiseOR(F.lit(4096)).cast("long").alias("tagged"),
+        F.col("user_id").bitwiseXOR(F.col("event_id")).cast("long").alias("mixed"),
+        F.shiftleft(F.col("user_id"), 4).cast("long").alias("shifted"),
+        F.shiftright(F.col("event_id"), 2).cast("long").alias("bucket4"),
+    )
