@@ -5080,3 +5080,34 @@ def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(F.col("user_id"), 4).cast("long").alias("shifted"),
         F.shiftright(F.col("event_id"), 2).cast("long").alias("bucket4"),
     )
+
+
+@query(
+    "q_masked_view",
+    """
+    SELECT sha256('pepper-2024' || CAST(c_custkey AS VARCHAR)) AS pseudo_id,
+           substring(c_name, 1, 9) || '***' AS name_masked,
+           c_mktsegment AS segment,
+           CAST(ROUND(c_acctbal / 1000.0, 0) * 1000 AS DOUBLE) AS acctbal_coarse
+    FROM customer
+    """,
+)
+def q_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-safe projection — the data-clean-room / tenant-export view:
+    keyed pseudonymization (peppered sha256, so ids are stable within
+    the export but not linkable back without the pepper), partial
+    string masking, and value coarsening (acctbal bucketed to 1000s).
+    Pure projections, so the masked view costs nothing beyond the
+    scan and composes with every downstream operator; the pepper
+    lives in the view definition, never in the data."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.sha2(F.concat(F.lit("pepper-2024"), F.col("c_custkey").cast("string")), 256).alias(
+            "pseudo_id"
+        ),
+        F.concat(F.substring("c_name", 1, 9), F.lit("***")).alias("name_masked"),
+        F.col("c_mktsegment").alias("segment"),
+        (F.round(F.col("c_acctbal") / 1000.0, 0) * 1000).cast("double").alias(
+            "acctbal_coarse"
+        ),
+    )
