@@ -365,3 +365,59 @@ def test_transform_with_state_logic_faked(spark, sf_dir):
         et: proc._by_type.getValue((et,))[0] for et in want
     }
     assert got == {k: int(v) for k, v in want.items()}
+
+
+def test_append_mode_emits_only_finalized_windows(spark, sf_dir, tmp_path):
+    """Append output mode: a watermarked windowed aggregate emits a
+    window exactly once, and only after the watermark passes its end —
+    so every emitted row is FINAL (safe to hand to an append-only
+    sink), and windows the watermark never passed are withheld.
+    Emitted rows must be a prefix-by-time subset of the batch result,
+    exact for every emitted window."""
+    src = str(tmp_path / "events_append_in")
+    events = load_table(spark, sf_dir, "events")
+    # write day-ordered files so the watermark advances monotonically
+    # across micro-batches and finalizes early windows
+    events.orderBy("ts").coalesce(6).write.mode("overwrite").parquet(src)
+    stream = SD.read_event_stream(spark, src, max_files_per_trigger=1)
+    pv = SD.windowed_pageviews(stream, window="1 day", watermark="1 day")
+    q = (
+        pv.writeStream.format("memory")
+        .queryName("append_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_append"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("SELECT * FROM append_mem").collect()
+    assert emitted, "append mode emitted nothing — watermark never advanced"
+    batch = {
+        (str(r["billing_date"]), r["shop"]): r["event_count"]
+        for r in events.where(F.col("event_type") == "view")
+        .groupBy(
+            F.window("ts", "1 day").alias("win"), F.col("user_id").alias("shop")
+        )
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.col("win.start").cast("date").alias("billing_date"),
+            "shop",
+            "event_count",
+        )
+        .collect()
+    }
+    seen = set()
+    for r in emitted:
+        key = (str(r["billing_date"]), r["shop"])
+        assert key not in seen, f"window {key} emitted twice in append mode"
+        seen.add(key)
+        assert batch[key] == r["event_count"], key
+    # withheld windows are exactly the ones past the final watermark:
+    # emitted days must form a prefix of the day range
+    emitted_days = {str(r["billing_date"]) for r in emitted}
+    all_days = {str(k[0]) for k in batch}
+    withheld = all_days - emitted_days
+    assert withheld, "everything emitted — watermark semantics untested"
+    assert max(emitted_days) < min(withheld), (
+        "append emitted a window newer than a withheld one"
+    )
