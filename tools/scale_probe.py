@@ -29,7 +29,17 @@ from pixelspark import queries as Q
 
 BASE = "/tmp/pixelspark_scale"
 SF01 = "/root/testdata/sf0.1"
-QUERIES = ["q_daily_billing", "q_revenue_by_flag", "q_star_join", "q_latest_state", "q_pageviews_agg"]
+QUERIES = [
+    "q_daily_billing",
+    "q_revenue_by_flag",
+    "q_star_join",
+    "q_latest_state",
+    "q_pageviews_agg",
+    # round-2b packs: pure-pushdown scan, keyset semi-join, bitmap distinct
+    "q_forecast_revenue",
+    "q_large_orders",
+    "q_bitmap_distinct",
+]
 
 
 def build_sf1(spark) -> str:
