@@ -27,6 +27,9 @@ Scale notes per operator:
 from __future__ import annotations
 
 import math
+from typing import Iterator
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -1163,3 +1166,38 @@ def ann_sq8_rerank(
             "rank",
         )
     )
+
+
+def cosine_vs_query_pandas(query_vec: list[float]):
+    """Scalar Arrow-batched pandas UDF (Iterator[Series] -> Series):
+    cosine of every corpus vector against one query vector, computed
+    as a single numpy matmul per Arrow batch.
+
+    Completes the UDF matrix next to mapInPandas / applyInPandas /
+    cogroup / UDTF / applyInPandasWithState: the SERIES->SERIES scalar
+    form is the right tool when a per-row computation vectorizes
+    across the batch (np.stack + matvec here) better than a JVM-side
+    higher-order fold over wide arrays.  The Iterator variant is used
+    so the query vector is normalized ONCE per partition, not per
+    batch — the standard amortized-init pattern (at scale: loading a
+    codebook / model weights).
+
+    Float caveat: numpy dot uses SIMD/pairwise accumulation, so the
+    last ULP can differ from the sequential F.aggregate fold —
+    verified equal to 1e-9 in tests, never hashed in an oracle.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")  # Iterator[pd.Series] hints resolve from module globals
+    def _cos(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = float(np.sqrt((q * q).sum())) or 1.0
+        qu = q / qn
+        for s in batches:
+            m = np.stack(s.to_numpy()).astype(np.float64)
+            norms = np.sqrt((m * m).sum(axis=1))
+            norms[norms == 0.0] = 1.0
+            yield pd.Series((m @ qu) / norms)
+
+    return _cos

@@ -325,3 +325,26 @@ def test_ann_sq8_rerank_recall(spark, emb):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_scores:
             assert abs(r["cosine"] - exact_scores[key]) < 1e-9
+
+
+def test_scalar_pandas_udf_cosine_matches_jvm(spark, emb):
+    """The vectorized numpy pandas UDF must agree with the JVM-side
+    F.aggregate cosine fold to 1e-9 (numpy's SIMD accumulation order
+    differs, so bit-equality is NOT expected — near-equality is)."""
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    udf = L.cosine_vs_query_pandas([float(x) for x in q])
+    got = (
+        emb.where(F.col("vec_id") < 100)
+        .select("vec_id", udf(F.col("embedding")).alias("c_udf"))
+        .collect()
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    want = {
+        r["vec_id"]: r["c_jvm"]
+        for r in emb.where(F.col("vec_id") < 100)
+        .select("vec_id", L.cosine(qcol, F.col("embedding")).alias("c_jvm"))
+        .collect()
+    }
+    assert len(got) == 100
+    for r in got:
+        assert abs(r["c_udf"] - want[r["vec_id"]]) < 1e-9, r["vec_id"]
