@@ -5111,3 +5111,165 @@ def q_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acctbal_coarse"
         ),
     )
+
+
+@query(
+    "q_chunk_dedup",
+    """
+    WITH chunks AS (
+      SELECT doc_id,
+             md5(substring(text, CAST(s AS INT), 200)) AS chunk_fp
+      FROM documents,
+           LATERAL unnest(range(1, greatest(length(text), 1) + 1, 150)) AS t(s)
+    )
+    SELECT chunk_fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc,
+           CAST(COUNT(*) AS BIGINT) AS copies
+    FROM chunks
+    GROUP BY chunk_fp
+    HAVING COUNT(*) > 1
+    ORDER BY copies DESC, chunk_fp
+    """,
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity exact dedup — boilerplate detection below the
+    document level (headers, navigation, license blocks repeat across
+    documents whose full texts differ).  Composes doc_chunks (narrow,
+    no shuffle, md5 fingerprint per window) with a hash groupBy on the
+    32-byte fingerprint: the dedup shuffle moves fingerprints, never
+    chunk text."""
+    from pixelspark.ops.llm import doc_chunks
+
+    chunks = doc_chunks(_t(spark, sf_dir, "documents"), size=200, stride=150)
+    return (
+        chunks.groupBy("chunk_fp")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_doc"),
+            F.count(F.lit(1)).cast("long").alias("copies"),
+        )
+        .where(F.col("copies") > 1)
+        .orderBy(F.col("copies").desc(), F.col("chunk_fp").asc())
+    )
+
+
+@query(
+    "q_source_overlap",
+    """
+    WITH fps AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(
+                   (regexp_split_to_array(trim(lower(text)), '\s+'))[1:5], ' ')) AS fp
+      FROM documents
+    ),
+    pair AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY a.source, b.source
+    ),
+    sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM fps GROUP BY source
+    )
+    SELECT p.src_a, p.src_b, p.n_common,
+           ROUND(p.n_common / (sa.n + sb.n - p.n_common), 6) AS jaccard
+    FROM pair p
+    JOIN sizes sa ON sa.source = p.src_a
+    JOIN sizes sb ON sb.source = p.src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source corpus overlap: exact Jaccard similarity between
+    every source pair over content signatures (here: the normalized
+    5-token prefix, the granularity knob — full-text md5 for strict
+    dupes, prefix/shingle signatures for looser overlap) — the
+    contamination/provenance audit run before mixing corpora.  The
+    pair join runs on the DEDUPLICATED (source, fp) relation (one
+    shuffle to build, one fp-keyed join), so cost scales with shared
+    content, not corpus size; per-source set sizes broadcast back onto
+    the tiny pair relation."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.split(F.trim(F.lower("text")), r"\s+"), 1, 5)
+                )
+            ).alias("fp"),
+        )
+        .distinct()
+    )
+    a = d.select(F.col("source").alias("src_a"), "fp")
+    b = d.select(F.col("source").alias("src_b"), "fp")
+    pair = (
+        a.join(b, "fp")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sizes = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        pair.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+@query(
+    "q_unigram_logprob",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY tok
+    ),
+    total AS (SELECT CAST(SUM(tf) AS BIGINT) AS n FROM vocab)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(-ln(v.tf / CAST(total.n AS DOUBLE))), 3) AS avg_neg_logprob
+    FROM toks t JOIN vocab v ON t.tok = v.tok CROSS JOIN total
+    GROUP BY t.doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: average per-token
+    -log p(token) under the corpus's own unigram distribution — the
+    cheap perplexity proxy used to rank documents before an expensive
+    model-based filter.  Two shuffles: the vocabulary aggregate and
+    the per-doc average; the vocabulary (with its total) broadcasts
+    onto the token stream.  Output rounded to 3dp: the average of
+    irrational logs is accumulation-order sensitive in the last ULPs,
+    and 3dp puts the compare ~12 orders of magnitude away from that
+    noise."""
+    from pixelspark.ops.llm import tokens
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens("text")).alias("tok"))
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    total = vocab.agg(F.sum("tf").cast("long").alias("n"))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("tf") / F.col("n").cast("double"))), 3
+            ).alias("avg_neg_logprob"),
+        )
+    )
