@@ -5273,3 +5273,91 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+@query(
+    "q_ohlc",
+    """
+    WITH ranked AS (
+      SELECT user_id AS shop, CAST(ts AS DATE) AS day, value,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT shop, day,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM ranked GROUP BY shop, day
+    """,
+)
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (open/high/low/close) candlestick aggregation per
+    (shop, day) — the canonical irregular-series downsample.  Open and
+    close are picked via min/max over (ts, event_id, value) STRUCTS in
+    the same single aggregate as high/low — struct ordering gives the
+    deterministic first/last row with no window pass, so the whole op
+    is one partial-aggregated shuffle (the oracle spells the same
+    semantics with row_number because DuckDB cannot min a ROW)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("shop"),
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    return ev.groupBy("shop", "day").agg(
+        F.round(F.min(F.struct("ts", "event_id", "value"))["value"], 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max(F.struct("ts", "event_id", "value"))["value"], 6).alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+    )
+
+
+@query(
+    "q_time_weighted_avg",
+    """
+    WITH pts AS (
+      SELECT user_id AS shop, ts, value,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      FROM events
+    )
+    SELECT shop,
+           CAST(ROUND(
+             SUM(CAST(value AS DECIMAL(18,6))
+                 * CAST(date_diff('second', ts, next_ts) AS BIGINT))
+             / NULLIF(SUM(CAST(date_diff('second', ts, next_ts) AS BIGINT)), 0),
+             6) AS DOUBLE) AS twa
+    FROM pts WHERE next_ts IS NOT NULL
+    GROUP BY shop
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over irregular samples (the TimescaleDB
+    time_weight shape): each observation is held until the next one,
+    weighted by its holding duration.  A plain AVG over-weights burst
+    periods; the TWA integrates the step function.  value x seconds
+    accumulates in DECIMAL so the sum is order-exact (double products
+    here would make the 6dp rounding accumulation-order dependent);
+    one window pass for lead(), one aggregate."""
+    w = Window.partitionBy("shop").orderBy("ts", "event_id")
+    pts = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("shop"), "ts", "event_id", "value")
+        .withColumn("next_ts", F.lead("ts").over(w))
+        .where(F.col("next_ts").isNotNull())
+        .withColumn(
+            "dur_s",
+            (F.unix_timestamp("next_ts") - F.unix_timestamp("ts")).cast("long"),
+        )
+    )
+    num = F.sum(F.col("value").cast("decimal(18,6)") * F.col("dur_s"))
+    den = F.sum(F.col("dur_s"))
+    return pts.groupBy("shop").agg(
+        F.round(num / F.nullif(den, F.lit(0)), 6).cast("double").alias("twa")
+    )
