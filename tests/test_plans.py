@@ -239,3 +239,50 @@ def test_bitmap_distinct_two_level_shape(spark, sf_dir):
     plan = _plan(bitmap_distinct(ev, ["event_type"], "user_id"))
     assert plan.count("HashAggregate") >= 4  # partial+final x two levels
     assert "bitmap_construct_agg" in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark, sf_dir):
+    """AQE skew-join handling: a sort-merge join where one key owns
+    90% of the fact side must show the skewed partition SPLIT in the
+    final adaptive plan (SortMergeJoin(skew=true), AQEShuffleRead
+    ... skewed) — the runtime counterpart to the manual salted join in
+    ops/relational.py, and the reason a 100-TB join survives a hot
+    tenant without hand-salting.  Values are unaffected by the split."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        n = 200_000
+        hot = spark.range(n).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        dim = spark.range(2_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        joined = hot.join(dim, "k")
+        rows = joined.collect()  # materialize THIS plan so AQE finalizes it
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "skewed" in plan  # the AQEShuffleRead marker
+        # values unaffected by the split: hot key matches dim k=7 once,
+        # non-hot ids < 2000 match once each
+        expected = hot.where(F.col("k") == 7).count() + hot.where(
+            (F.col("k") != 7) & (F.col("k") < 2_000)
+        ).count()
+        assert len(rows) == expected
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
