@@ -238,3 +238,56 @@ def session_windowed_counts(
             "event_count",
         )
     )
+
+
+def run_fanout_sink(
+    df: DataFrame,
+    table_path: str,
+    audit_path: str,
+    checkpoint: str,
+):
+    """One streaming query, two sinks: each micro-batch is PERSISTED,
+    upserted into the billing table AND appended to a day-level audit
+    aggregate, then unpersisted.
+
+    The persist is the load-bearing line — without it foreachBatch
+    recomputes the batch's whole lineage once per sink (double source
+    reads, and a nondeterministic source could diverge between the two
+    writes).  Exactly-once for both sinks rides on the single
+    checkpointed query: one epoch, one batch id, both writes inside
+    it — the standard alternative to running two queries (two
+    checkpoints, two source scans, and no atomicity between sinks).
+    """
+    from pixelspark import io as pio
+
+    def fanout(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            pio.upsert(
+                batch_df.sparkSession,
+                table_path,
+                batch_df,
+                keys=("shop", "billing_date"),
+            )
+            (
+                batch_df.groupBy("billing_date")
+                .agg(
+                    F.sum("event_count").alias("day_events"),
+                    F.count(F.lit(1)).alias("n_shops"),
+                )
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(audit_path)
+            )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        df.writeStream.foreachBatch(fanout)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

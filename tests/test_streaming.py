@@ -421,3 +421,58 @@ def test_append_mode_emits_only_finalized_windows(spark, sf_dir, tmp_path):
     assert max(emitted_days) < min(withheld), (
         "append emitted a window newer than a withheld one"
     )
+
+
+def test_foreachbatch_fanout_two_sinks(spark, sf_dir, tmp_path):
+    """Multi-sink fan-out from ONE checkpointed query: the upsert table
+    carries latest-state window counts equal to the batch aggregate,
+    and the audit sink's per-day totals (summed over update-mode
+    re-emissions via last-batch-wins) stay consistent with the table."""
+    src = str(tmp_path / "events_fanout_in")
+    events = load_table(spark, sf_dir, "events")
+    events.coalesce(4).write.mode("overwrite").parquet(src)
+    stream = SD.read_event_stream(spark, src, max_files_per_trigger=2)
+    pv = SD.windowed_pageviews(stream)
+    table = str(tmp_path / "fanout_table")
+    audit = str(tmp_path / "fanout_audit")
+    SD.run_fanout_sink(pv, table, audit, str(tmp_path / "ckpt_fanout"))
+    back = spark.read.parquet(table)
+    want = {
+        (str(r["billing_date"]), r["shop"]): r["event_count"]
+        for r in events.where(F.col("event_type") == "view")
+        .groupBy(
+            F.window("ts", "1 day").alias("win"), F.col("user_id").alias("shop")
+        )
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.col("win.start").cast("date").alias("billing_date"),
+            "shop",
+            "event_count",
+        )
+        .collect()
+    }
+    got = {
+        (str(r["billing_date"]), r["shop"]): r["event_count"]
+        for r in back.collect()
+    }
+    assert got == want
+    # audit sink: the LAST batch's row per day must equal the table's
+    # final per-day totals (update mode re-emits growing counts)
+    import pandas as pd
+
+    audit_pdf = spark.read.parquet(audit).toPandas()
+    last = (
+        audit_pdf.sort_values("batch_id")
+        .groupby("billing_date")
+        .last()
+        .reset_index()
+    )
+    table_days = (
+        back.groupBy("billing_date")
+        .agg(F.sum("event_count").alias("day_events"), F.count(F.lit(1)).alias("n_shops"))
+        .toPandas()
+    )
+    m = last.merge(table_days, on="billing_date", suffixes=("_audit", "_table"))
+    assert len(m) == len(table_days)
+    assert (m["day_events_audit"] == m["day_events_table"]).all()
+    assert (m["n_shops_audit"] == m["n_shops_table"]).all()
