@@ -5361,3 +5361,49 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.groupBy("shop").agg(
         F.round(num / F.nullif(den, F.lit(0)), 6).cast("double").alias("twa")
     )
+
+
+@query(
+    "q_except_intersect_all",
+    f"""
+    WITH a AS (
+      SELECT user_id FROM events
+      WHERE event_type = 'click' AND CAST(ts AS DATE) = DATE '{TD}'
+    ),
+    b AS (
+      SELECT user_id FROM events
+      WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '{TD}'
+    ),
+    ea AS (SELECT user_id FROM a EXCEPT ALL SELECT user_id FROM b),
+    ia AS (SELECT user_id FROM a INTERSECT ALL SELECT user_id FROM b)
+    SELECT 'except_all' AS op, user_id, CAST(COUNT(*) AS BIGINT) AS multiplicity
+    FROM ea GROUP BY user_id
+    UNION ALL
+    SELECT 'intersect_all' AS op, user_id, CAST(COUNT(*) AS BIGINT) AS multiplicity
+    FROM ia GROUP BY user_id
+    """,
+)
+def q_except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U+ — multiset EXCEPT ALL / INTERSECT ALL (exceptAll /
+    intersectAll): bag semantics keep per-row multiplicity, the
+    difference that matters when the input has meaningful duplicates
+    (a user clicking 5x and viewing 2x leaves 3 rows in EXCEPT ALL,
+    zero in distinct EXCEPT).  Output is re-aggregated to
+    (op, user, multiplicity) so the compare is order-insensitive."""
+    e = _t(spark, sf_dir, "events")
+    day = B.day_filter(e, TD)
+    a = e.where((F.col("event_type") == "click") & day).select("user_id")
+    b = e.where((F.col("event_type") == "view") & day).select("user_id")
+    ea = (
+        a.exceptAll(b)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("multiplicity"))
+        .select(F.lit("except_all").alias("op"), "user_id", "multiplicity")
+    )
+    ia = (
+        a.intersectAll(b)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("multiplicity"))
+        .select(F.lit("intersect_all").alias("op"), "user_id", "multiplicity")
+    )
+    return ea.unionByName(ia)
