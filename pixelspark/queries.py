@@ -5299,10 +5299,15 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC (open/high/low/close) candlestick aggregation per
     (shop, day) — the canonical irregular-series downsample.  Open and
     close are picked via min/max over (ts, event_id, value) STRUCTS in
-    the same single aggregate as high/low — struct ordering gives the
-    deterministic first/last row with no window pass, so the whole op
-    is one partial-aggregated shuffle (the oracle spells the same
-    semantics with row_number because DuckDB cannot min a ROW)."""
+    the same single aggregate as high/low — deterministic first/last
+    with no window pass, one partial-aggregated shuffle.  Measured
+    plan: SortAggregate, not HashAggregate — struct-valued min/max
+    buffers aren't fixed-width, so Spark sorts each partition by the
+    group key first; still partial+final around one exchange, but at
+    scale, if timestamp precision x id range packs into 63 bits, a
+    numeric composite order key with max_by flips this to a
+    HashAggregate and drops the sort.  (The oracle spells the same
+    semantics with row_number because DuckDB cannot min a ROW.)"""
     ev = _t(spark, sf_dir, "events").select(
         F.col("user_id").alias("shop"),
         F.to_date("ts").alias("day"),
