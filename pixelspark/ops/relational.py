@@ -363,3 +363,45 @@ def fuzzy_pairs(
             F.levenshtein("name1", "name2").cast("int").alias("dist"),
         )
     )
+
+
+def cdc_apply(
+    base: DataFrame,
+    changelog: DataFrame,
+    keys: list[str],
+    seq: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Materialize the next snapshot from a snapshot + CDC changelog:
+    per key, the highest-sequence row wins (changelog beats base at
+    equal sequence), and a winning delete removes the key.
+
+    The inverse of `snapshot_diff`: diff extracts a changelog from two
+    snapshots, apply folds a changelog back onto one.  Base rows need
+    no op column (treated as upserts); the changelog carries
+    `op_col` in ('U'|'D'-style markers).
+
+    Scale: one shuffle on the key (the latest-wins window);
+    `WindowGroupLimit` pre-prunes each map task to one candidate row
+    per key before the exchange, so the shuffle carries ~|keys| rows,
+    not the full union.  This is how a 100-TB snapshot absorbs a
+    day's CDC feed without rewriting unaffected keys' history: the
+    window only keeps one row per key, and with the snapshot stored
+    partitioned by key-hash the union co-partitions for free.
+    """
+    b = base
+    if op_col not in b.columns:
+        b = b.withColumn(op_col, F.lit("U"))
+    b = b.withColumn("_prio", F.lit(0))
+    c = changelog.withColumn("_prio", F.lit(1))
+    unioned = b.unionByName(c)
+    from pyspark.sql import Window
+
+    order = [F.col(s).desc() for s in seq] + [F.col("_prio").desc()]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("_rn", "_prio", op_col)
+    )

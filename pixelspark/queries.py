@@ -5412,3 +5412,422 @@ def q_except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("intersect_all").alias("op"), "user_id", "multiplicity")
     )
     return ea.unionByName(ia)
+
+
+# ---------------------------------------------------------------------------
+# Corpus search pack — inverted index + BM25 (ops/search.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_inverted_index",
+    r"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents WHERE trim(text) <> ''
+      )
+    )
+    SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS doc_count,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM toks GROUP BY tok
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: token -> sorted posting list +
+    document frequency.  The retrieval-side primitive of the LLM
+    pack (no reference counterpart — corpus tooling the brief asks
+    for).  Two shuffles, both on compact (doc, token) pairs; see
+    ops/search.py for the 100-TB df-bound posture."""
+    from pixelspark.ops.search import inverted_index
+
+    return inverted_index(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_bm25",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT AVG(dl) AS avgdl, CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+      WHERE tok IN ('spark', 'merge', 'window') GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok)
+    SELECT t.doc_id,
+           ROUND(SUM(
+             ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * t.tf * (1.2 + 1.0)
+             / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+           ), 3) AS bm25
+    FROM tf t
+    JOIN df ON t.tok = df.tok
+    JOIN dl ON t.doc_id = dl.doc_id
+    CROSS JOIN stats
+    GROUP BY t.doc_id
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75, Lucene idf) for the
+    query {spark, merge, window}.  Returns the full scored set (no
+    LIMIT: float-tie top-k order is not portable across engines —
+    rank downstream).  Rounded 3dp: sums of irrational logs are
+    accumulation-order sensitive in the last ULPs."""
+    from pixelspark.ops.search import bm25_scores
+
+    return bm25_scores(_t(spark, sf_dir, "documents"), ["spark", "merge", "window"])
+
+
+# ---------------------------------------------------------------------------
+# CDC apply — changelog folded onto a snapshot (ops/relational.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_cdc_apply",
+    f"""
+    WITH base AS (
+      SELECT user_id AS shop, ts, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE CAST(ts AS DATE) < DATE '{TD}'
+    ),
+    b AS (
+      SELECT shop, ts, event_id, event_type, value, 'U' AS op, 0 AS prio
+      FROM base WHERE rn = 1
+    ),
+    c AS (
+      SELECT user_id AS shop, ts, event_id, event_type, value,
+             CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+             1 AS prio
+      FROM events WHERE CAST(ts AS DATE) = DATE '{TD}'
+    ),
+    u AS (SELECT * FROM b UNION ALL SELECT * FROM c),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY shop
+                                   ORDER BY ts DESC, event_id DESC, prio DESC) AS rn2
+      FROM u
+    )
+    SELECT shop, ts AS last_ts, event_id AS last_event_id,
+           event_type AS last_event_type, value AS last_value
+    FROM r WHERE rn2 = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: yesterday's latest-state snapshot + today's change
+    feed (purchases treated as deletes, everything else as upserts)
+    -> today's snapshot.  The inverse of q_snapshot_diff and the
+    batch analog of the reference's append-as-update storage
+    (billing.ts:161-163) extended with delete semantics.  One
+    shuffle (latest-wins window over the union)."""
+    from pixelspark.ops.relational import cdc_apply
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("shop"), "ts", "event_id", "event_type", "value"
+    )
+    day = F.to_date("ts") == F.lit(TD).cast("date")
+    before = F.to_date("ts") < F.lit(TD).cast("date")
+    w = W.partitionBy("shop").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    base = (
+        e.where(before)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    changelog = e.where(day).withColumn(
+        "op", F.when(F.col("event_type") == "purchase", "D").otherwise("U")
+    )
+    return cdc_apply(base, changelog, keys=["shop"], seq=["ts", "event_id"]).select(
+        "shop",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics: association rules + Markov transitions
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_assoc_rules",
+    f"""
+    WITH it AS (
+      SELECT DISTINCT user_id, event_type FROM events
+      WHERE CAST(ts AS DATE) = DATE '{TD}'
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM it),
+    cnt AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM it GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS antecedent, b.event_type AS consequent,
+             CAST(COUNT(*) AS BIGINT) AS pair_users
+      FROM it a JOIN it b ON a.user_id = b.user_id
+      WHERE a.event_type <> b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT antecedent, consequent, pair_users,
+           ROUND(pair_users / CAST(n.n_users AS DOUBLE), 6) AS support,
+           ROUND(pair_users / CAST(ca.c AS DOUBLE), 6) AS confidence,
+           ROUND((pair_users / CAST(ca.c AS DOUBLE))
+                 / (cb.c / CAST(n.n_users AS DOUBLE)), 6) AS lift
+    FROM pairs
+    JOIN cnt ca ON ca.event_type = pairs.antecedent
+    JOIN cnt cb ON cb.event_type = pairs.consequent
+    CROSS JOIN n
+    """,
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over per-user daily event-type itemsets:
+    support / confidence / lift for every ordered type pair.  The
+    fact table collapses to DISTINCT (user, type) FIRST (bounded:
+    users x ~5 types), so the pair self-join runs on the collapsed
+    relation — same distinct-first posture as q_cooccurrence.  Type
+    marginals and the user count broadcast onto the pair counts."""
+    e = _t(spark, sf_dir, "events")
+    it = (
+        e.where(F.to_date("ts") == F.lit(TD).cast("date"))
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    n = it.agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    cnt = it.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = it.select(F.col("user_id"), F.col("event_type").alias("antecedent"))
+    b = it.select(F.col("user_id"), F.col("event_type").alias("consequent"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_users"))
+    )
+    ca = cnt.select(F.col("event_type").alias("antecedent"), F.col("c").alias("_ca"))
+    cb = cnt.select(F.col("event_type").alias("consequent"), F.col("c").alias("_cb"))
+    return (
+        pairs.join(F.broadcast(ca), "antecedent")
+        .join(F.broadcast(cb), "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_users",
+            F.round(F.col("pair_users") / F.col("n_users").cast("double"), 6).alias("support"),
+            F.round(F.col("pair_users") / F.col("_ca").cast("double"), 6).alias("confidence"),
+            F.round(
+                (F.col("pair_users") / F.col("_ca").cast("double"))
+                / (F.col("_cb") / F.col("n_users").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "q_markov_transitions",
+    """
+    WITH seqd AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    trans AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM seqd WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    tot AS (SELECT src, CAST(SUM(n_transitions) AS BIGINT) AS tot FROM trans GROUP BY src)
+    SELECT t.src AS from_type, t.dst AS to_type, t.n_transitions,
+           ROUND(t.n_transitions / CAST(tot.tot AS DOUBLE), 6) AS p
+    FROM trans t JOIN tot ON t.src = tot.src
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event streams:
+    P(next type | current type) from one lead() pass per user.  One
+    window shuffle on user_id; the transition matrix itself is
+    |types|^2 (tiny) so the normalizing marginals broadcast.  The
+    next-event-prediction baseline every behavioral pipeline ships."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seqd = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    trans = seqd.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    tot = trans.groupBy("src").agg(F.sum("n_transitions").cast("long").alias("tot"))
+    return (
+        trans.join(F.broadcast(tot), "src")
+        .select(
+            F.col("src").alias("from_type"),
+            F.col("dst").alias("to_type"),
+            "n_transitions",
+            F.round(F.col("n_transitions") / F.col("tot").cast("double"), 6).alias("p"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regexp pack, robust stats, SCD2 point-in-time join
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_regex_pack",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\bs\w+')) AS INT) AS n_s_words,
+           regexp_extract(text, '\bm\w+') AS first_m_word,
+           regexp_matches(text, '\bspark\b') AS has_spark,
+           CAST(length(regexp_replace(text, '\b\w{1,3}\b', '', 'g')) AS INT) AS len_no_short
+    FROM documents
+    """,
+)
+def q_regex_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-adjacent regexp surface beyond the anchored strip:
+    regexp_extract_all count, first-match extract, word-boundary
+    rlike, and global regexp_replace.  All JVM built-ins inside one
+    whole-stage-codegen projection — zero shuffles, and the scan
+    reads only (doc_id, text)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\bs\w+"), F.lit(0))).alias("n_s_words"),
+        F.regexp_extract("text", r"\bm\w+", 0).alias("first_m_word"),
+        F.col("text").rlike(r"\bspark\b").alias("has_spark"),
+        F.length(F.regexp_replace("text", r"\b\w{1,3}\b", "")).alias("len_no_short"),
+    )
+
+
+@query(
+    "q_robust_stats",
+    """
+    WITH med AS (
+      SELECT l_returnflag, median(l_quantity) AS med_qty
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    mad AS (
+      SELECT l.l_returnflag, median(abs(l.l_quantity - m.med_qty)) AS mad_qty
+      FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+      GROUP BY l.l_returnflag
+    ),
+    freq AS (
+      SELECT l_returnflag, l_quantity, CAST(COUNT(*) AS BIGINT) AS c,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY COUNT(*) DESC, l_quantity ASC) AS rn
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    )
+    SELECT m.l_returnflag AS returnflag,
+           ROUND(m.med_qty, 4) AS med_qty,
+           ROUND(d.mad_qty, 4) AS mad_qty,
+           f.l_quantity AS mode_qty,
+           f.c AS mode_count
+    FROM med m
+    JOIN mad d ON m.l_returnflag = d.l_returnflag
+    JOIN freq f ON m.l_returnflag = f.l_returnflag
+    WHERE f.rn = 1
+    """,
+)
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group statistics: median, MAD (median absolute
+    deviation), and a DETERMINISTIC mode (highest count, ties broken
+    by smallest value — Spark's builtin mode() picks an arbitrary
+    tie winner, so it is computed as a count + row_number pass that
+    both engines order identically).  MAD needs two passes by
+    definition (deviations from the group median); the group-median
+    relation is 3 rows and broadcasts back onto the fact."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(F.median("l_quantity").alias("med_qty"))
+    mad = (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(F.median(F.abs(F.col("l_quantity") - F.col("med_qty"))).alias("mad_qty"))
+    )
+    w = W.partitionBy("l_returnflag").orderBy(F.col("c").desc(), F.col("l_quantity").asc())
+    freq = (
+        li.groupBy("l_returnflag", "l_quantity")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return (
+        med.join(mad, "l_returnflag")
+        .join(freq, "l_returnflag")
+        .select(
+            F.col("l_returnflag").alias("returnflag"),
+            F.round("med_qty", 4).alias("med_qty"),
+            F.round("mad_qty", 4).alias("mad_qty"),
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("c").alias("mode_count"),
+        )
+    )
+
+
+@query(
+    "q_scd2_pit",
+    """
+    WITH ded AS (
+      SELECT user_id, ts, max(event_id) AS event_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    chg AS (
+      SELECT d.user_id, d.ts, e.value FROM ded d
+      JOIN events e ON e.event_id = d.event_id
+    ),
+    dim AS (
+      SELECT user_id, value AS state_value, ts AS valid_from,
+             COALESCE(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                      TIMESTAMP '2200-01-01 00:00:00') AS valid_to
+      FROM chg
+    ),
+    f AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id AS purchase_id, f.user_id AS shop, d.state_value
+    FROM f JOIN dim d
+      ON f.user_id = d.user_id AND f.ts >= d.valid_from AND f.ts < d.valid_to
+    """,
+)
+def q_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment against an SCD Type 2 dimension: each
+    purchase picks up the click-state value that was valid AT ITS
+    TIMESTAMP (not the current one) — the leak-free feature join of
+    every training pipeline.  The dimension is built with
+    ops/windows.scd2 from a (user, ts)-deduplicated change log
+    (duplicate-ts changes collapse to the highest event_id so
+    interval bounds are deterministic).  The join is an equi-join on
+    user_id + interval filter: per-user versions are non-overlapping
+    so no fan-out; at 100 TB this keys the shuffle on user_id, with
+    AQE skew handling for hot users."""
+    from pixelspark.ops.windows import scd2
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click")
+    ded = clicks.groupBy("user_id", "ts").agg(F.max("event_id").alias("event_id"))
+    chg = ded.join(
+        e.select("event_id", "value"), "event_id"
+    ).select("user_id", "ts", "value")
+    dim = scd2(chg, keys=("user_id",), order_col="ts").select(
+        "user_id",
+        F.col("value").alias("state_value"),
+        "valid_from",
+        "valid_to",
+    )
+    f = e.where(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    return (
+        f.join(dim, "user_id")
+        .where((F.col("ts") >= F.col("valid_from")) & (F.col("ts") < F.col("valid_to")))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("shop"),
+            "state_value",
+        )
+    )

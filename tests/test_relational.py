@@ -226,3 +226,37 @@ def test_assign_row_ids_contiguous_and_ordered(spark, sf_dir):
         assert [r["rid"] for r in rows] == list(range(n))
         ids = [r["event_id"] for r in rows]
         assert ids == sorted(ids)
+
+
+def test_cdc_apply_latest_wins_and_delete(spark):
+    from pixelspark.ops.relational import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (3, 10, "c")], "k long, seq long, v string"
+    )
+    changelog = spark.createDataFrame(
+        [
+            (1, 20, "a2", "U"),   # update wins over base
+            (2, 20, "xx", "D"),   # delete removes key
+            (3, 5, "old", "U"),   # stale change loses to base
+            (4, 20, "new", "U"),  # brand-new key inserted
+            (4, 30, "new2", "U"), # later change wins within feed
+        ],
+        "k long, seq long, v string, op string",
+    )
+    got = {
+        r["k"]: (r["seq"], r["v"])
+        for r in cdc_apply(base, changelog, keys=["k"], seq=["seq"]).collect()
+    }
+    assert got == {1: (20, "a2"), 3: (10, "c"), 4: (30, "new2")}
+
+
+def test_cdc_apply_changelog_beats_base_at_equal_seq(spark):
+    from pixelspark.ops.relational import cdc_apply
+
+    base = spark.createDataFrame([(1, 10, "base")], "k long, seq long, v string")
+    changelog = spark.createDataFrame(
+        [(1, 10, "feed", "U")], "k long, seq long, v string, op string"
+    )
+    rows = cdc_apply(base, changelog, keys=["k"], seq=["seq"]).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(1, "feed")]

@@ -1,0 +1,70 @@
+"""Corpus-search ops: inverted index postings and BM25 scoring
+verified against hand-computed values on a tiny fixed corpus."""
+
+from __future__ import annotations
+
+import math
+
+from pixelspark.ops.search import bm25_scores, inverted_index
+
+
+def _corpus(spark):
+    rows = [
+        (1, "the cat sat"),
+        (2, "the dog sat sat"),
+        (3, "a cat and a cat"),
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_inverted_index_postings(spark):
+    idx = {
+        r["token"]: (r["doc_count"], r["postings"])
+        for r in inverted_index(_corpus(spark)).collect()
+    }
+    assert idx["cat"] == (2, "1,3")
+    assert idx["sat"] == (2, "1,2")
+    assert idx["the"] == (2, "1,2")
+    assert idx["a"] == (1, "3")
+    # empty doc contributes no tokens at all
+    assert all("4" not in p.split(",") for _, p in idx.values())
+
+
+def test_inverted_index_df_bounds(spark):
+    idx = inverted_index(_corpus(spark), min_df=2)
+    assert {r["token"] for r in idx.collect()} == {"cat", "sat", "the", "dog"} - {"dog"}
+    capped = inverted_index(_corpus(spark), max_df=1)
+    assert all(r["doc_count"] == 1 for r in capped.collect())
+
+
+def test_bm25_hand_computed(spark):
+    # corpus: dl = [3, 4, 5]; N = 3 docs with tokens; avgdl = 4
+    # query {cat}: df = 2, idf = ln((3 - 2 + 0.5)/(2 + 0.5) + 1) = ln(1.6)
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(_corpus(spark), ["cat"], round_dp=6).collect()
+    }
+    idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+
+    def s(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 4.0))
+
+    assert set(got) == {1, 3}
+    assert got[1] == round(s(1, 3), 6)
+    assert got[3] == round(s(2, 5), 6)
+
+
+def test_bm25_multi_term_is_sum(spark):
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(_corpus(spark), ["cat", "dog"], round_dp=6).collect()
+    }
+    single_cat = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(_corpus(spark), ["cat"], round_dp=6).collect()
+    }
+    # doc 1 and 3 contain only 'cat' of the query -> identical contribution
+    assert got[1] == single_cat[1]
+    assert got[3] == single_cat[3]
+    assert 2 in got  # dog-only doc now scored
