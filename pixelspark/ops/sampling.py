@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -99,3 +99,31 @@ def corpus_mixture(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def group_topk_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly-k-per-group uniform sample (fewer if the group is
+    smaller): rank rows within each group by a deterministic unit
+    hash of the key and keep the first k.
+
+    Complements `stratified_sample` (fraction-based, no size
+    guarantee): this is the "give me exactly 1000 examples per
+    language" sampler.  Engine-portable determinism comes from the
+    md5-based `unit_hash` (ties impossible for distinct keys);
+    `WindowGroupLimit` pre-prunes each map task to k candidates per
+    group before the shuffle, so the exchange carries ~k*groups rows
+    per task, not the whole fact."""
+    w = Window.partitionBy(group_col).orderBy(
+        unit_hash(key_col, seed).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -5831,3 +5831,29 @@ def q_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "state_value",
         )
     )
+
+
+@query(
+    "q_group_sample",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {'{'}uh{'}'} ASC, doc_id ASC
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, source FROM ranked WHERE rn <= 7
+    """.replace("{uh}", "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8)) AS UBIGINT) / 4294967296.0"),
+)
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group sampling (7 docs per language) via the
+    engine-portable md5 unit hash — the "balanced subset" sampler for
+    corpus curation, complementing the fraction-based
+    q_stratified_sample.  One window shuffle on the group key with
+    WindowGroupLimit map-side pre-pruning."""
+    from pixelspark.ops.sampling import group_topk_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return group_topk_sample(d, "lang", "doc_id", k=7)

@@ -138,7 +138,9 @@ def dedup_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     )
 
 
-def attribute_purchases(events: DataFrame, attribution_window: str = "1 hour") -> DataFrame:
+def attribute_purchases(
+    events: DataFrame, attribution_window: str = "1 hour", how: str = "inner"
+) -> DataFrame:
     """Stream-stream interval join: attribute each purchase to a prior
     view by the same user within the attribution window.
 
@@ -147,7 +149,14 @@ def attribute_purchases(events: DataFrame, attribution_window: str = "1 hour") -
     inside (watermark + window) — bounded state, the requirement for an
     unbounded 100 TB/day stream.  Inner interval joins need BOTH
     watermarks; without the time bound the state would grow forever
-    and Spark rejects the query in append mode."""
+    and Spark rejects the query in append mode.
+
+    `how='leftOuter'` keeps UNattributed purchases too: a purchase
+    emits with NULL view columns only once the watermark proves no
+    matching view can still arrive (state-eviction time), so the
+    null-or-match decision is made exactly once per purchase — the
+    streaming form of the batch left join, with the unmatched tail
+    withheld until finalized rather than emitted optimistically."""
     views = (
         events.where(F.col("event_type") == "view")
         .select(
@@ -172,7 +181,7 @@ def attribute_purchases(events: DataFrame, attribution_window: str = "1 hour") -
         (F.col("p_user") == F.col("v_user"))
         & (F.col("view_ts") <= F.col("purchase_ts"))
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")),
-        "inner",
+        how,
     ).select(
         F.col("p_user").alias("user_id"),
         "purchase_id",

@@ -48,3 +48,23 @@ def test_corpus_mixture_provenance(spark, sf_dir):
     srcs = {r["mixture_source"] for r in mix.select("mixture_source").distinct().collect()}
     assert srcs == {"en", "de"}
     assert mix.where(F.col("mixture_source") == "en").count() == en.count()  # w=1 keeps all
+
+
+def test_group_topk_sample_exact_k(spark, sf_dir):
+    from pixelspark.ops.sampling import group_topk_sample
+    from pixelspark.schemas import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    got = group_topk_sample(d, "lang", "doc_id", k=5)
+    sizes = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    avail = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in sizes.items():
+        assert n == min(5, avail[lang])
+    # deterministic across invocations
+    a = {r["doc_id"] for r in got.collect()}
+    b = {r["doc_id"] for r in group_topk_sample(d, "lang", "doc_id", k=5).collect()}
+    assert a == b
+    # different seed -> (almost surely) different sample
+    c = {r["doc_id"] for r in group_topk_sample(d, "lang", "doc_id", k=5, seed=7).collect()}
+    assert a != c

@@ -476,3 +476,56 @@ def test_foreachbatch_fanout_two_sinks(spark, sf_dir, tmp_path):
     assert len(m) == len(table_days)
     assert (m["day_events_audit"] == m["day_events_table"]).all()
     assert (m["n_shops_audit"] == m["n_shops_table"]).all()
+
+
+def test_stream_stream_left_outer_join_finalizes_nulls(spark, sf_dir, tmp_path):
+    """leftOuter interval join: matched purchases behave exactly like
+    the inner join; unmatched purchases emit with NULL view columns —
+    but only after the watermark proves no view can still arrive, so
+    the recent unmatched tail stays withheld (exactly-once nulls, the
+    finalization contract)."""
+    src, events = _stage_events(spark, sf_dir, tmp_path)
+    stream = SD.read_event_stream(spark, src)
+    out = SD.attribute_purchases(stream, "1 hour", how="leftOuter")
+    SD.run_to_memory(out, "attributed_outer", output_mode="append")
+    got = spark.table("attributed_outer")
+
+    v = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    # (a) the matched part is identical to the batch inner join
+    want_inner = p.join(v, cond).count()
+    assert got.where(F.col("view_id").isNotNull()).count() == want_inner
+
+    # (b) every emitted null row is genuinely unmatched in batch
+    batch_unmatched = {
+        r["purchase_id"]
+        for r in p.join(v, cond, "left_anti").collect()
+    }
+    null_rows = {r["purchase_id"] for r in got.where(F.col("view_id").isNull()).collect()}
+    assert null_rows <= batch_unmatched
+
+    # (c) finalization: every unmatched purchase old enough that its
+    # join window is fully behind the final watermark MUST have been
+    # emitted (nulls are not lost, only the tail is withheld)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    old_unmatched = {
+        r["purchase_id"]
+        for r in p.join(v, cond, "left_anti")
+        .where(F.col("purchase_ts") <= F.lit(max_ts) - F.expr("INTERVAL 3 HOURS"))
+        .collect()
+    }
+    assert old_unmatched  # the fixture has an old unmatched tail
+    assert old_unmatched <= null_rows
