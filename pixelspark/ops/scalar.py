@@ -29,12 +29,15 @@ def date_literal(d: str) -> Column:
     return F.lit(d).cast("date")
 
 
-def target_date(tz: str = "Asia/Tokyo") -> Column:
+def target_date(tz: str = "Asia/Tokyo", as_of: Column | None = None) -> Column:
     """F4 — tz-aware "yesterday" (reference src/services/billing.ts:242-247).
 
     dayjs().tz(tz).subtract(1,'day').format('YYYY-MM-DD') as a Column.
+    `as_of` injects the UTC instant "now" (default wall clock) so the
+    computation is testable against a timezone oracle.
     """
-    local_today = F.to_date(F.from_utc_timestamp(F.current_timestamp(), tz))
+    now = F.current_timestamp() if as_of is None else as_of
+    local_today = F.to_date(F.from_utc_timestamp(now, tz))
     return F.date_format(F.date_sub(local_today, 1), "yyyy-MM-dd")
 
 

@@ -324,10 +324,38 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_target_date")  # current_timestamp-dependent -> rows-only check
+# Injected "now" for the value-checked target-date computation: an
+# instant where the JST calendar day is already one ahead of UTC
+# (16:30 UTC = 01:30+1d JST), so the oracle proves tz-awareness —
+# JST-yesterday (2024-01-02) differs from UTC-yesterday (2024-01-01).
+AS_OF_UTC = "2024-01-02 16:30:00"
+
+
+@query(
+    "q_target_date",
+    f"""
+    SELECT strftime(CAST((TIMESTAMP '{AS_OF_UTC}' AT TIME ZONE 'UTC')
+                         AT TIME ZONE 'Asia/Tokyo' AS DATE)
+                    - INTERVAL 1 DAY, '%Y-%m-%d') AS target_date_jst,
+           strftime(CAST(TIMESTAMP '{AS_OF_UTC}' AS DATE), '%Y-%m-%d') AS today_utc
+    """,
+)
 def q_target_date(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F4/F8 — tz-aware 'yesterday' (reference src/services/billing.ts:242-247).
-    Non-deterministic (wall clock) -> no SQL oracle."""
+    """F4/F8 — tz-aware 'yesterday' (reference src/services/billing.ts:242-247),
+    value-checked by injecting the UTC instant "now" (the production
+    wall-clock path is q_target_date_live / job.default_target_date)."""
+    as_of = F.to_timestamp(F.lit(AS_OF_UTC))
+    return spark.range(1).select(
+        S.target_date("Asia/Tokyo", as_of=as_of).alias("target_date_jst"),
+        S.iso_date(as_of).alias("today_utc"),
+    )
+
+
+@query("q_target_date_live")  # current_timestamp-dependent -> rows-only check
+def q_target_date_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F8 — the production wall-clock path (non-deterministic -> no
+    SQL oracle; the computation itself is value-checked via
+    q_target_date's injected instant)."""
     return spark.range(1).select(
         S.target_date("Asia/Tokyo").alias("target_date_jst"),
         S.iso_date(F.current_timestamp()).alias("today_utc"),
