@@ -327,6 +327,31 @@ def test_ann_sq8_rerank_recall(spark, emb):
             assert abs(r["cosine"] - exact_scores[key]) < 1e-9
 
 
+def test_ann_recall_floor_driver_configs(spark):
+    """recall@5 floor for EVERY approximate ANN variant at the exact
+    configs the driver-contract queries run (q_ann_lsh, q_ann_ivf,
+    q_ann_sq8), measured at sf0.01 against the exact q_ann_topk
+    baseline.  These queries pass only the driver's rows-only check,
+    so without this floor a bucketing bug that silently destroyed
+    recall would still 'pass' — this test is the recall gate.
+    Measured: lsh 0.96, ivf 0.92, sq8 1.00 (deterministic: hashes and
+    k-means seeds are fixed)."""
+    from pixelspark import queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in Q.QUERIES["q_ann_topk"](spark, sf).collect()
+    }
+    for name in ("q_ann_lsh", "q_ann_ivf", "q_ann_sq8"):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in Q.QUERIES[name](spark, sf).collect()
+        }
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.9, (name, recall)
+
+
 def test_scalar_pandas_udf_cosine_matches_jvm(spark, emb):
     """The vectorized numpy pandas UDF must agree with the JVM-side
     F.aggregate cosine fold to 1e-9 (numpy's SIMD accumulation order
