@@ -16,27 +16,21 @@ date partitions (partitionBy below does exactly that layout).
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pixelspark.schemas import SHOPIFY_STATUS_COLUMNS
+from pixelspark.storage import storage_for
 
 
 def table_exists(spark: SparkSession, path: str) -> bool:
     """S6 guard — the reference catches 'Not found: Table'
     (bigquery.ts:159-165); for path-based tables: does the directory
-    hold any parquet footers."""
-    if not os.path.isdir(path):
-        return False
-    for root, _dirs, files in os.walk(path):
-        if any(f.endswith(".parquet") for f in files):
-            return True
-    return False
+    hold any parquet footers.  Routed through the storage backend so
+    hdfs://, s3a://... paths resolve via the Hadoop FileSystem API,
+    not POSIX calls."""
+    return storage_for(path, spark).has_parquet(path)
 
 
 def read_table_or_empty(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
@@ -108,21 +102,21 @@ def latest_state(
 
 def compact(spark: SparkSession, path: str, target_files: int = 8) -> int:
     """Small-file compaction: rewrite a parquet directory into
-    `target_files` files (atomic swap).  At 100 TB daily appends
+    `target_files` files (backup-rename swap).  At 100 TB daily appends
     accumulate thousands of small files per partition; periodic
     compaction keeps scan task counts sane.  Returns the new file
-    count."""
+    count.
+
+    The staging dir is a SIBLING of the target (same filesystem — a
+    cross-FS rename is a copy) and the swap goes through the storage
+    backend: atomic renames on POSIX/HDFS; on object stores run this
+    through a table format instead (see pixelspark/storage.py)."""
+    st = storage_for(path, spark)
     df = spark.read.option("mergeSchema", "true").parquet(path)
-    tmp = tempfile.mkdtemp(prefix="pixelspark_compact_")
-    tmp_path = os.path.join(tmp, "data")
-    df.coalesce(target_files).write.mode("overwrite").parquet(tmp_path)
-    back = path.rstrip("/") + ".bak"
-    shutil.rmtree(back, ignore_errors=True)
-    os.rename(path, back)
-    shutil.move(tmp_path, path)
-    shutil.rmtree(back, ignore_errors=True)
-    shutil.rmtree(tmp, ignore_errors=True)
-    return sum(1 for _r, _d, files in os.walk(path) for f in files if f.endswith(".parquet"))
+    staged = st.staging_path(path)
+    df.coalesce(target_files).write.mode("overwrite").parquet(staged)
+    st.swap_dir(staged, path)
+    return len(spark.read.parquet(path).inputFiles())
 
 
 def write_bucketed_table(
@@ -160,17 +154,12 @@ def upsert(
     if existing is None:
         updates.write.mode("overwrite").parquet(path)
         return
+    st = storage_for(path, spark)
     keep = existing.join(F.broadcast(updates.select(*keys).distinct()), list(keys), "left_anti")
     merged = keep.unionByName(updates, allowMissingColumns=True)
-    tmp = tempfile.mkdtemp(prefix="pixelspark_upsert_")
-    tmp_path = os.path.join(tmp, "data")
-    merged.write.mode("overwrite").parquet(tmp_path)
-    back = path.rstrip("/") + ".bak"
-    shutil.rmtree(back, ignore_errors=True)
-    os.rename(path, back)
-    shutil.move(tmp_path, path)
-    shutil.rmtree(back, ignore_errors=True)
-    shutil.rmtree(tmp, ignore_errors=True)
+    staged = st.staging_path(path)
+    merged.write.mode("overwrite").parquet(staged)
+    st.swap_dir(staged, path)
 
 
 # ---------------------------------------------------------------------------

@@ -49,7 +49,14 @@ RESULT_SCHEMA = T.StructType(
 
 def claim_key(ledger_dir: str, shop: object, billing_date: str) -> bool:
     """Atomically claim an idempotency key. True = first claim (caller
-    performs the external call), False = already claimed (skip)."""
+    performs the external call), False = already claimed (skip).
+
+    Runs INSIDE executor tasks, so it uses plain file APIs: the
+    at-most-once guarantee holds exactly where O_CREAT|O_EXCL is
+    atomic (POSIX, NFSv3+, HDFS-fuse) — a CHECKED precondition:
+    charge_shops probes the ledger dir driver-side via
+    storage.ledger_precondition before any task runs, and object-store
+    schemes (no atomic create-if-absent) are rejected outright."""
     os.makedirs(ledger_dir, exist_ok=True)
     key_path = os.path.join(ledger_dir, f"{shop}__{billing_date}")
     try:
@@ -94,7 +101,13 @@ def charge_shops(
 ) -> DataFrame:
     """Execute the charge plan. `plan` needs (shop, amount, status)
     where status 'skipped' rows bypass the external call entirely
-    (zero-amount skip, shopifyBilling.ts:68-74)."""
+    (zero-amount skip, shopifyBilling.ts:68-74).
+
+    The idempotency ledger's atomic-create requirement is verified
+    up-front (fail fast, before any external call is attempted)."""
+    from pixelspark.storage import ledger_precondition
+
+    ledger_precondition(ledger_dir)
 
     def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

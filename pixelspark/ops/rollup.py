@@ -26,14 +26,11 @@ day= subdirectories.
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pixelspark.io import table_exists
+from pixelspark.storage import storage_for
 
 # Exact decimal type for additive value sums: double inputs are cast
 # once at ingest; every later merge is decimal+decimal (associative,
@@ -101,30 +98,30 @@ def refresh_rollup(spark: SparkSession, path: str, events_batch: DataFrame) -> l
     only those directories.  The affected-day list is collected to the
     driver: it is bounded by days-per-batch (1 for the daily job,
     a handful for late-data replays), never by table size."""
+    st = storage_for(path, spark)
     delta = day_rollup(events_batch)
     if not table_exists(spark, path):
         delta.write.partitionBy("day").mode("overwrite").parquet(path)
-        return sorted(
-            d for d in os.listdir(path) if d.startswith("day=")
-        )
+        return sorted(d for d in st.list(path) if d.startswith("day="))
     days = [r["day"] for r in delta.select("day").distinct().collect()]
     existing = (
         spark.read.option("basePath", path).parquet(path).where(F.col("day").isin(days))
     )
     merged = merge_rollups(existing, delta)
-    # Stage the merged partitions, then swap the day= directories in
-    # (vanilla-parquet stand-in for Delta's replaceWhere; atomic per
-    # partition via rename).
-    tmp = tempfile.mkdtemp(prefix="pixelspark_rollup_")
-    staged = os.path.join(tmp, "data")
+    # Stage the merged partitions in a SIBLING dir (same filesystem),
+    # then swap each day= directory in through the storage backend
+    # (vanilla-parquet stand-in for Delta's replaceWhere: per-partition
+    # rename, atomic on POSIX/HDFS; on object stores use a table
+    # format — see pixelspark/storage.py).
+    staged = st.staging_path(path)
     merged.write.partitionBy("day").mode("overwrite").parquet(staged)
     swapped = []
-    for part in sorted(os.listdir(staged)):
+    for part in st.list(staged):
         if not part.startswith("day="):
             continue
-        dst = os.path.join(path, part)
-        shutil.rmtree(dst, ignore_errors=True)
-        shutil.move(os.path.join(staged, part), dst)
+        dst = f"{path.rstrip('/')}/{part}"
+        st.delete(dst)
+        st.rename(f"{staged.rstrip('/')}/{part}", dst)
         swapped.append(part)
-    shutil.rmtree(tmp, ignore_errors=True)
+    st.delete(staged)
     return swapped

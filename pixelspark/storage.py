@@ -1,0 +1,228 @@
+"""Storage abstraction for the driver-side write-path filesystem ops
+(partition swap, table swap, existence probes).
+
+The reference talks to BigQuery, where table swaps are server-side and
+atomic.  Re-expressed over files, the swap sequence needs real
+filesystem semantics, and those differ by substrate:
+
+* POSIX / HDFS: `rename` is atomic; directory listing is consistent.
+* S3 (via s3a): rename is a non-atomic COPY+DELETE and there is no
+  atomic create-if-absent — a bare-parquet swap is NOT transactional
+  there.  The honest 100-TB posture: on object stores run these swaps
+  through a table format (Delta/Iceberg `replaceWhere` / snapshot
+  commit); the `HadoopStorage` backend still works for staging and
+  cleanup, but the swap window is not atomic and `PosixLedger`
+  refuses object-store schemes outright (see `ledger_precondition`).
+
+`LocalStorage` (os/shutil) is the zero-dependency test backend;
+`HadoopStorage` routes every call through the Hadoop FileSystem API of
+the path's own scheme (file://, hdfs://, s3a://...) via the JVM
+gateway, so the SAME code path Spark uses for its writes handles the
+swaps — no `os.listdir`/`os.rename` POSIX assumptions.  Both backends
+are exercised by tests/test_storage.py; `storage_for` picks Hadoop
+whenever a SparkSession is supplied and the path carries a scheme.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import SparkSession
+
+
+class Storage:
+    """Minimal directory-level filesystem contract the write paths need."""
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def list(self, path: str) -> list[str]:
+        """Child names (not full paths) of a directory; [] if missing."""
+        raise NotImplementedError
+
+    def delete(self, path: str) -> None:
+        """Recursive delete; no-op if missing."""
+        raise NotImplementedError
+
+    def rename(self, src: str, dst: str) -> None:
+        """Move a directory. Atomic on POSIX/HDFS; copy+delete on s3a."""
+        raise NotImplementedError
+
+    def mkdirs(self, path: str) -> None:
+        raise NotImplementedError
+
+    def has_parquet(self, path: str) -> bool:
+        """Does the tree under `path` hold any parquet data file."""
+        raise NotImplementedError
+
+    # -- composite ops ----------------------------------------------------
+
+    def swap_dir(self, staged: str, target: str) -> None:
+        """Replace `target` with `staged` via a backup rename: the
+        pattern every backend shares (on POSIX/HDFS each rename is
+        atomic; on s3a the window is documented as non-atomic)."""
+        back = target.rstrip("/") + ".bak"
+        self.delete(back)
+        if self.exists(target):
+            self.rename(target, back)
+        self.rename(staged, target)
+        self.delete(back)
+
+    def staging_path(self, target: str) -> str:
+        """A sibling staging directory on the SAME filesystem as the
+        target (a cross-scheme rename is a copy — staging must live
+        next to the data)."""
+        return target.rstrip("/") + f".staging-{uuid.uuid4().hex[:12]}"
+
+
+def _strip_file_scheme(path: str) -> str:
+    """file:///x and scheme-less /x address the same local path."""
+    return path.split("://", 1)[1] if path.startswith("file://") else path
+
+
+class LocalStorage(Storage):
+    """POSIX-local backend (tests, single-node runs).  Accepts both
+    scheme-less and file:// paths — Spark writers emit/consume either."""
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(_strip_file_scheme(path))
+
+    def list(self, path: str) -> list[str]:
+        path = _strip_file_scheme(path)
+        return sorted(os.listdir(path)) if os.path.isdir(path) else []
+
+    def delete(self, path: str) -> None:
+        path = _strip_file_scheme(path)
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.remove(path)
+
+    def rename(self, src: str, dst: str) -> None:
+        src, dst = _strip_file_scheme(src), _strip_file_scheme(dst)
+        os.makedirs(os.path.dirname(dst.rstrip("/")), exist_ok=True)
+        os.rename(src, dst)
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(_strip_file_scheme(path), exist_ok=True)
+
+    def has_parquet(self, path: str) -> bool:
+        path = _strip_file_scheme(path)
+        if not os.path.isdir(path):
+            return False
+        for _root, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+
+class HadoopStorage(Storage):
+    """Hadoop FileSystem backend: each path resolves its own FileSystem
+    from its scheme through the session's Hadoop configuration — the
+    identical resolution Spark's writers use, so anything Spark can
+    write to, these swaps can manage.  Driver-side only (needs the JVM
+    gateway)."""
+
+    def __init__(self, spark: SparkSession):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+
+    def _path(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def _fs(self, path: str):
+        return self._path(path).getFileSystem(self._conf)
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs(path).exists(self._path(path)))
+
+    def list(self, path: str) -> list[str]:
+        fs, p = self._fs(path), self._path(path)
+        if not fs.exists(p):
+            return []
+        return sorted(st.getPath().getName() for st in fs.listStatus(p))
+
+    def delete(self, path: str) -> None:
+        fs, p = self._fs(path), self._path(path)
+        if fs.exists(p):
+            fs.delete(p, True)
+
+    def rename(self, src: str, dst: str) -> None:
+        fs, s, d = self._fs(src), self._path(src), self._path(dst)
+        parent = d.getParent()
+        if parent is not None and not fs.exists(parent):
+            fs.mkdirs(parent)
+        if not fs.rename(s, d):
+            raise OSError(f"rename failed: {src} -> {dst}")
+
+    def mkdirs(self, path: str) -> None:
+        self._fs(path).mkdirs(self._path(path))
+
+    def has_parquet(self, path: str) -> bool:
+        fs, p = self._fs(path), self._path(path)
+        if not fs.exists(p):
+            return False
+        it = fs.listFiles(p, True)  # recursive
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                return True
+        return False
+
+
+def storage_for(path: str, spark: SparkSession | None = None) -> Storage:
+    """Pick the backend for `path`: scheme-less and file:// paths use
+    the local backend; any other scheme needs the Hadoop backend (and
+    therefore a SparkSession)."""
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme in ("", "file"):
+        return LocalStorage()
+    if spark is None:
+        raise ValueError(
+            f"path scheme '{scheme}' needs the Hadoop FileSystem backend; pass a SparkSession"
+        )
+    return HadoopStorage(spark)
+
+
+# ---------------------------------------------------------------------------
+# Idempotency-ledger precondition
+# ---------------------------------------------------------------------------
+
+# Object-store schemes with no atomic create-if-absent: an O_EXCL-style
+# ledger CANNOT provide at-most-once semantics there.  (S3 grew a
+# conditional-put If-None-Match in 2024, but it is not surfaced through
+# the POSIX-ish file APIs the worker-side ledger uses.)
+NON_ATOMIC_CREATE_SCHEMES = frozenset({"s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss"})
+
+
+def ledger_precondition(ledger_dir: str) -> None:
+    """Checked precondition for the claim-file ledger (the docstring
+    promise 'shared storage with atomic create' made verifiable):
+
+    * reject object-store schemes outright — no atomic create-if-absent;
+    * for local paths, probe the semantics: claim the same key twice,
+      the second attempt MUST lose.
+
+    Raises ValueError when the substrate can't support the ledger."""
+    scheme = ledger_dir.split("://", 1)[0] if "://" in ledger_dir else ""
+    if scheme in NON_ATOMIC_CREATE_SCHEMES:
+        raise ValueError(
+            f"idempotency ledger needs atomic create-if-absent; scheme '{scheme}' "
+            "has none — use a conditional-put ledger service or a table-format "
+            "transaction log instead"
+        )
+    if scheme in ("", "file"):
+        local = ledger_dir.split("://", 1)[-1]
+        os.makedirs(local, exist_ok=True)
+        probe = os.path.join(local, f".probe-{uuid.uuid4().hex}")
+        fd = os.open(probe, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+        try:
+            fd2 = os.open(probe, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return  # atomic create-if-absent holds
+        finally:
+            os.remove(probe)
+        os.close(fd2)
+        raise ValueError(f"filesystem at {ledger_dir} ignored O_EXCL; ledger unsafe")

@@ -1,0 +1,129 @@
+"""Storage-abstraction tests: both backends against the same contract,
+the write paths that route through them, and the ledger precondition.
+
+The Hadoop backend is exercised on file:// URIs — Spark's bundled
+LocalFileSystem resolves through the identical scheme->FileSystem
+lookup an hdfs:// or s3a:// path would take, so the JVM round-trip,
+Path handling, and rename/delete/list semantics are the real code
+path, just on local disk.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pixelspark import io as pio
+from pixelspark.storage import (
+    HadoopStorage,
+    LocalStorage,
+    ledger_precondition,
+    storage_for,
+)
+
+
+def _contract(st, base: str) -> None:
+    """The ops every backend must get right, run against `base`."""
+    a, b = f"{base}/a", f"{base}/b"
+    assert not st.exists(a)
+    st.mkdirs(f"{a}/sub")
+    assert st.exists(a)
+    assert st.list(a) == ["sub"]
+    assert not st.has_parquet(a)
+    st.rename(a, b)
+    assert not st.exists(a) and st.exists(b)
+    assert st.list(b) == ["sub"]
+    st.delete(b)
+    assert not st.exists(b)
+    assert st.list(b) == []  # missing dir lists empty, never raises
+
+
+def test_local_storage_contract(tmp_path):
+    _contract(LocalStorage(), str(tmp_path))
+
+
+def test_hadoop_storage_contract(spark, tmp_path):
+    _contract(HadoopStorage(spark), f"file://{tmp_path}")
+
+
+def test_hadoop_has_parquet_and_swap(spark, tmp_path):
+    st = HadoopStorage(spark)
+    target = f"file://{tmp_path}/t"
+    spark.range(10).write.parquet(target)
+    assert st.has_parquet(target)
+    staged = st.staging_path(target)
+    spark.range(5).write.parquet(staged)
+    st.swap_dir(staged, target)
+    assert spark.read.parquet(target).count() == 5
+    assert not st.exists(target.rstrip("/") + ".bak")
+
+
+def test_storage_for_picks_backend(spark):
+    assert isinstance(storage_for("/tmp/x"), LocalStorage)
+    assert isinstance(storage_for("file:///tmp/x"), LocalStorage)
+    assert isinstance(storage_for("hdfs://nn/x", spark), HadoopStorage)
+    with pytest.raises(ValueError):
+        storage_for("hdfs://nn/x")  # scheme needs a session
+
+
+def test_table_exists_via_hadoop_uri(spark, tmp_path):
+    """table_exists / upsert / compact accept scheme-qualified paths —
+    the POSIX os.walk/os.rename assumptions are gone."""
+    path = f"file://{tmp_path}/tbl"
+    assert not pio.table_exists(spark, path)
+    spark.range(20).select(F.col("id"), (F.col("id") % 3).alias("k")).write.parquet(path)
+    assert pio.table_exists(spark, path)
+
+    updates = spark.range(5).select(F.col("id"), F.lit(99).alias("k"))
+    pio.upsert(spark, path, updates, keys=("id",))
+    got = {r["id"]: r["k"] for r in spark.read.parquet(path).collect()}
+    assert len(got) == 20 and got[0] == 99 and got[19] == 19 % 3
+
+    n = pio.compact(spark, path, target_files=2)
+    assert n <= 2
+    assert spark.read.parquet(path).count() == 20
+
+
+def test_rollup_refresh_via_hadoop_uri(spark, sf_dir, tmp_path):
+    from pixelspark.ops import rollup as R
+    from pixelspark.schemas import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    path = f"file://{tmp_path}/rollup"
+    first = R.refresh_rollup(spark, path, events.where(F.to_date("ts") == "2024-01-02"))
+    assert first and all(p.startswith("day=") for p in first)
+    # fold in a second batch for the same day: counters must merge, not duplicate
+    again = R.refresh_rollup(spark, path, events.where(F.to_date("ts") == "2024-01-02"))
+    assert again == ["day=2024-01-02"]
+    row = (
+        R.read_rollup(spark, path)
+        .agg(F.sum("n_events").alias("n"))
+        .collect()[0]
+    )
+    base = events.where(F.to_date("ts") == "2024-01-02").count()
+    assert row["n"] == 2 * base
+
+
+def test_ledger_precondition(tmp_path):
+    ledger_precondition(str(tmp_path / "ledger"))  # local: probe passes
+    for scheme in ("s3a", "gs", "abfss"):
+        with pytest.raises(ValueError, match="atomic create-if-absent"):
+            ledger_precondition(f"{scheme}://bucket/ledger")
+
+
+def test_charge_shops_rejects_object_store_ledger(spark):
+    from pixelspark.ops import external as X
+
+    plan = spark.createDataFrame(
+        [(1, 5.0, "pending")], "shop long, amount double, status string"
+    )
+    with pytest.raises(ValueError, match="atomic create-if-absent"):
+        X.charge_shops(plan, "2024-01-02", lambda s, a: "x", "s3a://bucket/ledger")
+
+
+def test_ledger_probe_leaves_no_residue(tmp_path):
+    d = tmp_path / "ledger"
+    ledger_precondition(str(d))
+    assert list(os.listdir(d)) == []  # probe file cleaned up
