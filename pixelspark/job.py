@@ -102,15 +102,44 @@ def run_daily_billing_safe(spark: SparkSession, sf_dir: str, target_date: str, *
     (reference billing.ts:191-239): never raises — failures come back
     as an error-shaped result with context; because the pending append
     precedes any charge, a read-path failure aborts BEFORE external
-    side effects (the reference's ordering guarantee)."""
+    side effects (the reference's ordering guarantee).
+
+    On failure the reference RE-DERIVES the billing records and
+    attaches a per-shop context row to the error result — shop, page
+    views, amount, shopifyStatus 'skipped', shopifyError 'Process
+    failed before Shopify billing' (billing.ts:203-215).  Mirrored
+    here as a lazy DataFrame (`shop_results`) rather than a collected
+    list: at 100 TB the context is still one partition-pruned
+    aggregation, and the caller decides whether to materialize it.
+    The context derivation itself is guarded like the reference's
+    nested try/catch (billing.ts:216-218)."""
     try:
         return run_daily_billing(spark, sf_dir, target_date, **kwargs)
     except Exception as exc:
-        return {
+        err = str(exc)[:1000]  # truncation parity: slack.ts:191
+        result = {
             "success": False,
-            "error": str(exc)[:1000],  # truncation parity: slack.ts:191
+            "error": err,
             "target_date": target_date,
         }
+        try:
+            bill = B.daily_billing(
+                load_table(spark, sf_dir, "customer"),
+                load_table(spark, sf_dir, "events"),
+                target_date,
+            )
+            result["shop_results"] = bill.select(
+                "shop",
+                "page_views",
+                "billing_amount",
+                F.lit(False).alias("saved"),
+                F.lit(err).alias("save_error"),
+                F.lit("skipped").alias("shopify_status"),
+                F.lit("Process failed before Shopify billing").alias("shopify_error"),
+            )
+        except Exception:  # context is best-effort (billing.ts:216-218)
+            result["shop_results"] = None
+        return result
 
 
 def run_backfill(

@@ -90,24 +90,97 @@ def charge_with_retry(
     return "failed", None, last_err, max_retries
 
 
+# Exact reference error strings (shopifyBilling.ts:99-106, 265-276).
+NO_LINE_ITEM_ERROR = "No active usage-based subscription found"
+
+
+def charge_with_retry_two_call(
+    lookup_fn: Callable[[int], str | None],
+    mutate_fn: Callable[[int, str, float], str],
+    shop: int,
+    amount: float,
+    max_retries: int = 3,
+    base_delay: float = 1.0,
+    sleep: Callable[[float], None] = time.sleep,
+) -> tuple[str, str | None, str | None, int]:
+    """The reference's REAL charge shape (shopifyBilling.ts:90-140):
+    a subscription-line-item lookup, then the usage-charge mutation —
+    with its status taxonomy preserved:
+
+    * lookup returns no usage-pricing line item -> immediate 'failed'
+      with NO_LINE_ITEM_ERROR and NO retry (ts:97-106 returns, it does
+      not throw);
+    * lookup or mutation RAISING (network, GraphQL userErrors, missing
+      charge id — ts:218-231) -> retry with backoff, then 'failed'
+      with the last error.
+
+    Returns (status, charge_id, error, attempts)."""
+    last_err: str | None = None
+    for attempt in range(1, max_retries + 1):
+        try:
+            line_item = lookup_fn(shop)
+            if line_item is None:
+                return "failed", None, NO_LINE_ITEM_ERROR, attempt
+            charge_id = mutate_fn(shop, line_item, amount)
+            return "success", charge_id, None, attempt
+        except Exception as exc:
+            last_err = str(exc)
+            if attempt < max_retries:
+                sleep(base_delay * (2 ** (attempt - 1)))
+    return "failed", None, last_err, max_retries
+
+
+def normalize_api_error(status_code: int | None, message: str) -> str:
+    """HTTP-status -> error-string mapping of the reference's GraphQL
+    transport (shopifyBilling.ts:265-276): 401/429/5xx get canonical
+    messages, anything else is wrapped as a failed request."""
+    if status_code == 401:
+        return "Invalid access token"
+    if status_code == 429:
+        return "Rate limit exceeded"
+    if status_code is not None and status_code >= 500:
+        return f"Shopify API error: {status_code}"
+    return f"API request failed: {message}"
+
+
+def test_connection(probe_fn: Callable[[], object]) -> bool:
+    """Health check parity (shopifyBilling.ts:282-299): run a trivial
+    probe, True on success, False (never raise) on any failure."""
+    try:
+        probe_fn()
+        return True
+    except Exception:
+        return False
+
+
 def charge_shops(
     plan: DataFrame,
     billing_date: str,
-    charge_fn: Callable[[int, float], str],
+    charge_fn: Callable[[int, float], str] | None,
     ledger_dir: str,
     max_concurrency: int = 5,
     max_retries: int = 3,
     base_delay: float = 1.0,
+    lookup_fn: Callable[[int], str | None] | None = None,
+    mutate_fn: Callable[[int, str, float], str] | None = None,
 ) -> DataFrame:
     """Execute the charge plan. `plan` needs (shop, amount, status)
     where status 'skipped' rows bypass the external call entirely
     (zero-amount skip, shopifyBilling.ts:68-74).
+
+    Pass (lookup_fn, mutate_fn) to run the reference's two-call
+    sequence with its full failure taxonomy (no-line-item 'failed'
+    distinct from mutation 'failed' — see charge_with_retry_two_call);
+    `charge_fn` alone keeps the simpler one-call shape.
 
     The idempotency ledger's atomic-create requirement is verified
     up-front (fail fast, before any external call is attempted)."""
     from pixelspark.storage import ledger_precondition
 
     ledger_precondition(ledger_dir)
+    two_call = lookup_fn is not None and mutate_fn is not None
+    if not two_call and charge_fn is None:
+        raise ValueError("need charge_fn, or both lookup_fn and mutate_fn")
 
     def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -120,9 +193,14 @@ def charge_shops(
                 if not claim_key(ledger_dir, shop, billing_date):
                     out.append((shop, billing_date, amount, "duplicate", None, None, 0))
                     continue
-                status2, charge_id, err, attempts = charge_with_retry(
-                    charge_fn, shop, amount, max_retries, base_delay
-                )
+                if two_call:
+                    status2, charge_id, err, attempts = charge_with_retry_two_call(
+                        lookup_fn, mutate_fn, shop, amount, max_retries, base_delay
+                    )
+                else:
+                    status2, charge_id, err, attempts = charge_with_retry(
+                        charge_fn, shop, amount, max_retries, base_delay
+                    )
                 out.append((shop, billing_date, amount, status2, charge_id, err, attempts))
             yield pd.DataFrame(out, columns=[f.name for f in RESULT_SCHEMA.fields])
 

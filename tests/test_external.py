@@ -38,6 +38,82 @@ def test_charge_with_retry_exhaustion():
     assert "boom" in err
 
 
+def test_two_call_no_line_item_fails_without_retry():
+    """Reference taxonomy (shopifyBilling.ts:97-106): a missing usage
+    line item is an IMMEDIATE failed — one lookup, no mutation, no
+    retry — with the exact reference error string."""
+    lookups, mutations, delays = [], [], []
+
+    def lookup(shop):
+        lookups.append(shop)
+        return None
+
+    def mutate(shop, line_item, amount):
+        mutations.append(shop)
+        return "gid://charge/x"
+
+    status, cid, err, n = X.charge_with_retry_two_call(
+        lookup, mutate, 1, 5.0, max_retries=3, base_delay=1.0, sleep=delays.append
+    )
+    assert (status, cid, n) == ("failed", None, 1)
+    assert err == X.NO_LINE_ITEM_ERROR
+    assert lookups == [1] and mutations == [] and delays == []
+
+
+def test_two_call_mutation_failure_retries_then_fails():
+    """Mutation errors (GraphQL userErrors / missing charge id throw,
+    ts:218-231) DO retry with backoff — distinct from no-line-item."""
+    delays = []
+
+    def lookup(shop):
+        return "gid://line/1"
+
+    def mutate(shop, line_item, amount):
+        raise RuntimeError("GraphQL errors: Total price exceeds balance remaining")
+
+    status, cid, err, n = X.charge_with_retry_two_call(
+        lookup, mutate, 1, 5.0, max_retries=3, base_delay=1.0, sleep=delays.append
+    )
+    assert (status, cid, n) == ("failed", None, 3)
+    assert "Total price exceeds balance" in err and err != X.NO_LINE_ITEM_ERROR
+    assert delays == [1.0, 2.0]
+
+
+def test_two_call_lookup_exception_retries_to_success():
+    """A lookup that THROWS (network) retries — only a clean
+    None return is the unretried no-line-item case."""
+    calls = []
+
+    def lookup(shop):
+        calls.append(shop)
+        if len(calls) == 1:
+            raise RuntimeError("Rate limit exceeded")
+        return "gid://line/1"
+
+    def mutate(shop, line_item, amount):
+        assert line_item == "gid://line/1"
+        return f"gid://charge/{shop}"
+
+    status, cid, err, n = X.charge_with_retry_two_call(
+        lookup, mutate, 7, 5.0, max_retries=3, base_delay=0.0, sleep=lambda _d: None
+    )
+    assert (status, cid, err, n) == ("success", "gid://charge/7", None, 2)
+
+
+def test_normalize_api_error_statuses():
+    assert X.normalize_api_error(401, "x") == "Invalid access token"
+    assert X.normalize_api_error(429, "x") == "Rate limit exceeded"
+    assert X.normalize_api_error(503, "x") == "Shopify API error: 503"
+    assert X.normalize_api_error(None, "conn reset") == "API request failed: conn reset"
+
+
+def test_connection_probe():
+    assert X.test_connection(lambda: "shop") is True
+    def boom():
+        raise RuntimeError("Invalid access token")
+    assert X.test_connection(boom) is False
+
+
 PLAN_SCHEMA = T.StructType(
     [
         T.StructField("shop", T.LongType(), False),
@@ -102,6 +178,45 @@ def test_enrich_with_results(spark, tmp_path):
     enriched = X.enrich_with_results(records, res)
     got = {r["shop"]: r["shopify_billing_status"] for r in enriched.collect()}
     assert got == {1: "success", 2: "skipped"}
+
+
+def test_charge_shops_two_call_full_taxonomy(spark, tmp_path):
+    """End-to-end through the DataFrame sink: every status of the
+    reference taxonomy in one run — skipped (zero amount), failed
+    (no line item, exact error string), failed (mutation error),
+    success — and duplicate on replay."""
+    ledger = str(tmp_path / "ledger")
+    plan = _plan(
+        spark,
+        [(1, 5.0, "pending"), (2, 0.0, "skipped"), (3, 5.0, "pending"), (4, 5.0, "pending")],
+    )
+
+    def lookup(shop):
+        return None if shop == 3 else f"gid://line/{shop}"
+
+    def mutate(shop, line_item, amount):
+        if shop == 4:
+            raise RuntimeError("GraphQL errors: boom")
+        return f"gid://charge/{shop}"
+
+    res = X.charge_shops(
+        plan, "2024-01-02", None, ledger_dir=ledger, base_delay=0.0,
+        lookup_fn=lookup, mutate_fn=mutate,
+    )
+    got = {r["shop"]: r for r in res.collect()}
+    assert got[1]["status"] == "success" and got[1]["charge_id"] == "gid://charge/1"
+    assert got[2]["status"] == "skipped"
+    assert got[3]["status"] == "failed" and got[3]["error_message"] == X.NO_LINE_ITEM_ERROR
+    assert got[3]["attempts"] == 1  # no retry for no-line-item
+    assert got[4]["status"] == "failed" and "boom" in got[4]["error_message"]
+    assert got[4]["attempts"] == 3  # mutation failures retried
+    # replay: the two attempted-charge shops are duplicates; skipped stays skipped
+    replay = X.charge_shops(
+        plan, "2024-01-02", None, ledger_dir=ledger, base_delay=0.0,
+        lookup_fn=lookup, mutate_fn=mutate,
+    )
+    got2 = {r["shop"]: r["status"] for r in replay.collect()}
+    assert got2 == {1: "duplicate", 2: "skipped", 3: "duplicate", 4: "duplicate"}
 
 
 def test_cogroup_reconcile_matches_reference(spark, sf_dir):

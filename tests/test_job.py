@@ -60,6 +60,29 @@ def test_safe_run_returns_error_shape(spark, tmp_path):
     assert "target_date" in out and out["target_date"] == "2024-01-02"
     assert len(out["error"]) <= 1000
     assert not list(tmp_path.iterdir())  # failed before any side effect
+    # context derivation also failed (sf_dir is unreadable) -> best-effort None
+    assert out["shop_results"] is None
+
+
+def test_safe_run_attaches_per_shop_context(spark, sf_dir, tmp_path):
+    """Failure AFTER the inputs are readable attaches the re-derived
+    per-shop context (billing.ts:203-215): every shop, its usage, and
+    the canonical skipped/'Process failed before Shopify billing'
+    markers, with the original error as save_error."""
+    # non-dry run without table/ledger/charge_fn -> the assert inside
+    # run_daily_billing raises after the inputs were readable
+    out = J.run_daily_billing_safe(spark, sf_dir, "2024-01-02", dry_run=False)
+    assert out["success"] is False
+    ctx = out["shop_results"]
+    assert ctx is not None
+    rows = ctx.collect()
+    from pixelspark.schemas import load_table
+
+    assert len(rows) == load_table(spark, sf_dir, "customer").count()
+    assert {r["shopify_status"] for r in rows} == {"skipped"}
+    assert {r["shopify_error"] for r in rows} == {"Process failed before Shopify billing"}
+    assert all(r["saved"] is False and r["save_error"] == out["error"] for r in rows)
+    assert any(r["page_views"] > 0 for r in rows)
 
 
 def test_windows_module_helpers(spark, sf_dir):
