@@ -19,6 +19,7 @@ import datetime as _dt
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pixelspark.ops.scalar import date_literal, event_day, usage_amount
 
@@ -26,14 +27,28 @@ RATE_PER_MILLION = 10.0  # reference src/services/billing.ts:20
 PAGE_VIEW_EVENT = "view"  # plays name='page_viewed' (bigquery.ts:47)
 
 
+def _next_day(d: str) -> str:
+    return (_dt.date.fromisoformat(d) + _dt.timedelta(days=1)).isoformat()
+
+
+def _ts_bound(df: DataFrame, day: str) -> Column:
+    """Midnight of `day` as a literal of ts's OWN type (TIMESTAMP or
+    TIMESTAMP_NTZ) — same-type comparisons are what parquet pushdown
+    accepts; a mixed-type compare inserts a cast and loses the scan
+    filter."""
+    return F.lit(f"{day} 00:00:00").cast(df.schema["ts"].dataType)
+
+
 def day_filter(df: DataFrame, target_date: str) -> Column:
     """UTC-day predicate on the event timestamp, written to push down.
 
-    When the source exposes the raw nanosecond long (`ts_ns`), the day
-    becomes a half-open ns range directly on the scan column — parquet
-    row-group stats then skip whole chunks, which `to_date(ts) = d`
-    over the derived timestamp can never do.  This is the predicate
-    that makes the daily batch a partition-pruned read at 100 TB.
+    The day becomes a half-open RANGE directly on the scan column —
+    parquet row-group stats then skip whole chunks, which
+    `to_date(ts) = d` over a derived expression can never do.  This is
+    the predicate that makes the daily batch a partition-pruned read
+    at 100 TB.  Handles both physical layouts the testdata has used:
+    raw int64 nanos (exposed as `ts_ns`) and native timestamp[us]
+    (TIMESTAMP / TIMESTAMP_NTZ).
     """
     if "ts_ns" in df.columns:
         day = _dt.datetime.strptime(target_date, "%Y-%m-%d").replace(
@@ -42,6 +57,10 @@ def day_filter(df: DataFrame, target_date: str) -> Column:
         lo = int(day.timestamp()) * 1_000_000_000
         hi = lo + 86_400 * 1_000_000_000
         return (F.col("ts_ns") >= F.lit(lo)) & (F.col("ts_ns") < F.lit(hi))
+    if isinstance(df.schema["ts"].dataType, (T.TimestampType, T.TimestampNTZType)):
+        return (F.col("ts") >= _ts_bound(df, target_date)) & (
+            F.col("ts") < _ts_bound(df, _next_day(target_date))
+        )
     return event_day("ts") == date_literal(target_date)
 
 
@@ -54,6 +73,10 @@ def day_range_filter(df: DataFrame, start_date: str, end_date: str) -> Column:
             return int(day.timestamp()) * 1_000_000_000
 
         return (F.col("ts_ns") >= F.lit(ns(start_date))) & (F.col("ts_ns") < F.lit(ns(end_date)))
+    if isinstance(df.schema["ts"].dataType, (T.TimestampType, T.TimestampNTZType)):
+        return (F.col("ts") >= _ts_bound(df, start_date)) & (
+            F.col("ts") < _ts_bound(df, end_date)
+        )
     return (event_day("ts") >= date_literal(start_date)) & (
         event_day("ts") < date_literal(end_date)
     )

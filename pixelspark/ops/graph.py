@@ -53,9 +53,15 @@ def pagerank(
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     for i in range(iterations):
         with_deg = ranks.join(out_deg, ranks.id == out_deg.src, "left")
-        # mass of vertices with no out-edges, shared with every vertex
-        dangling = (
-            with_deg.where(F.col("deg").isNull()).agg(F.sum("rank")).collect()[0][0] or 0.0
+        # mass of vertices with no out-edges, shared with every vertex.
+        # Folded into the plan as a broadcast 1-row aggregate instead
+        # of a per-iteration collect(): the scalar round-trip cost one
+        # extra Spark job per iteration (driver-side barrier), the
+        # broadcast keeps every iteration a single job.
+        dangling = F.broadcast(
+            with_deg.where(F.col("deg").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
+            )
         )
         contribs = (
             edges.join(ranks, edges.src == ranks.id)
@@ -64,12 +70,18 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
+        # same float-op order as the scalar formulation:
+        # ((1-d)/n + (d*dangling)/n) + d*inflow
+        base = (
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping) * F.col("_dangling") / F.lit(float(n))
+        )
         ranks = (
             verts.join(contribs, "id", "left")
+            .crossJoin(dangling)
             .select(
                 "id",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias(
+                (base + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias(
                     "rank"
                 ),
             )

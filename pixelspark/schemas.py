@@ -60,10 +60,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushdown from Catalyst for free — callers should filter/select
     immediately so pruning reaches the scan.
 
-    The events table stores TIMESTAMP(NANOS) which Spark cannot map to
-    TimestampType directly; we read nanos as long and convert to
-    microsecond timestamps with integer division (ns values ~1.7e18
-    exceed double's 2^53 integer range, so `div`, not `/`).
+    The events table's `ts` has shipped in two physical layouts:
+    timestamp[us] (current — reads as TIMESTAMP_NTZ, day predicates
+    push down as native timestamp ranges, see billing.day_filter) and
+    TIMESTAMP(NANOS) (legacy — Spark cannot map it to TimestampType,
+    so we read nanos as long, keep the raw `ts_ns` scan column for
+    pushed int64 range predicates, and derive microsecond timestamps
+    with integer division: ns values ~1.7e18 exceed double's 2^53
+    integer range, hence `div`, not `/`).
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
