@@ -50,35 +50,180 @@ def build_report(billing: DataFrame, status_counts: DataFrame | None = None) -> 
     return payload
 
 
-def format_slack_blocks(payload: dict) -> list[dict]:
-    """Block Kit-shaped report (reference src/services/slack.ts:29-150):
-    header, totals section, top-shops list, status counts — pure driver
-    formatting over the already-aggregated payload."""
+STATUS_ICON = {  # per-shop Shopify status icons (slack.ts:222-225)
+    "success": "✅",
+    "failed": "❌",
+    "skipped": "⏭️",
+}
+PENDING_ICON = "⏳"  # any other status (slack.ts:225)
+
+
+def _status_text(status: str) -> str:
+    """getShopifyStatusText equivalent (slack.ts:305-316)."""
+    return {
+        "success": "charge created",
+        "failed": "charge failed",
+        "skipped": "skipped",
+        "duplicate": "already charged",
+    }.get(status, "pending")
+
+
+def format_slack_blocks(
+    payload: dict,
+    success: bool = True,
+    message: str = "Daily billing batch",
+    timestamp: str = "",
+    target_date: str = "",
+    skipped: bool = False,
+    skip_reason: str | None = None,
+    error_details: dict | None = None,
+    shop_results: list[dict] | None = None,
+    max_shops: int = MAX_SHOPS_TO_SHOW,
+) -> list[dict]:
+    """Block Kit report with the reference's exact block structure
+    (src/services/slack.ts:61-262), section by section:
+
+    1. header with success/error icon (:65-68)
+    2. status + timestamp field pair (:70-83)
+    3. message section (:84-90)
+    4. target-date + run/skip field pair (:95-108)
+    5. skip-reason section when skipped (:110-118)
+    6. two field-pair sections: sessions/shops-with-views and
+       records/total-page-views, then the total-amount section
+       (:120-155)
+    7. charge-results summary with ✅/❌/⏭️ counts (:157-177)
+    8. error details + truncated stack sections (:180-199)
+    9. divider + per-shop detail section (only shops with activity,
+       first `max_shops`, per-shop save/charge icons + error lines)
+       and the '... N more' truncation note (:201-262)
+
+    Pure driver-side formatting over the already-aggregated payload —
+    Spark computed every number; nothing row-scale is collected here.
+    """
     blocks: list[dict] = [
-        {"type": "header", "text": {"type": "plain_text", "text": "Daily billing report"}},
+        {
+            "type": "header",
+            "text": {
+                "type": "plain_text",
+                "text": "✅ Batch completed" if success else "❌ Batch error",
+            },
+        },
         {
             "type": "section",
             "fields": [
-                {"type": "mrkdwn", "text": f"*Total amount:* ${payload['total_amount']:.2f}"},
-                {"type": "mrkdwn", "text": f"*Total page views:* {payload['total_page_views']:,}"},
-                {"type": "mrkdwn", "text": f"*Shops:* {payload['n_shops']:,}"},
+                {"type": "mrkdwn", "text": f"*Status:*\n{'success' if success else 'failure'}"},
+                {"type": "mrkdwn", "text": f"*Run at:*\n{timestamp}"},
+            ],
+        },
+        {"type": "section", "text": {"type": "mrkdwn", "text": f"*Message:*\n{message}"}},
+        {
+            "type": "section",
+            "fields": [
+                {"type": "mrkdwn", "text": f"*Target date:*\n{target_date}"},
+                {"type": "mrkdwn", "text": f"*Result:*\n{'⏭️ skipped' if skipped else '✅ executed'}"},
             ],
         },
     ]
-    if payload.get("top_shops"):
-        lines = [
-            f"{i + 1}. shop {r['shop']}: {r['page_views_str']} views (${r['amount_str']})"
-            for i, r in enumerate(payload["top_shops"])
-        ]
+    if skipped and skip_reason:
         blocks.append(
-            {"type": "section", "text": {"type": "mrkdwn", "text": "\n".join(lines)}}
+            {"type": "section", "text": {"type": "mrkdwn", "text": f"*Skip reason:*\n{skip_reason}"}}
         )
-    if payload.get("status_counts"):
-        icons = {"success": ":white_check_mark:", "failed": ":x:", "skipped": ":fast_forward:",
-                 "pending": ":hourglass:", "duplicate": ":recycle:"}
-        parts = [
-            f"{icons.get(s, ':grey_question:')} {s}: {n}"
-            for s, n in sorted(payload["status_counts"].items())
-        ]
-        blocks.append({"type": "context", "elements": [{"type": "mrkdwn", "text": " | ".join(parts)}]})
+    if not skipped:
+        n_shops = payload.get("n_shops", 0)
+        n_active = sum(1 for r in (shop_results or []) if r.get("page_views", 0) > 0) or payload.get(
+            "n_active_shops", 0
+        )
+        blocks.append(
+            {
+                "type": "section",
+                "fields": [
+                    {"type": "mrkdwn", "text": f"*Active sessions:*\n{n_shops:,}"},
+                    {"type": "mrkdwn", "text": f"*Shops with page views:*\n{n_active:,}"},
+                ],
+            }
+        )
+        blocks.append(
+            {
+                "type": "section",
+                "fields": [
+                    {"type": "mrkdwn", "text": f"*Billing records:*\n{n_shops:,}"},
+                    {"type": "mrkdwn", "text": f"*Total page views:*\n{payload['total_page_views']:,}"},
+                ],
+            }
+        )
+        blocks.append(
+            {
+                "type": "section",
+                "text": {"type": "mrkdwn", "text": f"*Total amount:*\n${payload['total_amount']:.2f}"},
+            }
+        )
+        if payload.get("status_counts"):
+            sc = payload["status_counts"]
+            blocks.append(
+                {
+                    "type": "section",
+                    "fields": [
+                        {
+                            "type": "mrkdwn",
+                            "text": (
+                                "*Shopify charge results:*\n"
+                                f"✅ success: {sc.get('success', 0)}\n"
+                                f"❌ failed: {sc.get('failed', 0)}\n"
+                                f"⏭️ skipped: {sc.get('skipped', 0)}"
+                            ),
+                        }
+                    ],
+                }
+            )
+    if error_details:
+        blocks.append(
+            {
+                "type": "section",
+                "text": {"type": "mrkdwn", "text": f"*🔴 Error details:*\n```{error_details['message']}```"},
+            }
+        )
+        if error_details.get("stack"):
+            blocks.append(
+                {
+                    "type": "section",
+                    "text": {
+                        "type": "mrkdwn",
+                        "text": f"*🔍 Stack trace:*\n```{error_details['stack'][:1000]}```",
+                    },
+                }
+            )
+    active = [r for r in (shop_results or []) if r.get("page_views", 0) > 0]
+    if active:
+        blocks.append({"type": "divider"})
+        blocks.append(
+            {"type": "section", "text": {"type": "mrkdwn", "text": "*📊 Per-shop results:*"}}
+        )
+        details = []
+        for r in active[:max_shops]:
+            save_icon = "✅" if r.get("saved", True) else "❌"
+            status = r.get("shopify_status", "pending")
+            lines = [
+                f"*{r['shop']}*",
+                f"📊 {r['page_views']:,} views / ${r['billing_amount']}",
+                f"{save_icon} save {'succeeded' if r.get('saved', True) else 'failed'}",
+                f"{STATUS_ICON.get(status, PENDING_ICON)} Shopify {_status_text(status)}",
+            ]
+            if r.get("save_error"):
+                lines.append(f"🔴 save error: {r['save_error']}")
+            if r.get("shopify_error"):
+                lines.append(f"🔴 Shopify error: {r['shopify_error']}")
+            details.append("\n".join(lines))
+        blocks.append(
+            {"type": "section", "text": {"type": "mrkdwn", "text": "\n\n".join(details)}}
+        )
+        if len(active) > max_shops:
+            blocks.append(
+                {
+                    "type": "section",
+                    "text": {
+                        "type": "mrkdwn",
+                        "text": f"_... {len(active) - max_shops} more shops omitted_",
+                    },
+                }
+            )
     return blocks

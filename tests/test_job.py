@@ -102,14 +102,56 @@ def test_windows_module_helpers(spark, sf_dir):
 
 
 def test_slack_blocks_shape(spark, sf_dir):
+    """Reference block structure (slack.ts:61-262): header icon,
+    status/timestamp fields, message, target-date pair, totals field
+    pairs, total-amount section, charge-results icon summary."""
     from pixelspark.report import format_slack_blocks
 
     out = J.run_daily_billing(spark, sf_dir, "2024-01-02", dry_run=True)
-    blocks = format_slack_blocks(out)
+    out["status_counts"] = {"success": 3, "failed": 1, "skipped": 2}
+    blocks = format_slack_blocks(
+        out, success=True, message="ok", timestamp="2024-01-03T00:00:00Z",
+        target_date="2024-01-02",
+    )
     assert blocks[0]["type"] == "header"
-    assert any(b["type"] == "section" for b in blocks)
-    totals = blocks[1]["fields"]
-    assert any("Total amount" in f["text"] for f in totals)
+    assert blocks[0]["text"]["text"].startswith("✅")
+    assert "*Status:*" in blocks[1]["fields"][0]["text"]
+    assert "*Message:*" in blocks[2]["text"]["text"]
+    assert "*Target date:*" in blocks[3]["fields"][0]["text"]
+    texts = [str(b) for b in blocks]
+    assert any("*Total amount:*" in t for t in texts)
+    assert any("✅ success: 3" in t and "❌ failed: 1" in t and "⏭️ skipped: 2" in t for t in texts)
+
+
+def test_slack_blocks_skip_error_and_shop_details():
+    """Skip-reason, error/stack, divider + per-shop sections and the
+    truncation note (slack.ts:110-118,180-262)."""
+    from pixelspark.report import format_slack_blocks
+
+    payload = {"total_amount": 1.0, "total_page_views": 10, "n_shops": 2}
+    blocks = format_slack_blocks(
+        payload, success=False, skipped=True, skip_reason="no sessions",
+        error_details={"message": "boom", "stack": "trace" * 300},
+        shop_results=[
+            {"shop": f"s{i}", "page_views": i + 1, "billing_amount": "0.01",
+             "saved": False, "save_error": "bq down",
+             "shopify_status": "skipped", "shopify_error": "Process failed before Shopify billing"}
+            for i in range(12)
+        ],
+    )
+    texts = [str(b) for b in blocks]
+    assert blocks[0]["text"]["text"].startswith("❌")
+    assert any("*Skip reason:*" in t for t in texts)
+    assert any("*🔴 Error details:*" in t for t in texts)
+    # stack truncated to 1000 chars (slack.ts:191)
+    stack_block = next(b for b in blocks if "Stack trace" in str(b))
+    assert len(stack_block["text"]["text"]) < 1100
+    assert any(b["type"] == "divider" for b in blocks)
+    shop_block = next(b for b in blocks if "*s0*" in str(b))
+    assert "❌ save failed" in shop_block["text"]["text"]
+    assert "⏭️ Shopify skipped" in shop_block["text"]["text"]
+    assert "🔴 Shopify error:" in shop_block["text"]["text"]
+    assert any("... 2 more shops omitted" in t for t in texts)
 
 
 def test_observe_metrics_piggyback(spark, sf_dir):
