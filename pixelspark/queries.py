@@ -1339,11 +1339,39 @@ def q_head_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "lineitem").limit(5)
 
 
-@query("q_charge_execute")  # side-effecting external sink -> rows-only
+@query(
+    "q_charge_execute",
+    f"""
+    WITH usage AS (
+      SELECT user_id AS shop, ROUND(SUM(value), 2) AS amount
+      FROM events
+      WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '{TD}'
+      GROUP BY user_id
+    ), plan AS (
+      SELECT c.c_custkey AS shop, ROUND(COALESCE(u.amount, 0.0), 2) AS amount
+      FROM customer c LEFT JOIN usage u ON c.c_custkey = u.shop
+    )
+    SELECT shop, '{TD}' AS billing_date, amount,
+           CASE WHEN amount <= 0 THEN 'skipped'
+                WHEN shop % 97 = 0 THEN 'failed'
+                ELSE 'success' END AS status,
+           CASE WHEN amount <= 0 OR shop % 97 = 0 THEN NULL
+                ELSE 'gid://charge/' || CAST(shop AS VARCHAR) END AS charge_id,
+           CASE WHEN amount > 0 AND shop % 97 = 0
+                THEN 'No active usage-based subscription found'
+                ELSE NULL END AS error_message
+    FROM plan
+    """,
+)
 def q_charge_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S8 — the external charge stage executed with a deterministic
-    local charge function: bounded concurrency, retry w/ backoff,
-    idempotency ledger (reference shopifyBilling.ts:58-140)."""
+    """S8 — the external charge stage executed through the reference's
+    TWO-CALL sequence (line-item lookup -> usage-charge mutation,
+    shopifyBilling.ts:90-140) with deterministic local functions:
+    shops where shop %% 97 == 0 have no usage line item (immediate
+    unretried 'failed' with the reference error string), zero-amount
+    shops are 'skipped' before any call, the rest charge successfully.
+    The ledger is fresh per run, so the outcome is pure — giving the
+    side-effecting sink a value-level oracle."""
     import tempfile
 
     from pixelspark.ops import external as X
@@ -1351,10 +1379,11 @@ def q_charge_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = B.charge_plan(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "events"), TD)
     ledger = tempfile.mkdtemp(prefix="pixelspark_ledger_")
     res = X.charge_shops(
-        plan, TD, lambda shop, amount: f"gid://charge/{shop}", ledger_dir=ledger,
-        base_delay=0.0,
+        plan, TD, None, ledger_dir=ledger, base_delay=0.0,
+        lookup_fn=lambda shop: None if shop % 97 == 0 else f"gid://line/{shop}",
+        mutate_fn=lambda shop, line_item, amount: f"gid://charge/{shop}",
     )
-    return res.select("shop", "billing_date", "amount", "status", "charge_id")
+    return res.select("shop", "billing_date", "amount", "status", "charge_id", "error_message")
 
 
 @query(
