@@ -39,6 +39,8 @@ QUERIES = [
     "q_forecast_revenue",
     "q_large_orders",
     "q_bitmap_distinct",
+    # round-3: iterative graph op (events-derived edges scale 10x)
+    "q_pagerank",
 ]
 
 
