@@ -68,3 +68,49 @@ def test_broadcast_join_in_plan(spark, sf_dir):
     )
     plan = bill._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_day_filter_both_ts_layouts(spark, sf_dir):
+    """day_filter must produce identical day membership on every
+    physical ts layout it supports: native timestamp (current testdata,
+    pushed as a typed range), legacy int64-nanos exposed as ts_ns
+    (pushed as an int64 range), and a plain date-cast fallback.  The
+    legacy branch is dead code against the regenerated testdata, so
+    this synthetic frame keeps it regression-tested."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    # rebuild the legacy layout from the timestamp: ns = unix_micros * 1000
+    legacy = events.select(
+        "event_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("ts_ns"),
+        F.col("ts"),
+    )
+    d = "2024-01-02"
+    want = {r["event_id"] for r in events.where(B.day_filter(events, d)).collect()}
+    got_legacy = {r["event_id"] for r in legacy.where(B.day_filter(legacy, d)).collect()}
+    assert got_legacy == want and len(want) > 0
+    # range filter semantics == date-cast semantics
+    got_cast = {
+        r["event_id"]
+        for r in events.where(F.to_date("ts") == F.lit(d).cast("date")).collect()
+    }
+    assert got_cast == want
+    # and the range reaches the parquet scan as pushed filters
+    plan = (
+        load_table(spark, sf_dir, "events")
+        .where(B.day_filter(load_table(spark, sf_dir, "events"), d))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "GreaterThanOrEqual(ts," in plan and "LessThan(ts," in plan
+
+
+def test_day_range_filter_half_open(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import functions as F
+
+    got = events.where(B.day_range_filter(events, "2024-01-02", "2024-01-04"))
+    days = {r["d"] for r in got.select(F.to_date("ts").alias("d")).distinct().collect()}
+    assert {str(d) for d in days} == {"2024-01-02", "2024-01-03"}  # end exclusive
