@@ -112,6 +112,7 @@ def compact(spark: SparkSession, path: str, target_files: int = 8) -> int:
     backend: atomic renames on POSIX/HDFS; on object stores run this
     through a table format instead (see pixelspark/storage.py)."""
     st = storage_for(path, spark)
+    st.recover_swap(path)  # repair any previously interrupted swap
     df = spark.read.option("mergeSchema", "true").parquet(path)
     staged = st.staging_path(path)
     df.coalesce(target_files).write.mode("overwrite").parquet(staged)
@@ -150,11 +151,12 @@ def upsert(
     (the vanilla-parquet equivalent of the reference's per-key UPDATE
     batch, bigquery.ts:168-190; on Delta this is a single MERGE INTO).
     """
+    st = storage_for(path, spark)
+    st.recover_swap(path)  # repair any previously interrupted swap
     existing = spark.read.parquet(path) if table_exists(spark, path) else None
     if existing is None:
         updates.write.mode("overwrite").parquet(path)
         return
-    st = storage_for(path, spark)
     keep = existing.join(F.broadcast(updates.select(*keys).distinct()), list(keys), "left_anti")
     merged = keep.unionByName(updates, allowMissingColumns=True)
     staged = st.staging_path(path)

@@ -62,13 +62,29 @@ class Storage:
     def swap_dir(self, staged: str, target: str) -> None:
         """Replace `target` with `staged` via a backup rename: the
         pattern every backend shares (on POSIX/HDFS each rename is
-        atomic; on s3a the window is documented as non-atomic)."""
+        atomic; on s3a the window is documented as non-atomic).
+
+        Crash safety: the rename order guarantees a complete copy of
+        the table always exists on disk — before the second rename the
+        data is at `.bak`, after it at `target` — so a crash at any
+        point is repaired by `recover_swap`."""
         back = target.rstrip("/") + ".bak"
         self.delete(back)
         if self.exists(target):
             self.rename(target, back)
         self.rename(staged, target)
         self.delete(back)
+
+    def recover_swap(self, target: str) -> bool:
+        """Repair a swap interrupted between its two renames: if
+        `target` is missing but its `.bak` exists, restore the backup.
+        Idempotent; returns True when a recovery happened.  Callers
+        (upsert, compact) run this before reading the table."""
+        back = target.rstrip("/") + ".bak"
+        if not self.exists(target) and self.exists(back):
+            self.rename(back, target)
+            return True
+        return False
 
     def staging_path(self, target: str) -> str:
         """A sibling staging directory on the SAME filesystem as the
