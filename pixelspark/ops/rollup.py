@@ -119,9 +119,11 @@ def refresh_rollup(spark: SparkSession, path: str, events_batch: DataFrame) -> l
     for part in st.list(staged):
         if not part.startswith("day="):
             continue
+        # backup-rename per partition (not delete-then-rename): a crash
+        # at any point leaves a complete copy of the day either at dst
+        # or at dst.bak — same recovery contract as Storage.swap_dir
         dst = f"{path.rstrip('/')}/{part}"
-        st.delete(dst)
-        st.rename(f"{staged.rstrip('/')}/{part}", dst)
+        st.swap_dir(f"{staged.rstrip('/')}/{part}", dst)
         swapped.append(part)
     st.delete(staged)
     return swapped
