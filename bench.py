@@ -60,6 +60,7 @@ HEADLINE = [
     # heavy tail — iterative / quadratic-candidate / rank operators
     "q_minhash_fast",
     "q_dedup_clusters",
+    "q_dedup_clusters_fast",
     "q_fuzzy_pairs",
     "q_bm25",
     "q_pagerank",

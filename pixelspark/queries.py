@@ -1898,11 +1898,23 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.quality_score(_t(spark, sf_dir, "documents"))
 
 
-@query("q_dedup_clusters")  # iterative label propagation -> rows-only
+@query("q_dedup_clusters")  # oracle attached below (recursive-CTE components)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM — near-dup clustering: connected components over MinHash-LSH
     pairs via iterative min-label propagation; one canonical doc_id per
-    cluster (verified against known clusters in tests/test_llm.py)."""
+    cluster.  Runs on the portable pair family so the DuckDB oracle can
+    recompute the same pairs and derive the components with a recursive
+    CTE — label propagation converges (early-exit on no change), so the
+    fixpoint equals the true transitive closure.  The xxhash64 pair
+    path is exercised by q_dedup_clusters_fast."""
+    pairs = L.portable_near_dup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return L.dedup_clusters(pairs)
+
+
+@query("q_dedup_clusters_fast")  # xxhash64 pairs -> rows-only
+def q_dedup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — near-dup clustering over the xxhash64 production pairs
+    (verified against known clusters in tests/test_llm.py)."""
     pairs = L.near_dup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
     return L.dedup_clusters(pairs)
 
@@ -2196,6 +2208,27 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["q_minhash_portable"] = _portable_minhash_oracle()
 ORACLES["q_minhash_pairs"] = _portable_minhash_oracle()
+
+# Connected components over the portable pairs: DuckDB derives the
+# same near-dup graph, then a recursive CTE computes each node's
+# reachable-minimum — equal to converged min-label propagation.
+ORACLES["q_dedup_clusters"] = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({_portable_minhash_oracle()}) t
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM edges
+    ), reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id
+    )
+    SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
+    """
 
 
 def _portable_simhash_oracle(bits: int = 60) -> str:
