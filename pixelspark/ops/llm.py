@@ -457,6 +457,71 @@ def portable_near_dup_pairs(
     )
 
 
+def _portable_band_buckets(
+    docs: DataFrame, id_col: str, text_col: str, num_hashes: int, shingle_k: int, bands: int
+) -> DataFrame:
+    """(id, band_idx, band_key) bucket table from portable signatures —
+    the precomputable/storable artifact of incremental dedup."""
+    rows_per_band = num_hashes // bands
+    sigs = portable_minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.posexplode(band_keys).alias("band_idx", "band_key"))
+
+
+def cross_corpus_near_dup(
+    existing: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+    bands: int = 8,
+) -> DataFrame:
+    """Incremental dedup: find near-dups of a NEW batch against an
+    EXISTING corpus only — no within-side pairs.
+
+    This is the shape dedup actually takes at 100 TB: the corpus's
+    bucket table (see _portable_band_buckets) is computed once and
+    stored; each daily ingest builds buckets for its own batch (tiny)
+    and equi-joins them against the stored table — O(batch), never
+    O(corpus^2) or even O(corpus) re-hashing.  Candidates are verified
+    by exact Jaccard on the shingle sets of the matched rows only.
+
+    Returns (id_a = existing doc, id_b = new doc, jaccard)."""
+    be = _portable_band_buckets(existing, id_col, text_col, num_hashes, shingle_k, bands).alias("a")
+    bn = _portable_band_buckets(new, id_col, text_col, num_hashes, shingle_k, bands).alias("b")
+    cands = (
+        be.join(
+            bn,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+    def shsets(df: DataFrame, out_id: str, out_sh: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.array_distinct(word_shingles(tokens(text_col), shingle_k)).alias(out_sh),
+        )
+
+    return (
+        cands.join(shsets(existing, "id_a", "sh_a"), "id_a")
+        .join(shsets(new, "id_b", "sh_b"), "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

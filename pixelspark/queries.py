@@ -2209,6 +2209,30 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q_minhash_portable"] = _portable_minhash_oracle()
 ORACLES["q_minhash_pairs"] = _portable_minhash_oracle()
 
+@query("q_cross_dedup", None)
+def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — incremental cross-corpus dedup: near-dups of a new batch
+    (doc_id >= 250) against the existing corpus (doc_id < 250) only —
+    the O(batch) daily-ingest shape (stored bucket table, no
+    within-side pairs).  Oracle: the portable pair SQL with the
+    candidate side-predicate swapped to the corpus split."""
+    docs = _t(spark, sf_dir, "documents")
+    return L.cross_corpus_near_dup(
+        docs.where(F.col("doc_id") < 250),
+        docs.where(F.col("doc_id") >= 250),
+        threshold=0.5,
+    )
+
+
+# Same signatures/banding/verification SQL; only the candidate pairing
+# changes from a<b to existing-vs-new across the split.
+ORACLES["q_cross_dedup"] = _portable_minhash_oracle().replace(
+    "AND a.doc_id < b.doc_id",
+    "AND a.doc_id < 250 AND b.doc_id >= 250",
+)
+assert "a.doc_id < 250" in ORACLES["q_cross_dedup"]
+
+
 # Connected components over the portable pairs: DuckDB derives the
 # same near-dup graph, then a recursive CTE computes each node's
 # reachable-minimum — equal to converged min-label propagation.

@@ -373,3 +373,24 @@ def test_scalar_pandas_udf_cosine_matches_jvm(spark, emb):
     assert len(got) == 100
     for r in got:
         assert abs(r["c_udf"] - want[r["vec_id"]]) < 1e-9, r["vec_id"]
+
+
+def test_cross_corpus_near_dup_matches_full_restriction(spark, docs):
+    """Incremental dedup invariants: (a) every returned pair crosses
+    the corpus split, (b) the result equals the full within-corpus
+    pair set restricted to cross pairs (same family, same threshold) —
+    so batching the ingest loses nothing vs a monolithic dedup."""
+    split = 250
+    existing = docs.where(F.col("doc_id") < split)
+    new = docs.where(F.col("doc_id") >= split)
+    cross = {
+        (r["id_a"], r["id_b"])
+        for r in L.cross_corpus_near_dup(existing, new, threshold=0.5).collect()
+    }
+    assert all(a < split <= b for a, b in cross)
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in L.portable_near_dup_pairs(docs, threshold=0.5).collect()
+    }
+    want = {(a, b) for a, b in full if a < split <= b}
+    assert cross == want and len(cross) > 0
