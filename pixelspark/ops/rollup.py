@@ -77,9 +77,39 @@ def merge_rollups(existing: DataFrame, delta: DataFrame) -> DataFrame:
     )
 
 
+def recover_partition_swaps(st, path: str) -> list[str]:
+    """Repair per-partition swaps interrupted mid-`swap_dir`.  The
+    backup for `day=X` lives at `day=X.bak` INSIDE the table root, so
+    an unrepaired crash has two failure shapes:
+
+    * crash between the two renames: `day=X` missing, `day=X.bak`
+      holds the only copy — restore it (recover_swap);
+    * crash after the second rename but before backup cleanup: both
+      exist — `day=X.bak` is the superseded copy, and left in place it
+      would be picked up by partition discovery as literal partition
+      value 'X.bak' — delete it.
+
+    Idempotent; run before any read or merge of the table.  Returns
+    the repaired partition names."""
+    repaired = []
+    for child in st.list(path):
+        if not (child.startswith("day=") and child.endswith(".bak")):
+            continue
+        target = f"{path.rstrip('/')}/{child[: -len('.bak')]}"
+        if st.recover_swap(target):
+            repaired.append(child[: -len(".bak")])
+        else:  # target survived the crash: the .bak is stale
+            st.delete(target + ".bak")
+            repaired.append(child)
+    return repaired
+
+
 def read_rollup(spark: SparkSession, path: str) -> DataFrame:
     """Read the rollup with derived (non-additive) columns: avg from
-    the exact counters.  basePath keeps the day partition column."""
+    the exact counters.  basePath keeps the day partition column.
+    Repairs any interrupted partition swap first — a leftover
+    `day=X.bak` would otherwise surface as a bogus partition value."""
+    recover_partition_swaps(storage_for(path, spark), path)
     df = spark.read.option("basePath", path).parquet(path)
     return df.withColumn(
         "avg_value",
@@ -103,6 +133,10 @@ def refresh_rollup(spark: SparkSession, path: str, events_batch: DataFrame) -> l
     if not table_exists(spark, path):
         delta.write.partitionBy("day").mode("overwrite").parquet(path)
         return sorted(d for d in st.list(path) if d.startswith("day="))
+    # Repair any swap a previous refresh left half-done BEFORE reading:
+    # a missing day=X with a day=X.bak behind would silently drop that
+    # day from the merge (and corrupt partition discovery).
+    recover_partition_swaps(st, path)
     days = [r["day"] for r in delta.select("day").distinct().collect()]
     existing = (
         spark.read.option("basePath", path).parquet(path).where(F.col("day").isin(days))

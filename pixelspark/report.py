@@ -130,9 +130,12 @@ def format_slack_blocks(
         )
     if not skipped:
         n_shops = payload.get("n_shops", 0)
-        n_active = sum(1 for r in (shop_results or []) if r.get("page_views", 0) > 0) or payload.get(
-            "n_active_shops", 0
-        )
+        # branch on presence, not truthiness: zero active shops is a
+        # legitimate count and must not fall through to the payload value
+        if shop_results is not None:
+            n_active = sum(1 for r in shop_results if r.get("page_views", 0) > 0)
+        else:
+            n_active = payload.get("n_active_shops", 0)
         blocks.append(
             {
                 "type": "section",

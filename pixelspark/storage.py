@@ -118,7 +118,9 @@ class LocalStorage(Storage):
 
     def rename(self, src: str, dst: str) -> None:
         src, dst = _strip_file_scheme(src), _strip_file_scheme(dst)
-        os.makedirs(os.path.dirname(dst.rstrip("/")), exist_ok=True)
+        parent = os.path.dirname(dst.rstrip("/"))
+        if parent:  # bare relative dst has no parent to create
+            os.makedirs(parent, exist_ok=True)
         os.rename(src, dst)
 
     def mkdirs(self, path: str) -> None:
@@ -228,17 +230,30 @@ def ledger_precondition(ledger_dir: str) -> None:
             "has none — use a conditional-put ledger service or a table-format "
             "transaction log instead"
         )
-    if scheme in ("", "file"):
-        local = ledger_dir.split("://", 1)[-1]
-        os.makedirs(local, exist_ok=True)
-        probe = os.path.join(local, f".probe-{uuid.uuid4().hex}")
-        fd = os.open(probe, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.close(fd)
-        try:
-            fd2 = os.open(probe, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return  # atomic create-if-absent holds
-        finally:
-            os.remove(probe)
-        os.close(fd2)
-        raise ValueError(f"filesystem at {ledger_dir} ignored O_EXCL; ledger unsafe")
+    if scheme not in ("", "file"):
+        # The claim files are created with POSIX os.open(O_EXCL) inside
+        # executor tasks — a URI scheme those APIs cannot address (e.g.
+        # hdfs://nn/ledger) would silently become a LITERAL local
+        # './hdfs:/...' directory per executor: every executor gets its
+        # own private ledger and the at-most-once guarantee is gone.
+        # Only scheme-less paths on a shared mount (NFS, HDFS-FUSE,
+        # Lustre) can honour the O_EXCL contract from every executor.
+        raise ValueError(
+            f"idempotency ledger uses POSIX create-if-absent; URI scheme "
+            f"'{scheme}' is not addressable by POSIX file APIs — mount the "
+            "shared filesystem and pass a scheme-less path, or use a "
+            "conditional-put ledger service"
+        )
+    local = ledger_dir.split("://", 1)[-1]
+    os.makedirs(local, exist_ok=True)
+    probe = os.path.join(local, f".probe-{uuid.uuid4().hex}")
+    fd = os.open(probe, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+    try:
+        fd2 = os.open(probe, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return  # atomic create-if-absent holds
+    finally:
+        os.remove(probe)
+    os.close(fd2)
+    raise ValueError(f"filesystem at {ledger_dir} ignored O_EXCL; ledger unsafe")

@@ -207,3 +207,27 @@ def test_backfill_idempotent_range(spark, sf_dir, tmp_path):
     got = spark.read.parquet(table).where(F.col("billing_date") == "2024-01-03")
     assert got.count() == want.count()
     assert got.select(*want.columns).exceptAll(want).count() == 0
+
+
+def test_slack_blocks_zero_active_shops():
+    """Zero active shops is a legitimate count: with shop_results
+    provided, the block must say 0 — not fall through to a stale
+    payload n_active_shops (the falsy-`or` bug)."""
+    from pixelspark.report import format_slack_blocks
+
+    payload = {"total_amount": 0.0, "total_page_views": 0, "n_shops": 3,
+               "n_active_shops": 7}
+    blocks = format_slack_blocks(
+        payload, success=True, message="ok", timestamp="t", target_date="d",
+        shop_results=[{"shop": f"s{i}", "page_views": 0} for i in range(3)],
+    )
+    active = next(b for b in blocks if "Shops with page views" in str(b))
+    field = next(f for f in active["fields"] if "Shops with page views" in f["text"])
+    assert field["text"].endswith("\n0")
+    # without shop_results the payload value is still the fallback
+    blocks2 = format_slack_blocks(
+        payload, success=True, message="ok", timestamp="t", target_date="d",
+    )
+    active2 = next(b for b in blocks2 if "Shops with page views" in str(b))
+    field2 = next(f for f in active2["fields"] if "Shops with page views" in f["text"])
+    assert field2["text"].endswith("\n7")

@@ -73,3 +73,33 @@ def test_merge_is_associative_and_exact(spark, sf_dir, tmp_path):
     # decimal counters: merge order cannot change any value bitwise
     assert ab.exceptAll(ba).count() == 0
     assert ba.exceptAll(ab).count() == 0
+
+
+def test_recover_partition_swaps_restores_lost_day(spark, sf_dir, tmp_path):
+    """Crash shape 1: between swap_dir's two renames — day=X is gone,
+    day=X.bak holds the only copy.  Both refresh and read must repair
+    it before proceeding (a leftover .bak would otherwise be parsed as
+    partition value 'X.bak' and the day silently dropped)."""
+    import shutil
+
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "rollup")
+    R.refresh_rollup(spark, path, events)
+    day = "day=2024-01-05"
+    os.rename(os.path.join(path, day), os.path.join(path, day + ".bak"))
+    got = R.read_rollup(spark, path)
+    assert not os.path.exists(os.path.join(path, day + ".bak"))
+    assert os.path.isdir(os.path.join(path, day))
+    assert got.where(F.col("day") == "2024-01-05").count() > 0
+    # no bogus partition value leaked into the schema
+    days = [r["day"] for r in got.select("day").distinct().collect()]
+    assert all(".bak" not in str(d) for d in days)
+
+    # crash shape 2: after the second rename but before backup cleanup
+    # — both day=X and a stale day=X.bak exist; the .bak must be removed
+    shutil.copytree(os.path.join(path, day), os.path.join(path, day + ".bak"))
+    swapped = R.refresh_rollup(
+        spark, path, events.where(F.to_date("ts") == "2024-01-05")
+    )
+    assert swapped == [day]
+    assert not os.path.exists(os.path.join(path, day + ".bak"))

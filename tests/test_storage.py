@@ -148,3 +148,26 @@ def test_recover_swap_after_simulated_crash(spark, tmp_path):
     pio.upsert(spark, target, updates, keys=("id",))
     got = {r["id"]: r["k"] for r in spark.read.parquet(target).collect()}
     assert len(got) == 10 and got[0] == 9 and got[9] == 1
+
+
+def test_ledger_precondition_rejects_unknown_scheme(tmp_path):
+    """hdfs:// (or any URI scheme) is not addressable by the POSIX
+    O_EXCL claim API the worker-side ledger uses — passing it through
+    would give every executor a private literal './hdfs:/...' ledger
+    and break at-most-once.  Must be rejected, not silently accepted."""
+    for uri in ("hdfs://nn/ledger", "viewfs://cluster/ledger", "ftp://h/ledger"):
+        with pytest.raises(ValueError, match="POSIX"):
+            ledger_precondition(uri)
+    # file:// and scheme-less still pass the probe
+    ledger_precondition(f"file://{tmp_path}/ledger2")
+
+
+def test_local_rename_bare_relative_dst(tmp_path, monkeypatch):
+    """A bare relative destination has an empty dirname; rename must
+    not call os.makedirs('') (FileNotFoundError)."""
+    from pixelspark.storage import LocalStorage
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("srcdir")
+    LocalStorage().rename("srcdir", "dstdir")
+    assert os.path.isdir("dstdir") and not os.path.exists("srcdir")
