@@ -274,12 +274,26 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.3,
     max_id: int | None = None,
+    max_rows: int = 10_000,
 ) -> DataFrame:
     """Exact n-gram (word) Jaccard for all pairs in a bounded id range —
     the exact-answer baseline the LSH path approximates.  The optional
     max_id bound keeps the quadratic pair space explicit and testable;
-    at scale use near_dup_pairs instead."""
+    at scale use near_dup_pairs instead.
+
+    MECHANICAL GUARD (same posture as inlist_pushdown_join.max_keys):
+    the input row count is checked against `max_rows` before the
+    quadratic join is planned — `max_id=None` on a large corpus raises
+    instead of silently planning an O(n²) cross join."""
     d = docs if max_id is None else docs.where(F.col(id_col) < max_id)
+    n_rows = d.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"ngram_jaccard_pairs is a quadratic exact baseline: {n_rows} input "
+            f"rows exceeds max_rows={max_rows} (~{n_rows * (n_rows - 1) // 2:,} "
+            "pairs) — bound the input with max_id/max_rows or use the bucketed "
+            "near_dup_pairs / minhash_lsh_pairs path"
+        )
     grams = d.select(
         F.col(id_col),
         F.array_distinct(word_shingles(tokens(text_col), n)).alias("grams"),
@@ -321,13 +335,19 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over near-dup pairs via iterative min-label
     propagation (the scalable CC pattern: each round joins current
     labels across edges and keeps the min; converges in O(diameter)
     rounds — near-dup clusters are tiny, so a handful).  Returns
     (doc_id, cluster_id=min doc_id of the component): keep one canonical
-    doc per cluster, drop the rest."""
+    doc per cluster, drop the rest.
+
+    Raises RuntimeError when `max_iter` rounds pass without reaching a
+    fixpoint — returning non-converged labels would silently split
+    components (and fail the recursive-CTE oracle).  For graphs with
+    long chains use `dedup_clusters_star`, which converges in O(log n)
+    rounds instead of O(diameter)."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -341,6 +361,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "cluster_id", F.col("id")
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -365,8 +386,111 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         )
         labels = new_labels.localCheckpoint(eager=True) if changed else new_labels
         if not changed:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds — the pair "
+            "graph has a component with diameter beyond the round budget; "
+            "raise max_iter or use dedup_clusters_star (O(log n) rounds)"
+        )
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def dedup_clusters_star(
+    pairs: DataFrame, max_iter: int = 50, stats: dict | None = None
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14).  Same (doc_id, cluster_id=component min) contract as
+    `dedup_clusters`, but converges in O(log n) rounds REGARDLESS of
+    component diameter — min-label propagation pays one round per hop,
+    so a near-dup chain of length d (common in 100-TB-corpus dedup
+    graphs: A~B~C~... drifting revisions) costs d rounds there versus
+    ~log d here.  Each round is two shuffles (groupBy min + join), the
+    same per-round cost shape as label propagation.
+
+    large-star: every node links its strictly-larger neighbours to the
+    minimum of its closed neighbourhood (cuts tall trees to depth ~1/2);
+    small-star: every node links its smaller neighbours and itself to
+    their minimum (completes star collapse).  Fixpoint = components as
+    stars centred on the component minimum.
+
+    `stats`, when given, receives {"rounds": n} so probes can record
+    the round-count advantage (tools/scale_probe.py)."""
+    sym = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        # same rationale as dedup_clusters: materialize once, or the
+        # upstream pair pipeline re-executes every round
+        .localCheckpoint(eager=True)
+    )
+    edges = sym
+    stars = None
+    converged = False
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # LARGE-STAR over the symmetric edge list: m = min(N(u) ∪ {u}),
+        # emit (v, m) for strictly-larger neighbours v > u.
+        mins = (
+            edges.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+        )
+        large = (
+            edges.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # SMALL-STAR: orient each edge from its larger endpoint, then
+        # link the smaller neighbours AND the node itself to their min.
+        und = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins2 = und.groupBy("u").agg(F.min("v").alias("m"))
+        new_stars = (
+            und.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if stars is not None:
+            same_size = new_stars.count() == stars.count()
+            if same_size and new_stars.exceptAll(stars).limit(1).count() == 0:
+                stars = new_stars
+                converged = True
+                break
+        stars = new_stars
+        edges = new_stars.unionByName(
+            new_stars.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+    if stats is not None:
+        stats["rounds"] = rounds
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters_star did not converge in {max_iter} rounds "
+            "(expected O(log n)); the pair graph is pathological — inspect it"
+        )
+    labels = stars.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = (
+        stars.select(F.col("v").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    # at fixpoint each non-root appears exactly once; the groupBy-min is
+    # a cheap idempotent safety net over the tiny label set
+    return (
+        labels.unionByName(roots)
+        .groupBy("doc_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
 
 
 # Portable MinHash family: the production path uses xxhash64 (fastest

@@ -1919,6 +1919,17 @@ def q_dedup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.dedup_clusters(pairs)
 
 
+@query("q_dedup_clusters_star")  # oracle attached below (same CTE as q_dedup_clusters)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — near-dup clustering via alternating large-star/small-star
+    connected components (O(log n) rounds vs min-label propagation's
+    O(diameter)) on the portable pair family; value-checked against the
+    SAME recursive-CTE transitive-closure oracle as q_dedup_clusters —
+    both algorithms must land on identical components."""
+    pairs = L.portable_near_dup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return L.dedup_clusters_star(pairs)
+
+
 # ---------------------------------------------------------------------------
 # M6c — training-data sampling ops (hash-deterministic)
 # ---------------------------------------------------------------------------
@@ -2253,6 +2264,9 @@ ORACLES["q_dedup_clusters"] = f"""
     SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
     FROM reach GROUP BY id
     """
+
+# The star-CC variant must produce bit-identical components.
+ORACLES["q_dedup_clusters_star"] = ORACLES["q_dedup_clusters"]
 
 
 def _portable_simhash_oracle(bits: int = 60) -> str:
@@ -5387,7 +5401,7 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_source_overlap",
-    """
+    r"""
     WITH fps AS (
       SELECT DISTINCT source,
              md5(array_to_string(

@@ -136,6 +136,66 @@ def test_dedup_clusters_known_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_dedup_clusters_raises_on_round_budget(spark):
+    """Non-convergence must raise, not return silently-split components
+    (the labels feed an exact-components oracle downstream)."""
+    chain = spark.createDataFrame(
+        [(i, i + 1, 0.9) for i in range(12)], "id_a long, id_b long, jaccard double"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        L.dedup_clusters(chain, max_iter=2)
+
+
+def test_dedup_clusters_star_known_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (10, 11, 0.8)],
+        "id_a long, id_b long, jaccard double",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in L.dedup_clusters_star(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_star_long_chain_round_advantage(spark):
+    """A length-40 chain has diameter 40: min-label propagation needs
+    ~40 rounds; the alternating star algorithm must finish in O(log n)
+    — the round count IS the 100-TB claim, so assert it."""
+    n = 40
+    chain = spark.createDataFrame(
+        [(i, i + 1, 0.9) for i in range(n)], "id_a long, id_b long, jaccard double"
+    )
+    stats: dict = {}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in L.dedup_clusters_star(chain, stats=stats).collect()
+    }
+    assert got == {i: 0 for i in range(n + 1)}
+    assert stats["rounds"] <= 8, f"expected O(log n) rounds, took {stats['rounds']}"
+
+
+def test_dedup_clusters_star_matches_label_propagation(spark):
+    """Both CC algorithms must land on identical components on a messy
+    graph (multiple components, cycles, out-of-order ids)."""
+    edges = [
+        (5, 3), (3, 9), (9, 5),          # cycle
+        (20, 21), (21, 22), (22, 23),    # path
+        (40, 41),                        # pair
+        (7, 100), (100, 8),              # star-ish
+    ]
+    pairs = spark.createDataFrame(
+        [(a, b, 0.9) for a, b in edges], "id_a long, id_b long, jaccard double"
+    )
+    lp = {r["doc_id"]: r["cluster_id"] for r in L.dedup_clusters(pairs).collect()}
+    star = {r["doc_id"]: r["cluster_id"] for r in L.dedup_clusters_star(pairs).collect()}
+    assert lp == star
+
+
+def test_ngram_jaccard_pairs_guard_raises(spark, docs):
+    """The quadratic exact baseline must refuse, mechanically, to plan
+    an all-pairs join over an unbounded corpus."""
+    with pytest.raises(ValueError, match="quadratic"):
+        L.ngram_jaccard_pairs(docs, max_id=None, max_rows=10)
+
+
 def test_quality_score_bounds(spark, docs):
     rows = L.quality_score(docs.limit(100)).collect()
     for r in rows:
