@@ -109,8 +109,9 @@ def compact(spark: SparkSession, path: str, target_files: int = 8) -> int:
 
     The staging dir is a SIBLING of the target (same filesystem — a
     cross-FS rename is a copy) and the swap goes through the storage
-    backend: atomic renames on POSIX/HDFS; on object stores run this
-    through a table format instead (see pixelspark/storage.py)."""
+    backend: atomic renames on POSIX/HDFS; on object stores use
+    SnapshotTable.compact() (pixelspark/table.py), whose commit is a
+    manifest publication instead of a rename."""
     st = storage_for(path, spark)
     st.recover_swap(path)  # repair any previously interrupted swap
     df = spark.read.option("mergeSchema", "true").parquet(path)

@@ -18,10 +18,11 @@ but a 100 TB events table with late-arriving data wants the TimescaleDB
     At sf=100TB with a daily batch this is O(delta), not O(table).
 
 Non-additive stats (avg) are derived at read time from the exact
-counters.  On Delta/Iceberg the partition swap below is a single
-`replaceWhere` / dynamic-partition-overwrite write; on vanilla parquet
-directories we stage the merged partitions and atomically swap the
-day= subdirectories.
+counters.  Two storage backends carry the partition replacement:
+vanilla parquet directories (this module — stage + atomic day=
+subdirectory renames, POSIX/HDFS only) and the snapshot-commit table
+format (`pixelspark.table.refresh_rollup_snapshot` — a manifest-edit
+`replaceWhere`, atomic on object stores too).
 """
 
 from __future__ import annotations

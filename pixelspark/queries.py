@@ -861,6 +861,54 @@ def q_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_snapshot_upsert",
+    f"""
+    WITH pv AS (
+      SELECT user_id AS shop, COUNT(*) AS event_count
+      FROM events
+      WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '{TD}'
+      GROUP BY user_id
+    ), bill AS (
+      SELECT COALESCE(pv.event_count, 0) AS page_views
+      FROM customer c LEFT JOIN pv ON c.c_custkey = pv.shop
+    )
+    SELECT CASE WHEN page_views > 0 THEN 'success' ELSE 'pending' END
+             AS shopify_billing_status,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM bill GROUP BY 1
+    """,
+)
+def q_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 on the snapshot-commit table format (pixelspark/table.py):
+    the same write→upsert→read-back end state as q_upsert_roundtrip,
+    but every table mutation is an atomic manifest commit — the
+    object-store-safe counterpart of the reference's server-side
+    BigQuery DML (src/services/bigquery.ts:168-190).  Same oracle:
+    the end state must be indistinguishable across backends."""
+    import tempfile
+
+    from pixelspark.table import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="pixelspark_snap_") + "/usage_records"
+    t = SnapshotTable(spark, root)
+    bill = B.daily_billing(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "events"), TD)
+    base = (
+        bill.withColumn("shop", F.col("shop").cast("string"))
+        .withColumn("shopify_billing_status", F.lit("pending"))
+    )
+    t.overwrite(base)
+    updates = t.read().where(F.col("page_views") > 0).withColumn(
+        "shopify_billing_status", F.lit("success")
+    )
+    t.upsert(updates, keys=("shop", "billing_date"))
+    return (
+        t.read()
+        .groupBy("shopify_billing_status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # M6 — LLM-data-pipeline pack
 # ---------------------------------------------------------------------------
@@ -6120,39 +6168,83 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _WINDOW = 50
-# Value-checked flagships promoted into the driver window (all have ORACLES
-# entries and are value-green vs DuckDB in tools/check.py sweeps).
-_PROMOTE = [
-    "q_intersect",       # §2.7 set ops — completes the union/except/intersect row
-    "q_charge_execute",  # S8 external charge sink, deterministic fresh-ledger variant
-    "q_dedup_clusters",  # near-dup clustering vs recursive-CTE components oracle
-    "q_cross_dedup",     # incremental cross-corpus dedup, daily-ingest shape
-    "q_curate_corpus",   # full dedup->quality->redact->chunk->split chain
+# The exact window contents, pinned explicitly: every name here is
+# value-checked (has an ORACLES entry; verified green vs DuckDB at
+# sf0.01).  Newly registered queries land in the tail automatically —
+# growing the registry can never silently evict a window entry.
+_WINDOW_QUERIES = [
+    "q_daily_billing",
+    "q_sessions_scan",
+    "q_pageviews_agg",
+    "q_billing_totals",
+    "q_charge_plan",
+    "q_status_counts",
+    "q_records_for_date",
+    "q_status_case",
+    "q_regex_strip",
+    "q_domain_fix",
+    "q_money_format",
+    "q_json_extract",
+    "q_target_date",
+    "q_unbilled_shops",
+    "q_billed_shops_semi",
+    "q_enrich_results",
+    "q_union_all",
+    "q_except",
+    "q_daily_active_users",
+    "q_rollup_day_type",
+    "q_revenue_by_flag",
+    "q_latest_state",
+    "q_top_shops",
+    "q_recent_records",
+    "q_running_total",
+    "q_lag_daily",
+    "q_report_rows",
+    "q_star_join",
+    "q_schema_evolve",
+    "q_upsert_roundtrip",
+    "q_docs_exact_dedup",
+    "q_docs_dedup_norm",
+    "q_text_stats",
+    "q_lang_stats",
+    "q_lang_id",
+    "q_token_count",
+    "q_doc_fingerprint",
+    "q_ngram_jaccard",
+    "q_minhash_pairs",
+    "q_simhash",
+    "q_vector_norm",
+    "q_ann_topk",
+    "q_embed_neardup",
+    "q_multimodal_meta",
+    "q_media_features",
+    "q_intersect",
+    "q_charge_execute",
+    "q_dedup_clusters",
+    "q_cross_dedup",
+    "q_curate_corpus",
 ]
-# Rows-only-by-construction (or redundant-scalar) entries demoted past the
-# window; they remain registered and pytest-gated.
-_DEMOTE = [
-    "q_target_date_live",  # wall-clock now(): inherently no oracle
-    "q_minhash_fast",      # xxhash64 family: no cross-engine equivalent
-    "q_simhash_fast",      # xxhash64 family: no cross-engine equivalent
-    "q_ann_lsh",           # approximate: gated by recall floor in pytest
-    "q_substr",            # redundant scalar row (F10 also covered in window era)
-]
+# Rows-only-by-construction variants (wall-clock clock reads, xxhash64
+# families with no cross-engine equivalent, approximate ANN) and
+# redundant scalar rows stay registered and pytest-gated (e.g. the
+# recall@5 >= 0.9 floor in tests/test_llm.py) — they simply yield the
+# window to hash-checkable entries.
 
 
 def _reorder_registry() -> None:
     names = list(QUERIES)
-    demote = set(_DEMOTE)
-    window = [n for n in names[:_WINDOW] if n not in demote]
-    window += [n for n in _PROMOTE if n not in window]
-    in_window = set(window)
-    tail = [n for n in names if n not in in_window]
-    new_order = window + tail
-    assert len(new_order) == len(names), "registry reorder must be a permutation"
-    assert all(n in ORACLES for n in new_order[:_WINDOW]), (
-        "every query inside the driver correctness window must be value-checkable"
+    assert len(_WINDOW_QUERIES) == _WINDOW
+    missing = [n for n in _WINDOW_QUERIES if n not in QUERIES]
+    assert not missing, f"window names not registered: {missing}"
+    unoracled = [n for n in _WINDOW_QUERIES if n not in ORACLES]
+    assert not unoracled, (
+        f"every query inside the driver correctness window must be "
+        f"value-checkable; missing oracles: {unoracled}"
     )
-    reordered = {n: QUERIES[n] for n in new_order}
+    in_window = set(_WINDOW_QUERIES)
+    tail = [n for n in names if n not in in_window]
+    reordered = {n: QUERIES[n] for n in list(_WINDOW_QUERIES) + tail}
+    assert len(reordered) == len(names)
     QUERIES.clear()
     QUERIES.update(reordered)
 

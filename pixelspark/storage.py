@@ -6,13 +6,16 @@ atomic.  Re-expressed over files, the swap sequence needs real
 filesystem semantics, and those differ by substrate:
 
 * POSIX / HDFS: `rename` is atomic; directory listing is consistent.
-* S3 (via s3a): rename is a non-atomic COPY+DELETE and there is no
-  atomic create-if-absent — a bare-parquet swap is NOT transactional
-  there.  The honest 100-TB posture: on object stores run these swaps
-  through a table format (Delta/Iceberg `replaceWhere` / snapshot
-  commit); the `HadoopStorage` backend still works for staging and
-  cleanup, but the swap window is not atomic and `PosixLedger`
-  refuses object-store schemes outright (see `ledger_precondition`).
+* S3 (via s3a): rename is a non-atomic COPY+DELETE, so the
+  backup-rename swaps below are only for POSIX/HDFS substrates.  On
+  object stores use `pixelspark.table.SnapshotTable` — the
+  manifest-logged snapshot-commit format in this repo: data dirs are
+  immutable, a commit is the atomic publication of one small manifest
+  (`write_text_atomic` below), and `replace_partitions`/`upsert`/
+  `overwrite` are transactional on every substrate with no rename of
+  live data at all.  The idempotency ledger still refuses
+  object-store schemes (see `ledger_precondition`) because its
+  O_EXCL claim files are a POSIX-only contract.
 
 `LocalStorage` (os/shutil) is the zero-dependency test backend;
 `HadoopStorage` routes every call through the Hadoop FileSystem API of
@@ -55,6 +58,26 @@ class Storage:
 
     def has_parquet(self, path: str) -> bool:
         """Does the tree under `path` hold any parquet data file."""
+        raise NotImplementedError
+
+    def read_text(self, path: str) -> str:
+        """Full contents of a small text file (manifests, pointers)."""
+        raise NotImplementedError
+
+    def write_text_atomic(self, path: str, content: str) -> bool:
+        """Publish a small IMMUTABLE text file with all-or-nothing
+        visibility: readers see the complete file or no file, never a
+        partial write.  Returns False (without touching `path`) when
+        the destination already exists — the optimistic-concurrency
+        primitive snapshot commits are built on.
+
+        POSIX: temp file + hard-link (link(2) fails atomically with
+        EEXIST).  HDFS: temp file + rename (namenode rejects an
+        existing destination).  Object stores: a small single-object
+        copy — atomic visibility always; the no-overwrite check is
+        best-effort there (check-then-copy), so object-store tables
+        assume a single committer per table (same stance as
+        delta-on-S3 without a lock service)."""
         raise NotImplementedError
 
     # -- composite ops ----------------------------------------------------
@@ -135,6 +158,28 @@ class LocalStorage(Storage):
                 return True
         return False
 
+    def read_text(self, path: str) -> str:
+        with open(_strip_file_scheme(path), encoding="utf-8") as f:
+            return f.read()
+
+    def write_text_atomic(self, path: str, content: str) -> bool:
+        path = _strip_file_scheme(path)
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        tmp = os.path.join(parent or ".", f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(content)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)  # atomic create-if-absent (EEXIST on loss)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+
 
 class HadoopStorage(Storage):
     """Hadoop FileSystem backend: each path resolves its own FileSystem
@@ -186,6 +231,38 @@ class HadoopStorage(Storage):
         while it.hasNext():
             if it.next().getPath().getName().endswith(".parquet"):
                 return True
+        return False
+
+    def read_text(self, path: str) -> str:
+        fs, p = self._fs(path), self._path(path)
+        stream = fs.open(p)
+        try:
+            # JVM-side drain: py4j passes byte[] by value, so a Python
+            # read-into-buffer loop would never see the bytes.
+            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            return bytes(data).decode("utf-8")
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, path: str, content: str) -> bool:
+        fs, dst = self._fs(path), self._path(path)
+        if fs.exists(dst):  # cheap early loss check
+            return False
+        parent = dst.getParent()
+        if parent is not None and not fs.exists(parent):
+            fs.mkdirs(parent)
+        tmp = self._path(f"{path}.tmp-{uuid.uuid4().hex}")
+        stream = fs.create(tmp, True)
+        try:
+            stream.write(bytearray(content.encode("utf-8")))
+        finally:
+            stream.close()
+        # HDFS rename refuses an existing destination -> atomic loss
+        # detection; on object stores this is a small single-object
+        # copy (atomic visibility, best-effort exclusivity).
+        if fs.rename(tmp, dst):
+            return True
+        fs.delete(tmp, False)
         return False
 
 

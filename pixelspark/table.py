@@ -1,0 +1,284 @@
+"""Snapshot-commit table format: atomic writes on ANY substrate,
+including object stores.
+
+The reference gets transactional table swaps for free from BigQuery
+(server-side atomic DML, src/services/bigquery.ts:168-190).  The
+bare-parquet write paths in pixelspark/io.py re-create that with
+backup-rename swaps, which are atomic on POSIX/HDFS but NOT on s3a
+(rename = copy+delete).  This module closes that gap the way
+Delta/Iceberg do, with a minimal manifest log:
+
+  table_root/
+    _manifests/v00000001.json   immutable snapshot manifests
+    _manifests/v00000002.json   (highest version = current table)
+    data/snap-<uuid>/           immutable data directories
+
+  * Data is only ever ADDED under `data/` — no rename or delete of
+    live data ever happens on the write path.
+  * A commit is the publication of ONE new small manifest file that
+    lists which data directories (and, for partitioned tables, which
+    `col=value` subdirectories) make up the snapshot.  Publication
+    goes through `Storage.write_text_atomic`: temp + hard-link on
+    POSIX, temp + rename on HDFS, single-object copy on stores — a
+    reader sees the complete manifest or none.
+  * A crash at ANY point before the manifest lands leaves the table
+    exactly at its previous snapshot; half-written data dirs are
+    unreferenced garbage for `vacuum()`.
+  * Concurrency is optimistic: two committers racing for version N+1
+    resolve by the create-if-absent — the loser reloads the new
+    latest and REBASES its manifest edit (entry-level merge), like
+    Delta's commit-retry loop.  On object stores, where exclusivity
+    of the create is best-effort, run one committer per table (the
+    same stance as delta-on-S3 without a DynamoDB lock).
+
+Partitioned snapshots keep Hive-style `col=value` subdirectories
+*within each snap dir*, so one `spark.read.option("basePath", snap)`
+per snap restores the typed partition column and keeps partition
+pruning; `replace_partitions` is a pure manifest edit — untouched
+partitions keep pointing at their existing data dirs, byte-identical
+(the Delta `replaceWhere` shape).  Reads union one scan per live snap
+dir; `compact()` folds history back to a single dir so the union
+width is bounded by compaction cadence, not table age.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from functools import reduce
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pixelspark.storage import Storage, storage_for
+
+MANIFEST_DIR = "_manifests"
+DATA_DIR = "data"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Raised when a commit loses the optimistic race `max_retries`
+    times in a row (livelock guard, not an expected state)."""
+
+
+class SnapshotTable:
+    """Manifest-logged parquet table with atomic snapshot commits."""
+
+    def __init__(self, spark: SparkSession, root: str, max_retries: int = 5):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.st: Storage = storage_for(root, spark)
+        self.max_retries = max_retries
+
+    # -- manifest log ------------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return f"{self.root}/{MANIFEST_DIR}/v{version:08d}.json"
+
+    def versions(self) -> list[int]:
+        out = []
+        for name in self.st.list(f"{self.root}/{MANIFEST_DIR}"):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def manifest(self, version: int) -> dict:
+        return json.loads(self.st.read_text(self._manifest_path(version)))
+
+    def exists(self) -> bool:
+        return self.latest_version() is not None
+
+    def _commit(self, build: Callable[[dict | None], dict]) -> int:
+        """Optimistic commit loop: read latest manifest, apply the
+        entry-level edit `build`, publish as version+1; on losing the
+        create race, reload and REBASE the edit onto the winner."""
+        for _ in range(self.max_retries):
+            v = self.latest_version()
+            prev = self.manifest(v) if v is not None else None
+            new = build(prev)
+            new["version"] = (v or 0) + 1
+            if self.st.write_text_atomic(
+                self._manifest_path(new["version"]), json.dumps(new, indent=1)
+            ):
+                return new["version"]
+        raise ConcurrentCommitError(
+            f"lost the commit race {self.max_retries} times at {self.root}"
+        )
+
+    # -- data-dir plumbing -------------------------------------------------
+
+    def _new_snap(self) -> str:
+        return f"{DATA_DIR}/snap-{uuid.uuid4().hex[:16]}"
+
+    def _write_snap(self, df: DataFrame, partition_col: str | None) -> tuple[str, list[str]]:
+        """Write one immutable data dir; returns (relative dir, list of
+        `col=value` subdirectory names — empty for unpartitioned)."""
+        rel = self._new_snap()
+        full = f"{self.root}/{rel}"
+        if partition_col is None:
+            df.write.mode("errorifexists").parquet(full)
+            return rel, []
+        df.write.mode("errorifexists").partitionBy(partition_col).parquet(full)
+        parts = [p for p in self.st.list(full) if p.startswith(f"{partition_col}=")]
+        return rel, parts
+
+    # -- write operations --------------------------------------------------
+
+    def overwrite(self, df: DataFrame, partition_col: str | None = None) -> int:
+        rel, parts = self._write_snap(df, partition_col)
+        entry = {"base": rel, "parts": parts or None}
+        return self._commit(
+            lambda prev: {"partition_col": partition_col, "entries": [entry]}
+        )
+
+    def append(self, df: DataFrame) -> int:
+        """Blind append (the cheap daily-ingest write): adds one data
+        dir; all previous entries carry over untouched."""
+        rel, _ = self._write_snap(df, None)
+        entry = {"base": rel, "parts": None}
+
+        def build(prev: dict | None) -> dict:
+            entries = list(prev["entries"]) if prev else []
+            if prev and prev.get("partition_col"):
+                raise ValueError(
+                    "append() on a partitioned snapshot table — use "
+                    "replace_partitions() so partition pruning stays intact"
+                )
+            return {"partition_col": None, "entries": entries + [entry]}
+
+        return self._commit(build)
+
+    def replace_partitions(self, df: DataFrame, partition_col: str) -> int:
+        """Atomic dynamic-partition overwrite (Delta `replaceWhere`):
+        replace exactly the `partition_col` values present in `df`.
+        Data for untouched partitions is NOT rewritten, renamed, or
+        even read — the commit is a manifest edit, so the operation is
+        atomic on s3a exactly like everywhere else."""
+        rel, parts = self._write_snap(df, partition_col)
+        new_parts = set(parts)
+
+        def build(prev: dict | None) -> dict:
+            if prev and prev.get("partition_col") not in (None, partition_col):
+                raise ValueError(
+                    f"table is partitioned by {prev['partition_col']!r}, "
+                    f"not {partition_col!r}"
+                )
+            entries = []
+            for e in (prev or {"entries": []})["entries"]:
+                kept = [p for p in (e["parts"] or []) if p not in new_parts]
+                if kept:
+                    entries.append({"base": e["base"], "parts": kept})
+            entries.append({"base": rel, "parts": sorted(new_parts)})
+            return {"partition_col": partition_col, "entries": entries}
+
+        return self._commit(build)
+
+    def upsert(self, df: DataFrame, keys: tuple[str, ...]) -> int:
+        """Keyed upsert (reference bigquery.ts:168-190 / Delta MERGE):
+        read current snapshot, left-anti the updated keys, union, write
+        as a fresh snapshot.  The read and the rewrite both happen on
+        immutable dirs; the switch is the manifest commit."""
+        if not self.exists():
+            return self.overwrite(df)
+        existing = self.read()
+        keep = existing.join(
+            F.broadcast(df.select(*keys).distinct()), list(keys), "left_anti"
+        )
+        merged = keep.unionByName(df, allowMissingColumns=True)
+        return self.overwrite(merged)
+
+    def compact(self) -> int:
+        """Fold all live entries into one data dir (bounds the read
+        union width); pure add-then-commit, same crash model."""
+        m = self.manifest(self.latest_version())
+        return self.overwrite(self.read(), m.get("partition_col"))
+
+    # -- read operations ---------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Current table (or time-travel to `version`): one scan per
+        live snap dir, unioned.  For partitioned snapshots each scan
+        uses its snap dir as basePath, so the typed partition column is
+        restored by Spark's own partition discovery and `WHERE day=X`
+        prunes to the listed subdirectories."""
+        v = version if version is not None else self.latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no snapshot at {self.root}")
+        m = self.manifest(v)
+        scans = []
+        for e in m["entries"]:
+            base = f"{self.root}/{e['base']}"
+            if e["parts"] is None:
+                scans.append(self.spark.read.parquet(base))
+            else:
+                paths = [f"{base}/{p}" for p in e["parts"]]
+                scans.append(
+                    self.spark.read.option("basePath", base).parquet(*paths)
+                )
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), scans
+        )
+
+    # -- maintenance -------------------------------------------------------
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Delete data dirs unreferenced by the `keep_versions` newest
+        manifests (crash leftovers, replaced snapshots) and prune older
+        manifests.  Returns removed relative paths.  Like Delta VACUUM,
+        run it OUT-of-band of writers; retention must cover any reader
+        still pinned to an old version."""
+        vs = self.versions()
+        if not vs:
+            return []
+        keep = vs[-keep_versions:]
+        live = set()
+        for v in keep:
+            for e in self.manifest(v)["entries"]:
+                live.add(e["base"].split("/", 1)[1])  # snap-... name
+        removed = []
+        for name in self.st.list(f"{self.root}/{DATA_DIR}"):
+            if name not in live:
+                self.st.delete(f"{self.root}/{DATA_DIR}/{name}")
+                removed.append(f"{DATA_DIR}/{name}")
+        for v in vs[:-keep_versions]:
+            self.st.delete(self._manifest_path(v))
+        return sorted(removed)
+
+
+def refresh_rollup_snapshot(
+    spark: SparkSession, root: str, events_batch: DataFrame
+) -> list[str]:
+    """`ops/rollup.refresh_rollup` on the snapshot backend: same
+    O(delta) incremental merge, but the partition replacement is an
+    atomic manifest commit instead of per-directory renames — safe on
+    object stores, no .bak recovery windows at all."""
+    from pixelspark.ops.rollup import day_rollup, merge_rollups
+
+    t = SnapshotTable(spark, root)
+    delta = day_rollup(events_batch)
+    if not t.exists():
+        t.replace_partitions(delta, "day")
+        m = t.manifest(t.latest_version())
+        return sorted(p for e in m["entries"] for p in e["parts"])
+    days = [r["day"] for r in delta.select("day").distinct().collect()]
+    existing = t.read().where(F.col("day").isin(days)).drop("avg_value")
+    merged = merge_rollups(existing, delta)
+    t.replace_partitions(merged, "day")
+    return sorted(f"day={d}" for d in days)
+
+
+def read_rollup_snapshot(spark: SparkSession, root: str) -> DataFrame:
+    """Snapshot-backend counterpart of `ops/rollup.read_rollup`."""
+    df = SnapshotTable(spark, root).read()
+    return df.withColumn(
+        "avg_value",
+        F.round((F.col("sum_value") / F.col("n_events")).cast("double"), 6),
+    )

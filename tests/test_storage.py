@@ -171,3 +171,26 @@ def test_local_rename_bare_relative_dst(tmp_path, monkeypatch):
     os.makedirs("srcdir")
     LocalStorage().rename("srcdir", "dstdir")
     assert os.path.isdir("dstdir") and not os.path.exists("srcdir")
+
+
+def test_snapshot_commit_swap_on_hadoop_backend(spark, tmp_path):
+    """The snapshot-commit path that makes table swaps atomic on
+    object stores (pixelspark/table.py), driven here through the
+    Hadoop FileSystem backend (file:// scheme) — the same code path a
+    s3a:// root would take: manifest publication via
+    write_text_atomic, no rename of live data anywhere."""
+    from pixelspark.storage import HadoopStorage
+    from pixelspark.table import SnapshotTable
+
+    root = f"file://{tmp_path}/snaptbl"
+    t = SnapshotTable(spark, root)
+    t.st = HadoopStorage(spark)  # file:// maps to Local by default; force the JVM path
+    t.overwrite(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.upsert(spark.createDataFrame([(1, "b"), (2, "c")], "k long, v string"), keys=("k",))
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {1: "b", 2: "c"}
+    # optimistic-concurrency primitive: second publish of the same
+    # manifest version must LOSE (returns False), not overwrite
+    path = t._manifest_path(t.latest_version())
+    assert t.st.write_text_atomic(path, "{}") is False
+    assert "entries" in t.st.read_text(path)
