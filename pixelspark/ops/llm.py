@@ -335,7 +335,9 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def dedup_clusters(
+    pairs: DataFrame, max_iter: int = 20, stats: dict | None = None
+) -> DataFrame:
     """Connected components over near-dup pairs via iterative min-label
     propagation (the scalable CC pattern: each round joins current
     labels across edges and keeps the min; converges in O(diameter)
@@ -362,7 +364,9 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         "cluster_id", F.col("id")
     )
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -388,6 +392,8 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if not changed:
             converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iter} rounds — the pair "

@@ -80,7 +80,11 @@ def test_ann_lsh_recall(spark, emb):
         for r in L.ann_lsh_topk(emb, qids, k=5, n_planes=2, n_tables=4).collect()
     }
     recall = len(approx & exact) / len(exact)
-    assert recall >= 0.6, recall  # approximate by design; scale path trade-off
+    # deterministic on this fixed dataset/config: measured 0.84 — the
+    # floor is pinned just under it so a real regression (hash family,
+    # bucketing, re-rank) trips, not ambient noise.  The driver-config
+    # recall@5 >= 0.9 gate lives in test_ann_recall_floor_driver_configs.
+    assert recall >= 0.8, recall
 
 
 def test_cosine_self_similarity(spark, emb):
@@ -215,7 +219,9 @@ def test_ivf_ann_recall(spark, emb):
         for r in L.ann_ivf_topk(emb, qids, k=5, n_clusters=8, n_probe=2).collect()
     }
     recall = len(ivf & exact) / len(exact)
-    assert recall >= 0.5, recall
+    # deterministic here: measured 0.80 at probe=2/8 — pinned tight
+    # (driver-config 0.9 gate is in test_ann_recall_floor_driver_configs)
+    assert recall >= 0.75, recall
 
 
 def test_kmeans_deterministic(spark, emb):

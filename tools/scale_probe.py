@@ -43,10 +43,29 @@ QUERIES = [
     "q_pagerank",
 ]
 
+# round-4: bucketed-dedup heavy tail at 10x documents — the 100-TB
+# claim for these rested on plan shape alone; these rows make it a
+# measured cost curve.  The 10x documents are key-shifted AND
+# alphabet-rotated per copy (see build_sf1), so intra-copy near-dup
+# structure is preserved while cross-copy shingles are disjoint —
+# pair density stays ~constant and the expected cost curve is linear.
+DEDUP_QUERIES = [
+    "q_minhash_fast",
+    "q_dedup_clusters_fast",
+    "q_cross_dedup",
+]
+
 
 def build_sf1(spark) -> str:
     out = os.path.join(BASE, "sf1")
     if os.path.isdir(os.path.join(out, "events.parquet")):
+        # relational tables cached from a previous probe run; the 10x
+        # documents build has its own marker (older caches hold a 1x
+        # copy, which would silently void the dedup scale rows)
+        marker = os.path.join(out, "documents.10x")
+        if not os.path.exists(marker):
+            _build_documents_10x(spark, out)
+            open(marker, "w").close()
         return out
     os.makedirs(out, exist_ok=True)
     for name, key_cols in [
@@ -67,22 +86,82 @@ def build_sf1(spark) -> str:
         for c in copies[1:]:
             u = u.unionByName(c)
         u.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
-    for name in ["nation", "region", "supplier", "part", "documents", "embeddings"]:
+    for name in ["nation", "region", "supplier", "part", "embeddings"]:
         src = f"{SF01}/{name}.parquet"
         dst = f"{out}/{name}.parquet"
         if not os.path.exists(dst):
             df = spark.read.parquet(src)
             df.write.mode("overwrite").parquet(dst)
+    marker = os.path.join(out, "documents.10x")
+    if not os.path.exists(marker):
+        _build_documents_10x(spark, out)
+        open(marker, "w").close()
     return out
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _build_documents_10x(spark, out: str) -> None:
+    """10x documents with PRESERVED dup structure: each copy shifts
+    doc_id and rotates the alphabet (translate), so tokens of copy i
+    never collide with copy j — near-dup pairs exist within each copy
+    exactly as in the original, and the pair count scales ~10x (not
+    the ~100x a verbatim replication would produce via every copy of
+    doc X matching every other copy)."""
+    df = spark.read.parquet(f"{SF01}/documents.parquet")
+    copies = []
+    for i in range(10):
+        rot = ALPHA[i:] + ALPHA[:i]
+        copies.append(
+            df.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000)).withColumn(
+                "text", F.translate(F.col("text"), ALPHA + ALPHA.upper(), rot + rot.upper())
+            )
+        )
+    u = copies[0]
+    for c in copies[1:]:
+        u = u.unionByName(c)
+    u.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+
+def time_queries(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, float]:
     times = {}
-    for name in QUERIES:
+    for name in names or QUERIES:
         t0 = time.time()
         Q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
     return times
+
+
+def cc_rounds_experiment(spark) -> dict:
+    """Round-count advantage of alternating-star CC over min-label
+    propagation on a long chain (the pathological dedup-graph shape:
+    drifting revisions A~B~C~...).  Diameter 256 means propagation
+    pays ~256 rounds; star must land in O(log n)."""
+    from pixelspark.ops import llm as L
+
+    n = 256
+    chain = spark.createDataFrame(
+        [(i, i + 1, 0.9) for i in range(n)], "id_a long, id_b long, jaccard double"
+    )
+    star_stats: dict = {}
+    t0 = time.time()
+    star = {r["doc_id"]: r["cluster_id"]
+            for r in L.dedup_clusters_star(chain, stats=star_stats).collect()}
+    t_star = round(time.time() - t0, 3)
+    prop_stats: dict = {}
+    t0 = time.time()
+    prop = {r["doc_id"]: r["cluster_id"]
+            for r in L.dedup_clusters(chain, max_iter=n + 5, stats=prop_stats).collect()}
+    t_prop = round(time.time() - t0, 3)
+    return {
+        "experiment": "cc_chain_diameter_256",
+        "star_rounds": star_stats["rounds"],
+        "propagation_rounds": prop_stats["rounds"],
+        "star_sec": t_star,
+        "propagation_sec": t_prop,
+        "results_identical": star == prop,
+    }
 
 
 def skew_experiment(spark) -> dict:
@@ -137,6 +216,18 @@ def main() -> None:
     ratios = {k: round(t1[k] / t01[k], 2) if t01[k] else None for k in t01}
     print(json.dumps({"experiment": "scale_10x", "sf0.1_sec": t01, "sf1_sec": t1,
                       "time_ratio_at_10x_data": ratios}))
+
+    d01a = time_queries(spark, SF01, DEDUP_QUERIES)
+    d1a = time_queries(spark, sf1, DEDUP_QUERIES)
+    d01b = time_queries(spark, SF01, DEDUP_QUERIES)
+    d1b = time_queries(spark, sf1, DEDUP_QUERIES)
+    d01 = {k: min(d01a[k], d01b[k]) for k in d01a}
+    d1 = {k: min(d1a[k], d1b[k]) for k in d1a}
+    dratios = {k: round(d1[k] / d01[k], 2) if d01[k] else None for k in d01}
+    print(json.dumps({"experiment": "dedup_scale_10x_documents", "sf0.1_sec": d01,
+                      "10x_docs_sec": d1, "time_ratio_at_10x_data": dratios}))
+
+    print(json.dumps(cc_rounds_experiment(spark)))
     print(json.dumps(skew_experiment(spark)))
 
 
