@@ -61,6 +61,8 @@ HEADLINE = [
     "q_minhash_fast",
     "q_dedup_clusters",
     "q_dedup_clusters_fast",
+    "q_dedup_clusters_star",
+    "q_cross_dedup",
     "q_fuzzy_pairs",
     "q_bm25",
     "q_pagerank",
