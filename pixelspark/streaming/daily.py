@@ -93,6 +93,35 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     return q
 
 
+def run_snapshot_append_sink(
+    df: DataFrame, root: str, checkpoint: str, app_id: str = "pixelspark-stream"
+):
+    """Exactly-once streaming append into a snapshot-commit table:
+    each micro-batch lands through `SnapshotTable.append_once`, which
+    fuses epoch commit and data publication into one atomic manifest
+    write keyed by (app_id, batch_id).  A batch re-delivered after a
+    sink crash — or replayed wholesale after checkpoint loss — commits
+    nothing, so the table never double-counts (plain foreachBatch
+    append sinks are at-least-once exactly there).  Works on object
+    stores: no rename of live data anywhere."""
+    from pixelspark.table import SnapshotTable
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        SnapshotTable(batch_df.sparkSession, root).append_once(
+            batch_df, app_id, batch_id
+        )
+
+    q = (
+        df.writeStream.foreachBatch(commit)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_upsert_sink(df: DataFrame, table_path: str, checkpoint: str):
     """foreachBatch merge sink: each micro-batch upserts its window
     counts into the billing table keyed by (shop, billing_date) —

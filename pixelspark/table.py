@@ -62,6 +62,11 @@ class ConcurrentCommitError(RuntimeError):
     times in a row (livelock guard, not an expected state)."""
 
 
+class _SkipCommit(Exception):
+    """Internal: a build callback aborts the commit (e.g. a replayed
+    streaming batch detected inside the rebase loop)."""
+
+
 class SnapshotTable:
     """Manifest-logged parquet table with atomic snapshot commits."""
 
@@ -96,14 +101,22 @@ class SnapshotTable:
     def exists(self) -> bool:
         return self.latest_version() is not None
 
-    def _commit(self, build: Callable[[dict | None], dict]) -> int:
+    def _commit(self, build: Callable[[dict | None], dict]) -> int | None:
         """Optimistic commit loop: read latest manifest, apply the
         entry-level edit `build`, publish as version+1; on losing the
-        create race, reload and REBASE the edit onto the winner."""
+        create race, reload and REBASE the edit onto the winner.  The
+        streaming-transaction map (`txn`) carries over automatically
+        unless the build sets it.  Returns None when the build aborts
+        (_SkipCommit — a replayed batch detected mid-rebase)."""
         for _ in range(self.max_retries):
             v = self.latest_version()
             prev = self.manifest(v) if v is not None else None
-            new = build(prev)
+            try:
+                new = build(prev)
+            except _SkipCommit:
+                return None
+            if "txn" not in new and prev and prev.get("txn"):
+                new["txn"] = prev["txn"]
             new["version"] = (v or 0) + 1
             if self.st.write_text_atomic(
                 self._manifest_path(new["version"]), json.dumps(new, indent=1)
@@ -153,6 +166,40 @@ class SnapshotTable:
                     "replace_partitions() so partition pruning stays intact"
                 )
             return {"partition_col": None, "entries": entries + [entry]}
+
+        return self._commit(build)
+
+    def append_once(self, df: DataFrame, app_id: str, batch_id: int) -> int | None:
+        """Transactional streaming append (the Delta `txn` appId/version
+        guard): the manifest records the highest committed `batch_id`
+        per `app_id`, and a replayed batch — foreachBatch re-delivery
+        after a sink failure, or a full re-run after checkpoint loss —
+        commits NOTHING.  This is what makes `foreachBatch` + blind
+        append exactly-once instead of at-least-once: epoch commit and
+        data publication are the same atomic manifest write.
+
+        Returns the new version, or None when the batch was already
+        committed (its data dir, if written, is left as vacuum-able
+        garbage).  Assumes the standard deterministic-replay contract:
+        a given (app_id, batch_id) always carries the same rows."""
+        v = self.latest_version()
+        if v is not None:
+            last = self.manifest(v).get("txn", {}).get(app_id)
+            if last is not None and last >= batch_id:
+                return None  # replay detected before paying the write
+        rel, _ = self._write_snap(df, None)
+        entry = {"base": rel, "parts": None}
+
+        def build(prev: dict | None) -> dict:
+            txn = dict((prev or {}).get("txn") or {})
+            last = txn.get(app_id)
+            if last is not None and last >= batch_id:
+                raise _SkipCommit  # rival committed this batch mid-race
+            if prev and prev.get("partition_col"):
+                raise ValueError("append_once() on a partitioned snapshot table")
+            txn[app_id] = batch_id
+            entries = list(prev["entries"]) if prev else []
+            return {"partition_col": None, "entries": entries + [entry], "txn": txn}
 
         return self._commit(build)
 

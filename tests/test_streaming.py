@@ -529,3 +529,35 @@ def test_stream_stream_left_outer_join_finalizes_nulls(spark, sf_dir, tmp_path):
     }
     assert old_unmatched  # the fixture has an old unmatched tail
     assert old_unmatched <= null_rows
+
+
+def test_snapshot_append_sink_survives_checkpoint_loss(spark, sf_dir, tmp_path):
+    """Exactly-once through the SINK's own ledger, not the source
+    checkpoint: after the checkpoint directory is destroyed, a restart
+    replays every file from offset zero — a plain foreachBatch append
+    would double-count the whole table.  append_once's (app_id,
+    batch_id) txn guard in the snapshot manifest must turn the entire
+    replay into no-ops."""
+    import shutil
+
+    from pixelspark.table import SnapshotTable
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "snap_sink_in")
+    root = str(tmp_path / "snap_sink_table")
+    ckpt = str(tmp_path / "snap_sink_ckpt")
+    events.limit(500).coalesce(2).write.mode("overwrite").parquet(src)
+
+    stream = SD.read_event_stream(spark, src).select("event_id", "user_id", "value")
+    SD.run_snapshot_append_sink(stream, root, ckpt, app_id="ckpt-loss-test")
+    t = SnapshotTable(spark, root)
+    n1 = t.read().count()
+    v1 = t.latest_version()
+    assert n1 == 500
+
+    # catastrophic checkpoint loss -> full source replay from batch 0
+    shutil.rmtree(ckpt)
+    stream2 = SD.read_event_stream(spark, src).select("event_id", "user_id", "value")
+    SD.run_snapshot_append_sink(stream2, root, str(tmp_path / "ckpt2"), app_id="ckpt-loss-test")
+    assert t.read().count() == n1  # not a single duplicated row
+    assert t.latest_version() == v1  # and not a single new commit

@@ -192,3 +192,53 @@ def test_compact_bounds_union_width(spark, tbl):
     assert tbl.read().count() == 5
     tbl.vacuum(keep_versions=1)
     assert tbl.read().count() == 5
+
+
+def test_append_once_skips_replayed_batch(spark, tbl):
+    """The Delta-style txn guard: (app_id, batch_id) commits at most
+    once; replays (foreachBatch re-delivery, checkpoint loss) are
+    no-ops."""
+    assert tbl.append_once(_df(spark, [(1, "a")]), "app", 0) == 1
+    assert tbl.append_once(_df(spark, [(2, "b")]), "app", 1) == 2
+    # replay of batch 1 and of the long-gone batch 0: both skipped
+    assert tbl.append_once(_df(spark, [(2, "b")]), "app", 1) is None
+    assert tbl.append_once(_df(spark, [(1, "a")]), "app", 0) is None
+    assert tbl.read().count() == 2
+    # a DIFFERENT app's batch 0 is independent
+    assert tbl.append_once(_df(spark, [(9, "z")]), "other", 0) == 3
+    assert tbl.read().count() == 3
+
+
+def test_append_once_race_detected_mid_commit(spark, tbl):
+    """Two workers delivering the SAME batch race for the commit: the
+    loser must detect the rival's txn during rebase and abort — the
+    failure mode that double-counts in plain append sinks."""
+    tbl.append_once(_df(spark, [(1, "a")]), "app", 0)
+    real_write = tbl.st.write_text_atomic
+    fired = {"done": False}
+
+    def rival_commits_same_batch(path, content):
+        if not fired["done"]:
+            fired["done"] = True
+            rival = {"partition_col": None,
+                     "entries": tbl.manifest(1)["entries"],
+                     "txn": {"app": 1}, "version": 2}
+            real_write(tbl._manifest_path(2), json.dumps(rival))
+        return real_write(path, content)
+
+    tbl.st.write_text_atomic = rival_commits_same_batch
+    try:
+        out = tbl.append_once(_df(spark, [(2, "b")]), "app", 1)
+    finally:
+        tbl.st.write_text_atomic = real_write
+    assert out is None  # rival won batch 1; we must not commit it again
+    assert tbl.manifest(tbl.latest_version())["txn"] == {"app": 1}
+
+
+def test_txn_map_survives_other_commits(spark, tbl):
+    tbl.append_once(_df(spark, [(1, "a")]), "app", 7)
+    tbl.append(_df(spark, [(2, "b")]))  # non-streaming commit in between
+    tbl.upsert(_df(spark, [(1, "A")]), keys=("k",))
+    assert tbl.manifest(tbl.latest_version())["txn"] == {"app": 7}
+    # the guard still holds after unrelated commits
+    assert tbl.append_once(_df(spark, [(1, "a")]), "app", 7) is None
