@@ -242,3 +242,14 @@ def test_txn_map_survives_other_commits(spark, tbl):
     assert tbl.manifest(tbl.latest_version())["txn"] == {"app": 7}
     # the guard still holds after unrelated commits
     assert tbl.append_once(_df(spark, [(1, "a")]), "app", 7) is None
+
+
+def test_snapshot_schema_evolution_on_append(spark, tbl):
+    """Later snapshots may carry new columns; the unioned read aligns
+    by name and null-fills history (S5 semantics on the snapshot
+    backend)."""
+    tbl.overwrite(_df(spark, [(1, "a")]))
+    evolved = spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double")
+    tbl.append(evolved)
+    got = {r["k"]: (r["v"], r["score"]) for r in tbl.read().collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
