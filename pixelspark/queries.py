@@ -3093,6 +3093,43 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_snapshot_rollup",
+    """
+    SELECT user_id AS shop, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 6) AS DOUBLE) AS sum_value,
+           CAST(MIN(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS min_value,
+           CAST(MAX(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY user_id, CAST(ts AS DATE)
+    """,
+)
+def q_snapshot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental rollup on the snapshot-commit backend
+    (pixelspark/table.py refresh_rollup_snapshot): every partition
+    replacement is an atomic manifest edit instead of directory
+    renames.  Same one-shot GROUP BY oracle as q_incremental_rollup —
+    the two backends must be value-indistinguishable."""
+    import tempfile
+
+    from pixelspark.table import read_rollup_snapshot, refresh_rollup_snapshot
+
+    events = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="pixelspark_q_snaproll_") + "/t"
+    refresh_rollup_snapshot(spark, root, events.where(F.to_date("ts") < "2024-01-15"))
+    refresh_rollup_snapshot(spark, root, events.where(F.to_date("ts") >= "2024-01-15"))
+    df = read_rollup_snapshot(spark, root)
+    return df.select(
+        "shop",
+        "day",
+        "n_events",
+        F.round(F.col("sum_value"), 6).cast("double").alias("sum_value"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
+
+
+@query(
     "q_gap_fill",
     """
     WITH daily AS (

@@ -297,6 +297,11 @@ class SnapshotTable:
                 removed.append(f"{DATA_DIR}/{name}")
         for v in vs[:-keep_versions]:
             self.st.delete(self._manifest_path(v))
+        # manifest-publication temp files orphaned by a committer crash
+        # (versions() never reads them; this is pure tidying)
+        for name in self.st.list(f"{self.root}/{MANIFEST_DIR}"):
+            if ".tmp-" in name:
+                self.st.delete(f"{self.root}/{MANIFEST_DIR}/{name}")
         return sorted(removed)
 
 

@@ -253,3 +253,35 @@ def test_snapshot_schema_evolution_on_append(spark, tbl):
     tbl.append(evolved)
     got = {r["k"]: (r["v"], r["score"]) for r in tbl.read().collect()}
     assert got == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_concurrent_writers_all_land(spark, tmp_path):
+    """Optimistic concurrency under REAL contention: four threads, three
+    appends each, racing on one table.  Every append must land exactly
+    once (twelve commits + the initial overwrite), with the rebase loop
+    absorbing every version conflict — the multi-writer story a shared
+    table needs."""
+    import threading
+
+    root = str(tmp_path / "mw")
+    SnapshotTable(spark, root, max_retries=100).overwrite(_df(spark, [(0, "seed")]))
+    errors = []
+
+    def writer(tid: int) -> None:
+        try:
+            t = SnapshotTable(spark, root, max_retries=100)
+            for j in range(3):
+                t.append(_df(spark, [(tid * 100 + j, f"w{tid}b{j}")]))
+        except Exception as e:  # noqa: BLE001 — surface to the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    t = SnapshotTable(spark, root)
+    assert t.latest_version() == 13  # 1 overwrite + 12 appends, none lost
+    rows = {r["k"] for r in t.read().collect()}
+    assert rows == {0} | {i * 100 + j for i in range(4) for j in range(3)}
