@@ -213,10 +213,13 @@ class SnapshotTable:
         new_parts = set(parts)
 
         def build(prev: dict | None) -> dict:
-            if prev and prev.get("partition_col") not in (None, partition_col):
+            if prev and prev.get("partition_col") != partition_col and prev["entries"]:
+                # includes partition_col=None: partition-replacing an
+                # UNPARTITIONED table would reduce every parts=None
+                # entry to nothing and silently drop the whole table
                 raise ValueError(
-                    f"table is partitioned by {prev['partition_col']!r}, "
-                    f"not {partition_col!r}"
+                    f"table is partitioned by {prev.get('partition_col')!r}, "
+                    f"not {partition_col!r} — cannot replace_partitions"
                 )
             entries = []
             for e in (prev or {"entries": []})["entries"]:
@@ -235,12 +238,15 @@ class SnapshotTable:
         immutable dirs; the switch is the manifest commit."""
         if not self.exists():
             return self.overwrite(df)
+        pcol = self.manifest(self.latest_version()).get("partition_col")
         existing = self.read()
         keep = existing.join(
             F.broadcast(df.select(*keys).distinct()), list(keys), "left_anti"
         )
         merged = keep.unionByName(df, allowMissingColumns=True)
-        return self.overwrite(merged)
+        # preserve the table's partitioning — a keyed merge must not
+        # silently rewrite a partitioned table as unpartitioned
+        return self.overwrite(merged, partition_col=pcol)
 
     def compact(self) -> int:
         """Fold all live entries into one data dir (bounds the read

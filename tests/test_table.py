@@ -285,3 +285,34 @@ def test_concurrent_writers_all_land(spark, tmp_path):
     assert t.latest_version() == 13  # 1 overwrite + 12 appends, none lost
     rows = {r["k"] for r in t.read().collect()}
     assert rows == {0} | {i * 100 + j for i in range(4) for j in range(3)}
+
+
+def test_replace_partitions_refuses_unpartitioned_table(spark, tbl):
+    """Partition-replacing an unpartitioned table would reduce every
+    parts=None entry to nothing and silently drop the table — must
+    raise instead."""
+    tbl.overwrite(_df(spark, [(1, "a")]))
+    delta = spark.createDataFrame([(9, "2024-01-02", 1.0)],
+                                  "shop long, day string, amount double")
+    with pytest.raises(ValueError, match="cannot replace_partitions"):
+        tbl.replace_partitions(delta, "day")
+    assert tbl.read().count() == 1  # untouched
+
+
+def test_upsert_preserves_partitioning(spark, tbl):
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-02", 20.0)],
+        "shop long, day string, amount double",
+    )
+    tbl.overwrite(base, partition_col="day")
+    upd = spark.createDataFrame(
+        [(2, "2024-01-02", 99.0)], "shop long, day string, amount double"
+    )
+    # day arrives as string but the table stores it as a typed
+    # partition value; upsert on (shop) replaces shop 2's row
+    tbl.upsert(upd.withColumn("day", F.col("day").cast("date")), keys=("shop",))
+    m = tbl.manifest(tbl.latest_version())
+    assert m["partition_col"] == "day"  # partitioning survived the merge
+    assert all(e["parts"] for e in m["entries"])
+    got = {(r["shop"], r["amount"]) for r in tbl.read().collect()}
+    assert got == {(1, 10.0), (2, 99.0)}
