@@ -248,11 +248,25 @@ class SnapshotTable:
         # silently rewrite a partitioned table as unpartitioned
         return self.overwrite(merged, partition_col=pcol)
 
-    def compact(self) -> int:
-        """Fold all live entries into one data dir (bounds the read
-        union width); pure add-then-commit, same crash model."""
+    def compact(self, partition_values: list | None = None) -> int:
+        """Fold live entries into fewer data dirs (bounds the read
+        union width); pure add-then-commit, same crash model.
+
+        Full compact (default) rewrites the whole table into one snap
+        dir.  At 100 TB that is the wrong maintenance unit — pass
+        `partition_values` to rewrite ONLY those partitions into one
+        new snap (the Iceberg rewriteDataFiles-with-filter shape):
+        a daily refresh leaves one live entry per day, so compacting
+        last month's 30 day-entries into one touches 30 days of data,
+        not the table, and the read union shrinks by 29 scans."""
         m = self.manifest(self.latest_version())
-        return self.overwrite(self.read(), m.get("partition_col"))
+        pcol = m.get("partition_col")
+        if partition_values is None:
+            return self.overwrite(self.read(), pcol)
+        if pcol is None:
+            raise ValueError("partition_values given but table is unpartitioned")
+        subset = self.read().where(F.col(pcol).isin(partition_values))
+        return self.replace_partitions(subset, pcol)
 
     # -- read operations ---------------------------------------------------
 

@@ -316,3 +316,28 @@ def test_upsert_preserves_partitioning(spark, tbl):
     assert all(e["parts"] for e in m["entries"])
     got = {(r["shop"], r["amount"]) for r in tbl.read().collect()}
     assert got == {(1, 10.0), (2, 99.0)}
+
+
+def test_partial_compact_shrinks_union_width(spark, tbl):
+    """Maintenance at the partition granularity: compacting a subset
+    of days folds their scattered entries into one snap without
+    touching other partitions' data (the 100-TB compaction unit)."""
+    import datetime
+
+    def day_df(d, shop):
+        return spark.createDataFrame(
+            [(shop, datetime.date(2024, 1, d), float(shop))],
+            "shop long, day date, amount double",
+        )
+
+    tbl.replace_partitions(day_df(1, 1), "day")
+    for d in (2, 3, 4):
+        tbl.replace_partitions(day_df(d, d), "day")  # one live entry per day
+    assert len(tbl.manifest(tbl.latest_version())["entries"]) == 4
+    before = {(r["shop"], str(r["day"])) for r in tbl.read().collect()}
+
+    tbl.compact(partition_values=["2024-01-01", "2024-01-02", "2024-01-03"])
+    m = tbl.manifest(tbl.latest_version())
+    assert len(m["entries"]) == 2  # 3 days folded into 1 entry + day 4
+    after = {(r["shop"], str(r["day"])) for r in tbl.read().collect()}
+    assert after == before  # pure layout change
