@@ -190,11 +190,24 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 8,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded LSH: hash each band of the signature, bucket-join on
     (band_idx, band_hash), emit unordered candidate pairs (a < b).
     This is the scale path — candidate generation is an equi-join, not
-    an all-pairs product."""
+    an all-pairs product.
+
+    `max_bucket_size` is the 100-TB hot-bucket guard: candidate count
+    inside one bucket is quadratic in its size, and real corpora have
+    pathological buckets (boilerplate headers, templated pages — one
+    shared band hash over millions of docs turns the equi-join into an
+    accidental cross join).  Buckets above the cap are DROPPED before
+    the join: standard LSH practice (a bucket that common is
+    boilerplate, not near-duplication, and its members still pair in
+    their other bands when genuinely similar).  The cap bounds
+    worst-case join output at buckets x cap^2 regardless of input
+    skew.  None (default) keeps exact parity with the cross-engine
+    oracles; production callers at scale should set it."""
     band_hashes = F.array(
         *[
             F.hash(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
@@ -204,6 +217,17 @@ def lsh_candidate_pairs(
     buckets = signatures.select(
         F.col(id_col), F.posexplode(band_hashes).alias("band_idx", "band_hash")
     )
+    if max_bucket_size is not None:
+        w_count = (
+            buckets.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .where(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+        # keep only rows in surviving buckets: broadcast-free semi join
+        # on the bucket key (the survivor list is one row per bucket,
+        # shuffled on the same key the candidate join uses)
+        buckets = buckets.join(w_count, ["band_idx", "band_hash"], "left_semi")
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -233,9 +257,12 @@ def near_dup_pairs(
     num_hashes: int = 32,
     shingle_k: int = 3,
     bands: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pipeline: signatures -> banded
     candidates -> exact Jaccard verification >= threshold.
+    `max_bucket_size` forwards to lsh_candidate_pairs (hot-bucket
+    guard for skewed corpora; None keeps oracle parity).
 
     Verification uses the SAME k-shingle space the signatures hash —
     MinHash approximates shingle-set Jaccard, so verifying on a
@@ -258,7 +285,7 @@ def near_dup_pairs(
     sigs = sh.groupBy(id_col).agg(
         *[F.min(F.xxhash64("h0", F.lit(j))).alias(f"mh_{j}") for j in range(num_hashes)]
     )
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band, max_bucket_size)
     return (
         cands.join(shingle_sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("shset", "sh_a"), "id_a")
         .join(shingle_sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("shset", "sh_b"), "id_b")

@@ -460,3 +460,24 @@ def test_cross_corpus_near_dup_matches_full_restriction(spark, docs):
     }
     want = {(a, b) for a, b in full if a < split <= b}
     assert cross == want and len(cross) > 0
+
+
+def test_lsh_hot_bucket_cap_bounds_blowup(spark):
+    """100-TB skew guard: 60 identical boilerplate docs put ~1,770
+    pairs in one bucket (quadratic in bucket size); with
+    max_bucket_size set, those buckets are dropped while a genuine
+    near-dup pair in small buckets is still found.  (Exact duplicates
+    are exact_dedup's job BEFORE LSH — that is the documented
+    pipeline order in curate_corpus.)"""
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do") for i in range(60)]
+    a = (1000, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")
+    b = (1001, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu")
+    docs = spark.createDataFrame(boiler + [a, b], "doc_id long, text string")
+
+    uncapped = L.near_dup_pairs(docs, threshold=0.5)
+    capped = L.near_dup_pairs(docs, threshold=0.5, max_bucket_size=10)
+    n_unc = uncapped.count()
+    pairs_capped = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert n_unc >= 1770  # the quadratic bucket really was there
+    assert (1000, 1001) in pairs_capped  # true near-dup survives the cap
+    assert len(pairs_capped) < 100  # boilerplate blowup suppressed
