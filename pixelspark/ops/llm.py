@@ -724,15 +724,30 @@ def simhash_chunks(sim_col: Column, chunk_bits: int = 16) -> Column:
 
 
 def simhash_near_pairs(
-    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+    sims: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate pairs via 16-bit chunk buckets, verified by exact
-    Hamming distance <= max_hamming."""
+    Hamming distance <= max_hamming.  `max_bucket_size` is the same
+    opt-in hot-bucket guard as lsh_candidate_pairs: a chunk value
+    shared by a boilerplate cluster makes its bucket quadratic; capped
+    buckets are dropped before the join (None = exact parity with the
+    cross-engine oracles)."""
     buckets = sims.select(
         F.col(id_col),
         F.col("simhash"),
         F.posexplode(simhash_chunks(F.col("simhash"))).alias("chunk_idx", "chunk_val"),
     )
+    if max_bucket_size is not None:
+        survivors = (
+            buckets.groupBy("chunk_idx", "chunk_val")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .where(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+        buckets = buckets.join(survivors, ["chunk_idx", "chunk_val"], "left_semi")
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (
         a.join(
