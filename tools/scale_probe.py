@@ -164,6 +164,55 @@ def cc_rounds_experiment(spark) -> dict:
     }
 
 
+def snapshot_union_experiment(spark) -> dict:
+    """Read-cost curve of the snapshot table vs live-commit count: 60
+    daily replace_partitions commits leave 60 one-day entries (a
+    60-way union of pruned scans); partition-subset compaction folds
+    them back.  Measures the planning+scan overhead the compaction
+    cadence controls — the number behind the 'union width is the
+    knob' claim in PLANS.md."""
+    import shutil
+    import tempfile
+
+    from pixelspark.table import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="pixelspark_snapprobe_") + "/t"
+    t = SnapshotTable(spark, root)
+    days = []
+    for d in range(60):
+        day = f"2024-{(d // 28) + 1:02d}-{(d % 28) + 1:02d}"
+        days.append(day)
+        df = (
+            spark.range(2000)
+            .select(
+                (F.col("id") % 50).alias("shop"),
+                F.lit(day).cast("date").alias("day"),
+                (F.col("id") % 97).cast("double").alias("amount"),
+            )
+        )
+        t.replace_partitions(df, "day")
+    n_entries = len(t.manifest(t.latest_version())["entries"])
+
+    def timed_read() -> float:
+        t0 = time.time()
+        t.read().groupBy("shop").agg(F.sum("amount")).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.time() - t0, 3)
+
+    wide = min(timed_read(), timed_read())
+    t.compact()
+    t.vacuum(keep_versions=1)
+    compacted = min(timed_read(), timed_read())
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "experiment": "snapshot_read_union_width",
+        "live_entries_before": n_entries,
+        "read_agg_sec_60_entries": wide,
+        "read_agg_sec_compacted": compacted,
+    }
+
+
 def skew_experiment(spark) -> dict:
     from pixelspark.ops.relational import salted_count
 
@@ -228,6 +277,7 @@ def main() -> None:
                       "10x_docs_sec": d1, "time_ratio_at_10x_data": dratios}))
 
     print(json.dumps(cc_rounds_experiment(spark)))
+    print(json.dumps(snapshot_union_experiment(spark)))
     print(json.dumps(skew_experiment(spark)))
 
 
