@@ -129,7 +129,12 @@ class SnapshotTable:
     # -- data-dir plumbing -------------------------------------------------
 
     def _new_snap(self) -> str:
-        return f"{DATA_DIR}/snap-{uuid.uuid4().hex[:16]}"
+        # `__snap=<id>` is deliberately Hive-partition-shaped: Spark's
+        # partition discovery then accepts ALL live data dirs in ONE
+        # scan relative to basePath=<root>/data (parsing __snap as a
+        # throwaway partition column), instead of one scan per entry —
+        # measured 11.3s -> ~1s on a 60-commit table (see BASELINE.md).
+        return f"{DATA_DIR}/__snap={uuid.uuid4().hex[:16]}"
 
     def _write_snap(self, df: DataFrame, partition_col: str | None) -> tuple[str, list[str]]:
         """Write one immutable data dir; returns (relative dir, list of
@@ -271,17 +276,35 @@ class SnapshotTable:
     # -- read operations ---------------------------------------------------
 
     def read(self, version: int | None = None) -> DataFrame:
-        """Current table (or time-travel to `version`): one scan per
-        live snap dir, unioned.  For partitioned snapshots each scan
-        uses its snap dir as basePath, so the typed partition column is
-        restored by Spark's own partition discovery and `WHERE day=X`
-        prunes to the listed subdirectories."""
+        """Current table (or time-travel to `version`) as ONE scan:
+        all live data dirs are `__snap=<id>`-shaped, so they enter a
+        single parquet relation with basePath=<root>/data — partition
+        discovery restores the typed partition column (and a throwaway
+        `__snap` column, dropped here), `WHERE day=X` prunes to the
+        listed subdirectories, and read cost does not grow with commit
+        count the way a per-entry union would (mergeSchema preserves
+        cross-snapshot schema evolution).  Tables written before the
+        `__snap=` naming fall back to one scan per entry, unioned."""
         v = version if version is not None else self.latest_version()
         if v is None:
             raise FileNotFoundError(f"no snapshot at {self.root}")
         m = self.manifest(v)
+        entries = m["entries"]
+        if entries and all("__snap=" in e["base"] for e in entries):
+            if m.get("partition_col") is None:
+                paths = [f"{self.root}/{e['base']}" for e in entries]
+            else:
+                paths = [
+                    f"{self.root}/{e['base']}/{p}" for e in entries for p in e["parts"]
+                ]
+            return (
+                self.spark.read.option("basePath", f"{self.root}/{DATA_DIR}")
+                .option("mergeSchema", "true")
+                .parquet(*paths)
+                .drop("__snap")
+            )
         scans = []
-        for e in m["entries"]:
+        for e in entries:  # legacy snap-<id> layout
             base = f"{self.root}/{e['base']}"
             if e["parts"] is None:
                 scans.append(self.spark.read.parquet(base))

@@ -341,3 +341,30 @@ def test_partial_compact_shrinks_union_width(spark, tbl):
     assert len(m["entries"]) == 2  # 3 days folded into 1 entry + day 4
     after = {(r["shop"], str(r["day"])) for r in tbl.read().collect()}
     assert after == before  # pure layout change
+
+
+def test_legacy_snap_layout_still_readable(spark, tbl, tmp_path):
+    """Tables written before the __snap= naming (snap-<id> dirs) must
+    keep reading through the per-entry fallback."""
+    tbl.overwrite(_df(spark, [(1, "a")]))
+    m = tbl.manifest(1)
+    new_base = m["entries"][0]["base"]
+    legacy_base = new_base.replace("__snap=", "snap-")
+    os.rename(os.path.join(tbl.root, new_base), os.path.join(tbl.root, legacy_base))
+    legacy = {"partition_col": None,
+              "entries": [{"base": legacy_base, "parts": None}], "version": 2}
+    assert tbl.st.write_text_atomic(tbl._manifest_path(2), json.dumps(legacy))
+    assert [r["k"] for r in tbl.read().collect()] == [1]
+
+
+def test_single_scan_read_plan(spark, tbl):
+    """Many commits must still plan ONE parquet scan (no per-entry
+    union): the property behind flat read cost vs commit count."""
+    tbl.overwrite(_df(spark, [(0, "x")]))
+    for i in range(1, 6):
+        tbl.append(_df(spark, [(i, "x")]))
+    assert len(tbl.manifest(tbl.latest_version())["entries"]) == 6
+    plan = tbl.read()._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert "Union" not in plan
+    assert tbl.read().count() == 6
