@@ -122,6 +122,37 @@ def run_snapshot_append_sink(
     return q
 
 
+def run_snapshot_rollup_sink(
+    events: DataFrame, root: str, checkpoint: str, app_id: str = "pixelspark-rollup"
+):
+    """Continuously-maintained continuous aggregate: each micro-batch
+    of raw events folds into the per-(shop, day) rollup table through
+    `refresh_rollup_snapshot` with the (app_id, batch_id) txn guard —
+    the merge of MERGEABLE partials is exactly the operation that
+    double-counts under at-least-once delivery, so the guard is what
+    upgrades this sink to exactly-once.  The reference recomputes its
+    daily aggregate from the raw table every run (bigquery.ts:41-56);
+    this is the streaming shape of the same aggregate: O(batch) per
+    trigger, atomic partition replacement, correct under replay AND
+    checkpoint loss."""
+    from pixelspark.table import refresh_rollup_snapshot
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        refresh_rollup_snapshot(
+            batch_df.sparkSession, root, batch_df, txn=(app_id, batch_id)
+        )
+
+    q = (
+        events.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_upsert_sink(df: DataFrame, table_path: str, checkpoint: str):
     """foreachBatch merge sink: each micro-batch upserts its window
     counts into the billing table keyed by (shop, billing_date) —

@@ -208,12 +208,29 @@ class SnapshotTable:
 
         return self._commit(build)
 
-    def replace_partitions(self, df: DataFrame, partition_col: str) -> int:
+    def replace_partitions(
+        self,
+        df: DataFrame,
+        partition_col: str,
+        txn: tuple[str, int] | None = None,
+    ) -> int | None:
         """Atomic dynamic-partition overwrite (Delta `replaceWhere`):
         replace exactly the `partition_col` values present in `df`.
         Data for untouched partitions is NOT rewritten, renamed, or
         even read — the commit is a manifest edit, so the operation is
-        atomic on s3a exactly like everywhere else."""
+        atomic on s3a exactly like everywhere else.
+
+        `txn=(app_id, batch_id)` gives the replacement the same
+        exactly-once replay guard as `append_once` — required when the
+        replaced partitions are MERGED partials (an incremental
+        rollup): replaying a delta would double-count, so a batch that
+        already committed must turn into a no-op (returns None)."""
+        if txn is not None:
+            v = self.latest_version()
+            if v is not None:
+                last = self.manifest(v).get("txn", {}).get(txn[0])
+                if last is not None and last >= txn[1]:
+                    return None  # replay: skip before paying the write
         rel, parts = self._write_snap(df, partition_col)
         new_parts = set(parts)
 
@@ -226,13 +243,22 @@ class SnapshotTable:
                     f"table is partitioned by {prev.get('partition_col')!r}, "
                     f"not {partition_col!r} — cannot replace_partitions"
                 )
+            tmap = dict((prev or {}).get("txn") or {})
+            if txn is not None:
+                last = tmap.get(txn[0])
+                if last is not None and last >= txn[1]:
+                    raise _SkipCommit  # rival committed this batch mid-race
+                tmap[txn[0]] = txn[1]
             entries = []
             for e in (prev or {"entries": []})["entries"]:
                 kept = [p for p in (e["parts"] or []) if p not in new_parts]
                 if kept:
                     entries.append({"base": e["base"], "parts": kept})
             entries.append({"base": rel, "parts": sorted(new_parts)})
-            return {"partition_col": partition_col, "entries": entries}
+            out = {"partition_col": partition_col, "entries": entries}
+            if tmap:
+                out["txn"] = tmap
+            return out
 
         return self._commit(build)
 
@@ -349,24 +375,39 @@ class SnapshotTable:
 
 
 def refresh_rollup_snapshot(
-    spark: SparkSession, root: str, events_batch: DataFrame
+    spark: SparkSession,
+    root: str,
+    events_batch: DataFrame,
+    txn: tuple[str, int] | None = None,
 ) -> list[str]:
     """`ops/rollup.refresh_rollup` on the snapshot backend: same
     O(delta) incremental merge, but the partition replacement is an
     atomic manifest commit instead of per-directory renames — safe on
-    object stores, no .bak recovery windows at all."""
+    object stores, no .bak recovery windows at all.
+
+    `txn=(app_id, batch_id)` makes the refresh EXACTLY-ONCE under
+    replay: merging the same delta twice would double-count the
+    partials, so a batch the manifest already records is a no-op
+    (returns []).  This is what lets a streaming source maintain the
+    rollup continuously (see streaming/daily.run_snapshot_rollup_sink)."""
     from pixelspark.ops.rollup import day_rollup, merge_rollups
 
     t = SnapshotTable(spark, root)
+    if txn is not None and t.exists():
+        last = t.manifest(t.latest_version()).get("txn", {}).get(txn[0])
+        if last is not None and last >= txn[1]:
+            return []  # replayed batch: already folded in
     delta = day_rollup(events_batch)
     if not t.exists():
-        t.replace_partitions(delta, "day")
+        if t.replace_partitions(delta, "day", txn=txn) is None:
+            return []
         m = t.manifest(t.latest_version())
         return sorted(p for e in m["entries"] for p in e["parts"])
     days = [r["day"] for r in delta.select("day").distinct().collect()]
     existing = t.read().where(F.col("day").isin(days)).drop("avg_value")
     merged = merge_rollups(existing, delta)
-    t.replace_partitions(merged, "day")
+    if t.replace_partitions(merged, "day", txn=txn) is None:
+        return []
     return sorted(f"day={d}" for d in days)
 
 

@@ -561,3 +561,59 @@ def test_snapshot_append_sink_survives_checkpoint_loss(spark, sf_dir, tmp_path):
     SD.run_snapshot_append_sink(stream2, root, str(tmp_path / "ckpt2"), app_id="ckpt-loss-test")
     assert t.read().count() == n1  # not a single duplicated row
     assert t.latest_version() == v1  # and not a single new commit
+
+
+def test_snapshot_rollup_sink_streaming_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming continuous aggregate must land on the batch
+    answer — two source batches folded incrementally, then a full
+    checkpoint-loss replay that must change NOTHING (the merge of
+    partials is the op that double-counts without the txn guard)."""
+    import shutil
+
+    from pixelspark.ops import rollup as R
+    from pixelspark.table import read_rollup_snapshot
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "roll_in")
+    root = str(tmp_path / "roll_table")
+    ckpt = str(tmp_path / "roll_ckpt")
+    split = "2024-01-10"
+    events.where(F.col("ts") < F.lit(split).cast("timestamp")).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    SD.run_snapshot_rollup_sink(SD.read_event_stream(spark, src), root, ckpt)
+    # more data arrives; the checkpoint carries the offsets forward
+    events.where(F.col("ts") >= F.lit(split).cast("timestamp")).coalesce(2).write.mode(
+        "append"
+    ).parquet(src)
+    SD.run_snapshot_rollup_sink(SD.read_event_stream(spark, src), root, ckpt)
+
+    got = read_rollup_snapshot(spark, root).drop("avg_value")
+    want = R.day_rollup(events)
+    assert got.count() == want.count()
+    joined = got.alias("g").join(want.alias("w"), ["shop", "day"], "full_outer")
+    bad = joined.where(
+        (F.col("g.n_events") != F.col("w.n_events"))
+        | (F.col("g.sum_value") != F.col("w.sum_value"))
+    )
+    assert bad.count() == 0
+
+    # catastrophic checkpoint loss: the WHOLE source replays from
+    # batch 0 — every fold must be a no-op or the counters double
+    before = got.count()
+    shutil.rmtree(ckpt)
+    SD.run_snapshot_rollup_sink(
+        SD.read_event_stream(spark, src), root, str(tmp_path / "ckpt2")
+    )
+    after = read_rollup_snapshot(spark, root)
+    assert after.count() == before
+    bad2 = (
+        after.drop("avg_value").alias("g")
+        .join(want.alias("w"), ["shop", "day"], "full_outer")
+        .where(
+            (F.col("g.n_events") != F.col("w.n_events"))
+            | (F.col("g.sum_value") != F.col("w.sum_value"))
+        )
+    )
+    assert bad2.count() == 0  # not a single double-counted partial
