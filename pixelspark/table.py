@@ -31,14 +31,20 @@ Delta/Iceberg do, with a minimal manifest log:
     of the create is best-effort, run one committer per table (the
     same stance as delta-on-S3 without a DynamoDB lock).
 
-Partitioned snapshots keep Hive-style `col=value` subdirectories
-*within each snap dir*, so one `spark.read.option("basePath", snap)`
-per snap restores the typed partition column and keeps partition
-pruning; `replace_partitions` is a pure manifest edit — untouched
-partitions keep pointing at their existing data dirs, byte-identical
-(the Delta `replaceWhere` shape).  Reads union one scan per live snap
-dir; `compact()` folds history back to a single dir so the union
-width is bounded by compaction cadence, not table age.
+Data dirs are named `__snap=<id>` (Hive-partition-shaped) so that a
+read is ONE parquet scan regardless of commit count: every live dir —
+and, for partitioned tables, every live `col=value` subdirectory —
+enters a single relation with basePath=<root>/data, partition
+discovery restores the typed partition column (plus a throwaway
+`__snap` column, dropped), and `WHERE day=X` prunes normally.
+`replace_partitions` is a pure manifest edit — untouched partitions
+keep pointing at their existing data dirs, byte-identical (the Delta
+`replaceWhere` shape).  `compact()` (whole-table or per-partition
+subset) bounds file counts; measured read cost is near-flat in commit
+count (BASELINE.md).  Streaming writes get exactly-once via the
+`txn` (app_id, batch_id) guard fused into the manifest commit —
+`append_once` for append logs, `replace_partitions(txn=...)` /
+`refresh_rollup_snapshot` for continuously-maintained rollups.
 """
 
 from __future__ import annotations
