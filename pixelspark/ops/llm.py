@@ -641,6 +641,7 @@ def cross_corpus_near_dup(
     num_hashes: int = 32,
     shingle_k: int = 3,
     bands: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Incremental dedup: find near-dups of a NEW batch against an
     EXISTING corpus only — no within-side pairs.
@@ -652,9 +653,22 @@ def cross_corpus_near_dup(
     O(corpus^2) or even O(corpus) re-hashing.  Candidates are verified
     by exact Jaccard on the shingle sets of the matched rows only.
 
+    `max_bucket_size` caps the CORPUS side's buckets (same opt-in
+    hot-bucket guard as lsh_candidate_pairs): a boilerplate bucket of
+    a million corpus docs would turn every matching ingest row into a
+    million candidates.  None = exact oracle parity.
+
     Returns (id_a = existing doc, id_b = new doc, jaccard)."""
     be = _portable_band_buckets(existing, id_col, text_col, num_hashes, shingle_k, bands).alias("a")
     bn = _portable_band_buckets(new, id_col, text_col, num_hashes, shingle_k, bands).alias("b")
+    if max_bucket_size is not None:
+        survivors = (
+            be.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .where(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+        be = be.join(survivors, ["band_idx", "band_key"], "left_semi").alias("a")
     cands = (
         be.join(
             bn,

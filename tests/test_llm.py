@@ -481,3 +481,21 @@ def test_lsh_hot_bucket_cap_bounds_blowup(spark):
     assert n_unc >= 1770  # the quadratic bucket really was there
     assert (1000, 1001) in pairs_capped  # true near-dup survives the cap
     assert len(pairs_capped) < 100  # boilerplate blowup suppressed
+
+
+def test_cross_dedup_hot_bucket_cap(spark):
+    """Corpus-side hot-bucket cap on the incremental path: a
+    boilerplate corpus cluster stops fanning out candidates per ingest
+    row, while a genuine corpus/new near-dup still matches."""
+    corpus = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do") for i in range(40)]
+    corpus.append((500, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+    new = [(1000, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+           (1001, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu")]
+    e = spark.createDataFrame(corpus, "doc_id long, text string")
+    n = spark.createDataFrame(new, "doc_id long, text string")
+    uncapped = L.cross_corpus_near_dup(e, n, threshold=0.5)
+    capped = L.cross_corpus_near_dup(e, n, threshold=0.5, max_bucket_size=10)
+    assert uncapped.where(F.col("id_b") == 1000).count() == 40  # full fan-out
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (500, 1001) in got       # true near-dup survives
+    assert not any(b == 1000 for _, b in got)  # boilerplate fan-out suppressed
