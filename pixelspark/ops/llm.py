@@ -478,7 +478,8 @@ def dedup_clusters_star(
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
+            # no distinct here: the only consumer is `und`, which
+            # dedups after orientation — an extra shuffle buys nothing
         )
         # SMALL-STAR: orient each edge from its larger endpoint, then
         # link the smaller neighbours AND the node itself to their min.
@@ -501,9 +502,13 @@ def dedup_clusters_star(
                 converged = True
                 break
         stars = new_stars
+        # new_stars is already distinct and its two orientations are
+        # disjoint (u>v vs v<u), so the symmetric union needs no
+        # distinct; and the consumers (groupBy-min, emit-then-dedup)
+        # are duplicate-insensitive anyway
         edges = new_stars.unionByName(
             new_stars.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
+        )
     if stats is not None:
         stats["rounds"] = rounds
     if not converged:
