@@ -16,7 +16,12 @@ Layout:
                     ANN similarity, text analysis
   ops/multimodal.py binary-column plumbing (decode stubs, real Spark side)
   report.py         report aggregation (reference: src/services/slack.ts)
+  storage.py        filesystem backends (local/Hadoop) + atomic-publish
+                    primitive + idempotency-ledger precondition
+  table.py          snapshot-commit table format: manifest-logged parquet,
+                    atomic on object stores, single-scan reads, time
+                    travel, exactly-once streaming txn guard
   streaming/        Structured Streaming variant of the daily pipeline
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
