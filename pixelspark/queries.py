@@ -3981,11 +3981,13 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A+ — Datasketches HLL: per-day user sketches merged into a
     global distinct estimate (hll_sketch_agg -> hll_union_agg).  This
     is the 100-TB shape for COUNT(DISTINCT): per-partition sketches
-    are tiny (<= 2^lgk registers), merge is register-wise max
-    (commutative + associative, so any merge tree gives the identical
-    estimate), and no shuffle of raw user ids ever happens.  Estimate
-    is approximate by design -> rows-only check; the pytest asserts
-    merged == one-shot exactly and both within 5%% of exact."""
+    are tiny (<= 2^lgk registers), union merge is commutative and
+    associative, and no shuffle of raw user ids ever happens.
+    Estimate is approximate by design -> rows-only check; the pytest
+    gate (tests/test_sketches.py) pins merged AND one-shot estimates
+    within 5%% of the exact distinct count at sf0.1.  (Merged and
+    one-shot are not identical: Datasketches unions promote sparse
+    coupon-mode sketches to the dense HLL array.)"""
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch")

@@ -127,3 +127,102 @@ def test_sq8_roundtrip_error_bound(spark, sf_dir):
         ).alias("excess")
     ).agg(F.max("excess").alias("m")).collect()[0]["m"]
     assert worst <= 0.0
+
+
+# ---------------------------------------------------------------------------
+# Error-bound gates for the approximate pack: the driver records these
+# queries rows-only (estimates are engine-specific), so accuracy is
+# pinned HERE, against exact answers, at a scale (sf0.1) where the
+# published bounds are meaningful — the same stance as the ANN
+# recall@5 >= 0.9 gate in test_llm.py.
+# ---------------------------------------------------------------------------
+
+import os
+
+import pytest
+
+SF_BOUND = "/root/testdata/sf0.1"
+needs_sf01 = pytest.mark.skipif(
+    not os.path.isdir(SF_BOUND), reason="sf0.1 testdata not generated"
+)
+
+
+@needs_sf01
+def test_approx_distinct_within_published_rsd(spark):
+    """q_approx_distinct runs HLL++ at rsd=0.02; the standard error of
+    the estimator IS rsd, so every per-group estimate must sit within
+    3*rsd (3-sigma) of the exact distinct count."""
+    from pixelspark.queries import QUERIES
+
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["q_approx_distinct"](spark, SF_BOUND).collect()
+    }
+    ev = load_table(spark, SF_BOUND, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact) and exact
+    for et, n in exact.items():
+        rel = abs(got[et] - n) / n
+        assert rel <= 3 * 0.02, f"{et}: approx {got[et]} vs exact {n} (rel {rel:.4f})"
+
+
+@needs_sf01
+def test_approx_quantiles_within_declared_rank_accuracy(spark):
+    """q_approx_quantiles uses Greenwald-Khanna at accuracy=10000, i.e.
+    rank error <= 1/10000.  Each estimate must therefore lie between
+    the EXACT percentiles at q +/- eps (small interpolation slack)."""
+    from pixelspark.queries import QUERIES
+
+    eps = 2.0 / 10000  # declared 1/acc + interpolation slack
+    got = {
+        r["event_type"]: r["q50_90_99"]
+        for r in QUERIES["q_approx_quantiles"](spark, SF_BOUND).collect()
+    }
+    ev = load_table(spark, SF_BOUND, "events")
+    for q_idx, q in enumerate((0.5, 0.9, 0.99)):
+        lo_q, hi_q = max(q - eps, 0.0), min(q + eps, 1.0)
+        bounds = {
+            r["event_type"]: (r["lo"], r["hi"])
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.expr(f"percentile(value, {lo_q})").alias("lo"),
+                F.expr(f"percentile(value, {hi_q})").alias("hi"),
+            )
+            .collect()
+        }
+        assert set(got) == set(bounds) and bounds
+        for et, (lo, hi) in bounds.items():
+            est = got[et][q_idx]
+            assert lo <= est <= hi, (
+                f"{et} p{int(q * 100)}: {est} outside exact[{lo_q},{hi_q}] = "
+                f"[{lo}, {hi}]"
+            )
+
+
+@needs_sf01
+def test_hll_sketch_merge_matches_oneshot_and_exact(spark):
+    """q_hll_sketch merges per-day sketches (lgk=12, rsd ~= 1.04/2^6 =
+    1.6%): both the merged estimate and a one-shot whole-table sketch
+    must sit within 5% (~3-sigma) of the exact distinct count.  The two
+    are NOT asserted equal: Datasketches unions promote sparse
+    (coupon-mode, near-exact) sketches to the dense HLL array, so at
+    low cardinality the merged estimate legitimately differs from the
+    one-shot sketch — only the error BOUND is invariant."""
+    from pixelspark.queries import QUERIES
+
+    merged = QUERIES["q_hll_sketch"](spark, SF_BOUND).collect()[0]["approx_users"]
+    ev = load_table(spark, SF_BOUND, "events")
+    oneshot = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12)))
+        .cast("long")
+        .alias("n")
+    ).collect()[0]["n"]
+    exact = ev.select(F.countDistinct("user_id").alias("n")).collect()[0]["n"]
+    for label, est in (("merged", merged), ("one-shot", oneshot)):
+        rel = abs(est - exact) / exact
+        assert rel <= 0.05, f"{label} {est} vs exact {exact} (rel {rel:.4f})"

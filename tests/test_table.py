@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from pixelspark.ops import rollup as R
 from pixelspark.schemas import load_table
+from pixelspark.storage import LocalStorage
 from pixelspark.table import (
     ConcurrentCommitError,
     SnapshotTable,
@@ -148,8 +149,12 @@ def test_partition_pruning_survives_snapshot_read(spark, tbl):
     )
     tbl.overwrite(base, partition_col="day")
     plan = tbl.read().where(F.col("day") == "2024-01-02")._jdf.queryExecution().executedPlan().toString()
-    # the day filter must prune at partition level, not scan-and-filter
-    assert "PartitionFilters: [isnotnull(day" in plan or "day#" in plan
+    # the day filter must appear in the scan's PartitionFilters clause
+    # (prune at partition level, not scan-and-filter); asserting on the
+    # clause itself means a pruning regression actually trips the test
+    assert "PartitionFilters: [" in plan
+    clause = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "day" in clause and "2024-01-02" in clause
     got = tbl.read().where(F.col("day") == "2024-01-02").count()
     assert got == base.where(F.col("day") == "2024-01-02").count()
 
@@ -343,6 +348,161 @@ def test_partial_compact_shrinks_union_width(spark, tbl):
     assert after == before  # pure layout change
 
 
+def test_upsert_retries_instead_of_losing_rival_append(spark, tmp_path):
+    """The lost-update hole: upsert computes its merge FROM a snapshot
+    read, so a rival append landing between the read and the publish
+    must force the whole read-merge-write to re-run — a blind rebase
+    would silently discard the rival's rows."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.overwrite(_df(spark, [(1, "a")]))
+    rival = SnapshotTable(spark, root)
+    real_write_snap = t._write_snap
+    fired = {"done": False}
+
+    def interloping(df, pcol):
+        out = real_write_snap(df, pcol)
+        if not fired["done"]:  # rival lands AFTER our merge was computed
+            fired["done"] = True
+            rival.append(_df(spark, [(99, "rival")]))
+        return out
+
+    t._write_snap = interloping
+    try:
+        t.upsert(_df(spark, [(1, "new")]), keys=("k",))
+    finally:
+        t._write_snap = real_write_snap
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {1: "new", 99: "rival"}  # neither commit lost
+
+
+def test_rollup_refresh_retries_instead_of_losing_rival_merge(spark, tmp_path):
+    """Two rollup refreshes racing on the same day: the loser must
+    re-read the winner's partials and re-merge, not clobber them with
+    a merge computed from the pre-race snapshot."""
+    import datetime
+
+    from pixelspark.table import ConcurrentWriteConflict  # noqa: F401
+
+    root = str(tmp_path / "r")
+
+    def batch(n_events):
+        ts = datetime.datetime(2024, 1, 5, 12, 0, 0)
+        return spark.createDataFrame(
+            [(i, ts, 7, "pv", 1.0, "{}") for i in range(n_events)],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+
+    refresh_rollup_snapshot(spark, root, batch(3))
+    t = SnapshotTable(spark, root)
+    real_write_snap = SnapshotTable._write_snap
+    fired = {"done": False}
+
+    def interloping(self, df, pcol):
+        out = real_write_snap(self, df, pcol)
+        if not fired["done"] and self.root == t.root:
+            fired["done"] = True  # rival refresh lands mid-merge
+            refresh_rollup_snapshot(spark, root, batch(5))
+        return out
+
+    SnapshotTable._write_snap = interloping
+    try:
+        refresh_rollup_snapshot(spark, root, batch(2))
+    finally:
+        SnapshotTable._write_snap = real_write_snap
+    got = read_rollup_snapshot(spark, root).collect()
+    assert len(got) == 1
+    assert got[0]["n_events"] == 10  # 3 + 5 (rival) + 2 — nothing lost
+
+
+def test_vacuum_reclaims_replaced_partitions_inside_live_dirs(spark, tbl, tmp_path):
+    """A snap dir that stays live through SOME partitions must shed its
+    superseded col=value subdirs at vacuum — else a continuously
+    refreshed table leaks every replaced partition until full compact."""
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-02", 20.0), (3, "2024-01-03", 30.0)],
+        "shop long, day string, amount double",
+    )
+    tbl.overwrite(base, partition_col="day")
+    snap1 = tbl.manifest(1)["entries"][0]["base"]  # data/__snap=...
+    delta = spark.createDataFrame(
+        [(9, "2024-01-02", 99.0)], "shop long, day string, amount double"
+    )
+    tbl.replace_partitions(delta, "day")
+    dead = os.path.join(str(tmp_path / "tbl"), snap1, "day=2024-01-02")
+    assert os.path.isdir(dead)  # still there for time travel
+    removed = tbl.vacuum(keep_versions=1)
+    assert f"{snap1}/day=2024-01-02" in removed
+    assert not os.path.exists(dead)
+    # live partitions of the same dir untouched; table reads correctly
+    assert os.path.isdir(os.path.join(str(tmp_path / "tbl"), snap1, "day=2024-01-01"))
+    got = {(r["shop"], str(r["day"]), r["amount"]) for r in tbl.read().collect()}
+    assert got == {(1, "2024-01-01", 10.0), (9, "2024-01-02", 99.0), (3, "2024-01-03", 30.0)}
+
+
+def test_empty_overwrite_is_truncate(spark, tbl):
+    tbl.overwrite(_df(spark, [(1, "a")]))
+    tbl.overwrite(spark.createDataFrame([], "k long, v string"))
+    df = tbl.read()
+    assert df.count() == 0
+    assert df.schema.fieldNames() == ["k", "v"]  # schema survives truncate
+    # and the table recovers normally on the next write
+    tbl.append(_df(spark, [(2, "b")]))
+    assert [r["k"] for r in tbl.read().collect()] == [2]
+
+
+def test_empty_append_keeps_table_readable(spark, tbl):
+    # an empty UNPARTITIONED write still yields a schema-only part file
+    # (scannable), so the append commits normally and reads stay intact;
+    # the zero-scannable-paths hazard is specific to partitionBy writes,
+    # covered by test_empty_replace_partitions_skips_commit_but_records_txn
+    tbl.overwrite(_df(spark, [(1, "a")]))
+    tbl.append(spark.createDataFrame([], "k long, v string"))
+    assert [r["k"] for r in tbl.read().collect()] == [1]
+    # empty append may also CREATE a table: schema-only, readable
+    t2 = SnapshotTable(tbl.spark, tbl.root + "2")
+    t2.append(spark.createDataFrame([], "k long, v string"))
+    assert t2.read().count() == 0
+
+
+def test_empty_replace_partitions_skips_commit_but_records_txn(spark, tbl):
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0)], "shop long, day string, amount double"
+    )
+    tbl.replace_partitions(base, "day")
+    v = tbl.latest_version()
+    empty = spark.createDataFrame([], "shop long, day string, amount double")
+    # without txn: nothing to replace -> no commit at all
+    assert tbl.replace_partitions(empty, "day") == v
+    assert tbl.latest_version() == v
+    # with txn: the batch watermark must still land (exactly-once), but
+    # the entries carry over unchanged
+    assert tbl.replace_partitions(empty, "day", txn=("app", 3)) == v + 1
+    m = tbl.manifest(v + 1)
+    assert m["txn"] == {"app": 3}
+    assert m["entries"] == tbl.manifest(v)["entries"]
+    # and a replay of that batch is a no-op even with data attached
+    assert tbl.replace_partitions(base, "day", txn=("app", 3)) is None
+
+
+def test_rollup_refresh_empty_batch_commits_nothing(spark, tmp_path):
+    import datetime
+
+    root = str(tmp_path / "r")
+    ts = datetime.datetime(2024, 1, 5, 12, 0, 0)
+    events = spark.createDataFrame(
+        [(1, ts, 7, "pv", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    refresh_rollup_snapshot(spark, root, events)
+    t = SnapshotTable(spark, root)
+    v = t.latest_version()
+    assert refresh_rollup_snapshot(spark, root, events.where(F.lit(False))) == []
+    assert t.latest_version() == v  # no useless version for an empty batch
+
+
 def test_legacy_snap_layout_still_readable(spark, tbl, tmp_path):
     """Tables written before the __snap= naming (snap-<id> dirs) must
     keep reading through the per-entry fallback."""
@@ -355,6 +515,146 @@ def test_legacy_snap_layout_still_readable(spark, tbl, tmp_path):
               "entries": [{"base": legacy_base, "parts": None}], "version": 2}
     assert tbl.st.write_text_atomic(tbl._manifest_path(2), json.dumps(legacy))
     assert [r["k"] for r in tbl.read().collect()] == [1]
+
+
+# ---------------------------------------------------------------------------
+# Simulated object store: prove the commit protocol's claims mechanically
+# instead of by docstring.  FakeObjectStorage gives the semantics s3a
+# actually has — rename is a NON-atomic copy+delete, and the only atomic
+# primitive is single-object put visibility (exclusivity best-effort).
+# ---------------------------------------------------------------------------
+
+
+class FakeObjectStorage(LocalStorage):
+    """Object-store semantics on the local fs: `rename` degrades to a
+    file-by-file copy then delete (s3a's shape — windows where both or
+    neither path exist); `write_text_atomic` is a check-then-put whose
+    put has atomic VISIBILITY (one object) but no exclusivity."""
+
+    def __init__(self):
+        self.rename_calls: list = []
+
+    def rename(self, src, dst):
+        self.rename_calls.append((src, dst))
+        import shutil as _sh
+
+        if os.path.isdir(src):
+            _sh.copytree(src, dst)
+        else:
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            _sh.copyfile(src, dst)
+        self.delete(src)
+
+    def write_text_atomic(self, path, content):
+        if os.path.exists(path):  # best-effort check...
+            return False
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        tmp = os.path.join(parent or ".", f".tmp-{os.urandom(6).hex()}")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(content)
+        os.replace(tmp, path)  # ...then a put with atomic visibility
+        return True
+
+
+@pytest.fixture()
+def obj_tbl(spark, tmp_path):
+    st = FakeObjectStorage()
+    t = SnapshotTable(spark, str(tmp_path / "obj"), storage=st)
+    return t, st
+
+
+def test_object_store_scheme_warns_single_committer(spark):
+    with pytest.warns(RuntimeWarning, match="SINGLE committer"):
+        SnapshotTable(spark, "s3a://bucket/tbl", storage=FakeObjectStorage())
+
+
+def test_object_store_write_path_never_renames(spark, obj_tbl):
+    """The whole claim of the format: no Storage.rename anywhere on the
+    write path, so non-atomic object-store rename can't corrupt it.
+    (Spark's own task-commit renames happen INSIDE the new immutable
+    dir, which no reader can see until the manifest names it.)"""
+    t, st = obj_tbl
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-02", 20.0)],
+        "shop long, day string, amount double",
+    )
+    t.overwrite(base, partition_col="day")
+    t.replace_partitions(
+        spark.createDataFrame([(9, "2024-01-02", 99.0)],
+                              "shop long, day string, amount double"),
+        "day",
+    )
+    t.upsert(
+        spark.createDataFrame([(1, "2024-01-01", 11.0)],
+                              "shop long, day string, amount double")
+        .withColumn("day", F.col("day").cast("date")),
+        keys=("shop",),
+    )
+    t.compact()
+    t.vacuum(keep_versions=1)
+    assert st.rename_calls == []
+    got = {(r["shop"], r["amount"]) for r in t.read().collect()}
+    assert got == {(1, 11.0), (9, 99.0)}
+
+
+def test_object_store_reader_sees_old_or_new_never_mixed(spark, obj_tbl):
+    """A reader racing a replace_partitions must see the complete old
+    snapshot right up to the manifest put, and the complete new one
+    after — never a mix of replaced and unreplaced partitions."""
+    t, st = obj_tbl
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-02", 20.0)],
+        "shop long, day string, amount double",
+    )
+    t.overwrite(base, partition_col="day")
+    old = {(r["shop"], r["amount"]) for r in t.read().collect()}
+    reader = SnapshotTable(spark, t.root, storage=FakeObjectStorage())
+    seen_mid_commit = {}
+    real_put = st.write_text_atomic
+
+    def racing_put(path, content):
+        # the new data dir is fully written at this point; the manifest
+        # is one put away — a reader NOW must still see the old table
+        seen_mid_commit["rows"] = {
+            (r["shop"], r["amount"]) for r in reader.read().collect()
+        }
+        return real_put(path, content)
+
+    st.write_text_atomic = racing_put
+    try:
+        t.replace_partitions(
+            spark.createDataFrame([(9, "2024-01-02", 99.0)],
+                                  "shop long, day string, amount double"),
+            "day",
+        )
+    finally:
+        st.write_text_atomic = real_put
+    assert seen_mid_commit["rows"] == old  # complete OLD, not a mix
+    new = {(r["shop"], r["amount"]) for r in t.read().collect()}
+    assert new == {(1, 10.0), (9, 99.0)}  # complete NEW afterwards
+
+
+def test_object_store_crash_before_manifest_leaves_old_snapshot(spark, obj_tbl):
+    """Writer dies after the data upload, before the manifest put: the
+    table is byte-identical to the previous snapshot; vacuum reclaims
+    the orphan upload."""
+    t, st = obj_tbl
+    t.overwrite(_df(spark, [(1, "a")]))
+    real_put = st.write_text_atomic
+    st.write_text_atomic = lambda path, content: (_ for _ in ()).throw(
+        OSError("writer crashed before manifest put")
+    )
+    try:
+        with pytest.raises(OSError, match="crashed"):
+            t.overwrite(_df(spark, [(2, "b")]))
+    finally:
+        st.write_text_atomic = real_put
+    assert [r["k"] for r in t.read().collect()] == [1]
+    removed = t.vacuum(keep_versions=1)
+    assert len(removed) == 1  # the orphaned upload
+    assert [r["k"] for r in t.read().collect()] == [1]
 
 
 def test_single_scan_read_plan(spark, tbl):
