@@ -91,34 +91,75 @@ def pagerank(
     return ranks
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
-    """Global triangle count over an undirected edge set.
-
-    Edges are canonicalized to (a < b) and deduplicated, then each
-    wedge a-b-c (two joins) is closed by a semi join probing for the
-    (a, c) edge — counting each triangle exactly once because the
-    enumeration enforces a < b < c.  Two shuffles (wedge join, closing
-    semi join), never a cross join.
-
-    At scale the classic refinement is ORIENTING edges by degree
-    (low-degree -> high-degree) instead of by id, which bounds wedge
-    fan-out per vertex by sqrt(|E|) and removes hub skew; id order
-    keeps this testdata's plan simple and the oracle expressible —
-    swap the canonicalization for a degree rank to productionize.
-    """
-    und = (
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Canonicalize (src, dst) to a deduplicated undirected edge set
+    (a < b), self-loops dropped."""
+    return (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
-    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = und.select(F.col("a").alias("y2"), F.col("b").alias("z"))
-    wedges = e1.join(e2, F.col("y") == F.col("y2")).select("x", "y", "z")
+
+
+def oriented_edges(und: DataFrame, orient: str = "degree") -> DataFrame:
+    """Orient each undirected edge {a, b} into exactly one directed
+    edge (u, w).
+
+    `orient="degree"` (the production path) points every edge from the
+    LOWER-degree endpoint to the higher (ties broken by id, so the
+    order is total and the oriented graph acyclic).  This is the
+    classic hub-skew fix: every vertex's oriented out-degree is
+    O(sqrt(|E|)), so wedge enumeration is bounded even on power-law
+    graphs — a degree-d hub contributes 0 wedges as a source instead
+    of O(d^2).  `orient="id"` keeps the simple a<b orientation (fine
+    on near-regular graphs, quadratic on hubs — see the star-graph
+    probe in tests/test_graph.py)."""
+    if orient == "id":
+        return und.select(F.col("a").alias("u"), F.col("b").alias("w"))
+    if orient != "degree":
+        raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        und.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+    )
+
+
+def triangle_count(edges: DataFrame, orient: str = "degree") -> DataFrame:
+    """Global triangle count over an undirected edge set.
+
+    Orient every edge (degree order by default — see oriented_edges),
+    enumerate wedges as ordered pairs of out-neighbors of a common
+    source, and close each wedge with a semi join probing for the
+    oriented (v1, v2) edge.  The orientation is a total acyclic order,
+    so each triangle r1 < r2 < r3 is counted exactly once: only the
+    wedge (r2, r3) rooted at r1 finds its closing edge.  Two shuffles
+    (wedge self-join on the source, closing semi join), never a cross
+    join; the count is orientation-invariant (asserted vs the id
+    orientation and the DuckDB oracle)."""
+    o = oriented_edges(undirected_edges(edges), orient)
+    o1 = o.select(F.col("u"), F.col("w").alias("v1"))
+    o2 = o.select(F.col("u"), F.col("w").alias("v2"))
+    wedges = (
+        o1.join(o2, "u").where(F.col("v1") != F.col("v2")).select("v1", "v2")
+    )
     closed = wedges.join(
-        und.select(F.col("a").alias("x"), F.col("b").alias("z")),
-        ["x", "z"],
+        o.select(F.col("u").alias("v1"), F.col("w").alias("v2")),
+        ["v1", "v2"],
         "left_semi",
     )
     return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

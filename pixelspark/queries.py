@@ -4984,10 +4984,12 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph — triangle counting (ops/graph.py triangle_count) over the
-    same deterministic doc graph as q_pagerank: canonicalize to a<b,
-    enumerate wedges with one join, close them with a semi join; each
-    triangle counted once via a<b<c.  The DuckDB oracle replays the
-    identical edge derivation and join shape."""
+    same deterministic doc graph as q_pagerank: orient edges by DEGREE
+    (low->high, ties by id — bounds wedge fan-out by sqrt(|E|) under
+    hub skew), enumerate wedges as out-neighbor pairs, close with a
+    semi join; the acyclic total order counts each triangle once.  The
+    DuckDB oracle replays the same count via the simpler a<b<c
+    formulation — the count is orientation-invariant."""
     from pixelspark.ops.graph import triangle_count
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 97)
@@ -6245,7 +6247,11 @@ _WINDOW_QUERIES = [
     "q_docs_exact_dedup",
     "q_docs_dedup_norm",
     "q_text_stats",
-    "q_lang_stats",
+    # r5 rotation: q_substr (§2 F10) takes q_lang_stats' slot so every
+    # §2 row has appeared in a driver CORRECTNESS file at least once
+    # (q_lang_stats stays registered + sweep-checked; it is the
+    # aggregate of q_lang_id, which remains in-window)
+    "q_substr",
     "q_lang_id",
     "q_token_count",
     "q_doc_fingerprint",

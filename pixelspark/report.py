@@ -32,21 +32,54 @@ def report_rows(billing: DataFrame, max_shops: int = MAX_SHOPS_TO_SHOW) -> DataF
 
 def build_report(billing: DataFrame, status_counts: DataFrame | None = None) -> dict:
     """Assemble the report payload: totals + top shops (+ status
-    counts), collecting only aggregated rows."""
-    totals = billing.agg(
-        F.round(F.sum("billing_amount"), 2).alias("total_amount"),
-        F.sum("page_views").cast("long").alias("total_page_views"),
-        F.count(F.lit(1)).alias("n_shops"),
-    ).collect()[0]
-    top = [r.asDict() for r in report_rows(billing).collect()]
+    counts), collecting only aggregated rows — in ONE Spark job.
+
+    The three report sections have different shapes, so each branch is
+    tagged and JSON-packed into a common (part, payload) schema, the
+    branches unioned, and the union collected once: ONE driver barrier
+    instead of three sequential collect()s (AQE may still split the
+    single action into several internal jobs — the property is the
+    single action, asserted in tests/test_job.py).  All three sections
+    stay tiny — totals is 1 row, top is <= max_shops, status counts is
+    a handful."""
+    import json
+
+    branches = [
+        billing.agg(
+            F.round(F.sum("billing_amount"), 2).alias("total_amount"),
+            F.sum("page_views").cast("long").alias("total_page_views"),
+            F.count(F.lit(1)).alias("n_shops"),
+        ).select(F.lit("totals").alias("part"), F.to_json(F.struct("*")).alias("payload")),
+        report_rows(billing).select(
+            F.lit("top").alias("part"), F.to_json(F.struct("*")).alias("payload")
+        ),
+    ]
+    if status_counts is not None:
+        branches.append(
+            status_counts.select(
+                F.lit("status").alias("part"), F.to_json(F.struct("*")).alias("payload")
+            )
+        )
+    combined = branches[0]
+    for b in branches[1:]:
+        combined = combined.unionByName(b)
+    by_part: dict[str, list[dict]] = {}
+    for r in combined.collect():  # the single driver pass
+        by_part.setdefault(r["part"], []).append(json.loads(r["payload"]))
+    totals = by_part["totals"][0]
+    # union does not guarantee branch row order: re-apply report_rows'
+    # ordering driver-side (<= max_shops rows)
+    top = sorted(by_part.get("top", []), key=lambda r: (-r["page_views"], r["shop"]))
     payload = {
-        "total_amount": totals["total_amount"],
-        "total_page_views": totals["total_page_views"],
+        "total_amount": totals.get("total_amount"),
+        "total_page_views": totals.get("total_page_views"),
         "n_shops": totals["n_shops"],
         "top_shops": top,
     }
     if status_counts is not None:
-        payload["status_counts"] = {r["status"]: r["n"] for r in status_counts.collect()}
+        payload["status_counts"] = {
+            r["status"]: r["n"] for r in by_part.get("status", [])
+        }
     return payload
 
 

@@ -45,3 +45,72 @@ def test_pagerank_matches_dense_reference(spark, sf_dir):
     for v in want:
         assert abs(got[v] - want[v]) < 1e-9, v
     assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting: exact counts on known graphs, orientation
+# invariance, and the hub-skew probe that motivates degree orientation.
+# ---------------------------------------------------------------------------
+
+from itertools import combinations
+
+from pixelspark.ops.graph import (
+    oriented_edges,
+    triangle_count,
+    undirected_edges,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _count(df):
+    return df.collect()[0]["n_triangles"]
+
+
+def test_triangle_count_known_graphs(spark):
+    # K5: C(5,3) = 10 triangles; direction/duplication/self-loops noise
+    k5 = [(a, b) for a, b in combinations(range(5), 2)]
+    noisy = k5 + [(b, a) for a, b in k5] + [(3, 3)]
+    assert _count(triangle_count(_edges(spark, noisy))) == 10
+    # a 6-cycle has none; chord 0-2 closes exactly one
+    cycle = [(i, (i + 1) % 6) for i in range(6)]
+    assert _count(triangle_count(_edges(spark, cycle))) == 0
+    assert _count(triangle_count(_edges(spark, cycle + [(0, 2)]))) == 1
+
+
+def test_triangle_orientations_agree(spark):
+    """Degree orientation is a performance choice; the count must be
+    identical to the id orientation on an irregular graph."""
+    import random
+
+    rng = random.Random(7)
+    pairs = list({(rng.randrange(40), rng.randrange(40)) for _ in range(300)})
+    df = _edges(spark, pairs)
+    assert _count(triangle_count(df, orient="degree")) == _count(
+        triangle_count(df, orient="id")
+    )
+
+
+def test_degree_orientation_bounds_hub_wedge_fanout(spark):
+    """The probe behind the production default: on a 1000-spoke star
+    whose center carries a mid-range id, id orientation roots ~n^2/4
+    wedges at the hub, degree orientation roots ZERO — every edge
+    points spoke->center, so no vertex has two out-neighbors.  This is
+    the fan-out a power-law hub would inject at 100 TB."""
+    center = 500
+    star = _edges(spark, [(i, center) for i in range(1001) if i != center])
+    und = undirected_edges(star)
+
+    def wedge_count(orient):
+        o = oriented_edges(und, orient)
+        o1 = o.select(F.col("u"), F.col("w").alias("v1"))
+        o2 = o.select(F.col("u"), F.col("w").alias("v2"))
+        return o1.join(o2, "u").where(F.col("v1") != F.col("v2")).count()
+
+    assert wedge_count("degree") == 0
+    # id order points the hub at its 500 higher-id spokes: the hub roots
+    # one ordered pair per (v1, v2) of those out-neighbors
+    assert wedge_count("id") == 500 * 499
+    assert _count(triangle_count(star)) == 0

@@ -231,3 +231,42 @@ def test_slack_blocks_zero_active_shops():
     active2 = next(b for b in blocks2 if "Shops with page views" in str(b))
     field2 = next(f for f in active2["fields"] if "Shops with page views" in f["text"])
     assert field2["text"].endswith("\n7")
+
+
+def test_build_report_single_action_and_payload_shape(spark, sf_dir, monkeypatch):
+    """The report payload (totals + top shops + status counts) must be
+    assembled in ONE driver barrier — the three sections are unioned
+    and collected once, not three sequential collect()s.  (One ACTION
+    is the observable contract; AQE legitimately splits it into
+    several internal jobs.)"""
+    from pyspark.sql import DataFrame
+
+    from pixelspark.ops import billing as B
+    from pixelspark.report import build_report
+    from pixelspark.schemas import load_table
+
+    bill = B.daily_billing(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "events"),
+        "2024-01-02",
+    )
+    status_counts = spark.createDataFrame(
+        [("success", 3), ("failed", 1)], "status string, n long"
+    )
+    collects = []
+    cls = type(bill)  # the concrete (classic) DataFrame class overrides collect
+    assert issubclass(cls, DataFrame)
+    real_collect = cls.collect
+    monkeypatch.setattr(
+        cls, "collect", lambda self: (collects.append(1), real_collect(self))[1]
+    )
+    payload = build_report(bill, status_counts)
+    assert len(collects) == 1, f"expected 1 collect, saw {len(collects)}"
+    assert payload["n_shops"] == 150
+    assert payload["status_counts"] == {"success": 3, "failed": 1}
+    top = payload["top_shops"]
+    assert 0 < len(top) <= 10
+    # driver-side re-sort preserves report_rows' ordering contract
+    keys = [(-r["page_views"], r["shop"]) for r in top]
+    assert keys == sorted(keys)
+    assert all(set(r) >= {"shop", "page_views", "page_views_str", "amount_str"} for r in top)
