@@ -88,6 +88,36 @@ def main() -> None:
             dt = round(time.time() - t0, 3)
             times[name] = min(times.get(name, dt), dt)
 
+    # CC-phase isolation: the q_dedup_clusters* headline rows are
+    # dominated by the SHARED portable-md5 pair generation
+    # (BASELINE.md documents the confound), so the connected-components
+    # algorithms are additionally benched from one materialized pair
+    # table — these rows measure the CC phase itself.
+    import shutil
+    import tempfile
+
+    from pixelspark.ops import llm as L  # noqa: E402
+    from pixelspark.schemas import load_table  # noqa: E402
+
+    pair_dir = os.path.join(tempfile.gettempdir(), "pixelspark_bench_pairs")
+    shutil.rmtree(pair_dir, ignore_errors=True)
+    t0 = time.time()
+    L.portable_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    ).write.mode("overwrite").parquet(pair_dir)
+    times["cc_pair_generation"] = round(time.time() - t0, 3)
+    pairs = spark.read.parquet(pair_dir)
+    for _rep in range(max(reps, 1)):
+        for name, fn in (
+            ("cc_phase_propagation", L.dedup_clusters),
+            ("cc_phase_star", L.dedup_clusters_star),
+        ):
+            t0 = time.time()
+            fn(pairs).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            times[name] = min(times.get(name, dt), dt)
+    shutil.rmtree(pair_dir, ignore_errors=True)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(

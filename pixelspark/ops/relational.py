@@ -10,6 +10,15 @@ salt earns its keep when partial aggregation can't help: holistic
 aggregates (collect/exact-distinct paths) and as the manual counterpart
 to AQE's skew-join splitting.  Results are identical to the plain
 aggregation either way (verified by the oracle on q_pageviews_salted).
+
+JOIN-side skew (round-5 probe, BASELINE.md): with one key owning 50%
+of a 2M-row fact joined to a 5k dim, the measured order is broadcast
+(0.57s — skew-IMMUNE, the fact side never shuffles on the key) <
+AQE skew-split (0.93s) <= naive shuffle (0.98s) << manual salted join
+(3.50s — rand column + replicated dim overhead).  Planner posture at
+100 TB: broadcast the dim whenever it fits (broadcast_left_join);
+otherwise rely on spark.sql.adaptive.skewJoin (enabled by our session
+defaults) and keep manual join-salting for the cases AQE cannot split.
 """
 
 from __future__ import annotations

@@ -443,9 +443,12 @@ class SnapshotTable:
                     raise ValueError(
                         "partition_values given but table is unpartitioned"
                     )
-                subset = self.read(version=read_v).where(
-                    F.col(pcol).isin(partition_values)
-                )
+                # manifest-level prune (only the named partitions are
+                # even listed); the residual filter keeps the semantics
+                # exact if a value's string form is ambiguous
+                subset = self.read(
+                    version=read_v, partition_values=partition_values
+                ).where(F.col(pcol).isin(partition_values))
                 return self.replace_partitions(
                     subset, pcol, expected_version=read_v
                 )
@@ -458,7 +461,11 @@ class SnapshotTable:
 
     # -- read operations ---------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        partition_values: list | None = None,
+    ) -> DataFrame:
         """Current table (or time-travel to `version`) as ONE scan:
         all live data dirs are `__snap=<id>`-shaped, so they enter a
         single parquet relation with basePath=<root>/data — partition
@@ -467,12 +474,32 @@ class SnapshotTable:
         listed subdirectories, and read cost does not grow with commit
         count the way a per-entry union would (mergeSchema preserves
         cross-snapshot schema evolution).  Tables written before the
-        `__snap=` naming fall back to one scan per entry, unioned."""
+        `__snap=` naming fall back to one scan per entry, unioned.
+
+        `partition_values` prunes at the MANIFEST level: only the named
+        `col=value` subdirectories enter the path list at all, so file
+        listing and footer reads for excluded partitions never happen —
+        at 10k partitions a one-day read touches one directory, not
+        10k (Spark's own partition pruning only saves the row groups,
+        after the listing).  Values are matched by their string form
+        (the directory-name encoding)."""
         v = version if version is not None else self.latest_version()
         if v is None:
             raise FileNotFoundError(f"no snapshot at {self.root}")
         m = self.manifest(v)
         entries = m["entries"]
+        if partition_values is not None:
+            pcol = m.get("partition_col")
+            if pcol is None:
+                raise ValueError(
+                    "partition_values given but table is unpartitioned"
+                )
+            wanted = {f"{pcol}={val}" for val in map(str, partition_values)}
+            entries = [
+                {"base": e["base"], "parts": kept}
+                for e in entries
+                if (kept := [p for p in (e["parts"] or []) if p in wanted])
+            ]
         if not entries:
             # a truncated / created-empty snapshot: zero scannable paths
             # would make spark.read.parquet() throw, so rebuild an empty

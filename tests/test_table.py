@@ -503,6 +503,31 @@ def test_rollup_refresh_empty_batch_commits_nothing(spark, tmp_path):
     assert t.latest_version() == v  # no useless version for an empty batch
 
 
+def test_read_partition_values_prunes_at_manifest_level(spark, tbl):
+    """read(partition_values=...) must keep excluded partitions out of
+    the PATH LIST entirely (no listing/footer cost for them at 10k
+    partitions), not merely filter them after the scan."""
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-02", 20.0), (3, "2024-01-03", 30.0)],
+        "shop long, day string, amount double",
+    )
+    tbl.overwrite(base, partition_col="day")
+    pruned = tbl.read(partition_values=["2024-01-02"])
+    got = {(r["shop"], str(r["day"])) for r in pruned.collect()}
+    assert got == {(2, "2024-01-02")}
+    # the excluded days never enter the scan's file list
+    files = pruned.inputFiles()
+    assert files and all("day=2024-01-02" in f for f in files)
+    # pruning to nothing returns an empty typed DataFrame, not an error
+    empty = tbl.read(partition_values=["2099-12-31"])
+    assert empty.count() == 0
+    assert "shop" in empty.schema.fieldNames()
+    with pytest.raises(ValueError, match="unpartitioned"):
+        t2 = SnapshotTable(tbl.spark, tbl.root + "_u")
+        t2.overwrite(_df(spark, [(1, "a")]))
+        t2.read(partition_values=["x"])
+
+
 def test_legacy_snap_layout_still_readable(spark, tbl, tmp_path):
     """Tables written before the __snap= naming (snap-<id> dirs) must
     keep reading through the per-entry fallback."""

@@ -248,9 +248,120 @@ def skew_experiment(spark) -> dict:
     }
 
 
+def skew_join_experiment(spark) -> dict:
+    """Hot-key JOIN probe — the join-side complement of
+    skew_experiment's aggregate finding: one user owns 50% of a wide
+    2M-row fact table, joined to a 5k-row dim.  Four strategies:
+
+    a) broadcast dim — the production default for J1-shaped joins
+       (ops/billing.py): skew-IMMUNE, because the fact side never
+       shuffles on the join key at all;
+    b) forced shuffle join with AQE skew-split disabled — the naive
+       plan whose hot reduce partition becomes the straggler;
+    c) forced shuffle join with AQE skew-split enabled
+       (spark.sql.adaptive.skewJoin: the hot partition is split into
+       advisory-sized sub-partitions, dim side replicated);
+    d) salted shuffle join — fact rows get a random salt in [0, 16),
+       dim rows are replicated 16x, join on (key, salt): the manual
+       version of (c) for engines/joins AQE can't split.
+
+    All four must return identical aggregates; the timings show the
+    broadcast plan is the skew fix whenever one side fits, and AQE
+    skew-split ~ salting when neither does."""
+    path = os.path.join(BASE, "skewed_fact_wide")
+    if not os.path.isdir(path):
+        n = 2_000_000
+        pad = "x" * 96  # widen rows so byte-based skew thresholds see the hot partition
+        half = spark.range(n // 2).select(
+            F.lit(0).alias("user_id"), (F.col("id") % 1000).alias("v"), F.lit(pad).alias("pad")
+        )
+        rest = spark.range(n // 2).select(
+            (F.col("id") % 5000 + 1).alias("user_id"),
+            (F.col("id") % 1000).alias("v"),
+            F.lit(pad).alias("pad"),
+        )
+        half.unionByName(rest).write.mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.range(5001).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).alias("grp")
+    )
+
+    def agg(j):
+        return j.groupBy("grp").agg(
+            F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+
+    def timed(build):
+        best, rows = None, None
+        for _ in range(2):  # best-of-2 cancels JIT/ordering warm-up bias
+            t0 = time.time()
+            rows = {(r["grp"], r["s"], r["n"]) for r in build().collect()}
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3), rows
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        t_bcast, r_bcast = timed(lambda: agg(fact.join(F.broadcast(dim), "user_id")))
+        # force the shuffle-join path: no static or adaptive broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        t_naive, r_naive = timed(lambda: agg(fact.join(dim, "user_id")))
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        # local-mode data is small; drop the split thresholds so the
+        # 50%-hot partition actually qualifies as skewed
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8MB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
+        t_aqe, r_aqe = timed(lambda: agg(fact.join(dim, "user_id")))
+
+        def salted():
+            n_salt = 16
+            f = fact.withColumn("salt", (F.rand(7) * n_salt).cast("int"))
+            d = dim.crossJoin(
+                spark.range(n_salt).select(F.col("id").cast("int").alias("salt"))
+            )
+            return agg(f.join(d, ["user_id", "salt"]))
+
+        t_salt, r_salt = timed(salted)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return {
+        "experiment": "skew_join_2M_one_key_50pct",
+        "broadcast_sec": t_bcast,
+        "shuffle_naive_sec": t_naive,
+        "shuffle_aqe_skew_split_sec": t_aqe,
+        "shuffle_salted_sec": t_salt,
+        "results_identical": r_bcast == r_naive == r_aqe == r_salt,
+    }
+
+
 def main() -> None:
     spark = get_spark("pixelspark-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    # single-experiment mode: python tools/scale_probe.py skew_join
+    if len(sys.argv) > 1:
+        fn = {
+            "cc_rounds": cc_rounds_experiment,
+            "snapshot_union": snapshot_union_experiment,
+            "skew": skew_experiment,
+            "skew_join": skew_join_experiment,
+        }[sys.argv[1]]
+        print(json.dumps(fn(spark)))
+        return
     # warm-up
     Q.QUERIES["q_sessions_scan"](spark, SF01).write.format("noop").mode("overwrite").save()
 
@@ -279,6 +390,7 @@ def main() -> None:
     print(json.dumps(cc_rounds_experiment(spark)))
     print(json.dumps(snapshot_union_experiment(spark)))
     print(json.dumps(skew_experiment(spark)))
+    print(json.dumps(skew_join_experiment(spark)))
 
 
 if __name__ == "__main__":
