@@ -909,6 +909,140 @@ def q_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_snapshot_merge",
+    f"""
+    WITH pv AS (
+      SELECT user_id AS shop, COUNT(*) AS event_count
+      FROM events
+      WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '{TD}'
+      GROUP BY user_id
+    ), bill AS (
+      SELECT COALESCE(pv.event_count, 0) AS page_views
+      FROM customer c LEFT JOIN pv ON c.c_custkey = pv.shop
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT CASE WHEN page_views = 0 THEN 'pending' ELSE 'success' END AS status
+      FROM bill WHERE page_views < 2
+      UNION ALL
+      SELECT 'inserted' FROM supplier
+    ) GROUP BY status
+    """,
+)
+def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-clause MERGE INTO on the snapshot table (table.py merge):
+    the general form of the reference's keyed UPDATE+INSERT
+    (src/services/bigquery.ts:168-190) with a DELETE clause Delta-style.
+    One merge applies, per matched key: DELETE when the source shows
+    page_views >= 2, else UPDATE-all (status -> 'success'); unmatched
+    source rows (per-supplier seed rows) INSERT.
+
+    Value-checked: the end-state status counts are plain SQL over the
+    inputs — 'pending' = shops with no views, 'success' = shops with
+    exactly one view (two+ were deleted), 'inserted' = |supplier|."""
+    import tempfile
+
+    from pixelspark.table import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="pixelspark_merge_") + "/usage_records"
+    t = SnapshotTable(spark, root)
+    bill = B.daily_billing(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "events"), TD)
+    base = (
+        bill.withColumn("shop", F.col("shop").cast("string"))
+        .withColumn("status", F.lit("pending"))
+    )
+    t.overwrite(base)
+    updates = base.where(F.col("page_views") > 0).withColumn("status", F.lit("success"))
+    inserts = (
+        _t(spark, sf_dir, "supplier")
+        .select(
+            F.concat(F.lit("sup-"), F.col("s_suppkey")).alias("shop"),
+            F.to_date(F.lit(TD)).alias("billing_date"),
+            F.lit(0).cast("long").alias("page_views"),
+            F.lit(0.0).alias("billing_amount"),
+            F.lit(0.0).alias("rate_per_million"),
+            F.lit("inserted").alias("status"),
+        )
+    )
+    t.merge(
+        updates.unionByName(inserts),
+        keys=("shop", "billing_date"),
+        when_matched_delete="s.page_views >= 2",
+        when_matched_update="all",
+        when_not_matched_insert=True,
+    )
+    return t.read().groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_table_changes",
+    f"""
+    WITH pv AS (
+      SELECT user_id AS shop, COUNT(*) AS event_count
+      FROM events
+      WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '{TD}'
+      GROUP BY user_id
+    ), bill AS (
+      SELECT COALESCE(pv.event_count, 0) AS page_views
+      FROM customer c LEFT JOIN pv ON c.c_custkey = pv.shop
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT CASE WHEN page_views >= 2 THEN 'deleted' ELSE 'updated' END
+               AS change_type
+      FROM bill WHERE page_views > 0
+      UNION ALL
+      SELECT 'inserted' FROM supplier
+    ) GROUP BY change_type
+    """,
+)
+def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed (Delta CDF / table_changes) on the snapshot
+    table: version 1 is the pending billing table, version 2 is the
+    multi-clause MERGE of q_snapshot_merge; read_changes(1) classifies
+    every key as inserted / updated / deleted from the manifest-level
+    entry diff (entries shared by both snapshots never enter the scan).
+
+    Value-checked: 'updated' = shops with exactly one view (status
+    flipped to 'success'), 'deleted' = shops with two+ views,
+    'inserted' = |supplier| — all derivable from the raw inputs."""
+    import tempfile
+
+    from pixelspark.table import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="pixelspark_cdf_") + "/usage_records"
+    t = SnapshotTable(spark, root)
+    bill = B.daily_billing(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "events"), TD)
+    base = (
+        bill.withColumn("shop", F.col("shop").cast("string"))
+        .withColumn("status", F.lit("pending"))
+    )
+    t.overwrite(base)
+    updates = base.where(F.col("page_views") > 0).withColumn("status", F.lit("success"))
+    inserts = (
+        _t(spark, sf_dir, "supplier")
+        .select(
+            F.concat(F.lit("sup-"), F.col("s_suppkey")).alias("shop"),
+            F.to_date(F.lit(TD)).alias("billing_date"),
+            F.lit(0).cast("long").alias("page_views"),
+            F.lit(0.0).alias("billing_amount"),
+            F.lit(0.0).alias("rate_per_million"),
+            F.lit("inserted").alias("status"),
+        )
+    )
+    t.merge(
+        updates.unionByName(inserts),
+        keys=("shop", "billing_date"),
+        when_matched_delete="s.page_views >= 2",
+        when_matched_update="all",
+        when_not_matched_insert=True,
+    )
+    return (
+        t.read_changes(1, keys=("shop", "billing_date"))
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # M6 — LLM-data-pipeline pack
 # ---------------------------------------------------------------------------

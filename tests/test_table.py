@@ -693,3 +693,262 @@ def test_single_scan_read_plan(spark, tbl):
     assert plan.count("FileScan parquet") == 1
     assert "Union" not in plan
     assert tbl.read().count() == 6
+
+
+# -- MERGE INTO -------------------------------------------------------------
+
+
+def test_merge_update_delete_insert_clauses(spark, tbl):
+    """Delta-style multi-clause MERGE: delete wins over update for
+    matched rows; unmatched source rows insert; unmatched target rows
+    survive untouched."""
+    tbl.overwrite(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    src = _df(spark, [(2, "B"), (3, "kill"), (4, "d")])
+    tbl.merge(
+        src,
+        keys=("k",),
+        when_matched_delete="s.v = 'kill'",
+        when_matched_update="all",
+        when_not_matched_insert=True,
+    )
+    got = sorted((r["k"], r["v"]) for r in tbl.read().collect())
+    assert got == [(1, "a"), (2, "B"), (4, "d")]
+
+
+def test_merge_conditional_update_and_insert(spark, tbl):
+    tbl.overwrite(_df(spark, [(1, "keep"), (2, "old")]))
+    src = _df(spark, [(1, "skip-me"), (2, "new"), (5, "yes"), (6, "no")])
+    tbl.merge(
+        src,
+        keys=("k",),
+        when_matched_update={"v": F.col("s.v")},
+        update_condition=F.col("t.v") != "keep",
+        when_not_matched_insert=F.col("s.v") == "yes",
+    )
+    got = sorted((r["k"], r["v"]) for r in tbl.read().collect())
+    assert got == [(1, "keep"), (2, "new"), (5, "yes")]
+
+
+def test_merge_rejects_key_assignment(spark, tbl):
+    tbl.overwrite(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="key columns"):
+        tbl.merge(_df(spark, [(1, "x")]), keys=("k",),
+                  when_matched_update={"k": F.lit(9)})
+
+
+def test_merge_into_missing_table_inserts(spark, tbl):
+    tbl.merge(_df(spark, [(1, "a"), (2, "b")]), keys=("k",))
+    assert sorted(r["k"] for r in tbl.read().collect()) == [1, 2]
+
+
+def test_merge_partition_scoped_rewrites_only_touched_days(spark, tbl):
+    """On a table partitioned by a key column, MERGE must be a
+    replace_partitions manifest edit: untouched partitions keep
+    pointing at their original data dirs byte-identically, and a
+    partition whose every row was deleted is retired from the
+    manifest even though the new snap has no data for it."""
+    pdf = spark.createDataFrame(
+        [("d1", 1, 10), ("d1", 2, 20), ("d2", 3, 30), ("d3", 4, 40)],
+        "day string, id long, v long",
+    )
+    tbl.replace_partitions(pdf, "day")
+    src = spark.createDataFrame(
+        [("d1", 1, 11), ("d1", 9, 90), ("d2", 3, 0)],
+        "day string, id long, v long",
+    )
+    tbl.merge(src, keys=("day", "id"),
+              when_matched_delete=F.col("s.v") == 0,
+              when_matched_update="all")
+    got = sorted((r["day"], r["id"], r["v"]) for r in tbl.read().collect())
+    assert got == [("d1", 1, 11), ("d1", 2, 20), ("d1", 9, 90), ("d3", 4, 40)]
+    m1, m2 = tbl.manifest(1), tbl.manifest(2)
+
+    def parts(m):
+        return {p: e["base"] for e in m["entries"] for p in (e["parts"] or [])}
+
+    p1, p2 = parts(m1), parts(m2)
+    assert "day=d2" not in p2          # fully-deleted partition retired
+    assert p2["day=d3"] == p1["day=d3"]  # untouched day: same data dir
+    assert p2["day=d1"] != p1["day=d1"]  # rewritten day: new data dir
+
+
+def test_merge_retries_instead_of_losing_rival_append(spark, tmp_path):
+    """Same lost-update discipline as upsert: a rival commit landing
+    between merge's read and publish forces a full re-run."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.overwrite(_df(spark, [(1, "a")]))
+    rival = SnapshotTable(spark, root)
+    real_write_snap = t._write_snap
+    fired = {"done": False}
+
+    def interloping(df, pcol):
+        out = real_write_snap(df, pcol)
+        if not fired["done"]:
+            fired["done"] = True
+            rival.append(_df(spark, [(99, "rival")]))
+        return out
+
+    t._write_snap = interloping
+    try:
+        t.merge(_df(spark, [(1, "new")]), keys=("k",))
+    finally:
+        t._write_snap = real_write_snap
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {1: "new", 99: "rival"}
+
+
+# -- change data feed -------------------------------------------------------
+
+
+def test_read_changes_append_only_needs_no_keys(spark, tbl):
+    """Append-only history: the CDF is served from the appended data
+    dirs alone — no keys, no diff join, no read of prior data."""
+    tbl.append(_df(spark, [(1, "a")]))
+    tbl.append(_df(spark, [(2, "b"), (3, "c")]))
+    got = sorted((r["k"], r["change_type"])
+                 for r in tbl.read_changes(1).collect())
+    assert got == [(2, "inserted"), (3, "inserted")]
+    assert tbl.read_changes(0).count() == 3  # from before the table existed
+
+
+def test_read_changes_classifies_upsert(spark, tbl):
+    tbl.overwrite(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    tbl.upsert(_df(spark, [(2, "B"), (4, "d")]), keys=("k",))
+    got = sorted((r["k"], r["v"], r["change_type"])
+                 for r in tbl.read_changes(1, keys=("k",)).collect())
+    assert got == [(2, "B", "updated"), (4, "d", "inserted")]
+
+
+def test_read_changes_deleted_rows_carry_old_values(spark, tbl):
+    tbl.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    tbl.merge(_df(spark, [(2, "b")]), keys=("k",),
+              when_matched_delete=True, when_not_matched_insert=False)
+    got = [(r["k"], r["v"], r["change_type"])
+           for r in tbl.read_changes(1, keys=("k",)).collect()]
+    assert got == [(2, "b", "deleted")]
+
+
+def test_read_changes_requires_keys_after_rewrite(spark, tbl):
+    tbl.overwrite(_df(spark, [(1, "a")]))
+    tbl.overwrite(_df(spark, [(1, "b")]))
+    with pytest.raises(ValueError, match="keys"):
+        tbl.read_changes(1)
+
+
+def test_read_changes_compact_is_invisible(spark, tbl):
+    """compact() rewrites bytes without changing rows: every rewritten
+    row classifies 'unchanged' and the feed is empty."""
+    tbl.append(_df(spark, [(1, "a")]))
+    tbl.append(_df(spark, [(2, "b")]))
+    tbl.compact()
+    assert tbl.read_changes(2, keys=("k",)).count() == 0
+
+
+def test_read_changes_partitioned_diffs_only_touched_days(spark, tbl):
+    """replace_partitions history: entries for untouched days are in
+    both manifests, so they never enter the diff scan at all."""
+    tbl.replace_partitions(
+        spark.createDataFrame(
+            [("d1", 1, 10), ("d2", 2, 20), ("d3", 3, 30)],
+            "day string, id long, v long"),
+        "day")
+    tbl.replace_partitions(
+        spark.createDataFrame([("d2", 2, 99)], "day string, id long, v long"),
+        "day")
+    ch = tbl.read_changes(1, keys=("day", "id"))
+    got = [(r["day"], r["id"], r["v"], r["change_type"]) for r in ch.collect()]
+    assert got == [("d2", 2, 99, "updated")]
+    # only day=d2 paths are scanned (manifest-level diff, not data diff)
+    files = {f for f in ch.inputFiles()}
+    assert files and all("day=d2" in f for f in files)
+
+
+# -- per-file min/max stats + data skipping ---------------------------------
+
+
+def _ranged_tbl(spark, tmp_path):
+    """Four single-file appends with disjoint v-ranges 0-99..300-399."""
+    t = SnapshotTable(spark, str(tmp_path / "st"), stats_cols=("v", "d"))
+    for lo in (0, 100, 200, 300):
+        df = spark.range(lo, lo + 100).select(
+            F.col("id").alias("k"),
+            F.col("id").alias("v"),
+            F.date_add(F.lit("2024-01-01").cast("date"),
+                       F.col("id").cast("int")).alias("d"),
+        )
+        t.append(df.repartition(1))
+    return t
+
+
+def test_stats_recorded_per_file(spark, tmp_path):
+    t = _ranged_tbl(spark, tmp_path)
+    m = t.manifest(t.latest_version())
+    assert all("stats" in e for e in m["entries"])
+    # one file per append, with both columns' ranges
+    (files,) = [list(m["entries"][0]["stats"].values())]
+    assert files[0]["v"] == [0, 99]
+    assert files[0]["d"] == ["2024-01-01", "2024-04-09"]
+
+
+def test_stats_pruning_skips_files_and_keeps_values_exact(spark, tmp_path):
+    t = _ranged_tbl(spark, tmp_path)
+    full = t.read()
+    pruned = t.read(predicates=[("v", ">=", 250)])
+    assert sorted(r["k"] for r in pruned.collect()) == list(range(250, 400))
+    # the skipped files never entered the scan's path list
+    assert len(pruned.inputFiles()) == 2 and len(full.inputFiles()) == 4
+
+
+def test_stats_pruning_point_lookup_and_date_ranges(spark, tmp_path):
+    import datetime
+
+    t = _ranged_tbl(spark, tmp_path)
+    pe = t.read(predicates=[("v", "=", 150)])
+    assert len(pe.inputFiles()) == 1 and pe.count() == 1
+    pd_ = t.read(predicates=[("d", "<", datetime.date(2024, 2, 1))])
+    assert len(pd_.inputFiles()) == 1 and pd_.count() == 31
+
+
+def test_stats_fully_pruned_read_is_empty_typed(spark, tmp_path):
+    t = _ranged_tbl(spark, tmp_path)
+    p0 = t.read(predicates=[("v", ">", 10_000)])
+    assert p0.count() == 0
+    assert p0.dtypes == t.read().dtypes
+
+
+def test_stats_pruning_composes_with_partition_pruning(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "pt"), stats_cols=("v",))
+    rows = [(d, i, d * 1000 + i) for d in (1, 2) for i in range(4)]
+    t.replace_partitions(
+        spark.createDataFrame(rows, "day int, k int, v long").repartition(2, "k"),
+        "day",
+    )
+    pp = t.read(partition_values=[2], predicates=[("v", ">=", 2002)])
+    assert sorted((r["day"], r["k"], r["v"]) for r in pp.collect()) == [
+        (2, 2, 2002), (2, 3, 2003)]
+    assert all("day=2" in f for f in pp.inputFiles())
+
+
+def test_stats_absent_files_conservatively_kept(spark, tmp_path):
+    """A table whose history mixes stats-recording and stats-less
+    writers must stay exact: files without stats are always scanned."""
+    root = str(tmp_path / "mx")
+    plain = SnapshotTable(spark, root)  # no stats_cols
+    plain.append(_df(spark, [(1, "a")]))
+    with_stats = SnapshotTable(spark, root, stats_cols=("k",))
+    with_stats.append(_df(spark, [(100, "z")]).repartition(1))
+    got = sorted(r["k"] for r in with_stats.read(
+        predicates=[("k", "<=", 50)]).collect())
+    assert got == [1]
+
+
+def test_stats_all_null_file_kept(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "nl"), stats_cols=("v",))
+    t.append(spark.createDataFrame([(1, None), (2, None)],
+                                   "k long, v long").repartition(1))
+    t.append(spark.createDataFrame([(3, 30)], "k long, v long").repartition(1))
+    # a predicate can never rule out the all-null file (no range), and
+    # the residual WHERE keeps the results exact
+    got = [r["k"] for r in t.read(predicates=[("v", ">=", 30)]).collect()]
+    assert got == [3]
