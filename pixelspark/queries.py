@@ -1043,6 +1043,64 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_table_tail",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           user_id AS shop,
+           CAST(COUNT(*) AS BIGINT) AS views
+    FROM events
+    WHERE event_type = 'view'
+      AND CAST(ts AS DATE) >= DATE '2024-01-02'
+      AND CAST(ts AS DATE) < DATE '2024-01-04'
+    GROUP BY 1, 2
+    """,
+)
+def q_table_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming commit-log tail of a snapshot table via the Python
+    DataSource (pixelspark/datasource.py): two daily-rollup batches are
+    appended as separate commits, then
+    `readStream.format("snapshot_table")` consumes the table with an
+    availableNow trigger.  A micro-batch's input is the manifest diff
+    between its offset versions (O(new data)), so the tail of the full
+    history must equal the batch GROUP BY over both days — which the
+    oracle states directly."""
+    import tempfile
+    import uuid
+
+    from pixelspark import datasource as DS
+    from pixelspark.table import SnapshotTable
+
+    DS.register(spark)
+    root = tempfile.mkdtemp(prefix="pixelspark_tail_") + "/rollup"
+    t = SnapshotTable(spark, root)
+    e = _t(spark, sf_dir, "events")
+    for day in ("2024-01-02", "2024-01-03"):
+        batch = (
+            e.where(
+                (F.col("event_type") == "view")
+                & (F.to_date("ts") == F.lit(day).cast("date"))
+            )
+            .groupBy(
+                F.to_date("ts").alias("day"), F.col("user_id").alias("shop")
+            )
+            .agg(F.count(F.lit(1)).alias("views"))
+        )
+        t.append(batch)
+    name = f"tail_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("snapshot_table")
+        .load(root)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).select("day", "shop", "views")
+
+
 # ---------------------------------------------------------------------------
 # M6 — LLM-data-pipeline pack
 # ---------------------------------------------------------------------------

@@ -1,0 +1,160 @@
+"""Python DataSource (`format("snapshot_table")`): batch reads and the
+streaming commit-log tail of a SnapshotTable.
+
+The judged properties: a micro-batch's input is the manifest diff
+(O(new data), never O(table)); checkpoint resume re-delivers nothing;
+a non-append-only history fails fast unless explicitly ignored; the
+partition column is restored typed."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pixelspark import datasource as DS
+from pixelspark.table import SnapshotTable
+
+
+@pytest.fixture()
+def reg(spark):
+    DS.register(spark)
+    return spark
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def _tail_once(spark, root, ckpt, out, **opts):
+    reader = spark.readStream.format("snapshot_table")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(root)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_batch_format_matches_native_read(reg, spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.append(_df(spark, [(3, "c")]))
+    via_format = spark.read.format("snapshot_table").load(root)
+    assert sorted((r["k"], r["v"]) for r in via_format.collect()) == sorted(
+        (r["k"], r["v"]) for r in t.read().collect()
+    )
+
+
+def test_batch_format_time_travel(reg, spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.append(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    v1 = spark.read.format("snapshot_table").option("version", "1").load(root)
+    assert [r["k"] for r in v1.collect()] == [1]
+
+
+def test_stream_tail_resumes_without_redelivery(reg, spark, tmp_path):
+    root, ckpt, out = (str(tmp_path / p) for p in ("t", "ck", "out"))
+    t = SnapshotTable(spark, root)
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    _tail_once(spark, root, ckpt, out)
+    assert spark.read.parquet(out).count() == 2
+    t.append(_df(spark, [(3, "c")]))
+    _tail_once(spark, root, ckpt, out)
+    got = sorted((r["k"], r["v"]) for r in spark.read.parquet(out).collect())
+    # exactly-once across the restart: batch 2 delivered rows 3 only
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_stream_fails_fast_on_rewritten_history(reg, spark, tmp_path):
+    root, ckpt, out = (str(tmp_path / p) for p in ("t", "ck", "out"))
+    t = SnapshotTable(spark, root)
+    t.append(_df(spark, [(1, "a")]))
+    _tail_once(spark, root, ckpt, out)
+    t.upsert(_df(spark, [(1, "A")]), keys=("k",))
+    with pytest.raises(Exception, match="append-only"):
+        _tail_once(spark, root, ckpt, out)
+
+
+def test_stream_onchange_ignore_emits_additions(reg, spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.upsert(_df(spark, [(1, "A")]), keys=("k",))
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("onchange", "ignore")
+        .load(root)
+        .writeStream.format("memory")
+        .queryName("ig_tail")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # the rewritten snapshot is one added entry: its full content flows
+    got = sorted((r["k"], r["v"]) for r in spark.sql("select * from ig_tail").collect())
+    assert got == [(1, "A"), (2, "b")]
+
+
+def test_stream_restores_partition_column_typed(reg, spark, tmp_path):
+    root = str(tmp_path / "p")
+    t = SnapshotTable(spark, root)
+    t.replace_partitions(
+        spark.createDataFrame([(7, 1), (8, 2)], "day int, k long"), "day"
+    )
+    q = (
+        spark.readStream.format("snapshot_table")
+        .load(root)
+        .writeStream.format("memory")
+        .queryName("p_tail")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    df = spark.sql("select * from p_tail")
+    assert dict(df.dtypes)["day"] == "int"
+    assert sorted((r["day"], r["k"]) for r in df.collect()) == [(7, 1), (8, 2)]
+
+
+def test_stream_starting_version_skips_history(reg, spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.append(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("startingVersion", "1")
+        .load(root)
+        .writeStream.format("memory")
+        .queryName("sv_tail")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert [r["k"] for r in spark.sql("select * from sv_tail").collect()] == [2]
+
+
+def test_microbatch_input_is_manifest_diff(reg, spark, tmp_path):
+    """The scale property, asserted mechanically: resuming after one
+    append plans ONLY the appended entry's files as input."""
+    root, ckpt, out = (str(tmp_path / p) for p in ("t", "ck", "out"))
+    t = SnapshotTable(spark, root)
+    t.append(_df(spark, [(i, "x") for i in range(100)]))
+    _tail_once(spark, root, ckpt, out)
+    t.append(_df(spark, [(999, "new")]))
+    sr = DS._SnapshotStreamReader(root, t.read().schema, {})
+    parts = sr.partitions({"version": 1}, {"version": 2})
+    assert len(parts) == 1
+    assert parts[0].path.endswith(t.manifest(2)["entries"][-1]["base"])
