@@ -1095,6 +1095,134 @@ def embedding_near_dup(
     )
 
 
+def semantic_dedup_exact(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_id: int | None = None,
+    max_rows: int = 10_000,
+) -> DataFrame:
+    """SemDeDup pruning rule, exact on a bounded id range: a vector is
+    a duplicate iff ANY lower-id vector has cosine >= threshold (the
+    "dominated" rule — no sequential survivor chain, so it is order-
+    free, embarrassingly parallel, and SQL-expressible for the oracle).
+    Cosine is the JVM-side sequential fold (`cosine`), bit-matching
+    DuckDB's list_sum so the >= boundary cannot flip between engines.
+
+    Same mechanical quadratic guard as ngram_jaccard_pairs; the
+    clustered `semantic_dedup` is the at-scale path."""
+    d = emb if max_id is None else emb.where(F.col(id_col) < max_id)
+    n_rows = d.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"semantic_dedup_exact is a quadratic baseline: {n_rows} rows "
+            f"exceeds max_rows={max_rows} — bound with max_id or use the "
+            "clustered semantic_dedup"
+        )
+    a = d.select(F.col(id_col).alias("__ia"), F.col(vec_col).alias("__va"))
+    b = d.select(F.col(id_col).alias("__ib"), F.col(vec_col).alias("__vb"))
+    dominated = (
+        a.crossJoin(b)
+        .where(F.col("__ia") < F.col("__ib"))
+        .where(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("__ib").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return d.select(id_col).join(dominated, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.85,
+    n_clusters: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    max_cluster_rows: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    the embedding space, then prune near-semantic-duplicates WITHIN
+    each cluster — the clustering bounds the quadratic similarity
+    computation to cluster-sized blocks, which is what makes
+    embedding-level dedup feasible at corpus scale (the paper runs
+    ~50k clusters over LAION/CC).  Inside a cluster the dominated rule
+    marks a vector duplicate iff any lower-id cluster-mate has cosine
+    >= threshold (deterministic keep-lowest-id representative; order-
+    free, identical to semantic_dedup_exact restricted to the cluster).
+
+    Plan shape: one k-means pass (broadcast centroids, JVM argmax —
+    kmeans_centroids), one shuffle on cluster id, then an Arrow-batched
+    numpy Gram-matrix kernel per cluster (no per-row Python).  Cross-
+    cluster near-dups are intentionally not compared — that recall loss
+    is the SemDeDup trade; raise n_clusters for tighter blocks, and a
+    cluster exceeding `max_cluster_rows` raises (the O(m^2) block would
+    not fit) instead of silently stalling an executor."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    if n_clusters <= 1:
+        corpus = emb.select(
+            F.col(id_col), F.col(vec_col), F.lit(0).alias("cluster")
+        )
+    else:
+        centroids = kmeans_centroids(
+            emb, k=n_clusters, n_iter=n_iter, id_col=id_col,
+            vec_col=vec_col, dim=dim,
+        )
+        corpus = emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            _nearest_centroid(F.col(vec_col), centroids).alias("cluster"),
+        )
+    out_schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("cluster", IntegerType()),
+        StructField("is_dup", BooleanType()),
+        StructField("dup_of", LongType(), nullable=True),
+    ])
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m > max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup cluster of {m} rows exceeds "
+                f"max_cluster_rows={max_cluster_rows}; raise n_clusters"
+            )
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        S = (V / norms[:, None]) @ (V / norms[:, None]).T
+        hit = np.tril(S >= threshold, k=-1)
+        is_dup = hit.any(axis=1)
+        ids = pdf[id_col].to_numpy()
+        first = hit.argmax(axis=1)  # lowest-index j with a hit
+        return pd.DataFrame({
+            id_col: ids,
+            "cluster": pdf["cluster"],
+            "is_dup": is_dup,
+            "dup_of": pd.array(
+                [int(ids[j]) if d else None for d, j in zip(is_dup, first)],
+                dtype="Int64",
+            ),
+        })
+
+    return corpus.groupBy("cluster").applyInPandas(kernel, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # training-data curation: chunking, PII scrub, repetition, contamination
 # ---------------------------------------------------------------------------

@@ -1417,6 +1417,51 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COS_AB = """list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+          NULLIF(sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                 sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+                 0)"""
+
+
+@query(
+    "q_semantic_dedup",
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+    dup AS (
+      SELECT DISTINCT b.vec_id AS vec_id
+      FROM e a, e b
+      WHERE a.vec_id < b.vec_id AND {_COS_AB} >= 0.4
+    )
+    SELECT e.vec_id AS vec_id, (dup.vec_id IS NOT NULL) AS is_dup
+    FROM e LEFT JOIN dup ON e.vec_id = dup.vec_id
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — SemDeDup pruning rule (keep-lowest-id representative,
+    drop any vector with a lower-id cosine neighbor >= threshold),
+    exact on a bounded id range.  The JVM-side sequential cosine fold
+    bit-matches DuckDB list_sum, so the >= boundary is engine-stable.
+    The clustered production path is q_semantic_dedup_kmeans."""
+    return L.semantic_dedup_exact(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, max_id=300
+    )
+
+
+@query("q_semantic_dedup_kmeans")  # cluster assignment is float-argmax ->
+# cross-engine boundary rows; pruned-set quality is pytest-gated instead
+def q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — SemDeDup at scale (arXiv:2303.09540): k-means blocks the
+    corpus (broadcast-centroid JVM argmax), then an Arrow-batched numpy
+    Gram kernel prunes within each cluster — the quadratic is bounded
+    by cluster size, never corpus size.  Pytest gates: exact agreement
+    with semantic_dedup_exact on separable data, exact-copy removal,
+    and in-cluster agreement on this table (test_llm.py)."""
+    return L.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_clusters=8
+    ).select("vec_id", "cluster", "is_dup", "dup_of")
+
+
 @query(
     "q_multimodal_meta",
     """

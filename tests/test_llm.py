@@ -499,3 +499,82 @@ def test_cross_dedup_hot_bucket_cap(spark):
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert (500, 1001) in got       # true near-dup survives
     assert not any(b == 1000 for _, b in got)  # boilerplate fan-out suppressed
+
+
+# -- SemDeDup (embedding-space dedup, arXiv:2303.09540) ----------------------
+
+
+def _groups_df(spark, dim=64, per_group=6, n_groups=3, copies=2):
+    """Well-separated groups: each group points along its own basis
+    axis with small deterministic perturbations in a DIFFERENT axis, so
+    in-group cosine ~= 1 and cross-group cosine ~= 0; `copies` rows per
+    group are exact duplicates of the group's first vector."""
+    rows = []
+    # ids interleave round-robin across groups so the k-means seeds
+    # (the k lowest ids) land one-per-group
+    for i in range(per_group):
+        for g in range(n_groups):
+            v = [0.0] * dim
+            v[g * 20] = 1.0
+            if i >= copies:  # perturb non-copies slightly
+                v[g * 20 + 1] = 0.01 * (i + 1)
+            rows.append((i * n_groups + g, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dedup_matches_exact_on_separable_data(spark):
+    """When k-means blocks align with the true groups (separable
+    data), the clustered SemDeDup must equal the global exact rule."""
+    df = _groups_df(spark)
+    exact = {
+        r["vec_id"]: r["is_dup"]
+        for r in L.semantic_dedup_exact(df, threshold=0.99).collect()
+    }
+    clus = {
+        r["vec_id"]: r["is_dup"]
+        for r in L.semantic_dedup(df, threshold=0.99, n_clusters=3,
+                                  n_iter=4).collect()
+    }
+    assert clus == exact
+    # and the rule itself: each group's first vector (ids 0,1,2) is
+    # kept; its exact copy (ids 3,4,5) is dropped
+    assert exact[0] is False and exact[3] is True
+
+
+def test_semantic_dedup_dup_of_points_at_lower_id_neighbor(spark):
+    df = _groups_df(spark)
+    got = L.semantic_dedup(df, threshold=0.99, n_clusters=3, n_iter=4)
+    for r in got.where("is_dup").collect():
+        assert r["dup_of"] is not None and r["dup_of"] < r["vec_id"]
+    for r in got.where("NOT is_dup").collect():
+        assert r["dup_of"] is None
+
+
+def test_semantic_dedup_never_false_positive_vs_global_rule(spark, sf_dir):
+    """Clustered pruning can only MISS cross-cluster neighbors, never
+    invent one: its dup set must be a subset of the global exact
+    rule's (on the bounded real table)."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    exact = {
+        r["vec_id"]
+        for r in L.semantic_dedup_exact(emb, threshold=0.4,
+                                        max_id=300).where("is_dup").collect()
+    }
+    clus = {
+        r["vec_id"]
+        for r in L.semantic_dedup(emb, threshold=0.4,
+                                  n_clusters=8).where("is_dup").collect()
+    }
+    assert clus <= exact
+
+
+def test_semantic_dedup_exact_quadratic_guard(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="quadratic"):
+        L.semantic_dedup_exact(emb, max_rows=10)
+
+
+def test_semantic_dedup_cluster_size_guard(spark):
+    df = _groups_df(spark)
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        L.semantic_dedup(df, n_clusters=1, max_cluster_rows=5).collect()
