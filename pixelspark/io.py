@@ -311,28 +311,10 @@ def write_sorted(
     out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
 
 
-def write_zordered(
-    df: DataFrame,
-    path: str,
-    cols: tuple[str, str],
-    num_partitions: int = 8,
-    bits: int = 16,
-    mode: str = "overwrite",
-) -> None:
-    """Z-order (Morton-curve) clustered layout for MULTI-column data
-    skipping.  A single-column sort gives tight per-file min/max stats
-    on one column only; interleaving the bit patterns of both columns'
-    bucket ids and range-partitioning on the interleave gives every
-    file a compact rectangle in (colA, colB) space — so parquet
-    row-group/file stats prune scans for predicates on EITHER column.
-    This is the vanilla-parquet equivalent of Delta/Iceberg OPTIMIZE
-    ZORDER BY.
-
-    All math is JVM-side: `width_bucket` maps each value onto a
-    2^bits grid (global min/max is one tiny agg), and the interleave
-    is an unrolled shiftleft/bitwise-OR expression.  The Z column is
-    dropped before writing.  Skipping win is measured in
-    tests/test_io.py."""
+def zorder_expr(df: DataFrame, cols: tuple[str, str], bits: int = 16):
+    """The Morton-interleave Column for `cols` over `df`'s value range
+    (one tiny min/max agg + pure bit arithmetic).  Shared by
+    `write_zordered` and SnapshotTable.compact(cluster_by=...)."""
     a, b = cols
     mm = df.agg(
         F.min(a).alias("amin"),
@@ -357,6 +339,32 @@ def write_zordered(
             z.bitwiseOR(F.shiftleft(xa.bitwiseAND(F.lit(1 << i)), i + 1))
             .bitwiseOR(F.shiftleft(xb.bitwiseAND(F.lit(1 << i)), i))
         )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    num_partitions: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) clustered layout for MULTI-column data
+    skipping.  A single-column sort gives tight per-file min/max stats
+    on one column only; interleaving the bit patterns of both columns'
+    bucket ids and range-partitioning on the interleave gives every
+    file a compact rectangle in (colA, colB) space — so parquet
+    row-group/file stats prune scans for predicates on EITHER column.
+    This is the vanilla-parquet equivalent of Delta/Iceberg OPTIMIZE
+    ZORDER BY.
+
+    All math is JVM-side: `width_bucket` maps each value onto a
+    2^bits grid (global min/max is one tiny agg), and the interleave
+    is an unrolled shiftleft/bitwise-OR expression.  The Z column is
+    dropped before writing.  Skipping win is measured in
+    tests/test_io.py."""
+    z = zorder_expr(df, cols, bits)
     (
         df.withColumn("__z", z)
         .repartitionByRange(num_partitions, F.col("__z"))

@@ -670,7 +670,12 @@ class SnapshotTable:
             f"times at {self.root}"
         )
 
-    def compact(self, partition_values: list | None = None) -> int:
+    def compact(
+        self,
+        partition_values: list | None = None,
+        cluster_by: tuple[str, ...] | None = None,
+        num_files: int = 8,
+    ) -> int:
         """Fold live entries into fewer data dirs (bounds the read
         union width); pure add-then-commit, same crash model.
 
@@ -682,9 +687,39 @@ class SnapshotTable:
         last month's 30 day-entries into one touches 30 days of data,
         not the table, and the read union shrinks by 29 scans.
 
+        `cluster_by` re-lays the rewritten data for data skipping (the
+        Delta OPTIMIZE ZORDER BY shape): one column range-partitions +
+        sorts so per-file min/max stats become tight on that column;
+        two columns sort along the Morton curve so every file covers a
+        compact rectangle and predicates on EITHER column prune.  With
+        `stats_cols` set, the rewrite records the new (tight) ranges
+        and `read(predicates=...)` skips at file granularity —
+        clustering is what converts stats from bookkeeping into
+        skipped I/O on a corpus whose ingest order scattered the keys.
+
         Like upsert, the rewrite is pinned to the version it read and
         re-runs on ConcurrentWriteConflict — otherwise a commit landing
         mid-compact would be clobbered by the stale rewrite."""
+
+        def layout(df: DataFrame) -> DataFrame:
+            if cluster_by is None:
+                return df
+            if len(cluster_by) == 1:
+                return df.repartitionByRange(
+                    num_files, cluster_by[0]
+                ).sortWithinPartitions(cluster_by[0])
+            if len(cluster_by) == 2:
+                from pixelspark.io import zorder_expr
+
+                z = zorder_expr(df, cluster_by)  # type: ignore[arg-type]
+                return (
+                    df.withColumn("__zorder", z)
+                    .repartitionByRange(num_files, F.col("__zorder"))
+                    .sortWithinPartitions("__zorder")
+                    .drop("__zorder")
+                )
+            raise ValueError("cluster_by supports 1 (sort) or 2 (z-order) columns")
+
         for _ in range(self.max_retries):
             read_v = self.latest_version()
             m = self.manifest(read_v)
@@ -692,7 +727,8 @@ class SnapshotTable:
             try:
                 if partition_values is None:
                     return self.overwrite(
-                        self.read(version=read_v), pcol, expected_version=read_v
+                        layout(self.read(version=read_v)), pcol,
+                        expected_version=read_v,
                     )
                 if pcol is None:
                     raise ValueError(
@@ -705,7 +741,7 @@ class SnapshotTable:
                     version=read_v, partition_values=partition_values
                 ).where(F.col(pcol).isin(partition_values))
                 return self.replace_partitions(
-                    subset, pcol, expected_version=read_v
+                    layout(subset), pcol, expected_version=read_v
                 )
             except ConcurrentWriteConflict:
                 continue

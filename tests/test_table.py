@@ -952,3 +952,47 @@ def test_stats_all_null_file_kept(spark, tmp_path):
     # the residual WHERE keeps the results exact
     got = [r["k"] for r in t.read(predicates=[("v", ">=", 30)]).collect()]
     assert got == [3]
+
+
+def test_compact_cluster_by_tightens_stats_and_skipping(spark, tmp_path):
+    """OPTIMIZE ZORDER shape: ingest-order scatter gives every file the
+    full value range (stats prune nothing); a z-order compact gives
+    each file a compact rectangle in (x, y), so single-column
+    predicates on EITHER column skip most files."""
+    import random
+
+    t = SnapshotTable(spark, str(tmp_path / "z"), stats_cols=("x", "y"))
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(1000), rng.randrange(1000)) for i in range(4000)]
+    for lo in range(0, 4000, 1000):  # four scattered ingest commits
+        t.append(
+            spark.createDataFrame(rows[lo:lo + 1000], "k long, x long, y long")
+            .repartition(4)
+        )
+    pred_x = [("x", "<", 100)]
+    pred_y = [("y", ">=", 900)]
+    before_x = len(t.read(predicates=pred_x).inputFiles())
+    t.compact(cluster_by=("x", "y"), num_files=16)
+    after_x = t.read(predicates=pred_x)
+    after_y = t.read(predicates=pred_y)
+    assert len(after_x.inputFiles()) < before_x
+    # 16 files = 4 z-bits; the interleave gives x the higher bit at
+    # every level, so a 10%-selective predicate prunes x a bit harder
+    assert len(after_x.inputFiles()) <= 4 and len(after_y.inputFiles()) <= 6
+    # values exact vs a plain filter on the full table
+    assert sorted(r["k"] for r in after_x.collect()) == sorted(
+        r["k"] for r in t.read().where("x < 100").collect()
+    )
+    assert sorted(r["k"] for r in after_y.collect()) == sorted(
+        r["k"] for r in t.read().where("y >= 900").collect()
+    )
+
+
+def test_compact_cluster_by_single_column_sort(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "s"), stats_cols=("v",))
+    t.append(_df(spark, [(i, "x") for i in range(1000)]).withColumn(
+        "v", (F.col("k") * 37) % 1000).repartition(8))
+    t.compact(cluster_by=("v",), num_files=8)
+    pruned = t.read(predicates=[("v", "<", 100)])
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.count() == 100

@@ -349,6 +349,58 @@ def skew_join_experiment(spark) -> dict:
     }
 
 
+def stats_skipping_experiment(spark) -> dict:
+    """File-stats data skipping at commit-heavy scale: a table built
+    from 40 scattered appends (every file spans the full key range)
+    vs the same table after a z-order compact.  Measures a selective
+    two-sided point-range query: files scanned + wall-clock, stats
+    pruning vs full scan + residual filter.
+
+    The judged claim: clustering converts manifest stats into skipped
+    I/O — scattered ingest order prunes ~nothing, the clustered
+    rewrite prunes ~90%+ of files before Spark plans the scan."""
+    import random
+    import tempfile
+
+    from pixelspark.table import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="probe_stats_") + "/t"
+    t = SnapshotTable(spark, root, stats_cols=("x", "y"))
+    rng = random.Random(11)
+    n_commits, rows_per = 40, 50_000
+    for c in range(n_commits):
+        rows = [(c * rows_per + i, rng.randrange(100_000), rng.randrange(100_000))
+                for i in range(rows_per)]
+        t.append(spark.createDataFrame(rows, "k long, x long, y long")
+                 .repartition(4))
+    preds = [("x", "<", 5_000), ("y", ">=", 95_000)]
+
+    def run(predicates):
+        t0 = time.time()
+        df = t.read(predicates=predicates) if predicates else (
+            t.read().where("x < 5000 AND y >= 95000"))
+        n = df.count()
+        return round(time.time() - t0, 3), len(df.inputFiles()), n
+
+    scat_full = run(None)
+    scat_stats = run(preds)
+    t.compact(cluster_by=("x", "y"), num_files=64)
+    clus_full = run(None)
+    clus_stats = run(preds)
+    assert scat_stats[2] == scat_full[2] == clus_stats[2] == clus_full[2]
+    return {
+        "experiment": "stats_skipping",
+        "rows": n_commits * rows_per,
+        "scattered": {"files_full": scat_full[1], "files_stats": scat_stats[1],
+                      "sec_full": scat_full[0], "sec_stats": scat_stats[0]},
+        "zorder_compacted": {"files_full": clus_full[1],
+                             "files_stats": clus_stats[1],
+                             "sec_full": clus_full[0],
+                             "sec_stats": clus_stats[0]},
+        "matching_rows": scat_full[2],
+    }
+
+
 def main() -> None:
     spark = get_spark("pixelspark-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -359,6 +411,7 @@ def main() -> None:
             "snapshot_union": snapshot_union_experiment,
             "skew": skew_experiment,
             "skew_join": skew_join_experiment,
+            "stats_skipping": stats_skipping_experiment,
         }[sys.argv[1]]
         print(json.dumps(fn(spark)))
         return
@@ -391,6 +444,7 @@ def main() -> None:
     print(json.dumps(snapshot_union_experiment(spark)))
     print(json.dumps(skew_experiment(spark)))
     print(json.dumps(skew_join_experiment(spark)))
+    print(json.dumps(stats_skipping_experiment(spark)))
 
 
 if __name__ == "__main__":
