@@ -337,6 +337,7 @@ class SnapshotTable:
         df: DataFrame,
         partition_col: str | None = None,
         expected_version=_ANY_VERSION,
+        op: dict | None = None,
     ) -> int:
         """Full snapshot replacement.  An empty `df` is a truncate: the
         manifest commits with zero entries but keeps the schema, so
@@ -351,6 +352,7 @@ class SnapshotTable:
                 "partition_col": partition_col,
                 "entries": [entry] if has_data else [],
                 "schema": schema,
+                "op": op or {"name": "overwrite"},
             }
 
         return self._commit(build)
@@ -378,7 +380,8 @@ class SnapshotTable:
                 )
             if has_data:
                 entries = entries + [entry]
-            return {"partition_col": None, "entries": entries, "schema": schema}
+            return {"partition_col": None, "entries": entries, "schema": schema,
+                    "op": {"name": "append"}}
 
         return self._commit(build)
 
@@ -419,7 +422,9 @@ class SnapshotTable:
             if has_data:
                 entries = entries + [entry]
             return {"partition_col": None, "entries": entries,
-                    "txn": txn, "schema": schema}
+                    "txn": txn, "schema": schema,
+                    "op": {"name": "append_once", "app_id": app_id,
+                           "batch_id": batch_id}}
 
         return self._commit(build)
 
@@ -430,6 +435,7 @@ class SnapshotTable:
         txn: tuple[str, int] | None = None,
         expected_version=_ANY_VERSION,
         replace_values: list | None = None,
+        op: dict | None = None,
     ) -> int | None:
         """Atomic dynamic-partition overwrite (Delta `replaceWhere`):
         replace exactly the `partition_col` values present in `df`.
@@ -491,7 +497,9 @@ class SnapshotTable:
             if has_data:
                 entries.append({"base": rel, "parts": sorted(new_parts)})
             out = {"partition_col": partition_col, "entries": entries,
-                   "schema": schema}
+                   "schema": schema,
+                   "op": op or {"name": "replace_partitions",
+                                "n_values": len(replaced)}}
             if tmap:
                 out["txn"] = tmap
             return out
@@ -524,7 +532,8 @@ class SnapshotTable:
                 # preserve the table's partitioning — a keyed merge must
                 # not silently rewrite a partitioned table as unpartitioned
                 return self.overwrite(
-                    merged, partition_col=pcol, expected_version=read_v
+                    merged, partition_col=pcol, expected_version=read_v,
+                    op={"name": "upsert", "keys": list(keys)},
                 )
             except ConcurrentWriteConflict:
                 continue  # table moved: recompute the merge from latest
@@ -652,17 +661,19 @@ class SnapshotTable:
                 merged = j.where(~deleted & (~src_only | inserted)).select(
                     *[out(c) for c in out_cols]
                 )
+                merge_op = {"name": "merge", "keys": list(keys)}
                 if read_v is None:
-                    return self.overwrite(merged, expected_version=None)
+                    return self.overwrite(merged, expected_version=None,
+                                          op=merge_op)
                 if partition_scoped:
                     v = self.replace_partitions(
                         merged, pcol, expected_version=read_v,
-                        replace_values=touched,
+                        replace_values=touched, op=merge_op,
                     )
                     assert v is not None
                     return v
                 return self.overwrite(merged, partition_col=pcol,
-                                      expected_version=read_v)
+                                      expected_version=read_v, op=merge_op)
             except ConcurrentWriteConflict:
                 continue
         raise ConcurrentCommitError(
@@ -728,7 +739,7 @@ class SnapshotTable:
                 if partition_values is None:
                     return self.overwrite(
                         layout(self.read(version=read_v)), pcol,
-                        expected_version=read_v,
+                        expected_version=read_v, op={"name": "compact"},
                     )
                 if pcol is None:
                     raise ValueError(
@@ -741,7 +752,8 @@ class SnapshotTable:
                     version=read_v, partition_values=partition_values
                 ).where(F.col(pcol).isin(partition_values))
                 return self.replace_partitions(
-                    layout(subset), pcol, expected_version=read_v
+                    layout(subset), pcol, expected_version=read_v,
+                    op={"name": "compact", "n_values": len(partition_values)},
                 )
             except ConcurrentWriteConflict:
                 continue
@@ -1002,6 +1014,51 @@ class SnapshotTable:
             .select(*[out_vals.get(c, F.col(c)) for c in table_cols],
                     "change_type")
         )
+
+    def history(self) -> list[dict]:
+        """Commit log, newest first (Delta DESCRIBE HISTORY): version,
+        the operation that produced it, live entry count, and the
+        streaming-txn watermarks at that point."""
+        out = []
+        for v in reversed(self.versions()):
+            m = self.manifest(v)
+            out.append({
+                "version": v,
+                "op": m.get("op") or {"name": "unknown"},
+                "n_entries": len(m["entries"]),
+                "partition_col": m.get("partition_col"),
+                "txn": m.get("txn") or {},
+            })
+        return out
+
+    def restore(self, version: int) -> int:
+        """Roll the table back to `version` AS A NEW COMMIT (Delta
+        RESTORE): the new manifest points at the old snapshot's data
+        dirs — no data is copied, and the rolled-back-over versions
+        remain in history for audit.  Fails if any referenced dir was
+        already vacuumed (retention must cover restore targets).
+
+        The streaming-txn watermark map is NOT restored: replayed
+        batches stayed replayed — a restore rolls back data, not the
+        exactly-once ledger (otherwise a re-delivered batch after the
+        restore would double-append)."""
+        m = self.manifest(version)
+        for e in m["entries"]:
+            if not self.st.exists(f"{self.root}/{e['base']}"):
+                raise FileNotFoundError(
+                    f"cannot restore v{version}: data dir {e['base']} was "
+                    "vacuumed — keep_versions must cover restore targets"
+                )
+
+        def build(prev: dict | None) -> dict:
+            return {
+                "partition_col": m.get("partition_col"),
+                "entries": m["entries"],
+                "schema": m.get("schema"),
+                "op": {"name": "restore", "to_version": version},
+            }
+
+        return self._commit(build)
 
     # -- maintenance -------------------------------------------------------
 

@@ -996,3 +996,47 @@ def test_compact_cluster_by_single_column_sort(spark, tmp_path):
     pruned = t.read(predicates=[("v", "<", 100)])
     assert len(pruned.inputFiles()) == 1
     assert pruned.count() == 100
+
+
+# -- history + restore ------------------------------------------------------
+
+
+def test_history_records_operations(spark, tbl):
+    tbl.overwrite(_df(spark, [(1, "a")]))
+    tbl.append(_df(spark, [(2, "b")]))
+    tbl.upsert(_df(spark, [(1, "A")]), keys=("k",))
+    tbl.merge(_df(spark, [(9, "i")]), keys=("k",))
+    tbl.compact()
+    ops = [h["op"]["name"] for h in tbl.history()]
+    assert ops == ["compact", "merge", "upsert", "append", "overwrite"]
+    assert tbl.history()[2]["op"]["keys"] == ["k"]
+
+
+def test_restore_rolls_back_without_copying_data(spark, tbl):
+    tbl.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    tbl.upsert(_df(spark, [(1, "A")]), keys=("k",))
+    v = tbl.restore(1)
+    assert sorted((r["k"], r["v"]) for r in tbl.read().collect()) == [
+        (1, "a"), (2, "b")]
+    # the restore manifest points at version 1's data dir verbatim
+    assert tbl.manifest(v)["entries"] == tbl.manifest(1)["entries"]
+    # rolled-over history is still auditable
+    assert [h["version"] for h in tbl.history()] == [3, 2, 1]
+
+
+def test_restore_refuses_vacuumed_target(spark, tbl):
+    tbl.overwrite(_df(spark, [(1, "a")]))
+    tbl.overwrite(_df(spark, [(2, "b")]))
+    tbl.vacuum(keep_versions=1)
+    with pytest.raises(FileNotFoundError):
+        tbl.restore(1)
+
+
+def test_restore_keeps_txn_watermarks(spark, tbl):
+    """A restore rolls back DATA, not the exactly-once ledger: a batch
+    that committed before the restore must still be a no-op after."""
+    tbl.append_once(_df(spark, [(1, "a")]), app_id="job", batch_id=7)
+    tbl.append(_df(spark, [(2, "b")]))
+    tbl.restore(1)
+    assert tbl.append_once(_df(spark, [(1, "dup")]), "job", 7) is None
+    assert sorted(r["k"] for r in tbl.read().collect()) == [1]
