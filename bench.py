@@ -67,6 +67,8 @@ HEADLINE = [
     "q_bm25",
     "q_pagerank",
     "q_contamination",
+    # round-5: embedding-space dedup (k-means blocks + Gram kernel)
+    "q_semantic_dedup_kmeans",
 ]
 
 

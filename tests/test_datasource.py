@@ -158,3 +158,47 @@ def test_microbatch_input_is_manifest_diff(reg, spark, tmp_path):
     parts = sr.partitions({"version": 1}, {"version": 2})
     assert len(parts) == 1
     assert parts[0].path.endswith(t.manifest(2)["entries"][-1]["base"])
+
+
+def test_table_to_table_pipeline_exactly_once(reg, spark, tmp_path):
+    """The medallion shape end-to-end: a bronze snapshot table is
+    TAILED as a stream (manifest-diff micro-batches), transformed, and
+    landed in a silver snapshot table through append_once — source
+    offsets live in the checkpoint, sink idempotence in the manifest
+    txn guard.  Re-running after new bronze commits moves only the new
+    data; re-running with NO new data (or after sink-side replay)
+    changes nothing."""
+    from pixelspark.streaming.daily import run_snapshot_append_sink
+
+    bronze_root, silver_root, ckpt = (
+        str(tmp_path / p) for p in ("bronze", "silver", "ck")
+    )
+    bronze = SnapshotTable(spark, bronze_root)
+    bronze.append(
+        spark.createDataFrame([(1, 10), (1, 5), (2, 7)], "shop long, views long")
+    )
+
+    def run():
+        stream = (
+            spark.readStream.format("snapshot_table")
+            .load(bronze_root)
+            .withColumn("weighted", F.col("views") * 2)
+        )
+        run_snapshot_append_sink(stream, silver_root, ckpt, app_id="t2t")
+
+    run()
+    silver = SnapshotTable(spark, silver_root)
+    assert silver.read().agg(F.sum("weighted")).collect()[0][0] == 44
+    v_after_first = silver.latest_version()
+    # idempotent re-run: no new bronze commits -> no silver change
+    run()
+    assert silver.latest_version() == v_after_first
+    assert silver.read().agg(F.sum("weighted")).collect()[0][0] == 44
+    # incremental: one new bronze commit flows through exactly once
+    bronze.append(spark.createDataFrame([(3, 100)], "shop long, views long"))
+    run()
+    assert silver.read().agg(F.sum("weighted")).collect()[0][0] == 244
+    got = sorted(
+        (r["shop"], r["weighted"]) for r in silver.read().collect()
+    )
+    assert got == [(1, 10), (1, 20), (2, 14), (3, 200)]
