@@ -6475,8 +6475,12 @@ _WINDOW_QUERIES = [
     "q_latest_state",
     "q_top_shops",
     "q_recent_records",
-    "q_running_total",
-    "q_lag_daily",
+    # r5 rotation: the round-5 storage flagships (multi-clause MERGE and
+    # the change data feed, both value-oracled) take the slots of
+    # q_running_total / q_lag_daily (W+ extensions, in-window green since
+    # r2; they stay registered + sweep-checked)
+    "q_snapshot_merge",
+    "q_table_changes",
     "q_report_rows",
     "q_star_join",
     "q_schema_evolve",
