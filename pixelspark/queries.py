@@ -1044,6 +1044,47 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_table_dml",
+    f"""
+    WITH pv AS (
+      SELECT user_id AS shop, COUNT(*) AS event_count
+      FROM events
+      WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '{TD}'
+      GROUP BY user_id
+    ), bill AS (
+      SELECT COALESCE(pv.event_count, 0) AS page_views
+      FROM customer c LEFT JOIN pv ON c.c_custkey = pv.shop
+    )
+    SELECT CASE WHEN page_views >= 2 THEN 'heavy' ELSE 'light' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM bill WHERE page_views > 0 GROUP BY 1
+    """,
+)
+def q_table_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE + UPDATE on the snapshot table (table.py):
+    delete the zero-view shops, then tier the survivors by view count
+    with a conditional UPDATE — the two Delta-style DML verbs the
+    MERGE query does not exercise in isolation.  Oracle states the end
+    state ('light' = one view, 'heavy' = two+) from the raw inputs."""
+    import tempfile
+
+    from pixelspark.table import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="pixelspark_dml_") + "/usage_records"
+    t = SnapshotTable(spark, root)
+    bill = B.daily_billing(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "events"), TD)
+    base = (
+        bill.withColumn("shop", F.col("shop").cast("string"))
+        .withColumn("status", F.lit("pending"))
+    )
+    t.overwrite(base)
+    t.delete("page_views = 0")
+    t.update({"status": F.lit("light")}, condition="page_views = 1")
+    t.update({"status": F.lit("heavy")}, condition="page_views >= 2")
+    return t.read().groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
     "q_table_tail",
     """
     SELECT CAST(ts AS DATE) AS day,

@@ -550,6 +550,7 @@ class SnapshotTable:
         when_matched_delete=None,
         when_not_matched_insert=True,
         update_condition=None,
+        broadcast_source: bool = False,
     ) -> int:
         """Multi-clause MERGE (Delta `MERGE INTO` / the general form of
         the reference's keyed UPDATE+INSERT, src/services/bigquery.ts:
@@ -563,11 +564,19 @@ class SnapshotTable:
             column from the source; a dict maps target column ->
             expression over ``t.*``/``s.*``;
           * not matched and `when_not_matched_insert` (True or a
-            condition over ``s.*``) -> source row inserted (target-only
-            columns null).
+            condition over ``s.*`` — source columns ONLY: the insert
+            leg never joins the target) -> source row inserted
+            (target-only columns null).
 
         Delete is checked before update (Delta's clause order); NULL
         conditions count as false.  Key columns cannot be assigned.
+
+        Plan shape: target LEFT JOIN source for the matched clauses
+        (broadcast-able — `broadcast_source=True` forces it; a
+        full-outer join could never broadcast and would shuffle the
+        full-width target) plus source ANTI JOIN the target's
+        column-pruned KEY projection for inserts — the target's data
+        columns never enter a shuffle on either leg.
 
         Scale: on a table partitioned by a column IN `keys`, only the
         partitions carrying source keys are read and rewritten — the
@@ -634,33 +643,55 @@ class SnapshotTable:
                         for c, e in when_matched_update.items()
                     } if when_matched_update else {}
 
-                t_m = target.withColumn("__t", F.lit(True)).alias("t")
+                # Two joins instead of one FULL OUTER — deliberately.
+                # A full-outer join can never broadcast either side, so
+                # at scale it shuffles the FULL-WIDTH target.  Split:
+                #   1. target LEFT JOIN source -> keep / update /
+                #      delete.  Catalyst may broadcast the (small)
+                #      source, and then the target never shuffles at
+                #      all.
+                #   2. source ANTI JOIN target-keys -> inserts.  Only
+                #      the column-pruned key projection of the target
+                #      shuffles, never its data columns.
+                # (Consequence: an insert condition sees source columns
+                # only — matched-clause conditions still see both.)
+                t_m = target.alias("t")
                 s_m = source.withColumn("__s", F.lit(True)).alias("s")
+                if broadcast_source:
+                    # deterministic hint for the common small-source
+                    # merge (Catalyst broadcasts on its own when the
+                    # source has size stats; AQE converts at runtime
+                    # otherwise — this forces it at plan time)
+                    s_m = F.broadcast(s_m)
                 on = reduce(
                     lambda a, b: a & b,
                     [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
                 )
-                j = t_m.join(s_m, on, "full_outer")
-                is_match = F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
-                src_only = F.col("t.__t").isNull() & F.col("s.__s").isNotNull()
+                j = t_m.join(s_m, on, "left")
+                is_match = F.col("s.__s").isNotNull()
                 deleted = is_match & F.coalesce(del_cond, F.lit(False))
-                inserted = src_only & F.coalesce(ins_cond, F.lit(False))
                 updated = is_match & F.coalesce(upd_cond, F.lit(False))
 
                 def out(c: str):
                     tgt = F.col(f"t.{c}")
-                    src = (
-                        F.col(f"s.{c}") if c in source.columns
-                        else F.lit(None).cast(target.schema[c].dataType)
-                    )
-                    v = F.when(src_only, src)
                     if c in upd_map:
-                        v = v.when(updated, upd_map[c])
-                    return v.otherwise(tgt).alias(c)
+                        return F.when(updated, upd_map[c]).otherwise(tgt).alias(c)
+                    return tgt.alias(c)
 
-                merged = j.where(~deleted & (~src_only | inserted)).select(
-                    *[out(c) for c in out_cols]
+                survivors = j.where(~deleted).select(*[out(c) for c in out_cols])
+
+                def ins(c: str):
+                    if c in source.columns:
+                        return F.col(c).alias(c)
+                    return F.lit(None).cast(target.schema[c].dataType).alias(c)
+
+                inserts = (
+                    source.alias("s")
+                    .join(target.select(*keys), list(keys), "left_anti")
+                    .where(F.coalesce(ins_cond, F.lit(False)))
+                    .select(*[ins(c) for c in out_cols])
                 )
+                merged = survivors.unionByName(inserts)
                 merge_op = {"name": "merge", "keys": list(keys)}
                 if read_v is None:
                     return self.overwrite(merged, expected_version=None,
@@ -678,6 +709,125 @@ class SnapshotTable:
                 continue
         raise ConcurrentCommitError(
             f"merge lost the read-merge-write race {self.max_retries} "
+            f"times at {self.root}"
+        )
+
+    def delete(self, condition) -> int:
+        """Row-level DELETE (Delta `DELETE FROM ... WHERE`): rewrite
+        without the rows matching `condition` (Column or SQL string
+        over the table's columns; NULL counts as not-matching, SQL
+        semantics).
+
+        On a partitioned table the doomed rows' partition values are
+        found first (one column-pruned pass), and ONLY those
+        partitions are rewritten via the replace_partitions manifest
+        edit — a GDPR delete of one user's one day touches one
+        partition of a 100-TB table.  A partition whose every row
+        matched is retired outright.  Unpartitioned tables rewrite
+        fully.  Pinned read-modify-write, same conflict discipline as
+        upsert/merge."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        doomed_cond = F.coalesce(cond, F.lit(False))
+        for _ in range(self.max_retries):
+            read_v = self.latest_version()
+            pcol = self.manifest(read_v).get("partition_col")
+            op = {"name": "delete"}
+            try:
+                if pcol is None:
+                    return self.overwrite(
+                        self.read(version=read_v).where(~doomed_cond),
+                        expected_version=read_v, op=op,
+                    )
+                touched = [
+                    r[0]
+                    for r in self.read(version=read_v)
+                    .where(doomed_cond).select(pcol).distinct().collect()
+                ]
+                if not touched:
+                    return read_v  # nothing matched: no-op
+                if any(v is None for v in touched):
+                    raise ValueError(
+                        "delete matching rows in the NULL partition is "
+                        "not partition-addressable; compact first"
+                    )
+                subset = self.read(
+                    version=read_v, partition_values=touched
+                ).where(F.col(pcol).isin(touched)).where(~doomed_cond)
+                v = self.replace_partitions(
+                    subset, pcol, expected_version=read_v,
+                    replace_values=touched, op=op,
+                )
+                assert v is not None
+                return v
+            except ConcurrentWriteConflict:
+                continue
+        raise ConcurrentCommitError(
+            f"delete lost the read-merge-write race {self.max_retries} "
+            f"times at {self.root}"
+        )
+
+    def update(self, set: dict, condition=None) -> int:
+        """Row-level UPDATE (Delta `UPDATE ... SET ... WHERE`): `set`
+        maps column -> expression (Column or SQL string over the
+        table's columns); rows matching `condition` (default: all) get
+        the new values.  The partition column cannot be assigned (a
+        row may not migrate partitions in a partition-scoped rewrite);
+        same touched-partitions-only rewrite and conflict discipline
+        as delete()."""
+        cond = (F.lit(True) if condition is None
+                else F.expr(condition) if isinstance(condition, str)
+                else condition)
+        hit = F.coalesce(cond, F.lit(False))
+        assigns = {
+            c: (F.expr(e) if isinstance(e, str) else e) for c, e in set.items()
+        }
+
+        def apply(df: DataFrame) -> DataFrame:
+            return df.select(*[
+                F.when(hit, assigns[c]).otherwise(F.col(c)).alias(c)
+                if c in assigns else F.col(c)
+                for c in df.columns
+            ])
+
+        for _ in range(self.max_retries):
+            read_v = self.latest_version()
+            pcol = self.manifest(read_v).get("partition_col")
+            if pcol is not None and pcol in assigns:
+                raise ValueError(
+                    f"update cannot assign the partition column {pcol!r}"
+                )
+            op = {"name": "update", "columns": sorted(assigns)}
+            try:
+                if pcol is None:
+                    return self.overwrite(
+                        apply(self.read(version=read_v)),
+                        expected_version=read_v, op=op,
+                    )
+                touched = [
+                    r[0]
+                    for r in self.read(version=read_v)
+                    .where(hit).select(pcol).distinct().collect()
+                ]
+                if not touched or any(v is None for v in touched):
+                    if not touched:
+                        return read_v
+                    raise ValueError(
+                        "update matching rows in the NULL partition is "
+                        "not partition-addressable; compact first"
+                    )
+                subset = apply(
+                    self.read(version=read_v, partition_values=touched)
+                    .where(F.col(pcol).isin(touched))
+                )
+                v = self.replace_partitions(
+                    subset, pcol, expected_version=read_v, op=op,
+                )
+                assert v is not None
+                return v
+            except ConcurrentWriteConflict:
+                continue
+        raise ConcurrentCommitError(
+            f"update lost the read-merge-write race {self.max_retries} "
             f"times at {self.root}"
         )
 

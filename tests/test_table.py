@@ -1040,3 +1040,64 @@ def test_restore_keeps_txn_watermarks(spark, tbl):
     tbl.restore(1)
     assert tbl.append_once(_df(spark, [(1, "dup")]), "job", 7) is None
     assert sorted(r["k"] for r in tbl.read().collect()) == [1]
+
+
+# -- row-level DELETE / UPDATE ----------------------------------------------
+
+
+def test_delete_rows_unpartitioned(spark, tbl):
+    tbl.overwrite(_df(spark, [(1, "a"), (2, "kill"), (3, "c")]))
+    tbl.delete("v = 'kill'")
+    assert sorted(r["k"] for r in tbl.read().collect()) == [1, 3]
+    assert tbl.history()[0]["op"]["name"] == "delete"
+
+
+def test_delete_partition_scoped_touches_only_matching_days(spark, tbl):
+    pdf = spark.createDataFrame(
+        [("d1", 1, 10), ("d2", 2, 0), ("d2", 3, 30), ("d3", 4, 0)],
+        "day string, id long, v long",
+    )
+    tbl.replace_partitions(pdf, "day")
+    tbl.delete(F.col("v") == 0)
+    got = sorted((r["day"], r["id"]) for r in tbl.read().collect())
+    assert got == [("d1", 1), ("d2", 3)]
+    m1, m2 = tbl.manifest(1), tbl.manifest(2)
+
+    def parts(m):
+        return {p: e["base"] for e in m["entries"] for p in (e["parts"] or [])}
+
+    # d1 untouched (no matching rows): same data dir; d3 fully deleted:
+    # retired from the manifest entirely
+    assert parts(m2)["day=d1"] == parts(m1)["day=d1"]
+    assert "day=d3" not in parts(m2)
+    assert parts(m2)["day=d2"] != parts(m1)["day=d2"]
+
+
+def test_delete_null_condition_rows_survive(spark, tbl):
+    tbl.overwrite(spark.createDataFrame(
+        [(1, None), (2, 5)], "k long, v long"))
+    tbl.delete(F.col("v") > 3)  # NULL > 3 is NULL -> not deleted
+    assert sorted(r["k"] for r in tbl.read().collect()) == [1]
+
+
+def test_update_rows_with_condition(spark, tbl):
+    tbl.overwrite(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    tbl.update({"v": F.concat(F.col("v"), F.lit("!"))}, condition="k >= 2")
+    got = {r["k"]: r["v"] for r in tbl.read().collect()}
+    assert got == {1: "a", 2: "b!", 3: "c!"}
+
+
+def test_update_partition_scoped_and_guards(spark, tbl):
+    pdf = spark.createDataFrame(
+        [("d1", 1, 10), ("d2", 2, 20)], "day string, id long, v long"
+    )
+    tbl.replace_partitions(pdf, "day")
+    tbl.update({"v": "v * 2"}, condition="day = 'd2'")
+    got = {(r["day"], r["id"]): r["v"] for r in tbl.read().collect()}
+    assert got == {("d1", 1): 10, ("d2", 2): 40}
+    # untouched partition keeps its data dir
+    def parts(m):
+        return {p: e["base"] for e in m["entries"] for p in (e["parts"] or [])}
+    assert parts(tbl.manifest(2))["day=d1"] == parts(tbl.manifest(1))["day=d1"]
+    with pytest.raises(ValueError, match="partition column"):
+        tbl.update({"day": F.lit("dX")})
