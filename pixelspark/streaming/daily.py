@@ -360,3 +360,70 @@ def run_fanout_sink(
     )
     q.awaitTermination()
     return q
+
+
+def run_snapshot_cdc_sink(
+    changes: DataFrame,
+    root: str,
+    checkpoint: str,
+    keys: tuple[str, ...],
+    seq_col: str = "seq",
+):
+    """Apply a STREAM of change rows (the `read_changes` /
+    `snapshot_diff` shape: table columns + `change_type` in
+    {'inserted','updated','deleted'} + a monotone `seq_col`) onto a
+    snapshot table — the streaming CDC-apply that keeps a downstream
+    replica in lockstep with an upstream changelog.
+
+    Each micro-batch first COMPACTS to the latest change per key (one
+    window over `seq_col` — a batch, and especially a replayed stream
+    after checkpoint loss, may carry a key's whole history in one
+    trigger), then lands as ONE multi-clause merge: matched+'deleted'
+    removes the row, matched otherwise updates the data columns,
+    unmatched non-deletes insert.  Unlike the append sink, no txn
+    guard is needed: re-applying any suffix (or all) of the changelog
+    is a no-op BY CONSTRUCTION — per-key latest-change determines the
+    state, updates/deletes are idempotent, and a replayed insert finds
+    its key present and degrades to an identical update.  On a
+    partitioned replica keyed by its partition column, each batch
+    rewrites only the partitions its keys touch (merge's
+    partition-scoped path)."""
+    from pyspark.sql import Window
+
+    from pixelspark.table import SnapshotTable
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", seq_col)
+        )
+        t = SnapshotTable(batch_df.sparkSession, root)
+        data_cols = [c for c in latest.columns
+                     if c != "change_type" and c not in keys]
+        if not t.exists():
+            t.overwrite(
+                latest.where(F.col("change_type") != "deleted")
+                .drop("change_type")
+            )
+            return
+        t.merge(
+            latest,
+            keys=keys,
+            when_matched_delete=F.col("s.change_type") == "deleted",
+            when_matched_update={c: F.col(f"s.{c}") for c in data_cols},
+            when_not_matched_insert=F.col("s.change_type") != "deleted",
+        )
+
+    q = (
+        changes.writeStream.foreachBatch(commit)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

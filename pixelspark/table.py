@@ -118,6 +118,11 @@ def _range_admits(rng, op: str, val) -> bool:
     return mn <= nval  # "<="
 
 
+class ConstraintViolation(ValueError):
+    """A write carried rows violating the table's declared constraints
+    (the Delta CHECK-constraint failure); nothing was committed."""
+
+
 class ConcurrentCommitError(RuntimeError):
     """Raised when a commit loses the optimistic race `max_retries`
     times in a row (livelock guard, not an expected state)."""
@@ -150,8 +155,18 @@ class SnapshotTable:
         max_retries: int = 5,
         storage: Storage | None = None,
         stats_cols: tuple[str, ...] | None = None,
+        constraints: list[tuple[str, object]] | None = None,
     ):
-        """`stats_cols` opts into per-file min/max statistics (the
+        """`constraints` declares write-side CHECK rules (Delta
+        constraint shape): a list of (name, predicate) with the
+        predicate a Column or SQL string over the written rows; every
+        write path audits the BATCH in one aggregate pass before any
+        data lands and raises ConstraintViolation with per-rule counts
+        — O(batch) enforcement, never O(table).  NULL predicate
+        results count as violations (a CHECK must hold, SQL
+        constraint semantics).
+
+        `stats_cols` opts into per-file min/max statistics (the
         Delta/Iceberg data-skipping trick): every write records each
         data file's min/max for those columns in the manifest entry,
         and `read(predicates=...)` drops files whose range cannot
@@ -164,6 +179,10 @@ class SnapshotTable:
         self.st: Storage = storage if storage is not None else storage_for(root, spark)
         self.max_retries = max_retries
         self.stats_cols = tuple(stats_cols) if stats_cols else ()
+        self.constraints = [
+            (name, F.expr(p) if isinstance(p, str) else p)
+            for name, p in (constraints or [])
+        ]
         scheme = root.split("://", 1)[0] if "://" in root else ""
         if scheme in NON_ATOMIC_CREATE_SCHEMES:
             # write_text_atomic's no-overwrite check is check-then-copy
@@ -257,6 +276,8 @@ class SnapshotTable:
         produce a dir with no data files at all (always, under
         partitionBy) — committing such an entry would give read() zero
         scannable paths, so callers short-circuit on `has_data=False`."""
+        if self.constraints:
+            self._enforce_constraints(df)
         rel = self._new_snap()
         full = f"{self.root}/{rel}"
         if partition_col is None:
@@ -265,6 +286,26 @@ class SnapshotTable:
         df.write.mode("errorifexists").partitionBy(partition_col).parquet(full)
         parts = [p for p in self.st.list(full) if p.startswith(f"{partition_col}=")]
         return rel, parts, bool(parts)
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        """One aggregate pass over the batch: count violations of every
+        declared rule (NULL predicate = violation), raise with the
+        per-rule tally if any — before a single byte lands."""
+        rules = self.constraints
+        row = df.agg(*[
+            F.count_if(~F.coalesce(p, F.lit(False))).alias(f"__viol_{i}")
+            for i, (_, p) in enumerate(rules)
+        ]).collect()[0]
+        bad = {
+            name: int(row[f"__viol_{i}"])
+            for i, (name, _) in enumerate(rules)
+            if row[f"__viol_{i}"]
+        }
+        if bad:
+            raise ConstraintViolation(
+                f"write to {self.root} violates CHECK constraints "
+                f"(rule -> violating rows): {bad}; nothing was committed"
+            )
 
     # JSON-representable stat value, ordered consistently with the
     # column type: numbers stay numeric, date/timestamp become ISO

@@ -202,3 +202,47 @@ def test_table_to_table_pipeline_exactly_once(reg, spark, tmp_path):
         (r["shop"], r["weighted"]) for r in silver.read().collect()
     )
     assert got == [(1, 10), (1, 20), (2, 14), (3, 200)]
+
+
+def test_streaming_cdc_apply_sink_keeps_replica_in_lockstep(reg, spark, tmp_path):
+    """CDC-apply as a stream: change rows (insert/update/delete +
+    change_type) land as one multi-clause merge per micro-batch.  The
+    replica must equal the changelog folded in order, and a FULL
+    replay from a fresh checkpoint must be a no-op by idempotence —
+    the sink needs no txn guard."""
+    from pixelspark.streaming.daily import run_snapshot_cdc_sink
+
+    chg_dir, replica, ck1, ck2 = (
+        str(tmp_path / p) for p in ("chg", "rep", "ck1", "ck2")
+    )
+    b1 = spark.createDataFrame(
+        [(1, "a", "inserted", 1), (2, "b", "inserted", 2)],
+        "k long, v string, change_type string, seq long",
+    )
+    b1.coalesce(1).write.parquet(chg_dir)
+
+    def run(ck):
+        changes = spark.readStream.schema(
+            "k long, v string, change_type string, seq long"
+        ).parquet(chg_dir)
+        run_snapshot_cdc_sink(changes, replica, ck, keys=("k",))
+
+    run(ck1)
+    t = SnapshotTable(spark, replica)
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == [
+        (1, "a"), (2, "b")]
+
+    b2 = spark.createDataFrame(
+        [(1, "A", "updated", 3), (2, "b", "deleted", 4), (3, "c", "inserted", 5)],
+        "k long, v string, change_type string, seq long",
+    )
+    b2.coalesce(1).write.mode("append").parquet(chg_dir)
+    run(ck1)
+    got = sorted((r["k"], r["v"]) for r in t.read().collect())
+    assert got == [(1, "A"), (3, "c")]
+
+    # full replay, fresh checkpoint: the whole changelog arrives as ONE
+    # micro-batch; the per-key seq compaction reduces it to each key's
+    # final change, whose re-application is a no-op
+    run(ck2)
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == got

@@ -1101,3 +1101,46 @@ def test_update_partition_scoped_and_guards(spark, tbl):
     assert parts(tbl.manifest(2))["day=d1"] == parts(tbl.manifest(1))["day=d1"]
     with pytest.raises(ValueError, match="partition column"):
         tbl.update({"day": F.lit("dX")})
+
+
+# -- write-side CHECK constraints -------------------------------------------
+
+
+def test_constraints_reject_bad_batch_before_commit(spark, tmp_path):
+    from pixelspark.table import ConstraintViolation
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "c"),
+        constraints=[("k_positive", "k > 0"), ("v_not_null", F.col("v").isNotNull())],
+    )
+    t.append(_df(spark, [(1, "a")]))  # clean batch lands
+    with pytest.raises(ConstraintViolation, match="k_positive"):
+        t.append(_df(spark, [(2, "b"), (-1, "bad")]))
+    # nothing from the rejected batch committed; table unchanged
+    assert t.latest_version() == 1
+    assert [r["k"] for r in t.read().collect()] == [1]
+
+
+def test_constraints_null_predicate_is_violation(spark, tmp_path):
+    from pixelspark.table import ConstraintViolation
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "c2"),
+        constraints=[("v_long", "length(v) > 0")],
+    )
+    with pytest.raises(ConstraintViolation, match="v_long"):
+        t.append(_df(spark, [(1, None)]))  # NULL check result -> violation
+
+
+def test_constraints_apply_to_every_write_path(spark, tmp_path):
+    from pixelspark.table import ConstraintViolation
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "c3"), constraints=[("k_positive", "k > 0")]
+    )
+    t.overwrite(_df(spark, [(1, "a")]))
+    with pytest.raises(ConstraintViolation):
+        t.upsert(_df(spark, [(-5, "bad")]), keys=("k",))
+    with pytest.raises(ConstraintViolation):
+        t.merge(_df(spark, [(-6, "bad")]), keys=("k",))
+    assert [r["k"] for r in t.read().collect()] == [1]
