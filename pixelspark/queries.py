@@ -1489,6 +1489,37 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_bpe_vocab")  # iterative argmax loop has no SQL form; the merge
+# list is pinned EXACTLY against a pure-Python reference in tests/test_bpe.py
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — distributed BPE vocabulary induction (arXiv:1508.07909,
+    ops/bpe.py): one corpus pass builds the word-frequency table, each
+    merge is one JVM pair-count aggregation over that vocabulary-sized
+    table + an Arrow merge kernel.  Deterministic tie-breaks make the
+    merge list reproducible; returns (rank, left, right)."""
+    from pixelspark.ops import bpe as BP
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = BP.bpe_train(docs, n_merges=12)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+
+
+@query("q_bpe_tokens")  # encode applies the learned merges (non-SQL loop);
+# per-doc encodings are pinned against the reference in tests/test_bpe.py
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — BPE encoding at corpus scale: each DISTINCT word encodes
+    once (vocabulary table, not corpus) and joins back onto the word
+    stream; returns per-doc subword token counts."""
+    from pixelspark.ops import bpe as BP
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = BP.bpe_train(docs, n_merges=12)
+    return BP.bpe_encode(docs, merges).select("doc_id", "n_tokens")
+
+
 @query("q_semantic_dedup_kmeans")  # cluster assignment is float-argmax ->
 # cross-engine boundary rows; pruned-set quality is pytest-gated instead
 def q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
