@@ -401,6 +401,68 @@ def stats_skipping_experiment(spark) -> dict:
     }
 
 
+def merge_scoping_experiment(spark) -> dict:
+    """Partition-scoped MERGE vs full-table rewrite: 60 day-partitions
+    x 30k rows; one day's 1k-row delta merged in.  When the partition
+    column is part of the merge key, only that day is read and
+    rewritten (a manifest edit replaces one partition); the
+    unpartitioned table rewrites everything.  The ratio IS the
+    100-TB story: scoped cost tracks the delta's partitions, full
+    rewrite tracks the table."""
+    import tempfile
+
+    from pixelspark.table import SnapshotTable
+
+    n_days, rows_per = 60, 250_000
+    base = spark.range(n_days * rows_per).select(
+        (F.col("id") % n_days).cast("int").alias("day"),
+        F.col("id").alias("k"),
+        (F.col("id") % 997).alias("v"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),  # widen rows
+    )
+    delta = spark.range(1000).select(
+        F.lit(7).cast("int").alias("day"),
+        (F.col("id") * n_days + 7).alias("k"),  # keys inside day=7
+        F.lit(-1).cast("long").alias("v"),
+        F.lit("updated").alias("payload"),
+    )
+
+    part_root = tempfile.mkdtemp(prefix="probe_merge_") + "/part"
+    tp = SnapshotTable(spark, part_root)
+    tp.replace_partitions(base, "day")
+    t0 = time.time()
+    tp.merge(delta, keys=("day", "k"), broadcast_source=True)
+    scoped = round(time.time() - t0, 3)
+
+    flat_root = tempfile.mkdtemp(prefix="probe_merge_") + "/flat"
+    tf = SnapshotTable(spark, flat_root)
+    tf.overwrite(base)
+    t0 = time.time()
+    tf.merge(delta, keys=("day", "k"), broadcast_source=True)
+    full = round(time.time() - t0, 3)
+
+    same = (
+        tp.read().where("day = 7").agg(F.sum("v")).collect()[0][0]
+        == tf.read().where("day = 7").agg(F.sum("v")).collect()[0][0]
+    )
+    rewritten = [
+        p for e in tp.manifest(tp.latest_version())["entries"]
+        for p in (e["parts"] or [])
+        if e["base"] not in {x["base"] for x in tp.manifest(1)["entries"]}
+    ]
+    return {
+        "experiment": "merge_partition_scoping",
+        "days": n_days,
+        "rows": n_days * rows_per,
+        "delta_rows": 1000,
+        "scoped_sec": scoped,
+        "full_rewrite_sec": full,
+        "ratio": round(full / scoped, 2) if scoped else None,
+        "partitions_rewritten_by_scoped": rewritten,
+        "results_identical": bool(same),
+    }
+
+
 def main() -> None:
     spark = get_spark("pixelspark-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -412,6 +474,7 @@ def main() -> None:
             "skew": skew_experiment,
             "skew_join": skew_join_experiment,
             "stats_skipping": stats_skipping_experiment,
+            "merge_scoping": merge_scoping_experiment,
         }[sys.argv[1]]
         print(json.dumps(fn(spark)))
         return
@@ -445,6 +508,7 @@ def main() -> None:
     print(json.dumps(skew_experiment(spark)))
     print(json.dumps(skew_join_experiment(spark)))
     print(json.dumps(stats_skipping_experiment(spark)))
+    print(json.dumps(merge_scoping_experiment(spark)))
 
 
 if __name__ == "__main__":
