@@ -1206,6 +1206,32 @@ class SnapshotTable:
                     "change_type")
         )
 
+    def files(self, version: int | None = None) -> list[dict]:
+        """Inventory of the snapshot's live storage units (the Delta
+        DESCRIBE DETAIL / files() introspection): one row per manifest
+        entry (or per `col=value` part), with recorded per-file stats
+        where the table tracks them.  Pure manifest read — no file
+        listing, no Spark job."""
+        v = version if version is not None else self.latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no snapshot at {self.root}")
+        m = self.manifest(v)
+        out = []
+        for e in m["entries"]:
+            stats = e.get("stats") or {}
+            for p in (e["parts"] or [None]):
+                unit = {
+                    "base": e["base"],
+                    "partition": p,
+                    "path": f"{e['base']}/{p}" if p else e["base"],
+                }
+                unit["file_stats"] = {
+                    f: s for f, s in stats.items()
+                    if p is None or f.startswith(f"{p}/")
+                } or None
+                out.append(unit)
+        return out
+
     def history(self) -> list[dict]:
         """Commit log, newest first (Delta DESCRIBE HISTORY): version,
         the operation that produced it, live entry count, and the
@@ -1253,12 +1279,14 @@ class SnapshotTable:
 
     # -- maintenance -------------------------------------------------------
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(self, keep_versions: int = 1, dry_run: bool = False) -> list[str]:
         """Delete data dirs unreferenced by the `keep_versions` newest
         manifests (crash leftovers, replaced snapshots) and prune older
         manifests.  Returns removed relative paths.  Like Delta VACUUM,
         run it OUT-of-band of writers; retention must cover any reader
-        still pinned to an old version."""
+        still pinned to an old version — `dry_run=True` reports what
+        WOULD be removed (Delta VACUUM DRY RUN) without touching
+        anything, including the manifests."""
         vs = self.versions()
         if not vs:
             return []
@@ -1293,11 +1321,15 @@ class SnapshotTable:
                         and any(child.startswith(f"{pc}=") for pc in pcols)
                     )
                     if dead:  # superseded col=value subdir in a live dir
-                        self.st.delete(f"{self.root}/{DATA_DIR}/{name}/{child}")
+                        if not dry_run:
+                            self.st.delete(f"{self.root}/{DATA_DIR}/{name}/{child}")
                         removed.append(f"{DATA_DIR}/{name}/{child}")
                 continue
-            self.st.delete(f"{self.root}/{DATA_DIR}/{name}")
+            if not dry_run:
+                self.st.delete(f"{self.root}/{DATA_DIR}/{name}")
             removed.append(f"{DATA_DIR}/{name}")
+        if dry_run:
+            return sorted(removed)
         for v in vs[:-keep_versions]:
             self.st.delete(self._manifest_path(v))
         # manifest-publication temp files orphaned by a committer crash

@@ -1144,3 +1144,36 @@ def test_constraints_apply_to_every_write_path(spark, tmp_path):
     with pytest.raises(ConstraintViolation):
         t.merge(_df(spark, [(-6, "bad")]), keys=("k",))
     assert [r["k"] for r in t.read().collect()] == [1]
+
+
+# -- files() inventory + vacuum dry run -------------------------------------
+
+
+def test_files_inventory_lists_live_units_and_stats(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "f"), stats_cols=("k",))
+    t.append(_df(spark, [(1, "a")]).repartition(1))
+    t.append(_df(spark, [(2, "b")]).repartition(1))
+    inv = t.files()
+    assert len(inv) == 2
+    assert all(u["partition"] is None for u in inv)
+    stats = [list(u["file_stats"].values())[0]["k"] for u in inv]
+    assert sorted(s[0] for s in stats) == [1, 2]
+    # partitioned: one unit per live col=value part
+    tp = SnapshotTable(spark, str(tmp_path / "fp"))
+    tp.replace_partitions(
+        spark.createDataFrame([("d1", 1), ("d2", 2)], "day string, k long"), "day")
+    parts = sorted(u["partition"] for u in tp.files())
+    assert parts == ["day=d1", "day=d2"]
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tbl, tmp_path):
+    tbl.overwrite(_df(spark, [(1, "a")]))
+    old_base = tbl.manifest(1)["entries"][0]["base"]
+    tbl.overwrite(_df(spark, [(2, "b")]))
+    would = tbl.vacuum(keep_versions=1, dry_run=True)
+    assert would == [old_base]
+    # nothing was touched: old version still time-travels
+    assert [r["k"] for r in tbl.read(version=1).collect()] == [1]
+    assert tbl.versions() == [1, 2]
+    # the real vacuum then removes exactly what the dry run reported
+    assert tbl.vacuum(keep_versions=1) == would
