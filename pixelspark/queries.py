@@ -1085,6 +1085,48 @@ def q_table_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_table_restore",
+    f"""
+    WITH pv AS (
+      SELECT user_id AS shop, COUNT(*) AS event_count
+      FROM events
+      WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '{TD}'
+      GROUP BY user_id
+    ), bill AS (
+      SELECT COALESCE(pv.event_count, 0) AS page_views
+      FROM customer c LEFT JOIN pv ON c.c_custkey = pv.shop
+    )
+    SELECT 'pending' AS status, CAST(COUNT(*) AS BIGINT) AS n FROM bill
+    """,
+)
+def q_table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy RESTORE on the snapshot table: after an upsert
+    mutates the statuses, restore(1) rolls the table back AS A NEW
+    COMMIT pointing at version 1's data dirs — so the end state must
+    be indistinguishable from the original write, which the oracle
+    states directly (every row back at 'pending')."""
+    import tempfile
+
+    from pixelspark.table import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="pixelspark_restore_") + "/usage_records"
+    t = SnapshotTable(spark, root)
+    bill = B.daily_billing(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "events"), TD)
+    base = (
+        bill.withColumn("shop", F.col("shop").cast("string"))
+        .withColumn("status", F.lit("pending"))
+    )
+    t.overwrite(base)
+    t.upsert(
+        base.where(F.col("page_views") > 0).withColumn("status", F.lit("success")),
+        keys=("shop", "billing_date"),
+    )
+    t.restore(1)
+    assert [h["op"]["name"] for h in t.history()][:2] == ["restore", "upsert"]
+    return t.read().groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
     "q_table_tail",
     """
     SELECT CAST(ts AS DATE) AS day,

@@ -1232,6 +1232,39 @@ class SnapshotTable:
                 out.append(unit)
         return out
 
+    def poll_changes(
+        self,
+        cursor_path: str,
+        keys: tuple[str, ...] | None = None,
+    ):
+        """Poll-based incremental consumption of the change data feed
+        (the micro-batch CDC consumer shape, without Structured
+        Streaming): returns `(changes_df, ack)` where `changes_df` is
+        `read_changes(cursor, latest)` and `ack()` advances the cursor
+        file to the polled version — call it only AFTER the changes
+        are durably processed, so a crash mid-processing re-delivers
+        (at-least-once; pair with an idempotent apply such as
+        run_snapshot_cdc_sink's merge for exactly-once state).
+
+        The cursor is a tiny JSON file published with the same
+        temp+rename discipline as manifests; `cursor_path` lives
+        outside the table root (each consumer owns one).  Returns
+        `(None, ack)` when there is nothing new."""
+        st = storage_for(cursor_path, self.spark)
+        last = 0
+        if st.exists(cursor_path):
+            last = json.loads(st.read_text(cursor_path))["version"]
+        latest = self.latest_version()
+        if latest is None or latest <= last:
+            return None, (lambda: None)
+
+        def ack() -> None:
+            tmp = f"{cursor_path}.tmp-{uuid.uuid4().hex[:8]}"
+            st.write_text_atomic(tmp, json.dumps({"version": latest}))
+            st.rename(tmp, cursor_path)
+
+        return self.read_changes(last, latest, keys=keys), ack
+
     def history(self) -> list[dict]:
         """Commit log, newest first (Delta DESCRIBE HISTORY): version,
         the operation that produced it, live entry count, and the

@@ -1177,3 +1177,23 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tbl, tmp_path):
     assert tbl.versions() == [1, 2]
     # the real vacuum then removes exactly what the dry run reported
     assert tbl.vacuum(keep_versions=1) == would
+
+
+def test_poll_changes_at_least_once_cursor(spark, tbl, tmp_path):
+    """Poll-based CDC consumption: unacked polls re-deliver (crash
+    mid-processing), acked polls advance, empty polls return None."""
+    cursor = str(tmp_path / "consumer.cursor")
+    tbl.append(_df(spark, [(1, "a")]))
+    ch, ack = tbl.poll_changes(cursor)
+    assert [r["k"] for r in ch.collect()] == [1]
+    # crash before ack: next poll re-delivers the same changes
+    ch2, ack2 = tbl.poll_changes(cursor)
+    assert [r["k"] for r in ch2.collect()] == [1]
+    ack2()
+    none_df, _ = tbl.poll_changes(cursor)
+    assert none_df is None
+    tbl.append(_df(spark, [(2, "b")]))
+    ch3, ack3 = tbl.poll_changes(cursor)
+    assert [r["k"] for r in ch3.collect()] == [2]  # only the new commit
+    ack3()
+    assert tbl.poll_changes(cursor)[0] is None
