@@ -1085,6 +1085,47 @@ def q_table_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stats_prune",
+    f"""
+    WITH pv AS (
+      SELECT user_id AS shop, COUNT(*) AS event_count
+      FROM events
+      WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '{TD}'
+      GROUP BY user_id
+    ), bill AS (
+      SELECT c.c_custkey AS shop, COALESCE(pv.event_count, 0) AS page_views
+      FROM customer c LEFT JOIN pv ON c.c_custkey = pv.shop
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_shops,
+           CAST(SUM(page_views) AS BIGINT) AS total_views
+    FROM bill WHERE page_views >= 1
+    """,
+)
+def q_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stats data skipping end-to-end: the billing table lands in
+    a snapshot table with per-file min/max on page_views, range-sorted
+    so files get tight ranges; read(predicates=[page_views >= 1])
+    prunes the zero-view files from the scan's path list and must
+    return exactly the plain-SQL filter's answer (the residual WHERE
+    guarantees it; the oracle checks it)."""
+    import tempfile
+
+    from pixelspark.table import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="pixelspark_prune_") + "/bill"
+    t = SnapshotTable(spark, root, stats_cols=("page_views",))
+    bill = B.daily_billing(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "events"), TD)
+    t.overwrite(bill.repartitionByRange(8, "page_views")
+                .sortWithinPartitions("page_views"))
+    pruned = t.read(predicates=[("page_views", ">=", 1)])
+    assert len(pruned.inputFiles()) < len(t.read().inputFiles())
+    return pruned.agg(
+        F.count(F.lit(1)).alias("n_shops"),
+        F.sum("page_views").cast("long").alias("total_views"),
+    )
+
+
+@query(
     "q_table_restore",
     f"""
     WITH pv AS (
