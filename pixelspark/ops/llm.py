@@ -116,6 +116,71 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    max_words: int = 100_000,
+    mean_len_lo: float = 3.0,
+    mean_len_hi: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_kinds: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021,
+    arXiv:2112.11446 table A1), as pure column expressions — one
+    projection, no shuffle, no Python: word-count band, mean word
+    length band, symbol-to-word ratio (# and ellipsis), fraction of
+    words containing an alphabetic character, distinct-stopword
+    presence.  The thresholds default to the published values scaled
+    for short test docs (min_words).
+
+    Emits the per-rule measurements AND booleans plus the conjunction
+    (`passes`), so a curation pipeline can both filter and report
+    per-rule rejection rates from the same single-pass projection."""
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    safe_n = F.nullif(n_words.cast("double"), F.lit(0.0))
+    mean_len = F.round(
+        F.aggregate(
+            toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+        ) / safe_n,
+        6,
+    )
+    n_symbols = (
+        F.size(F.filter(toks, lambda t: t.contains("#")))
+        + F.size(F.filter(toks, lambda t: t.contains("...")))
+    )
+    symbol_ratio = F.round(n_symbols.cast("double") / safe_n, 6)
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double")
+        / safe_n,
+        6,
+    )
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    stop_kinds = F.size(F.array_intersect(F.transform(toks, F.lower), sw))
+    r_words = (n_words >= min_words) & (n_words <= max_words)
+    r_len = (mean_len >= mean_len_lo) & (mean_len <= mean_len_hi)
+    r_sym = symbol_ratio <= max_symbol_ratio
+    r_alpha = alpha_frac >= min_alpha_frac
+    r_stop = stop_kinds >= min_stop_kinds
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        stop_kinds.alias("stop_kinds"),
+        r_words.alias("ok_words"),
+        r_len.alias("ok_mean_len"),
+        r_sym.alias("ok_symbols"),
+        r_alpha.alias("ok_alpha"),
+        r_stop.alias("ok_stopwords"),
+        (r_words & r_len & r_sym & r_alpha & r_stop).alias("passes"),
+    )
+
+
 def lang_score(col: Column | str, lang: str) -> Column:
     """Stopword-hit count for one language (n-gram-free heuristic)."""
     sw = F.array([F.lit(w) for w in STOPWORDS[lang]])
@@ -1247,6 +1312,88 @@ def semantic_dedup(
         })
 
     return corpus.groupBy("cluster").applyInPandas(kernel, out_schema)
+
+
+def pca_fit(
+    emb: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    dim: int = 64,
+):
+    """Distributed PCA fit in ONE corpus pass: every partition reduces
+    to (n, sum(x), sum(x xT)) — d + d*d floats — via an Arrow batch
+    kernel; the partials (one small row per partition) combine on the
+    driver, and the d x d eigendecomposition runs there (d=64 is
+    microscopic; the CORPUS never moves).  This is the textbook
+    map-reduce covariance PCA: cost O(rows * d^2) map-side, O(d^2)
+    driver-side, independent of row count at the driver.
+
+    Deterministic sign convention: each component is flipped so its
+    largest-|.|-coordinate is positive (numpy eigh sign is otherwise
+    arbitrary).  Returns (mean, components[k x d], explained_ratio)."""
+    import numpy as np
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n, s, o = 0, np.zeros(dim), np.zeros((dim, dim))
+        for b in batches:
+            V = np.asarray(b[vec_col].tolist(), dtype=np.float64)
+            if len(V):
+                n += len(V)
+                s += V.sum(axis=0)
+                o += V.T @ V
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "o": [o.reshape(-1).tolist()]}
+            )
+
+    rows = (
+        emb.select(vec_col)
+        .mapInPandas(partials, "n long, s array<double>, o array<double>")
+        .collect()
+    )
+    n = sum(r["n"] for r in rows)
+    if n < 2:
+        raise ValueError("pca_fit needs at least 2 vectors")
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    o = np.sum([np.asarray(r["o"]).reshape(dim, dim) for r in rows], axis=0)
+    mean = s / n
+    cov = (o - n * np.outer(mean, mean)) / (n - 1)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # k x d
+    for i in range(comps.shape[0]):  # deterministic sign
+        j = np.argmax(np.abs(comps[i]))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    explained = vals[order] / max(vals.sum(), 1e-300)
+    return mean, comps, explained
+
+
+def pca_project(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Project each embedding onto the top-k principal components
+    (centered): (id, pc array<double>).  The k x d component matrix
+    ships once in the UDF closure; projection is one numpy matmul per
+    Arrow batch."""
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    mean, comps, _ = pca_fit(emb, k=k, vec_col=vec_col, dim=dim)
+    C, M = comps.T.copy(), mean.copy()  # d x k
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def project(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            V = np.asarray(s.tolist(), dtype=np.float64) - M
+            yield pd.Series(list((V @ C)))
+
+    return emb.select(F.col(id_col), project(vec_col).alias("pc"))
 
 
 # ---------------------------------------------------------------------------

@@ -1572,6 +1572,102 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_gopher_quality",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INT) AS n_words,
+             ROUND(list_sum(list_transform(toks, w -> CAST(length(w) AS DOUBLE)))
+                   / NULLIF(CAST(len(toks) AS DOUBLE), 0), 6) AS mean_word_len,
+             ROUND((len(list_filter(toks, w -> contains(w, '#')))
+                    + len(list_filter(toks, w -> contains(w, '...'))))
+                   / NULLIF(CAST(len(toks) AS DOUBLE), 0), 6) AS symbol_ratio,
+             ROUND(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+                   / NULLIF(CAST(len(toks) AS DOUBLE), 0), 6) AS alpha_frac,
+             CAST(len(list_intersect(
+                    list_distinct(list_transform(toks, w -> lower(w))),
+                    ['the','a','of','and','to','in','is','on','for','with']))
+                  AS INT) AS stop_kinds
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, stop_kinds,
+           (n_words >= 5 AND n_words <= 100000) AS ok_words,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_len,
+           (symbol_ratio <= 0.1) AS ok_symbols,
+           (alpha_frac >= 0.8) AS ok_alpha,
+           (stop_kinds >= 2) AS ok_stopwords,
+           ((n_words >= 5 AND n_words <= 100000)
+            AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+            AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+            AND stop_kinds >= 2) AS passes
+    FROM m
+    """,
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — Gopher-style quality rules (arXiv:2112.11446 A1) as one
+    shuffle-free projection: word-count band, mean word length band,
+    symbol ratio, alphabetic-word fraction, stopword presence — per-
+    rule measurements, booleans, and the conjunction, all value-
+    checked against the identical rule arithmetic in DuckDB."""
+    return L.gopher_quality(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_important_parts",
+    """
+    WITH per_part AS (
+      SELECT l_partkey,
+             SUM(l_extendedprice * (1 - l_discount)) AS part_value_raw
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey,
+           ROUND(CAST(part_value_raw AS DOUBLE), 2) AS part_value
+    FROM per_part
+    WHERE part_value_raw >
+          (SELECT SUM(l_extendedprice * (1 - l_discount)) * 0.0007 FROM lineitem)
+    """,
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: per-part revenue share via lineitem —
+    the testdata has no partsupp): parts whose revenue exceeds a
+    fraction of the GLOBAL revenue.  The scalar subquery becomes a
+    1-row aggregate broadcast back onto the per-part aggregate (no
+    unpartitioned window, no second fact pass for the probe side's
+    threshold).  Revenue accumulates in DECIMAL on both engines so the
+    > threshold boundary cannot flip."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    per_part = li.groupBy("l_partkey").agg(rev.alias("part_value_raw"))
+    thr = li.agg((rev * F.lit(0.0007)).alias("thr"))
+    return (
+        per_part.join(F.broadcast(thr))
+        .where(F.col("part_value_raw") > F.col("thr"))
+        .select(
+            "l_partkey",
+            F.round(F.col("part_value_raw").cast("double"), 2).alias("part_value"),
+        )
+    )
+
+
+@query("q_pca_project")  # eigendecomposition has no SQL form; pinned
+# against a numpy reference (components + projections) in tests/test_llm.py
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — distributed PCA (one-pass map-reduce covariance: every
+    partition reduces to (n, sum x, sum x xT); the d x d eigh runs on
+    the driver; projection is one Arrow matmul).  Returns the top-4
+    principal coordinates per vector."""
+    out = L.pca_project(_t(spark, sf_dir, "embeddings"), k=4)
+    return out.select(
+        "vec_id", F.transform("pc", lambda v: F.round(v, 6)).alias("pc")
+    )
+
+
 @query("q_bpe_vocab")  # iterative argmax loop has no SQL form; the merge
 # list is pinned EXACTLY against a pure-Python reference in tests/test_bpe.py
 def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:

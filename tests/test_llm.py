@@ -578,3 +578,41 @@ def test_semantic_dedup_cluster_size_guard(spark):
     df = _groups_df(spark)
     with pytest.raises(Exception, match="max_cluster_rows"):
         L.semantic_dedup(df, n_clusters=1, max_cluster_rows=5).collect()
+
+
+# -- distributed PCA ---------------------------------------------------------
+
+
+def test_pca_matches_numpy_reference(spark, sf_dir):
+    """One-pass map-reduce covariance PCA == numpy PCA on the same
+    rows (components up to the shared sign convention, projections to
+    1e-8)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    rows = emb.orderBy("vec_id").collect()
+    X = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+    mean, comps, explained = L.pca_fit(emb, k=5)
+    # numpy reference with the same sign convention
+    ref_cov = np.cov(X, rowvar=False)
+    vals, vecs = np.linalg.eigh(ref_cov)
+    order = np.argsort(vals)[::-1][:5]
+    ref = vecs[:, order].T
+    for i in range(5):
+        j = np.argmax(np.abs(ref[i]))
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    assert np.allclose(comps, ref, atol=1e-8)
+    assert (np.diff(explained) <= 1e-12).all()  # descending variance
+    got = {r["vec_id"]: np.asarray(r["pc"])
+           for r in L.pca_project(emb, k=5).collect()}
+    want = (X - X.mean(axis=0)) @ ref.T
+    for idx, r in enumerate(rows):
+        assert np.allclose(got[r["vec_id"]], want[idx], atol=1e-8)
+
+
+def test_pca_guards_tiny_input(spark):
+    one = spark.createDataFrame([(1, [1.0] * 64)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="at least 2"):
+        L.pca_fit(one)
