@@ -1261,6 +1261,12 @@ class SnapshotTable:
         def ack() -> None:
             tmp = f"{cursor_path}.tmp-{uuid.uuid4().hex[:8]}"
             st.write_text_atomic(tmp, json.dumps({"version": latest}))
+            # HDFS rename refuses an existing destination, so retire the
+            # old cursor first; a crash inside this window only loses the
+            # cursor, which re-delivers from scratch — at-least-once is
+            # preserved, rows are never lost
+            if st.exists(cursor_path):
+                st.delete(cursor_path)
             st.rename(tmp, cursor_path)
 
         return self.read_changes(last, latest, keys=keys), ack
