@@ -67,8 +67,11 @@ HEADLINE = [
     "q_bm25",
     "q_pagerank",
     "q_contamination",
-    # round-5: embedding-space dedup (k-means blocks + Gram kernel)
+    # round-5: embedding-space dedup (k-means blocks + Gram kernel),
+    # Gopher rule pack (heavy higher-order string work), one-pass PCA
     "q_semantic_dedup_kmeans",
+    "q_gopher_quality",
+    "q_pca_project",
 ]
 
 
