@@ -147,3 +147,36 @@ def scd2(
         )
         .withColumn("is_current", nxt.isNull())
     )
+
+
+def ewma(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average over the rows in
+    `order_col` order (the pandas `ewm(adjust=False)` recurrence:
+    y_0 = x_0, y_t = (1-a) y_{t-1} + a x_t), emitted for EVERY row.
+
+    The recurrence is sequential per key, which no built-in window
+    frame expresses (weights depend on distance, and the naive
+    closed-form sum overflows (1-a)^-t for long series), so each key's
+    ordered series runs through ONE Arrow-batched kernel via
+    applyInPandas — state never leaves the executor and the shuffle is
+    the same single hash partition-by-key any windowed aggregate pays.
+    Keys must fit a task's memory (same contract as any per-key
+    window)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    def kernel(pdf):
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+    return df.groupBy(*keys).applyInPandas(kernel, schema)

@@ -1573,6 +1573,47 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ewma",
+    """
+    WITH daily AS (
+      SELECT user_id AS shop, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS views
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ), seq AS (
+      SELECT shop, day, views,
+             list(views) OVER (PARTITION BY shop ORDER BY day
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS hist
+      FROM daily
+    )
+    SELECT shop, day,
+           ROUND(list_reduce(hist, (acc, v) -> 0.7 * acc + 0.3 * v), 6) AS ewma
+    FROM seq
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W+ — per-key exponentially weighted moving average (pandas
+    `ewm(adjust=False)` recurrence, emitted per row).  No built-in
+    window frame expresses distance-dependent weights, so each key's
+    ordered series runs through one Arrow kernel (ops/windows.ewma);
+    the oracle folds the same recurrence with DuckDB list_reduce over
+    a cumulative window list."""
+    from pixelspark.ops.windows import ewma
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "view")
+        .groupBy(
+            F.col("user_id").alias("shop"), F.to_date("ts").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("views"))
+    )
+    out = ewma(daily, keys=["shop"], order_col="day", value_col="views",
+               alpha=0.3)
+    return out.select("shop", "day", F.round("ewma", 6).alias("ewma"))
+
+
+@query(
     "q_gopher_quality",
     r"""
     WITH t AS (
