@@ -1763,3 +1763,164 @@ def cosine_vs_query_pandas(query_vec: list[float]):
             yield pd.Series((m @ qu) / norms)
 
     return _cos
+
+
+class DedupIndex:
+    """Persistent incremental near-dup index: the production shape of
+    corpus dedup at 100 TB, built on the snapshot table format.
+
+    The corpus's MinHash band buckets and shingle sets are STORED
+    (computed once per document, ever) in two snapshot tables under
+    `root`; each `ingest(batch)` then costs O(batch): bucket the new
+    docs, equi-join against the stored bucket table, verify candidates
+    by exact Jaccard against the stored shingle sets, and append the
+    batch's buckets+shingles — never re-hashing or re-scanning the
+    corpus text.
+
+    Correctness properties (pytest, tests/test_llm.py):
+      * candidate joins read the index pinned to the PRE-batch version
+        (manifest time travel), so the returned pairs DataFrame stays
+        lazy-safe — evaluating it after the append cannot make the
+        batch match itself;
+      * with `batch_id`, both appends are exactly-once (the Delta-txn
+        guard): a replayed batch adds nothing, and the replay returns
+        the SAME pairs by resolving the pre-batch version from the
+        commit history (append_once commits record app/batch ids);
+      * the index reopens from disk — state lives in the manifests.
+
+    `max_bucket_size` is the corpus-side hot-bucket cap (same trade as
+    cross_corpus_near_dup).  Within-batch duplicates are out of scope
+    here — run near_dup_pairs on the batch first."""
+
+    def __init__(
+        self,
+        spark,
+        root: str,
+        threshold: float = 0.5,
+        num_hashes: int = 32,
+        shingle_k: int = 3,
+        bands: int = 8,
+        max_bucket_size: int | None = None,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        from pixelspark.table import SnapshotTable
+
+        self.spark = spark
+        self.threshold = threshold
+        self.num_hashes = num_hashes
+        self.shingle_k = shingle_k
+        self.bands = bands
+        self.max_bucket_size = max_bucket_size
+        self.id_col = id_col
+        self.text_col = text_col
+        self.buckets = SnapshotTable(spark, f"{root.rstrip('/')}/buckets")
+        self.shingles = SnapshotTable(spark, f"{root.rstrip('/')}/shingles")
+
+    def _batch_artifacts(self, docs: DataFrame):
+        b = _portable_band_buckets(
+            docs, self.id_col, self.text_col, self.num_hashes,
+            self.shingle_k, self.bands,
+        )
+        sh = docs.select(
+            F.col(self.id_col),
+            F.array_distinct(
+                word_shingles(tokens(self.text_col), self.shingle_k)
+            ).alias("sh"),
+        )
+        return b, sh
+
+    @staticmethod
+    def _pre_batch_version(table, app_id: str, batch_id: int) -> int | None:
+        """Version of `table` just BEFORE (app_id, batch_id) committed —
+        for fresh batches that is the current latest; for a replay, the
+        commit history locates the original append.  Resolved PER
+        table: a crash between the two appends of one ingest leaves the
+        tables at different version numbers, but each pin still lands
+        on its own pre-batch content."""
+        v = table.latest_version()
+        if v is None:
+            return None
+        last = table.manifest(v).get("txn", {}).get(app_id)
+        if last is None or last < batch_id:
+            return v  # fresh batch: index state = everything before it
+        for h in table.history():  # replay: find the original commit
+            op = h["op"]
+            if (op.get("name") == "append_once" and op.get("app_id") == app_id
+                    and op.get("batch_id") == batch_id):
+                return h["version"] - 1 or None
+        # committed under an older retention-pruned history: no way to
+        # reproduce the original answer
+        raise ValueError(
+            f"batch {batch_id} of {app_id!r} already committed but its "
+            "commit is no longer in history (vacuumed); cannot replay pairs"
+        )
+
+    def ingest(
+        self,
+        docs: DataFrame,
+        app_id: str = "dedup-index",
+        batch_id: int | None = None,
+    ) -> DataFrame:
+        """Near-dup pairs (id_a = corpus doc, id_b = batch doc,
+        jaccard) of `docs` against the index as of before this batch,
+        then append the batch's artifacts (exactly-once when
+        `batch_id` is given)."""
+        b_new, sh_new = self._batch_artifacts(docs)
+        if batch_id is not None:
+            read_v = self._pre_batch_version(self.buckets, app_id, batch_id)
+            sh_v = self._pre_batch_version(self.shingles, app_id, batch_id)
+        else:
+            read_v = self.buckets.latest_version()
+            sh_v = self.shingles.latest_version()
+
+        if read_v is None or sh_v is None:
+            # empty index (or a first-ingest crash left only buckets):
+            # nothing can verify, so nothing matches
+            pairs = self.spark.createDataFrame(
+                [], "id_a long, id_b long, jaccard double"
+            )
+        else:
+            be = self.buckets.read(version=read_v).alias("a")
+            if self.max_bucket_size is not None:
+                ok = (
+                    be.groupBy("band_idx", "band_key")
+                    .agg(F.count(F.lit(1)).alias("__bsz"))
+                    .where(F.col("__bsz") <= self.max_bucket_size)
+                    .drop("__bsz")
+                )
+                be = be.join(ok, ["band_idx", "band_key"], "left_semi").alias("a")
+            cands = (
+                be.join(
+                    b_new.alias("b"),
+                    (F.col("a.band_idx") == F.col("b.band_idx"))
+                    & (F.col("a.band_key") == F.col("b.band_key")),
+                )
+                .select(
+                    F.col(f"a.{self.id_col}").alias("id_a"),
+                    F.col(f"b.{self.id_col}").alias("id_b"),
+                )
+                .distinct()
+            )
+            corpus_sh = self.shingles.read(version=sh_v).select(
+                F.col(self.id_col).alias("id_a"), F.col("sh").alias("sh_a")
+            )
+            pairs = (
+                cands.join(corpus_sh, "id_a")
+                .join(
+                    sh_new.select(F.col(self.id_col).alias("id_b"),
+                                  F.col("sh").alias("sh_b")),
+                    "id_b",
+                )
+                .select("id_a", "id_b",
+                        jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+                .where(F.col("jaccard") >= self.threshold)
+            )
+
+        if batch_id is not None:
+            self.buckets.append_once(b_new, app_id, batch_id)
+            self.shingles.append_once(sh_new, app_id, batch_id)
+        else:
+            self.buckets.append(b_new)
+            self.shingles.append(sh_new)
+        return pairs

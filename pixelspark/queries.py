@@ -2821,6 +2821,32 @@ ORACLES["q_cross_dedup"] = _portable_minhash_oracle().replace(
 assert "a.doc_id < 250" in ORACLES["q_cross_dedup"]
 
 
+@query("q_dedup_index", None)
+def q_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM/storage — the PERSISTENT incremental dedup index
+    (ops/llm.DedupIndex): corpus MinHash buckets + shingle sets live
+    in snapshot tables; ingesting the second half of the documents
+    table joins it against the STORED artifacts of the first half
+    (version-pinned, exactly-once capable).  End state must equal the
+    stateless cross-corpus computation — so it shares q_cross_dedup's
+    full portable-pipeline oracle."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = L.DedupIndex(
+        spark, tempfile.mkdtemp(prefix="pixelspark_didx_") + "/idx",
+        threshold=0.5,
+    )
+    first = idx.ingest(docs.where(F.col("doc_id") < 250),
+                       app_id="q_dedup_index", batch_id=1)
+    assert first.count() == 0  # empty index: nothing to match against
+    return idx.ingest(docs.where(F.col("doc_id") >= 250),
+                      app_id="q_dedup_index", batch_id=2)
+
+
+ORACLES["q_dedup_index"] = ORACLES["q_cross_dedup"]
+
+
 # Connected components over the portable pairs: DuckDB derives the
 # same near-dup graph, then a recursive CTE computes each node's
 # reachable-minimum — equal to converged min-label propagation.

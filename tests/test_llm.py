@@ -616,3 +616,74 @@ def test_pca_guards_tiny_input(spark):
     one = spark.createDataFrame([(1, [1.0] * 64)], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="at least 2"):
         L.pca_fit(one)
+
+
+# -- persistent incremental dedup index -------------------------------------
+
+
+def _didx_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_index_incremental_equals_batch_cross_dedup(spark, tmp_path):
+    """Three daily ingests through the persistent index must find
+    exactly the pairs per-batch cross_corpus_near_dup finds against
+    the union of all earlier batches — without ever re-hashing the
+    corpus."""
+    b1 = [(1, "the quick brown fox jumps over the lazy dog today"),
+          (2, "completely unrelated text about spark manifests and tables")]
+    b2 = [(10, "the quick brown fox jumps over the lazy dog tonight"),
+          (11, "some fresh third topic with distinct vocabulary entirely")]
+    b3 = [(20, "completely unrelated text about spark manifests and files"),
+          (21, "the quick brown fox jumps over the lazy dog today")]
+    idx = L.DedupIndex(spark, str(tmp_path / "didx"), threshold=0.4)
+    got = set()
+    for rows in (b1, b2, b3):
+        pairs = idx.ingest(_didx_docs(spark, rows))
+        got |= {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    want = set()
+    seen: list = []
+    for rows in (b1, b2, b3):
+        if seen:
+            ref = L.cross_corpus_near_dup(
+                _didx_docs(spark, seen), _didx_docs(spark, rows), threshold=0.4)
+            want |= {(r["id_a"], r["id_b"]) for r in ref.collect()}
+        seen += rows
+    assert got == want and got  # non-trivial pair set
+
+
+def test_dedup_index_lazy_pairs_survive_the_append(spark, tmp_path):
+    """The returned pairs are version-pinned: evaluating them AFTER
+    the batch was appended must not let the batch match itself."""
+    idx = L.DedupIndex(spark, str(tmp_path / "didx"), threshold=0.4)
+    idx.ingest(_didx_docs(spark, [(1, "alpha beta gamma delta epsilon zeta")]))
+    pairs = idx.ingest(
+        _didx_docs(spark, [(2, "alpha beta gamma delta epsilon eta"),
+                           (3, "alpha beta gamma delta epsilon eta")]))
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}  # evaluated late
+    assert got == {(1, 2), (1, 3)}  # no within-batch (2,3), no self-matches
+
+
+def test_dedup_index_exactly_once_replay(spark, tmp_path):
+    idx = L.DedupIndex(spark, str(tmp_path / "didx"), threshold=0.4)
+    idx.ingest(_didx_docs(spark, [(1, "alpha beta gamma delta epsilon zeta")]),
+               app_id="job", batch_id=1)
+    batch2 = [(2, "alpha beta gamma delta epsilon eta")]
+    first = idx.ingest(_didx_docs(spark, batch2), app_id="job", batch_id=2)
+    n_buckets = idx.buckets.read().count()
+    # replay of batch 2 (sink crash before checkpoint): same pairs,
+    # nothing re-added
+    replay = idx.ingest(_didx_docs(spark, batch2), app_id="job", batch_id=2)
+    assert ({(r["id_a"], r["id_b"]) for r in replay.collect()}
+            == {(r["id_a"], r["id_b"]) for r in first.collect()} == {(1, 2)})
+    assert idx.buckets.read().count() == n_buckets
+
+
+def test_dedup_index_reopens_from_disk(spark, tmp_path):
+    root = str(tmp_path / "didx")
+    L.DedupIndex(spark, root, threshold=0.4).ingest(
+        _didx_docs(spark, [(1, "alpha beta gamma delta epsilon zeta")]))
+    reopened = L.DedupIndex(spark, root, threshold=0.4)
+    pairs = reopened.ingest(
+        _didx_docs(spark, [(5, "alpha beta gamma delta epsilon eta")]))
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 5)}
