@@ -129,28 +129,33 @@ def _read_ref_batches(ref: _Ref, schema: StructType) -> Iterator:
     """Executor-side: decode one immutable dir with pyarrow and yield
     record batches aligned to the stream schema (partition column
     restored as a constant, missing columns as nulls — the mergeSchema
-    analog for schema-evolved histories)."""
+    analog for schema-evolved histories).  STREAMED batch-by-batch via
+    pyarrow.dataset — a multi-GB appended dir never materializes as
+    one Arrow table in the Python worker."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
 
     from pyspark.sql.pandas.types import to_arrow_schema
 
     target = to_arrow_schema(schema)
-    tbl = pq.ParquetDataset(ref.path).read()
-    n = tbl.num_rows
-    if n == 0:
-        return
-    cols = []
-    for field, afield in zip(schema.fields, target):
-        if field.name == ref.pcol:
-            val = _partition_scalar(ref.pval, field)
-            cols.append(pa.nulls(n, afield.type) if val is None
-                        else pa.array([val] * n, type=afield.type))
-        elif field.name in tbl.column_names:
-            cols.append(tbl.column(field.name).cast(afield.type).combine_chunks())
-        else:
-            cols.append(pa.nulls(n, afield.type))
-    yield from pa.table(cols, schema=target).to_batches()
+    for batch in pads.dataset(ref.path, format="parquet").to_batches():
+        n = batch.num_rows
+        if n == 0:
+            continue
+        names = set(batch.schema.names)
+        cols = []
+        for field, afield in zip(schema.fields, target):
+            if field.name == ref.pcol:
+                val = _partition_scalar(ref.pval, field)
+                cols.append(pa.nulls(n, afield.type) if val is None
+                            else pa.array([val] * n, type=afield.type))
+            elif field.name in names:
+                cols.append(
+                    batch.column(field.name).cast(afield.type)
+                )
+            else:
+                cols.append(pa.nulls(n, afield.type))
+        yield pa.RecordBatch.from_arrays(cols, schema=target)
 
 
 class _SnapshotBatchReader(DataSourceReader):
