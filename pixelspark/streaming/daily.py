@@ -416,6 +416,9 @@ def run_snapshot_cdc_sink(
             when_matched_delete=F.col("s.change_type") == "deleted",
             when_matched_update={c: F.col(f"s.{c}") for c in data_cols},
             when_not_matched_insert=F.col("s.change_type") != "deleted",
+            # the rn=1 compaction above makes keys unique by
+            # construction — skip merge's duplicate-source aggregate
+            validate_keys=False,
         )
 
     q = (

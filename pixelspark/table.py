@@ -592,6 +592,7 @@ class SnapshotTable:
         when_not_matched_insert=True,
         update_condition=None,
         broadcast_source: bool = False,
+        validate_keys: bool = True,
     ) -> int:
         """Multi-clause MERGE (Delta `MERGE INTO` / the general form of
         the reference's keyed UPDATE+INSERT, src/services/bigquery.ts:
@@ -643,6 +644,24 @@ class SnapshotTable:
             bad = set(when_matched_update) & set(keys)
             if bad:
                 raise ValueError(f"MERGE cannot assign key columns: {sorted(bad)}")
+        if validate_keys:
+            # Delta errors when multiple source rows match one target
+            # row — a silent join fan-out would duplicate target rows.
+            # One small aggregate on the source; opt out when the
+            # source is known-unique (e.g. the output of a groupBy).
+            dup = (
+                source.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"MERGE source has multiple rows for key "
+                    f"{tuple(dup[0][k] for k in keys)!r}; de-duplicate the "
+                    "source (latest-wins window) or pass validate_keys=False"
+                )
 
         for _ in range(self.max_retries):
             read_v = self.latest_version()

@@ -1197,3 +1197,14 @@ def test_poll_changes_at_least_once_cursor(spark, tbl, tmp_path):
     assert [r["k"] for r in ch3.collect()] == [2]  # only the new commit
     ack3()
     assert tbl.poll_changes(cursor)[0] is None
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tbl):
+    """A source with two rows per key would silently fan out the
+    matched target row — refuse it like Delta does (opt out with
+    validate_keys=False for known-unique sources)."""
+    tbl.overwrite(_df(spark, [(1, "a")]))
+    dup_src = _df(spark, [(1, "x"), (1, "y")])
+    with pytest.raises(ValueError, match="multiple rows"):
+        tbl.merge(dup_src, keys=("k",))
+    tbl.merge(dup_src, keys=("k",), validate_keys=False)  # explicit opt-out
