@@ -463,6 +463,56 @@ def merge_scoping_experiment(spark) -> dict:
     }
 
 
+def dedup_index_experiment(spark) -> dict:
+    """O(batch) ingest claim for the persistent dedup index: the same
+    500-doc batch ingested into corpora of 2k / 8k / 32k stored docs.
+    Stored artifacts mean no corpus re-hashing — ingest cost should
+    stay near-flat while the stateless recompute (re-bucketing the
+    whole corpus each time) grows with corpus size."""
+    import tempfile
+
+    from pixelspark.ops import llm as L
+    from pixelspark.schemas import load_table
+
+    base = load_table(spark, SF01, "documents").select("doc_id", "text")
+    n_base = base.count()
+
+    def corpus(mult: int):
+        copies = [
+            base.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+            for i in range(mult)
+        ]
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        return out
+
+    batch = base.limit(500).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(77_000_000)
+    ).localCheckpoint()
+
+    results = {}
+    for mult in (1, 4, 16):
+        idx = L.DedupIndex(
+            spark, tempfile.mkdtemp(prefix="probe_didx_") + "/idx",
+            threshold=0.5, max_bucket_size=200,
+        )
+        idx.ingest(corpus(mult))  # build the stored artifacts
+        t0 = time.time()
+        idx.ingest(batch).write.format("noop").mode("overwrite").save()
+        indexed = round(time.time() - t0, 3)
+        t0 = time.time()
+        L.cross_corpus_near_dup(
+            corpus(mult), batch, threshold=0.5, max_bucket_size=200
+        ).write.format("noop").mode("overwrite").save()
+        stateless = round(time.time() - t0, 3)
+        results[f"{mult * n_base}_docs"] = {
+            "indexed_ingest_sec": indexed, "stateless_recompute_sec": stateless
+        }
+    return {"experiment": "dedup_index_ingest", "batch_docs": 500,
+            "corpus_sizes": results}
+
+
 def main() -> None:
     spark = get_spark("pixelspark-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -475,6 +525,7 @@ def main() -> None:
             "skew_join": skew_join_experiment,
             "stats_skipping": stats_skipping_experiment,
             "merge_scoping": merge_scoping_experiment,
+            "dedup_index": dedup_index_experiment,
         }[sys.argv[1]]
         print(json.dumps(fn(spark)))
         return
@@ -509,6 +560,7 @@ def main() -> None:
     print(json.dumps(skew_join_experiment(spark)))
     print(json.dumps(stats_skipping_experiment(spark)))
     print(json.dumps(merge_scoping_experiment(spark)))
+    print(json.dumps(dedup_index_experiment(spark)))
 
 
 if __name__ == "__main__":
