@@ -1225,6 +1225,14 @@ class SnapshotTable:
                     "change_type")
         )
 
+    def register_view(self, name: str, version: int | None = None) -> None:
+        """Expose the snapshot (optionally time-traveled) as a temp
+        view so `spark.sql` queries the table by name — the SQL
+        surface of the format.  The view captures the snapshot at
+        registration (manifest-pinned paths): later commits don't
+        shift it until re-registered."""
+        self.read(version=version).createOrReplaceTempView(name)
+
     def files(self, version: int | None = None) -> list[dict]:
         """Inventory of the snapshot's live storage units (the Delta
         DESCRIBE DETAIL / files() introspection): one row per manifest

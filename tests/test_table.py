@@ -1208,3 +1208,15 @@ def test_merge_rejects_duplicate_source_keys(spark, tbl):
     with pytest.raises(ValueError, match="multiple rows"):
         tbl.merge(dup_src, keys=("k",))
     tbl.merge(dup_src, keys=("k",), validate_keys=False)  # explicit opt-out
+
+
+def test_register_view_pins_snapshot(spark, tbl):
+    tbl.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    tbl.register_view("snap_view")
+    assert spark.sql("SELECT COUNT(*) n FROM snap_view").collect()[0]["n"] == 2
+    tbl.append(_df(spark, [(3, "c")]))
+    # the view is manifest-pinned at registration
+    assert spark.sql("SELECT COUNT(*) n FROM snap_view").collect()[0]["n"] == 2
+    tbl.register_view("snap_view")
+    assert spark.sql("SELECT COUNT(*) n FROM snap_view").collect()[0]["n"] == 3
+    spark.catalog.dropTempView("snap_view")
