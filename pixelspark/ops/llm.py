@@ -1535,6 +1535,105 @@ def contamination(
     )
 
 
+def positioned_grams(
+    docs: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, pos, gram_fp) rows — one per k-token-gram occurrence, with
+    its 1-based start position and the md5 of the gram text (md5 keeps
+    the fingerprint engine-portable AND fixed-width, so the postings
+    shuffle moves 32-byte keys instead of arbitrary-length text)."""
+    toks = tokens(text_col)
+    gram_fps = F.expr(
+        f"CASE WHEN size(__toks) >= {k} THEN "
+        f"transform(sequence(1, size(__toks) - {k - 1}), "
+        f"i -> md5(concat_ws(' ', slice(__toks, i, {k})))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    return (
+        docs.withColumn("__toks", toks)
+        .where(F.size("__toks") >= k)
+        .select(F.col(id_col), F.posexplode(gram_fps).alias("__p", "gram_fp"))
+        .select(F.col(id_col), (F.col("__p") + 1).alias("pos"), "gram_fp")
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_run: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int | None = None,
+) -> DataFrame:
+    """EXACT duplicated-substring detection between documents — the
+    relational re-expression of ExactSubstr dedup (Lee et al. 2021,
+    arXiv:2107.06499, "Deduplicating Training Data Makes Language
+    Models Better").  The paper builds a corpus-wide suffix array and
+    scans for repeated byte ranges >= 50 tokens; a suffix array is a
+    single global sorted structure that does not shard naturally, so
+    the distributed form here uses the equivalent postings formulation:
+
+      1. explode each doc into positioned k-token grams (one map pass);
+      2. equi-join the postings list with itself on the gram
+         fingerprint (the only fact-sized shuffle — identical shape to
+         the LSH bucket join above, and skew-capped the same way);
+      3. a matching RUN of r consecutive grams (same doc pair, same
+         position offset, consecutive positions) == a shared token
+         substring of length k + r - 1.  Runs fall out of a
+         gaps-and-islands window (pos - row_number is constant within
+         a run) followed by one groupBy that REUSES the window's
+         hash partitioning (group keys are a superset of the window
+         partition keys), so step 3 adds exactly one exchange.
+
+    Returns (id_a, id_b, start_a, start_b, span_tokens): every maximal
+    cross-document duplicated substring of >= k + min_run - 1 tokens,
+    with its 1-based token start in each doc.  Downstream span REMOVAL
+    is a per-doc slice-and-reassemble (see q_duplicate_spans notes).
+
+    `max_postings` is the 100-TB hot-gram guard, same contract as
+    lsh_candidate_pairs' max_bucket_size: a gram shared by millions of
+    docs (licence boilerplate) turns the postings self-join quadratic;
+    postings lists above the cap are dropped before the join, bounding
+    worst-case join output at grams x cap^2.  None (default) keeps
+    exact parity with the DuckDB oracle."""
+    g = positioned_grams(docs, k, id_col, text_col)
+    if max_postings is not None:
+        survivors = (
+            g.groupBy("gram_fp")
+            .agg(F.count(F.lit(1)).alias("__psz"))
+            .where(F.col("__psz") <= max_postings)
+            .drop("__psz")
+        )
+        g = g.join(survivors, "gram_fp", "left_semi")
+    a = g.alias("a")
+    b = g.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.gram_fp") == F.col("b.gram_fp"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col("a.pos").alias("pos_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("b.pos").alias("pos_b"),
+    )
+    off = (F.col("pos_b") - F.col("pos_a")).alias("off")
+    w = Window.partitionBy("id_a", "id_b", "off").orderBy("pos_a")
+    runs = pairs.select("id_a", "id_b", off, "pos_a").withColumn(
+        "grp", F.col("pos_a") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("id_a", "id_b", "off", "grp")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            (F.min("pos_a") + F.col("off")).alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("bigint").alias("span_tokens"),
+        )
+        .where(F.col("span_tokens") >= k + min_run - 1)
+        .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     quality_threshold: float = 0.5,

@@ -5172,6 +5172,78 @@ def q_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dominant_suppliers",
+    """
+    WITH qty AS (
+      SELECT l_suppkey, l_partkey, SUM(l_quantity) AS sq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s.s_name AS name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT q.l_suppkey FROM qty q
+      WHERE q.sq > 0.3 * (
+        SELECT SUM(q2.sq) FROM qty q2 WHERE q2.l_partkey = q.l_partkey
+      )
+    )
+    ORDER BY name, nation
+    """,
+)
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape, adapted — suppliers holding a dominant share of
+    a part family's annual volume (the driver schema has no partsupp /
+    ps_availqty, so "availqty > 0.5 * shipped qty" becomes "supplier's
+    annual shipped share of the part > 0.3"; the plan shape — a name
+    LIKE part filter feeding a nested IN chain whose inner relation
+    compares a per-(supplier,part) aggregate against a correlated
+    per-part aggregate, all collapsing into the outer supplier
+    list — is Q20's).  The part filter broadcast-semi-prunes lineitem
+    BEFORE the (suppkey, partkey) aggregation; the correlated per-part
+    total is a window SUM over the already-aggregated (and thus tiny)
+    qty relation, reusing its partitioning — one fact shuffle total.
+    Quantities are integer-valued doubles, so both engines' sums and
+    the 0.3*total threshold are exact in any accumulation order.
+    Completes the 22-shape TPC-H family (ref has no such surface; this
+    is engine-completeness work like Q2/Q17/Q21 above)."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_suppkey", "l_partkey", "l_quantity")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    )
+    qty = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("sq")
+    )
+    w = Window.partitionBy("l_partkey")
+    qual = (
+        qty.withColumn("tq", F.sum("sq").over(w))
+        .where(F.col("sq") > 0.3 * F.col("tq"))
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(qual, s.s_suppkey == qual.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.col("s_name").alias("name"), F.col("n_name").alias("nation"))
+        .orderBy("name", "nation")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Mergeable-summary pack (ops/sketches.py) — exact distinct via bitmap
 # partials (mergeable AND exact, unlike HLL), approximate heavy
@@ -6164,6 +6236,56 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+@query(
+    "q_duplicate_spans",
+    r"""
+    WITH tr AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), g1 AS (
+      SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS pos, toks
+      FROM tr WHERE len(toks) >= 8
+    ), g2 AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(toks[pos:pos+7], ' ')) AS g
+      FROM g1
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, a.pos AS pos_a,
+             b.doc_id AS id_b, b.pos AS pos_b
+      FROM g2 a JOIN g2 b ON a.g = b.g AND a.doc_id < b.doc_id
+    ), runs AS (
+      SELECT id_a, id_b, pos_b - pos_a AS off, pos_a,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY id_a, id_b, pos_b - pos_a ORDER BY pos_a
+             ) AS grp
+      FROM pairs
+    )
+    SELECT id_a, id_b, MIN(pos_a) AS start_a,
+           MIN(pos_a) + off AS start_b,
+           CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+    FROM runs GROUP BY id_a, id_b, off, grp
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — EXACT duplicated-substring spans between documents
+    (ExactSubstr dedup, arXiv:2107.06499, re-expressed as a positioned
+    k-gram postings join + gaps-and-islands run detection instead of
+    the paper's unshardable global suffix array): every maximal shared
+    token substring of >= 9 tokens (k=8 grams, runs of >= 2), with
+    1-based token starts in both docs.  Three exchanges total —
+    postings equi-join on the gram md5, one window, one groupBy that
+    reuses the window's partitioning; at 100 TB the opt-in
+    max_postings cap bounds boilerplate-gram blowup exactly like the
+    MinHash hot-bucket guard.  Unlike q_minhash_pairs (whole-document
+    near-dup) this finds the COPIED REGION itself, the granularity the
+    paper shows matters for memorization."""
+    from pixelspark.ops.llm import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicate_spans(d, k=8, min_run=2)
 
 
 @query(

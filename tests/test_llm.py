@@ -687,3 +687,77 @@ def test_dedup_index_reopens_from_disk(spark, tmp_path):
     pairs = reopened.ingest(
         _didx_docs(spark, [(5, "alpha beta gamma delta epsilon eta")]))
     assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 5)}
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring spans (ExactSubstr, arXiv:2107.06499)
+# ---------------------------------------------------------------------------
+
+def _span_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_duplicate_spans_finds_known_copied_region(spark):
+    # docs 1 and 2 share the 6-token run "q r s t u v" embedded at
+    # different offsets; with k=4, min_run=2 the maximal span is 6
+    # tokens starting at token 3 in doc 1 and token 1 in doc 2.
+    shared = "q r s t u v"
+    rows = [
+        (1, f"a b {shared} c d"),
+        (2, f"{shared} x y z"),
+        (3, "m n o p m n o p"),
+    ]
+    out = L.duplicate_spans(_span_docs(spark, rows), k=4, min_run=2).collect()
+    assert [(r["id_a"], r["id_b"], r["start_a"], r["start_b"], r["span_tokens"])
+            for r in out] == [(1, 2, 3, 1, 6)]
+
+
+def test_duplicate_spans_reports_each_maximal_run_once(spark):
+    # the shared text appears TWICE in doc 2 -> two spans, one per
+    # occurrence (distinct offsets), each maximal (not fragmented
+    # into per-gram rows).
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e x x a b c d e"),
+    ]
+    out = L.duplicate_spans(_span_docs(spark, rows), k=3, min_run=2)
+    got = {(r["start_a"], r["start_b"], r["span_tokens"]) for r in out.collect()}
+    assert got == {(1, 1, 5), (1, 8, 5)}
+
+
+def test_duplicate_spans_below_min_run_excluded(spark):
+    # exactly one shared k-gram (run length 1) must NOT be reported
+    # when min_run=2
+    rows = [(1, "a b c d z1 z2"), (2, "a b c d y1 y2")]
+    assert L.duplicate_spans(_span_docs(spark, rows), k=4, min_run=2).count() == 0
+    # ...but min_run=1 reports it
+    one = L.duplicate_spans(_span_docs(spark, rows), k=4, min_run=1).collect()
+    assert [(r["start_a"], r["start_b"], r["span_tokens"]) for r in one] == [(1, 1, 4)]
+
+
+def test_duplicate_spans_hot_gram_cap_drops_boilerplate(spark):
+    # the same boilerplate gram in 4 docs -> postings list of size 4;
+    # cap at 3 removes it from candidate generation entirely
+    rows = [(i, "common header line here tail%d" % i) for i in range(1, 5)]
+    uncapped = L.duplicate_spans(_span_docs(spark, rows), k=4, min_run=1)
+    assert uncapped.count() == 6  # all C(4,2) doc pairs share the gram
+    capped = L.duplicate_spans(
+        _span_docs(spark, rows), k=4, min_run=1, max_postings=3
+    )
+    assert capped.count() == 0
+
+
+def test_duplicate_spans_groupby_reuses_window_partitioning(spark):
+    # exactly 3 exchanges: the postings join's two sides on gram_fp +
+    # the window's (id_a, id_b, off).  The islands groupBy must add
+    # NONE — its keys are a superset of the window partition keys, so
+    # the window's hash partitioning already satisfies its clustering.
+    rows = [(1, "a b c d e f"), (2, "a b c d e g")]
+    plan = L.duplicate_spans(
+        _span_docs(spark, rows), k=4, min_run=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 3
+    # and nothing between the final aggregate and the window but the
+    # partial aggregate itself
+    agg_to_window = plan.split("HashAggregate", 1)[1].split("Window", 1)[0]
+    assert "Exchange" not in agg_to_window
