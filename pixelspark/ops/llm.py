@@ -1634,6 +1634,63 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame | None = None,
+    k: int = 8,
+    min_run: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int | None = None,
+) -> DataFrame:
+    """The REMOVAL step of ExactSubstr dedup (arXiv:2107.06499 §4.2):
+    given the duplicated spans, delete every duplicated region from the
+    HIGHER-id document of each pair (the lower id keeps the canonical
+    occurrence) and reassemble the text.  Returns
+    (id, clean_text, n_removed).
+
+    Scale shape: the span table collapses to one (doc, interval-list)
+    row per affected doc (tiny next to the corpus), joins back on the
+    id, and the token drop is a pure per-row higher-order expression —
+    `filter(tokens, (t, i) -> no interval covers i)` — so removal adds
+    ONE equi-join and zero Python to the pipeline; the corpus is never
+    exploded to token granularity.  Docs with no spans pass through
+    with an empty interval list (coalesce), fully-duplicated docs come
+    out as empty text (length-0 filter result), exactly the paper's
+    drop behavior."""
+    if spans is None:
+        spans = duplicate_spans(
+            docs, k=k, min_run=min_run, id_col=id_col,
+            text_col=text_col, max_postings=max_postings,
+        )
+    iv = (
+        spans.select(
+            F.col("id_b").alias(id_col),
+            F.struct(
+                F.col("start_b").alias("lo"),
+                (F.col("start_b") + F.col("span_tokens")).alias("hi"),
+            ).alias("__iv"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("__iv").alias("__ivs"))
+    )
+    empty_ivs = F.array().cast("array<struct<lo:bigint,hi:bigint>>")
+    with_toks = (
+        docs.join(iv, id_col, "left")
+        .withColumn("__ivs", F.coalesce(F.col("__ivs").cast("array<struct<lo:bigint,hi:bigint>>"), empty_ivs))
+        .withColumn("__toks", tokens(text_col))
+    )
+    covered = lambda i: F.exists(  # noqa: E731 — 1-based token index i
+        "__ivs", lambda s: (i >= s.lo) & (i < s.hi)
+    )
+    kept = F.filter("__toks", lambda t, i0: ~covered(i0 + F.lit(1)))
+    return with_toks.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (F.size("__toks") - F.size(kept)).cast("bigint").alias("n_removed"),
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     quality_threshold: float = 0.5,

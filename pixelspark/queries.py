@@ -6289,6 +6289,76 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_remove_duplicate_spans",
+    r"""
+    WITH tr AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), g1 AS (
+      SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS pos, toks
+      FROM tr WHERE len(toks) >= 8
+    ), g2 AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(toks[pos:pos+7], ' ')) AS g
+      FROM g1
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, a.pos AS pos_a,
+             b.doc_id AS id_b, b.pos AS pos_b
+      FROM g2 a JOIN g2 b ON a.g = b.g AND a.doc_id < b.doc_id
+    ), runs AS (
+      SELECT id_a, id_b, pos_b - pos_a AS off, pos_a,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY id_a, id_b, pos_b - pos_a ORDER BY pos_a
+             ) AS grp
+      FROM pairs
+    ), spans AS (
+      SELECT id_b, MIN(pos_a) + off AS start_b,
+             COUNT(*) + 7 AS span_tokens
+      FROM runs GROUP BY id_a, id_b, off, grp
+      HAVING COUNT(*) >= 2
+    ), cov AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT id_b AS doc_id,
+               unnest(generate_series(start_b, start_b + span_tokens - 1)) AS pos
+        FROM spans
+      )
+    ), pt AS (
+      SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
+      FROM tr
+    ), kept AS (
+      SELECT pt.doc_id, pt.pos, pt.toks[pt.pos] AS tok
+      FROM pt LEFT JOIN cov ON cov.doc_id = pt.doc_id AND cov.pos = pt.pos
+      WHERE cov.pos IS NULL
+    )
+    SELECT d.doc_id,
+           COALESCE(k.clean_text, '') AS clean_text,
+           LEN(regexp_split_to_array(trim(d.text), '\s+')) - COALESCE(k.n_kept, 0)
+             AS n_removed
+    FROM documents d
+    LEFT JOIN (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id
+    ) k ON k.doc_id = d.doc_id
+    """,
+)
+def q_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — the removal step of ExactSubstr dedup (arXiv:2107.06499
+    §4.2): strip every >= 9-token duplicated region from the higher-id
+    document of each pair and reassemble the text.  The Spark side
+    never explodes the corpus to token rows: spans collapse to one
+    interval-list row per affected doc, join back on the id, and the
+    drop is a single higher-order `filter(tokens, (t, i) -> ...)` —
+    one extra equi-join over q_duplicate_spans, zero Python.  (The
+    oracle spells the same semantics via covered-position anti-join +
+    ordered string_agg because DuckDB lambdas lack the index arg.)"""
+    from pixelspark.ops.llm import remove_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_duplicate_spans(d, k=8, min_run=2)
+
+
+@query(
     "q_ohlc",
     """
     WITH ranked AS (

@@ -761,3 +761,45 @@ def test_duplicate_spans_groupby_reuses_window_partitioning(spark):
     # partial aggregate itself
     agg_to_window = plan.split("HashAggregate", 1)[1].split("Window", 1)[0]
     assert "Exchange" not in agg_to_window
+
+
+def test_remove_duplicate_spans_strips_higher_id_copy(spark):
+    shared = "q r s t u v"
+    rows = [
+        (1, f"a b {shared} c d"),
+        (2, f"{shared} x y z"),
+        (3, "m n o p"),
+    ]
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in L.remove_duplicate_spans(
+            _span_docs(spark, rows), k=4, min_run=2
+        ).collect()
+    }
+    # doc 1 (lower id) keeps the canonical occurrence untouched
+    assert out[1] == (f"a b {shared} c d", 0)
+    # doc 2 loses exactly the 6 shared tokens, order of the rest kept
+    assert out[2] == ("x y z", 6)
+    # unaffected docs pass through
+    assert out[3] == ("m n o p", 0)
+
+
+def test_remove_duplicate_spans_fully_duplicated_doc_empties(spark):
+    rows = [(1, "a b c d e f"), (2, "a b c d e f")]
+    out = {r["doc_id"]: r for r in L.remove_duplicate_spans(
+        _span_docs(spark, rows), k=4, min_run=2).collect()}
+    assert out[1]["clean_text"] == "a b c d e f"
+    assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 6
+
+
+def test_remove_duplicate_spans_overlapping_intervals_union(spark):
+    # doc 3 shares overlapping regions with docs 1 AND 2; covered
+    # positions must union, not double-remove
+    rows = [
+        (1, "a b c d e x1 x2"),
+        (2, "c d e f g y1 y2"),
+        (3, "a b c d e f g z"),
+    ]
+    out = {r["doc_id"]: r for r in L.remove_duplicate_spans(
+        _span_docs(spark, rows), k=3, min_run=2).collect()}
+    assert out[3]["clean_text"] == "z" and out[3]["n_removed"] == 7
