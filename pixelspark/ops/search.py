@@ -109,3 +109,74 @@ def bm25_scores(
         .groupBy("doc_id")
         .agg(F.round(F.sum(contrib), round_dp).alias("bm25"))
     )
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: list[str],
+    query_vec_id: int = 0,
+    n_each: int = 50,
+    k: int = 20,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 top-`n_each` and the
+    cosine top-`n_each` lists with Reciprocal Rank Fusion
+    (Cormack/Clarke/Buettcher SIGIR'09):
+
+        rrf(d) = sum over lists of 1 / (rrf_k + rank_in_list(d))
+
+    with absent-from-list contributing 0.  RRF is the standard
+    score-scale-free way to combine lexical and dense retrieval —
+    ranks, not raw scores, so no per-list normalization is needed.
+
+    Scale shape: each list is produced by `orderBy().limit(n_each)` —
+    Spark plans TakeOrderedAndProject (per-partition top-N, merge on
+    the driver), never a global sort; the subsequent row_number windows
+    and the full-outer fuse run over <= n_each rows each.  Ranks order
+    by the ROUNDED score with the id as tiebreak so the lists (and
+    therefore the fusion) are deterministic and engine-portable.
+    """
+    from pyspark.sql.window import Window
+
+    from pixelspark.ops.llm import cosine
+
+    bm = bm25_scores(docs, terms, text_col=text_col, id_col=id_col)
+    bm_top = bm.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(n_each)
+    w_bm = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    bm_rank = bm_top.select(
+        "doc_id", F.row_number().over(w_bm).alias("bm25_rank")
+    )
+
+    q = emb.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("__q_vec")
+    )
+    scored = (
+        emb.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("__q_vec")), 6).alias("cos"),
+        )
+    )
+    vec_top = scored.orderBy(F.col("cos").desc(), F.col("doc_id").asc()).limit(n_each)
+    w_v = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+    vec_rank = vec_top.select(
+        "doc_id", F.row_number().over(w_v).alias("vec_rank")
+    )
+    fused = bm_rank.join(vec_rank, "doc_id", "full_outer")
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        1.0 / (F.lit(rrf_k) + F.col(r)), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            "doc_id",
+            "bm25_rank",
+            "vec_rank",
+            F.round(contrib("bm25_rank") + contrib("vec_rank"), 6).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -6564,6 +6564,88 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(_t(spark, sf_dir, "documents"), ["spark", "merge", "window"])
 
 
+@query(
+    "q_hybrid_search",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT AVG(dl) AS avgdl, CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+      WHERE tok IN ('spark', 'merge', 'window') GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    bm AS (
+      SELECT t.doc_id,
+             ROUND(SUM(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * t.tf * (1.2 + 1.0)
+               / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+             ), 3) AS bm25
+      FROM tf t
+      JOIN df ON t.tok = df.tok
+      JOIN dl ON t.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY t.doc_id
+    ),
+    bm_rank AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT)
+               AS bm25_rank
+      FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 50
+    ),
+    qv AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(list_sum(list_transform(list_zip(qv.q_vec, e.embedding),
+                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+                   NULLIF(sqrt(list_sum(list_transform(qv.q_vec,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                          sqrt(list_sum(list_transform(e.embedding,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+                          0), 6) AS cos
+      FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0
+    ),
+    vec_rank AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC) AS INT)
+               AS vec_rank
+      FROM cos ORDER BY cos DESC, doc_id ASC LIMIT 50
+    )
+    SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+           b.bm25_rank, v.vec_rank,
+           ROUND(COALESCE(1.0 / (60 + b.bm25_rank), 0.0)
+                 + COALESCE(1.0 / (60 + v.vec_rank), 0.0), 6) AS rrf
+    FROM bm_rank b FULL OUTER JOIN vec_rank v ON b.doc_id = v.doc_id
+    ORDER BY rrf DESC, doc_id ASC LIMIT 20
+    """,
+)
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search — hybrid lexical+dense retrieval: BM25 top-50 for
+    {spark, merge, window} and cosine top-50 around query vector 0,
+    fused by Reciprocal Rank Fusion (SIGIR'09; rrf_k=60), top-20 out.
+    Both lists come from orderBy().limit() (TakeOrderedAndProject —
+    per-partition top-N + driver merge, no global sort); ranks order
+    by the ROUNDED score with the doc id as tiebreak so the fusion is
+    deterministic and engine-portable.  Rank-based fusion needs no
+    score normalization between the incomparable BM25 and cosine
+    scales — why RRF is the production default for hybrid RAG
+    retrieval."""
+    from pixelspark.ops.search import hybrid_rrf
+
+    return hybrid_rrf(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        ["spark", "merge", "window"],
+        query_vec_id=0,
+        n_each=50,
+        k=20,
+    )
+
+
 # ---------------------------------------------------------------------------
 # CDC apply — changelog folded onto a snapshot (ops/relational.py)
 # ---------------------------------------------------------------------------

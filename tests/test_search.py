@@ -68,3 +68,35 @@ def test_bm25_multi_term_is_sum(spark):
     assert got[1] == single_cat[1]
     assert got[3] == single_cat[3]
     assert 2 in got  # dog-only doc now scored
+
+
+def _emb(spark):
+    # vec 0 is the query; 1 is nearly parallel to it, 2 orthogonal,
+    # 3 anti-parallel
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [-1.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_hybrid_rrf_fuses_both_lists(spark):
+    from pixelspark.ops.search import hybrid_rrf
+
+    docs = _corpus(spark)
+    out = hybrid_rrf(docs, _emb(spark), ["cat"], query_vec_id=0,
+                     n_each=10, k=10).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # doc 3 ('a cat and a cat', tf=2) outranks doc 1 lexically
+    assert by_id[3]["bm25_rank"] == 1 and by_id[1]["bm25_rank"] == 2
+    # vector list ranks by cosine: 1 (parallel) > 2 (orthogonal) > 3
+    assert by_id[1]["vec_rank"] == 1
+    # doc 1 is in BOTH lists: rrf = 1/(60+2) + 1/(60+1)
+    assert by_id[1]["rrf"] == round(1 / 62 + 1 / 61, 6)
+    # doc 2 is vector-only (no 'cat'): bm25_rank NULL, single contribution
+    assert by_id[2]["bm25_rank"] is None
+    assert by_id[2]["rrf"] == round(1 / 62, 6)
+    # fusion order: doc 1 (two contributions) first
+    assert out[0]["doc_id"] == 1
