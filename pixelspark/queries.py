@@ -1126,6 +1126,36 @@ def q_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bloom_prune",
+    """
+    SELECT doc_id, lang, source FROM documents WHERE doc_id = 137
+    """,
+)
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file skipping end-to-end: documents land in a
+    snapshot table with per-file bloom sidecars on doc_id (8 files,
+    ids hash-scattered so min/max ranges ALL span the probe — the
+    exact case where stats skipping prunes nothing and Iceberg
+    reaches for puffin blooms); read(predicates=[doc_id = 137])
+    probes the sidecars, drops every file whose filter rules 137 out,
+    and must return exactly the plain-SQL point lookup (residual
+    WHERE + the oracle guarantee it).  The in-plan assert pins that
+    pruning actually happened — a regression to scan-everything fails
+    the query, not just a benchmark."""
+    import tempfile
+
+    from pixelspark.table import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="pixelspark_bloom_") + "/docs"
+    t = SnapshotTable(spark, root, bloom_cols=("doc_id",), bloom_bits=8192)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    t.overwrite(docs.repartition(8))  # hash-scatter: ranges useless, blooms not
+    pruned = t.read(predicates=[("doc_id", "=", 137)])
+    assert 0 < len(pruned.inputFiles()) < len(t.read().inputFiles())
+    return pruned
+
+
+@query(
     "q_table_restore",
     f"""
     WITH pv AS (

@@ -55,21 +55,26 @@ count (BASELINE.md).  Streaming writes get exactly-once via the
 
 Beyond the commit protocol, the manifest carries query-acceleration
 metadata the way Delta/Iceberg do: per-file min/max column statistics
-(`stats_cols` -> `read(predicates=...)` file skipping), a change data
-feed computed from the entry-level diff between any two snapshots
-(`read_changes`), and multi-clause `merge` (MERGE INTO) that scopes to
-touched partitions when the partition column is part of the key.
+(`stats_cols` -> `read(predicates=...)` file skipping), per-file
+bloom filters for point lookups on high-cardinality columns
+(`bloom_cols` -> `_bloom.json` sidecars inside each snap dir,
+Iceberg-puffin-style, probed by `read(predicates=[(col, '=', v)])`),
+a change data feed computed from the entry-level diff between any two
+snapshots (`read_changes`), and multi-clause `merge` (MERGE INTO)
+that scopes to touched partitions when the partition column is part
+of the key.
 """
 
 from __future__ import annotations
 
+import base64
 import json
 import uuid
 import warnings
 from functools import reduce
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -156,6 +161,9 @@ class SnapshotTable:
         storage: Storage | None = None,
         stats_cols: tuple[str, ...] | None = None,
         constraints: list[tuple[str, object]] | None = None,
+        bloom_cols: tuple[str, ...] | None = None,
+        bloom_bits: int = 65536,
+        bloom_hashes: int = 5,
     ):
         """`constraints` declares write-side CHECK rules (Delta
         constraint shape): a list of (name, predicate) with the
@@ -173,12 +181,34 @@ class SnapshotTable:
         satisfy the predicate BEFORE Spark plans the scan — no file
         listing, no footer reads, no tasks for skipped files.  Parquet
         row-group stats only help after the file is already in the
-        scan; at 100 TB the win is never scheduling the task at all."""
+        scan; at 100 TB the win is never scheduling the task at all.
+
+        `bloom_cols` adds per-file BLOOM filters for point lookups on
+        high-cardinality columns — the case min/max stats cannot help
+        (an id column's range spans every file, so `id = X` prunes
+        nothing; Iceberg solves this with puffin bloom sidecars, Delta
+        with its bloom index).  Each write hashes the column's values
+        into a `bloom_bits`-bit filter per file (`bloom_hashes`
+        xxhash64 probes, JVM-side, one extra aggregate over the
+        just-written files) and stores the packed filters in a
+        `_bloom.json` SIDECAR inside the snap dir — underscore-prefixed
+        so scans never see it, colocated so compaction / vacuum /
+        time travel inherit correctness for free, and kept OUT of the
+        manifest so the commit log stays small (filters are KBs per
+        file; the manifest is read on every operation).
+        `read(predicates=[(col, '=', v)])` probes the filters of
+        candidate files and drops every file whose bits rule the value
+        out — a definite no; false-positive rate for the default
+        64 Kbit / 5-hash config is ~2% at 50k distinct values per
+        file."""
         self.spark = spark
         self.root = root.rstrip("/")
         self.st: Storage = storage if storage is not None else storage_for(root, spark)
         self.max_retries = max_retries
         self.stats_cols = tuple(stats_cols) if stats_cols else ()
+        self.bloom_cols = tuple(bloom_cols) if bloom_cols else ()
+        self.bloom_bits = bloom_bits
+        self.bloom_hashes = bloom_hashes
         self.constraints = [
             (name, F.expr(p) if isinstance(p, str) else p)
             for name, p in (constraints or [])
@@ -355,6 +385,132 @@ class SnapshotTable:
             }
         return out or None
 
+    # -- bloom sidecars ----------------------------------------------------
+
+    def _bloom_positions(self, col: Column, seed0: int = 0) -> Column:
+        """Array of `bloom_hashes` bit positions for one value —
+        xxhash64 with distinct seeds, double-mod for the sign."""
+        m = self.bloom_bits
+        return F.array(
+            *[
+                ((F.xxhash64(col, F.lit(s)) % m + m) % m)
+                for s in range(seed0, seed0 + self.bloom_hashes)
+            ]
+        )
+
+    def _write_blooms(self, rel: str, df_schema: StructType) -> bool:
+        """Build per-file bloom filters for `bloom_cols` and write the
+        `_bloom.json` sidecar into the (still-unpublished) snap dir.
+        One aggregate per bloom column over the just-written files; bit
+        positions are computed JVM-side (xxhash64), only the distinct
+        set positions per file come back to the driver for packing."""
+        cols = [c for c in self.bloom_cols if c in {f.name for f in df_schema.fields}]
+        if not cols:
+            return False
+        full = f"{self.root}/{rel}"
+        scan = self.spark.read.parquet(full)
+        cols = [c for c in cols if c in scan.columns]  # partition col excluded
+        if not cols:
+            return False
+        blooms: dict[str, dict[str, dict]] = {}
+        for c in cols:
+            dtype = scan.schema[c].dataType.simpleString()
+            rows = (
+                scan.select(
+                    F.col("_metadata.file_path").alias("__fp"),
+                    F.explode(self._bloom_positions(F.col(c))).alias("__pos"),
+                )
+                .groupBy("__fp")
+                .agg(F.collect_set("__pos").alias("__set"))
+                .collect()
+            )
+            for r in rows:
+                key = r["__fp"].split(f"/{rel}/", 1)[1]
+                words = bytearray(self.bloom_bits // 8)
+                for p in r["__set"]:
+                    words[p // 8] |= 1 << (p % 8)
+                blooms.setdefault(key, {})[c] = {
+                    "m": self.bloom_bits,
+                    "h": self.bloom_hashes,
+                    "dtype": dtype,
+                    "b64": base64.b64encode(bytes(words)).decode("ascii"),
+                }
+        if not blooms:
+            return False
+        self.st.write_text_atomic(
+            f"{full}/_bloom.json", json.dumps(blooms, separators=(",", ":"))
+        )
+        return True
+
+    def _probe_positions(self, val, dtype: str) -> list[int]:
+        """Bit positions of a probe value — the SAME JVM xxhash64 the
+        write used (one tiny local job; reimplementing xxhash64 in
+        Python would risk silent divergence)."""
+        row = (
+            self.spark.range(1)
+            .select(self._bloom_positions(F.lit(val).cast(dtype)).alias("p"))
+            .collect()[0]
+        )
+        return list(row["p"])
+
+    @staticmethod
+    def _bloom_admits(meta: dict, positions: list[int]) -> bool:
+        bits = base64.b64decode(meta["b64"])
+        return all(bits[p // 8] & (1 << (p % 8)) for p in positions)
+
+    def _prune_by_bloom(
+        self, entries: list[dict], predicates: list[tuple[str, str, object]]
+    ) -> list[dict]:
+        """File-granularity bloom skip for `=` predicates: candidate
+        files of entries that carry a `_bloom.json` sidecar are probed;
+        a file whose filter rules the value out is dropped (bloom
+        no-means-no).  Entries without sidecars, non-equality
+        predicates, and files missing from the sidecar pass through
+        conservatively.  Probe positions are computed once per
+        (column, value), not per file."""
+        eqs = [(c, v) for c, op, v in predicates if op == "="]
+        if not eqs:
+            return entries
+        pos_cache: dict[tuple[str, str], list[int]] = {}
+        out = []
+        for e in entries:
+            if not e.get("bloom"):
+                out.append(e)
+                continue
+            try:
+                sidecar = json.loads(
+                    self.st.read_text(f"{self.root}/{e['base']}/_bloom.json")
+                )
+            except Exception:
+                out.append(e)  # sidecar unreadable -> keep whole entry
+                continue
+            if e.get("files") is not None:
+                cand = e["files"]
+            elif e["parts"] is None:
+                cand = list(sidecar)
+            else:
+                live = set(e["parts"])
+                cand = [f for f in sidecar if f.split("/", 1)[0] in live]
+            kept = []
+            for f in cand:
+                metas = sidecar.get(f)
+                admit = True
+                for c, v in eqs:
+                    meta = (metas or {}).get(c)
+                    if not meta:
+                        continue
+                    ck = (c, repr(v))
+                    if ck not in pos_cache:
+                        pos_cache[ck] = self._probe_positions(v, meta["dtype"])
+                    if not self._bloom_admits(meta, pos_cache[ck]):
+                        admit = False
+                        break
+                if admit:
+                    kept.append(f)
+            if kept:
+                out.append({**e, "files": kept})
+        return out
+
     def _entry_for(self, rel: str, parts: list[str], has_data: bool,
                    df_schema: StructType) -> dict:
         entry: dict = {"base": rel, "parts": parts or None}
@@ -362,6 +518,9 @@ class SnapshotTable:
             st = self._file_stats(rel, df_schema)
             if st:
                 entry["stats"] = st
+        if has_data and self.bloom_cols:
+            if self._write_blooms(rel, df_schema):
+                entry["bloom"] = True
         return entry
 
     @staticmethod
@@ -1025,6 +1184,7 @@ class SnapshotTable:
         residual = None
         if predicates:
             entries = self._prune_by_stats(entries, predicates)
+            entries = self._prune_by_bloom(entries, predicates)
             residual = reduce(
                 lambda a, b: a & b,
                 [_PRED_OPS[op](F.col(c), F.lit(val)) for c, op, val in predicates],

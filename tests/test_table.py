@@ -1220,3 +1220,90 @@ def test_register_view_pins_snapshot(spark, tbl):
     tbl.register_view("snap_view")
     assert spark.sql("SELECT COUNT(*) n FROM snap_view").collect()[0]["n"] == 3
     spark.catalog.dropTempView("snap_view")
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter file skipping (point lookups on high-cardinality cols)
+# ---------------------------------------------------------------------------
+
+def _bloom_tbl(spark, tmp_path, **kw):
+    return SnapshotTable(
+        spark, str(tmp_path / "btbl"), bloom_cols=("k",),
+        bloom_bits=4096, bloom_hashes=5, **kw,
+    )
+
+
+def _ids(spark, lo, hi, nfiles):
+    return (
+        spark.range(lo, hi)
+        .select(F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v"))
+        .repartition(nfiles)
+    )
+
+
+def test_bloom_sidecar_written_and_invisible_to_scans(spark, tmp_path):
+    tbl = _bloom_tbl(spark, tmp_path)
+    tbl.append(_ids(spark, 0, 400, 4))
+    base = tbl.manifest(1)["entries"][0]["base"]
+    sidecar = os.path.join(str(tmp_path / "btbl"), base, "_bloom.json")
+    assert os.path.exists(sidecar)
+    blooms = json.loads(open(sidecar).read())
+    assert len(blooms) == 4 and all("k" in m for m in blooms.values())
+    # the underscore-prefixed sidecar must not leak into the scan
+    assert tbl.read().count() == 400
+
+
+def test_bloom_point_lookup_prunes_files_and_loses_nothing(spark, tmp_path):
+    tbl = _bloom_tbl(spark, tmp_path)
+    tbl.append(_ids(spark, 0, 400, 4))
+    tbl.append(_ids(spark, 400, 800, 4))
+    all_files = set(tbl.read().inputFiles())
+    assert len(all_files) == 8
+    pruned_counts = []
+    for probe in (3, 250, 777):
+        got = tbl.read(predicates=[("k", "=", probe)])
+        rows = got.collect()
+        # exactness: identical to the unpruned filter
+        assert [(r["k"], r["v"]) for r in rows] == [(probe, f"v{probe}")]
+        pruned_counts.append(len(got.inputFiles()))
+    # each value lives in ONE file; bloom fp-rate at 100 ids into
+    # 4096 bits is ~1e-9, so the scan should be a single file
+    assert max(pruned_counts) < 8, pruned_counts
+
+
+def test_bloom_no_means_no_absent_value_scans_zero_files(spark, tmp_path):
+    tbl = _bloom_tbl(spark, tmp_path)
+    tbl.append(_ids(spark, 0, 100, 2))
+    got = tbl.read(predicates=[("k", "=", 10_000_000)])
+    assert got.count() == 0
+    # every file's filter rules the value out -> empty-schema fast path
+    assert got.inputFiles() == []
+
+
+def test_bloom_ignores_non_equality_predicates(spark, tmp_path):
+    tbl = _bloom_tbl(spark, tmp_path)
+    tbl.append(_ids(spark, 0, 100, 2))
+    got = tbl.read(predicates=[("k", ">=", 95)])
+    assert sorted(r["k"] for r in got.collect()) == list(range(95, 100))
+
+
+def test_bloom_survives_compaction(spark, tmp_path):
+    tbl = _bloom_tbl(spark, tmp_path)
+    for lo in range(0, 300, 100):
+        tbl.append(_ids(spark, lo, lo + 100, 2))
+    tbl.compact()
+    got = tbl.read(predicates=[("k", "=", 123)])
+    assert [(r["k"], r["v"]) for r in got.collect()] == [(123, "v123")]
+    # compacted snap re-derived its own sidecar
+    base = tbl.manifest(tbl.latest_version())["entries"][0]["base"]
+    assert os.path.exists(os.path.join(str(tmp_path / "btbl"), base, "_bloom.json"))
+
+
+def test_bloom_string_column_probe(spark, tmp_path):
+    tbl = SnapshotTable(
+        spark, str(tmp_path / "stbl"), bloom_cols=("v",), bloom_bits=4096
+    )
+    tbl.append(_ids(spark, 0, 200, 4))
+    got = tbl.read(predicates=[("v", "=", "v42")])
+    assert [(r["k"], r["v"]) for r in got.collect()] == [(42, "v42")]
+    assert len(got.inputFiles()) < 4
