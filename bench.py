@@ -72,6 +72,11 @@ HEADLINE = [
     "q_semantic_dedup_kmeans",
     "q_gopher_quality",
     "q_pca_project",
+    # round-5b: ExactSubstr span detection + removal (postings join,
+    # islands window), hybrid BM25+vector RRF retrieval
+    "q_duplicate_spans",
+    "q_remove_duplicate_spans",
+    "q_hybrid_search",
 ]
 
 

@@ -164,6 +164,7 @@ class SnapshotTable:
         bloom_cols: tuple[str, ...] | None = None,
         bloom_bits: int = 65536,
         bloom_hashes: int = 5,
+        expectations: list[tuple[str, object, str]] | None = None,
     ):
         """`constraints` declares write-side CHECK rules (Delta
         constraint shape): a list of (name, predicate) with the
@@ -200,7 +201,29 @@ class SnapshotTable:
         candidate files and drops every file whose bits rule the value
         out — a definite no; false-positive rate for the default
         64 Kbit / 5-hash config is ~2% at 50k distinct values per
-        file."""
+        file.
+
+        `expectations` declares per-row data-quality rules with a
+        POLICY (the Delta Live Tables expectation shape): a list of
+        (name, predicate, mode) with mode one of
+          * 'fail'       — any violating row aborts the whole write
+                           (== `constraints`),
+          * 'drop'       — violating rows are silently removed, the
+                           rest land,
+          * 'quarantine' — violating rows are APPENDED to the sibling
+                           table at `<root>_quarantine` with a
+                           `failed_expectations` array column naming
+                           every rule the row broke; clean rows land.
+        A row failing ANY drop/quarantine rule is excluded from the
+        main write.  Per-rule violation counts for every write are
+        recorded in an `_expectations.json` sidecar inside the snap
+        dir (scan-invisible, like `_bloom.json`) and readable via
+        `expectation_metrics(version)` — the audit trail DLT surfaces
+        as data-quality metrics.  The quarantine append commits to its
+        OWN table before the main commit publishes, so if the main
+        commit loses its race and retries, quarantined rows can appear
+        more than once — dedup on read if exactness matters there
+        (DLT's quarantine pattern has the same at-least-once shape)."""
         self.spark = spark
         self.root = root.rstrip("/")
         self.st: Storage = storage if storage is not None else storage_for(root, spark)
@@ -213,6 +236,16 @@ class SnapshotTable:
             (name, F.expr(p) if isinstance(p, str) else p)
             for name, p in (constraints or [])
         ]
+        self.expectations = [
+            (name, F.expr(p) if isinstance(p, str) else p, mode)
+            for name, p, mode in (expectations or [])
+        ]
+        for name, _, mode in self.expectations:
+            if mode not in ("fail", "drop", "quarantine"):
+                raise ValueError(
+                    f"expectation {name!r}: mode must be fail/drop/quarantine, "
+                    f"got {mode!r}"
+                )
         scheme = root.split("://", 1)[0] if "://" in root else ""
         if scheme in NON_ATOMIC_CREATE_SCHEMES:
             # write_text_atomic's no-overwrite check is check-then-copy
@@ -308,14 +341,111 @@ class SnapshotTable:
         scannable paths, so callers short-circuit on `has_data=False`."""
         if self.constraints:
             self._enforce_constraints(df)
+        metrics = None
+        if self.expectations:
+            df, metrics = self._apply_expectations(df)
         rel = self._new_snap()
         full = f"{self.root}/{rel}"
         if partition_col is None:
             df.write.mode("errorifexists").parquet(full)
-            return rel, [], self.st.has_parquet(full)
+            has = self.st.has_parquet(full)
+            if metrics is not None and has:
+                self._write_expectation_metrics(full, metrics)
+            return rel, [], has
         df.write.mode("errorifexists").partitionBy(partition_col).parquet(full)
         parts = [p for p in self.st.list(full) if p.startswith(f"{partition_col}=")]
+        if metrics is not None and parts:
+            self._write_expectation_metrics(full, metrics)
         return rel, parts, bool(parts)
+
+    def _apply_expectations(self, df: DataFrame) -> tuple[DataFrame, dict]:
+        """One aggregate pass tallies per-rule violations (NULL
+        predicate = violation, CHECK semantics); fail-mode rules with
+        violations abort; rows failing any drop/quarantine rule are
+        excluded from the returned DataFrame; quarantine-rule victims
+        are appended to `<root>_quarantine` tagged with every rule
+        name they broke."""
+        rules = self.expectations
+        row = df.agg(*[
+            F.count_if(~F.coalesce(p, F.lit(False))).alias(f"__viol_{i}")
+            for i, (_, p, _) in enumerate(rules)
+        ]).collect()[0]
+        metrics = {
+            name: int(row[f"__viol_{i}"])
+            for i, (name, _, _) in enumerate(rules)
+        }
+        failed_fail = {
+            name: metrics[name]
+            for name, _, mode in rules
+            if mode == "fail" and metrics[name]
+        }
+        if failed_fail:
+            raise ConstraintViolation(
+                f"write to {self.root} violates fail-mode expectations "
+                f"(rule -> violating rows): {failed_fail}; nothing was committed"
+            )
+        soft = [(n, p, m) for n, p, m in rules if m != "fail"]
+        if not any(metrics[n] for n, _, _ in soft):
+            return df, metrics
+        ok = reduce(
+            lambda a, b: a & b,
+            [F.coalesce(p, F.lit(False)) for _, p, _ in soft],
+        )
+        if any(metrics[n] for n, _, m in soft if m == "quarantine"):
+            failed_names = F.array_compact(F.array(*[
+                F.when(~F.coalesce(p, F.lit(False)), F.lit(n))
+                for n, p, _ in soft
+            ]))
+            quarantined = (
+                df.where(~ok)
+                .withColumn("failed_expectations", failed_names)
+                .where(F.exists(
+                    "failed_expectations",
+                    lambda n: n.isin([x for x, _, m in soft if m == "quarantine"]),
+                ))
+            )
+            self.quarantine_table().append(quarantined)
+        return df.where(ok), metrics
+
+    def quarantine_table(self) -> "SnapshotTable":
+        """The sibling table receiving quarantined rows — plain (no
+        expectations of its own: quarantine must never recurse)."""
+        return SnapshotTable(
+            self.spark, f"{self.root}_quarantine",
+            max_retries=self.max_retries, storage=self.st,
+        )
+
+    def _write_expectation_metrics(self, full: str, metrics: dict) -> None:
+        self.st.write_text_atomic(
+            f"{full}/_expectations.json",
+            json.dumps(metrics, separators=(",", ":")),
+        )
+
+    def expectation_metrics(self, version: int | None = None) -> dict:
+        """Per-rule violation counts recorded by the write that
+        produced `version` (default: latest): {rule: n} summed over
+        the entries NEW at that version (diff vs the previous
+        manifest).  Empty dict if that commit wrote no expectation
+        sidecar (table has no expectations, or the entry predates
+        them)."""
+        v = version if version is not None else self.latest_version()
+        if v is None:
+            return {}
+        cur = {e["base"] for e in self.manifest(v)["entries"]}
+        prev: set = set()
+        if v - 1 in set(self.versions()):
+            prev = {e["base"] for e in self.manifest(v - 1)["entries"]}
+        out: dict = {}
+        for base in sorted(cur - prev):
+            try:
+                m = json.loads(
+                    self.st.read_text(f"{self.root}/{base}/_expectations.json")
+                )
+            except Exception:
+                continue
+            for k, n in m.items():
+                out[k] = out.get(k, 0) + n
+        return out
 
     def _enforce_constraints(self, df: DataFrame) -> None:
         """One aggregate pass over the batch: count violations of every

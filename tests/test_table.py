@@ -1307,3 +1307,73 @@ def test_bloom_string_column_probe(spark, tmp_path):
     got = tbl.read(predicates=[("v", "=", "v42")])
     assert [(r["k"], r["v"]) for r in got.collect()] == [(42, "v42")]
     assert len(got.inputFiles()) < 4
+
+
+# ---------------------------------------------------------------------------
+# expectations: fail / drop / quarantine write policies (DLT shape)
+# ---------------------------------------------------------------------------
+
+def test_expectation_drop_removes_violators_and_records_metrics(spark, tmp_path):
+    tbl = SnapshotTable(
+        spark, str(tmp_path / "etbl"),
+        expectations=[("k_nonneg", "k >= 0", "drop")],
+    )
+    tbl.append(_df(spark, [(1, "a"), (-5, "bad"), (2, "b"), (-9, "worse")]))
+    assert sorted(r["k"] for r in tbl.read().collect()) == [1, 2]
+    assert tbl.expectation_metrics() == {"k_nonneg": 2}
+    # clean write -> zero tally, still recorded
+    tbl.append(_df(spark, [(3, "c")]))
+    assert tbl.expectation_metrics() == {"k_nonneg": 0}
+    # and the earlier version's metrics remain addressable
+    assert tbl.expectation_metrics(1) == {"k_nonneg": 2}
+
+
+def test_expectation_quarantine_routes_rows_with_rule_names(spark, tmp_path):
+    root = str(tmp_path / "qtbl")
+    tbl = SnapshotTable(
+        spark, root,
+        expectations=[
+            ("v_known", "v IN ('a', 'b')", "quarantine"),
+            ("k_small", "k < 100", "drop"),
+        ],
+    )
+    tbl.append(_df(spark, [(1, "a"), (2, "zz"), (500, "a"), (600, "xx")]))
+    # main table: only fully-clean rows
+    assert sorted(r["k"] for r in tbl.read().collect()) == [1]
+    q = SnapshotTable(spark, root + "_quarantine").read().collect()
+    got = {r["k"]: sorted(r["failed_expectations"]) for r in q}
+    # k=2 broke only the quarantine rule; k=600 broke both (tagged with
+    # both names); k=500 broke only the DROP rule -> discarded, NOT
+    # quarantined
+    assert got == {2: ["v_known"], 600: ["k_small", "v_known"]}
+    assert tbl.expectation_metrics() == {"v_known": 2, "k_small": 2}
+
+
+def test_expectation_fail_mode_aborts_like_constraint(spark, tmp_path):
+    from pixelspark.table import ConstraintViolation
+
+    tbl = SnapshotTable(
+        spark, str(tmp_path / "ftbl"),
+        expectations=[("k_nonneg", "k >= 0", "fail")],
+    )
+    with pytest.raises(ConstraintViolation, match="k_nonneg"):
+        tbl.append(_df(spark, [(1, "a"), (-1, "b")]))
+    assert tbl.latest_version() is None  # nothing committed
+
+
+def test_expectation_null_predicate_counts_as_violation(spark, tmp_path):
+    tbl = SnapshotTable(
+        spark, str(tmp_path / "ntbl"),
+        expectations=[("v_set", "v = 'a'", "drop")],
+    )
+    tbl.append(spark.createDataFrame([(1, "a"), (2, None)], "k long, v string"))
+    assert [r["k"] for r in tbl.read().collect()] == [1]
+    assert tbl.expectation_metrics() == {"v_set": 1}
+
+
+def test_expectation_bad_mode_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="mode"):
+        SnapshotTable(
+            spark, str(tmp_path / "btbl2"),
+            expectations=[("x", "k > 0", "warn")],
+        )

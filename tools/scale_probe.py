@@ -53,6 +53,10 @@ DEDUP_QUERIES = [
     "q_minhash_fast",
     "q_dedup_clusters_fast",
     "q_cross_dedup",
+    # round-5b: ExactSubstr span detection — postings self-join +
+    # islands window; copies share no grams (alphabet rotation) so
+    # postings-list sizes and span count scale ~10x -> expect ~linear
+    "q_duplicate_spans",
 ]
 
 
@@ -517,6 +521,19 @@ def main() -> None:
     spark = get_spark("pixelspark-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     # single-experiment mode: python tools/scale_probe.py skew_join
+    if len(sys.argv) > 1 and sys.argv[1] == "dedup_scale":
+        sf1 = build_sf1(spark)
+        d01a = time_queries(spark, SF01, DEDUP_QUERIES)
+        d1a = time_queries(spark, sf1, DEDUP_QUERIES)
+        d01b = time_queries(spark, SF01, DEDUP_QUERIES)
+        d1b = time_queries(spark, sf1, DEDUP_QUERIES)
+        d01 = {k: min(d01a[k], d01b[k]) for k in d01a}
+        d1 = {k: min(d1a[k], d1b[k]) for k in d1a}
+        dratios = {k: round(d1[k] / d01[k], 2) if d01[k] else None for k in d01}
+        print(json.dumps({"experiment": "dedup_scale_10x_documents",
+                          "sf0.1_sec": d01, "10x_docs_sec": d1,
+                          "time_ratio_at_10x_data": dratios}))
+        return
     if len(sys.argv) > 1:
         fn = {
             "cc_rounds": cc_rounds_experiment,
