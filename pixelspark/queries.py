@@ -1126,6 +1126,64 @@ def q_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_expectations",
+    """
+    WITH flags AS (
+      SELECT doc_id,
+             (length(text) >= 150) AS long_enough,
+             (lang IN ('en', 'de', 'fr', 'es')) AS lang_known
+      FROM documents
+    )
+    SELECT 'kept' AS bucket,
+           CAST(COUNT(*) FILTER (WHERE long_enough AND lang_known) AS BIGINT) AS n
+    FROM flags
+    UNION ALL
+    SELECT 'quarantined' AS bucket,
+           CAST(COUNT(*) FILTER (WHERE NOT lang_known) AS BIGINT) AS n
+    FROM flags
+    UNION ALL
+    SELECT 'dropped' AS bucket,
+           CAST(COUNT(*) FILTER (WHERE NOT long_enough AND lang_known) AS BIGINT)
+             AS n
+    FROM flags
+    """,
+)
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side expectations end-to-end (the DLT expect/
+    expect-or-drop/expect-or-quarantine triple on the snapshot table):
+    documents land under a drop rule (min length) and a quarantine
+    rule (known language); the oracle restates the policy outcomes —
+    rows failing the quarantine rule route to the sibling table
+    regardless of the drop rule, rows failing ONLY the drop rule
+    vanish, clean rows land.  The in-plan assert pins that every
+    policy actually fired on this data; the recorded per-rule metrics
+    feed the dropped-only arithmetic the oracle restates."""
+    import tempfile
+
+    from pixelspark.table import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="pixelspark_expect_") + "/docs"
+    t = SnapshotTable(
+        spark, root,
+        expectations=[
+            ("long_enough", "length(text) >= 150", "drop"),
+            ("lang_known", "lang IN ('en', 'de', 'fr', 'es')", "quarantine"),
+        ],
+    )
+    t.append(_t(spark, sf_dir, "documents").select("doc_id", "text", "lang"))
+    kept = t.read().count()
+    quarantined = SnapshotTable(spark, root + "_quarantine").read().count()
+    metrics = t.expectation_metrics()
+    dropped_only = metrics["long_enough"] - (
+        SnapshotTable(spark, root + "_quarantine")
+        .read().where(F.length("text") < 150).count()
+    )
+    assert kept and quarantined and dropped_only  # all three policies fire
+    rows = [("kept", kept), ("quarantined", quarantined), ("dropped", dropped_only)]
+    return spark.createDataFrame(rows, "bucket string, n long")
+
+
+@query(
     "q_bloom_prune",
     """
     SELECT doc_id, lang, source FROM documents WHERE doc_id = 137

@@ -94,7 +94,8 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
 
 
 def run_snapshot_append_sink(
-    df: DataFrame, root: str, checkpoint: str, app_id: str = "pixelspark-stream"
+    df: DataFrame, root: str, checkpoint: str, app_id: str = "pixelspark-stream",
+    table_kwargs: dict | None = None,
 ):
     """Exactly-once streaming append into a snapshot-commit table:
     each micro-batch lands through `SnapshotTable.append_once`, which
@@ -103,13 +104,20 @@ def run_snapshot_append_sink(
     sink crash — or replayed wholesale after checkpoint loss — commits
     nothing, so the table never double-counts (plain foreachBatch
     append sinks are at-least-once exactly there).  Works on object
-    stores: no rename of live data anywhere."""
+    stores: no rename of live data anywhere.
+
+    `table_kwargs` forwards to the SnapshotTable constructor, so
+    write-side policies compose with streaming for free — e.g.
+    `table_kwargs={"expectations": [...]}` gives a streaming
+    expect-or-drop / expect-or-quarantine pipeline (the DLT shape):
+    every micro-batch is audited, violators route per policy, and the
+    per-batch metrics sidecars accumulate in the commit history."""
     from pixelspark.table import SnapshotTable
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
-        SnapshotTable(batch_df.sparkSession, root).append_once(
-            batch_df, app_id, batch_id
-        )
+        SnapshotTable(
+            batch_df.sparkSession, root, **(table_kwargs or {})
+        ).append_once(batch_df, app_id, batch_id)
 
     q = (
         df.writeStream.foreachBatch(commit)

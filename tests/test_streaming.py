@@ -617,3 +617,50 @@ def test_snapshot_rollup_sink_streaming_equals_batch(spark, sf_dir, tmp_path):
         )
     )
     assert bad2.count() == 0  # not a single double-counted partial
+
+
+def test_streaming_expectations_drop_and_quarantine(spark, sf_dir, tmp_path):
+    """Write-side expectations compose with the exactly-once streaming
+    sink: every micro-batch is audited, drop-rule violators vanish,
+    quarantine-rule violators land in the sibling table, and the main
+    table holds only clean rows — the DLT expect-or-drop /
+    expect-or-quarantine pipeline with no extra streaming machinery."""
+    from pixelspark.table import SnapshotTable
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "exp_in")
+    root = str(tmp_path / "exp_table")
+    events.limit(600).coalesce(2).write.mode("overwrite").parquet(src)
+
+    stream = SD.read_event_stream(spark, src).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    SD.run_snapshot_append_sink(
+        stream, root, str(tmp_path / "exp_ckpt"), app_id="exp-test",
+        table_kwargs={"expectations": [
+            ("value_min", "value >= 10", "drop"),
+            ("typed", "event_type IN ('view', 'click', 'purchase')",
+             "quarantine"),
+        ]},
+    )
+    src_df = spark.read.parquet(src)
+    n_untyped = src_df.where(
+        ~F.col("event_type").isin("view", "click", "purchase")
+    ).count()
+    n_clean = src_df.where(
+        (F.col("value") >= 10)
+        & F.col("event_type").isin("view", "click", "purchase")
+    ).count()
+    n_dropped_only = src_df.where(
+        (F.col("value") < 10)
+        & F.col("event_type").isin("view", "click", "purchase")
+    ).count()
+    # the fixture must exercise every policy, not skip silently
+    assert n_untyped and n_clean and n_dropped_only
+    t = SnapshotTable(spark, root)
+    assert t.read().count() == n_clean
+    q = SnapshotTable(spark, root + "_quarantine").read()
+    assert q.count() == n_untyped
+    assert "typed" in set(
+        q.select(F.explode("failed_expectations")).toPandas().iloc[:, 0]
+    )
