@@ -7147,14 +7147,22 @@ _WINDOW_QUERIES = [
     "q_unbilled_shops",
     "q_billed_shops_semi",
     "q_enrich_results",
-    "q_union_all",
-    "q_except",
+    # r5b rotation: the bloom point-lookup and expectations storage
+    # flagships (both value-oracled with in-plan asserts) take the
+    # slots of q_union_all / q_except (§2.7 rows, in-window green
+    # r1-r4; q_intersect keeps a §2.7 set-op in the window; both stay
+    # registered + sweep-checked)
+    "q_bloom_prune",
+    "q_expectations",
     "q_daily_active_users",
     "q_rollup_day_type",
     "q_revenue_by_flag",
     "q_latest_state",
     "q_top_shops",
-    "q_recent_records",
+    # r5b rotation: ExactSubstr span detection (the round-5b dedup
+    # flagship) takes q_recent_records' slot (L3, in-window green
+    # r1-r4; stays registered + sweep-checked)
+    "q_duplicate_spans",
     # r5 rotation: the round-5 storage flagships (multi-clause MERGE and
     # the change data feed, both value-oracled) take the slots of
     # q_running_total / q_lag_daily (W+ extensions, in-window green since
