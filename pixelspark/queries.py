@@ -1184,6 +1184,36 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_train_shards",
+    f"""
+    SELECT CAST(FLOOR({{uh}} * 8) AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM documents
+    GROUP BY 1 ORDER BY shard
+    """.replace("{uh}", "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8)) AS UBIGINT) / 4294967296.0"),
+)
+def q_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data export end-to-end: documents written as 8 JSONL
+    shards (`shard=K/` dirs, one file each, rows serialized JVM-side
+    with to_json) via the engine-portable md5 shard hash, then the
+    manifest read back from the export — per-shard row counts must
+    equal the oracle's direct hash arithmetic over the raw table.
+    The in-plan assert pins the one-file-per-shard layout invariant
+    a training loader relies on for worker mapping and resumable
+    preprocessing."""
+    import tempfile
+
+    from pixelspark.ops.export import export_training_shards, shard_manifest
+
+    out = tempfile.mkdtemp(prefix="pixelspark_shards_") + "/export"
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    export_training_shards(d, out, n_shards=8, key_col="doc_id")
+    mani = shard_manifest(spark, out).cache()
+    assert mani.where(F.col("n_files") != 1).count() == 0  # one file/shard
+    return mani.select("shard", "n_rows")
+
+
+@query(
     "q_bloom_prune",
     """
     SELECT doc_id, lang, source FROM documents WHERE doc_id = 137
