@@ -6357,6 +6357,89 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_perplexity_buckets",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY tok
+    ),
+    total AS (SELECT CAST(SUM(tf) AS BIGINT) AS n FROM vocab),
+    scored AS (
+      SELECT t.doc_id,
+             ROUND(AVG(-ln(v.tf / CAST(total.n AS DOUBLE))), 3) AS score
+      FROM toks t JOIN vocab v ON t.tok = v.tok CROSS JOIN total
+      GROUP BY t.doc_id
+    ),
+    tiled AS (
+      SELECT doc_id, score,
+             NTILE(3) OVER (ORDER BY score ASC, doc_id ASC) AS tile
+      FROM scored
+    )
+    SELECT CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(MIN(score), 3) AS min_score,
+           ROUND(MAX(score), 3) AS max_score
+    FROM tiled GROUP BY tile ORDER BY tile
+    """,
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity partitioning (arXiv:1911.00359 §4.4):
+    rank every document by its unigram neg-logprob quality proxy and
+    cut the corpus into head/middle/tail terciles — the standard
+    pre-filter split where 'head' feeds training directly and 'tail'
+    gets the expensive model-based second look.  Buckets come from
+    NTILE over the (rounded score, doc_id) total order, so membership
+    is EXACTLY reproducible cross-engine — no float threshold
+    comparisons at interpolation ULPs.  The global NTILE sort is the
+    one non-scalable op here and it is deliberate (exact oracle);
+    the 100-TB path replaces it with approx_percentile thresholds
+    (two numbers broadcast, no global sort) at the cost of boundary
+    fuzz, exactly the trade CCNet itself makes."""
+    from pixelspark.ops.llm import tokens
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens("text")).alias("tok"))
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    total = vocab.agg(F.sum("tf").cast("long").alias("n"))
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(-F.log(F.col("tf") / F.col("n").cast("double"))), 3
+            ).alias("score")
+        )
+    )
+    w = Window.orderBy(F.col("score").asc(), F.col("doc_id").asc())
+    tiled = scored.withColumn("tile", F.ntile(3).over(w))
+    return (
+        tiled.groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.min("score"), 3).alias("min_score"),
+            F.round(F.max("score"), 3).alias("max_score"),
+        )
+        .select(
+            F.when(F.col("tile") == 1, "head")
+            .when(F.col("tile") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            "min_score",
+            "max_score",
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
     "q_duplicate_spans",
     r"""
     WITH tr AS (
