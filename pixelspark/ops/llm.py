@@ -884,16 +884,24 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k: broadcast the (few) query vectors over
     the corpus — a map-only pass plus a per-query top-k window over the
-    scored rows. The corpus is never shuffled by pair."""
+    scored rows. The corpus is never shuffled by pair.
+
+    `corpus` (default: `emb` itself) is the searchable universe —
+    pass a PRE-FILTERED relation for filtered vector search (metadata
+    predicate + top-k): filtering before scoring guarantees a full k
+    from the eligible set, where post-filtering a global top-k returns
+    fewer than k once the predicate is selective."""
     q = emb.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
+    space = corpus if corpus is not None else emb
     scored = (
         F.broadcast(q)
-        .crossJoin(emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")))
+        .crossJoin(space.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -914,6 +922,67 @@ def cosine_topk(
             F.round(F.col("raw_cosine"), 6).alias("cosine"),
             "rank",
         )
+    )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    shortlist: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "pd.DataFrame":
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): greedily pick the candidate maximizing
+        lam * sim(q, d) - (1 - lam) * max_{s in selected} sim(d, s)
+    — relevance traded against redundancy, the standard
+    diversity-aware final stage of a retrieval pipeline.
+
+    Split of labor, by construction: the DISTRIBUTED work is the exact
+    top-`shortlist` cosine scan (broadcast query, corpus never
+    shuffled); the greedy loop is inherently sequential (step i
+    depends on the set chosen through i-1) and runs on the driver
+    over the <= shortlist collected candidate vectors — bounded,
+    numpy-vectorized, and exactly where every production reranker
+    (cross-encoder or MMR) runs.  Returns a pandas DataFrame
+    (mmr_rank, neighbor_id, relevance, mmr_score) — driver-side by
+    nature, like the report payload.  Ties break on the lower id;
+    lam=1 reduces to the plain relevance order."""
+    import numpy as np
+
+    cands = cosine_topk(emb, [query_vec_id], k=shortlist, id_col=id_col,
+                        vec_col=vec_col).collect()
+    ids = [r["neighbor_id"] for r in cands]
+    rel = {r["neighbor_id"]: r["cosine"] for r in cands}
+    vec_rows = emb.where(F.col(id_col).isin(ids)).select(id_col, vec_col).collect()
+    vecs = {r[id_col]: np.asarray(r[vec_col], dtype=np.float64) for r in vec_rows}
+    mat = np.stack([vecs[i] / (np.linalg.norm(vecs[i]) or 1.0) for i in ids])
+    sim = mat @ mat.T  # candidate-candidate cosine, shortlist^2 tiny
+    order = {i: pos for pos, i in enumerate(ids)}
+    selected: list[tuple[int, float]] = []
+    remaining = list(ids)
+    while remaining and len(selected) < k:
+        best = None
+        for cand in remaining:
+            red = max(
+                (sim[order[cand], order[s]] for s, _ in selected), default=0.0
+            )
+            score = lam * rel[cand] - (1.0 - lam) * red
+            key = (-score, cand)
+            if best is None or key < best[0]:
+                best = (key, cand, score)
+        _, chosen, score = best
+        selected.append((chosen, score))
+        remaining.remove(chosen)
+    return pd.DataFrame(
+        {
+            "mmr_rank": range(1, len(selected) + 1),
+            "neighbor_id": [i for i, _ in selected],
+            "relevance": [rel[i] for i, _ in selected],
+            "mmr_score": [round(s, 6) for _, s in selected],
+        }
     )
 
 

@@ -1613,6 +1613,55 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.cosine_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5)
 
 
+@query(
+    "q_filtered_ann",
+    """
+    WITH allowed AS (
+      SELECT doc_id FROM documents WHERE lang = 'en'
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+      WHERE vec_id IN (0, 1, 2)
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(q.q_vec, e.embedding),
+                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+             NULLIF(sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                    sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+                    0) AS raw_cosine
+      FROM q, embeddings e
+      WHERE e.vec_id <> q.query_id
+        AND e.vec_id IN (SELECT doc_id FROM allowed)
+    ), ranked AS (
+      SELECT query_id, neighbor_id, raw_cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY raw_cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(raw_cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — metadata predicate + cosine top-k, the
+    vector-db operation hybrid filters are built from.  The filter is
+    applied PRE-scoring (a semi join of the corpus against the allowed
+    id set), so every query returns a full k from the eligible
+    universe — post-filtering a global top-k can return fewer than k
+    (or zero) once the predicate is selective, the classic filtered-
+    ANN failure mode.  Plan: allowed-id semi join rides the same
+    map-only broadcast pass as the scoring; no corpus shuffle."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("__allow"))
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    eligible = emb.join(
+        F.broadcast(docs), emb.vec_id == F.col("__allow"), "left_semi"
+    )
+    return L.cosine_topk(emb, [0, 1, 2], k=5, corpus=eligible)
+
+
 @query("q_ann_lsh")  # approximate (bucket recall) -> rows-only
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM — hyperplane-LSH bucketed ANN (the 100-TB scale path).

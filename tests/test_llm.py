@@ -803,3 +803,53 @@ def test_remove_duplicate_spans_overlapping_intervals_union(spark):
     out = {r["doc_id"]: r for r in L.remove_duplicate_spans(
         _span_docs(spark, rows), k=3, min_run=2).collect()}
     assert out[3]["clean_text"] == "z" and out[3]["n_removed"] == 7
+
+
+# ---------------------------------------------------------------------------
+# MMR re-ranking (Carbonell & Goldstein SIGIR'98)
+# ---------------------------------------------------------------------------
+
+def test_mmr_lambda_one_equals_relevance_order(spark, emb):
+    out = L.mmr_rerank(emb, query_vec_id=0, k=5, shortlist=20, lam=1.0)
+    plain = L.cosine_topk(emb, [0], k=5).orderBy("rank").collect()
+    assert list(out["neighbor_id"]) == [r["neighbor_id"] for r in plain]
+
+
+def test_mmr_matches_pure_python_reference(spark, emb):
+    import numpy as np
+
+    lam, k, short = 0.5, 6, 15
+    out = L.mmr_rerank(emb, query_vec_id=1, k=k, shortlist=short, lam=lam)
+    # reference: same greedy, written independently
+    cands = L.cosine_topk(emb, [1], k=short).collect()
+    ids = [r["neighbor_id"] for r in cands]
+    rel = {r["neighbor_id"]: r["cosine"] for r in cands}
+    rows = emb.where(F.col("vec_id").isin(ids)).collect()
+    v = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    nv = {i: x / (np.linalg.norm(x) or 1) for i, x in v.items()}
+    sel: list = []
+    remaining = list(ids)
+    while remaining and len(sel) < k:
+        scored = []
+        for c in remaining:
+            red = max((float(nv[c] @ nv[s]) for s in sel), default=0.0)
+            scored.append((-(lam * rel[c] - (1 - lam) * red), c))
+        scored.sort()
+        sel.append(scored[0][1])
+        remaining.remove(scored[0][1])
+    assert list(out["neighbor_id"]) == sel
+
+
+def test_mmr_penalizes_redundancy(spark):
+    # three candidates: two near-identical highly-relevant vectors and
+    # one orthogonal moderately-relevant one — MMR at lam=0.5 must
+    # interleave the orthogonal one ahead of the duplicate
+    rows = [
+        (0, [1.0, 0.0, 0.0]),        # query
+        (1, [0.99, 0.1, 0.0]),       # relevant
+        (2, [0.98, 0.11, 0.0]),      # near-duplicate of 1
+        (3, [0.5, 0.0, 0.8]),        # diverse, less relevant
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = L.mmr_rerank(emb, query_vec_id=0, k=3, shortlist=3, lam=0.5)
+    assert list(out["neighbor_id"]) == [1, 3, 2]
