@@ -1703,6 +1703,55 @@ def duplicate_spans(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-token gram, slide a
+    window of `w` consecutive gram hashes, keep the minimum of each
+    window.  Guarantees: any shared substring of >= w + k - 1 tokens
+    yields at least one SHARED selected fingerprint, while only
+    ~2/(w+1) of all grams are kept — the standard way to cut
+    sub-document dedup index size by ~w/2 without losing detection,
+    robust to insertions/shifts in a way fixed-stride chunking is not.
+
+    Relational form: one positioned-gram explode (the hash is the
+    first 32 bits of the gram md5 — portable, numeric), one window
+    pass computing (min hash, its position) per w-window via
+    min_by, and a distinct over the selected (pos, hash) pairs.
+    Ties are broken by position through min_by's deterministic
+    struct order and are practically impossible anyway (32-bit hash
+    collisions inside one window).  Output: (id, pos, fp) — the
+    fingerprint index rows; equality joins on fp find cross-doc
+    shared regions at ~2/(w+1) the postings volume of
+    duplicate_spans' full index."""
+    g = positioned_grams(docs, k, id_col, text_col).select(
+        F.col(id_col),
+        "pos",
+        F.conv(F.substring("gram_fp", 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        g.select(
+            F.col(id_col),
+            F.min_by(F.col("pos"), F.col("h")).over(win).alias("sel_pos"),
+            F.min("h").over(win).alias("fp"),
+            F.count(F.lit(1)).over(win).alias("__full"),
+        )
+        .where(F.col("__full") == w)  # only complete windows select
+        .select(F.col(id_col), F.col("sel_pos").alias("pos"), "fp")
+        .distinct()
+    )
+
+
 def remove_duplicate_spans(
     docs: DataFrame,
     spans: DataFrame | None = None,

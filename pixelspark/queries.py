@@ -6406,6 +6406,62 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_winnow_dedup",
+    r"""
+    WITH tr AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), g1 AS (
+      SELECT doc_id, unnest(generate_series(1, len(toks) - 4)) AS pos, toks
+      FROM tr WHERE len(toks) >= 5
+    ), g2 AS (
+      SELECT doc_id, pos,
+             CAST(('0x' || substr(md5(array_to_string(toks[pos:pos+4], ' ')), 1, 8))
+                  AS UBIGINT) AS h
+      FROM g1
+    ), sel AS (
+      SELECT DISTINCT doc_id,
+             arg_min(pos, h) OVER win AS pos,
+             MIN(h) OVER win AS fp
+      FROM g2
+      WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+      QUALIFY COUNT(*) OVER win = 4
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM (SELECT DISTINCT doc_id, fp FROM sel) a
+    JOIN (SELECT DISTINCT doc_id, fp FROM sel) b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — winnowing-fingerprint near-dup candidates (SIGMOD'03 MOSS):
+    k=5 gram hashes winnowed with w=4 windows (any shared run of >= 8
+    tokens guarantees a shared fingerprint), then a fingerprint
+    equi-join counts shared selections per doc pair — the same
+    postings-join shape as q_duplicate_spans at ~2/(w+1) the index
+    volume, trading span coordinates for throughput.  The guarantee
+    (not just the plan) is pytest-pinned; this oracle pins exact
+    cross-engine selection equality, fingerprint by fingerprint."""
+    from pixelspark.ops.llm import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sel = winnow_fingerprints(d, k=5, w=4).select("doc_id", "fp").distinct()
+    a = sel.select(F.col("doc_id").alias("id_a"), "fp")
+    b = sel.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
+
+
+@query(
     "q_perplexity_buckets",
     r"""
     WITH toks AS (

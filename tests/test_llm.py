@@ -853,3 +853,39 @@ def test_mmr_penalizes_redundancy(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = L.mmr_rerank(emb, query_vec_id=0, k=3, shortlist=3, lam=0.5)
     assert list(out["neighbor_id"]) == [1, 3, 2]
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (SIGMOD'03 MOSS)
+# ---------------------------------------------------------------------------
+
+def test_winnow_guarantee_shared_substring_shares_fingerprint(spark):
+    """The winnowing guarantee: docs sharing a substring of
+    >= w + k - 1 tokens MUST share at least one selected fingerprint,
+    at any alignment — fixed-stride chunking has no such property."""
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"  # 8 tokens = w + k - 1 (w=4, k=5)
+    for prefix in ["", "p1 ", "p1 p2 p3 ", "p1 p2 p3 p4 p5 p6 p7 "]:
+        rows = [(1, f"a1 a2 {shared} a3 a4"), (2, f"{prefix}{shared}")]
+        sel = L.winnow_fingerprints(_span_docs(spark, rows), k=5, w=4)
+        fps = {doc: {r["fp"] for r in grp}
+               for doc, grp in __import__("itertools").groupby(
+                   sorted(sel.collect(), key=lambda r: r["doc_id"]),
+                   key=lambda r: r["doc_id"])}
+        assert fps[1] & fps[2], f"no shared fingerprint at prefix {prefix!r}"
+
+
+def test_winnow_density_reduction(spark, docs):
+    """Selection must thin the index substantially: expected density
+    2/(w+1) = 0.4 at w=4; allow slack for short docs (first window
+    boundary effects)."""
+    d = docs.limit(100).select("doc_id", "text")
+    n_grams = L.positioned_grams(d, 5, "doc_id", "text").count()
+    n_sel = L.winnow_fingerprints(d, k=5, w=4).count()
+    assert 0.2 <= n_sel / n_grams <= 0.55, (n_sel, n_grams)
+
+
+def test_winnow_deterministic_under_repartition(spark, docs):
+    d = docs.limit(50).select("doc_id", "text")
+    a = set(map(tuple, L.winnow_fingerprints(d, k=5, w=4).collect()))
+    b = set(map(tuple, L.winnow_fingerprints(d.repartition(7), k=5, w=4).collect()))
+    assert a == b
