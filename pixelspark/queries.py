@@ -7330,6 +7330,128 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_topk_sample(d, "lang", "doc_id", k=7)
 
 
+@query(
+    "q_dsir_weights",
+    r"""
+    WITH tr AS (
+      SELECT doc_id, lang = 'en' AS is_target,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, is_target, unnest(toks) AS g FROM tr
+      UNION ALL
+      SELECT tr.doc_id, tr.is_target, toks[i] || ' ' || toks[i + 1] AS g
+      FROM tr, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+      WHERE len(toks) >= 2
+    ), b AS (
+      SELECT doc_id, is_target,
+             CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT) % 256 AS bucket
+      FROM grams
+    ), counts AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt,
+             CAST(COUNT(*) AS BIGINT) AS r_cnt
+      FROM b GROUP BY bucket
+    ), tot AS (
+      SELECT CAST(SUM(t_cnt) AS BIGINT) AS nt,
+             CAST(SUM(r_cnt) AS BIGINT) AS nr
+      FROM counts
+    ), llr AS (
+      SELECT bucket,
+             ln(CAST(t_cnt + 1 AS DOUBLE) / (nt + 256.0))
+             - ln(CAST(r_cnt + 1 AS DOUBLE) / (nr + 256.0)) AS llr
+      FROM counts CROSS JOIN tot
+    )
+    SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           ROUND(SUM(llr.llr), 3) AS log_weight
+    FROM b JOIN llr USING (bucket)
+    GROUP BY b.doc_id
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — DSIR importance weights (arXiv:2302.03169): hashed
+    unigram+bigram features (256 buckets, portable md5 hash), target
+    distribution = English documents, raw = the whole corpus; each
+    document scores the sum of its grams' smoothed target/raw
+    log-likelihood ratios.  Fit is one count_if aggregation; scoring
+    broadcasts the 256-row LLR table onto the exploded gram stream —
+    two bounded-key shuffles, corpus never self-joined.  Rounded at
+    3dp (log-sum accumulation-order noise, unigram_logprob precedent);
+    the oracle re-derives buckets and LLRs bit-for-bit."""
+    from pixelspark.ops.dsir import dsir_log_weights
+
+    d = _t(spark, sf_dir, "documents")
+    w = dsir_log_weights(d, F.col("lang") == "en", num_buckets=256)
+    return w.select(
+        "doc_id", "n_grams", F.round("log_weight", 3).alias("log_weight")
+    )
+
+
+@query(
+    "q_dsir_select",
+    r"""
+    WITH tr AS (
+      SELECT doc_id, lang = 'en' AS is_target,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, is_target, unnest(toks) AS g FROM tr
+      UNION ALL
+      SELECT tr.doc_id, tr.is_target, toks[i] || ' ' || toks[i + 1] AS g
+      FROM tr, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+      WHERE len(toks) >= 2
+    ), b AS (
+      SELECT doc_id, is_target,
+             CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT) % 256 AS bucket
+      FROM grams
+    ), counts AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt,
+             CAST(COUNT(*) AS BIGINT) AS r_cnt
+      FROM b GROUP BY bucket
+    ), tot AS (
+      SELECT CAST(SUM(t_cnt) AS BIGINT) AS nt,
+             CAST(SUM(r_cnt) AS BIGINT) AS nr
+      FROM counts
+    ), llr AS (
+      SELECT bucket,
+             ln(CAST(t_cnt + 1 AS DOUBLE) / (nt + 256.0))
+             - ln(CAST(r_cnt + 1 AS DOUBLE) / (nr + 256.0)) AS llr
+      FROM counts CROSS JOIN tot
+    ), w AS (
+      SELECT b.doc_id, ROUND(SUM(llr.llr), 3) AS log_weight
+      FROM b JOIN llr USING (bucket)
+      GROUP BY b.doc_id
+    ), ranked AS (
+      SELECT doc_id, log_weight,
+             row_number() OVER (ORDER BY log_weight DESC, doc_id ASC) AS rank
+      FROM w
+    )
+    SELECT doc_id, log_weight, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — DSIR top-k selection (the paper's deterministic-top-k
+    ablation; the Gumbel-top-k sampling variant is pytest-gated in
+    tests/test_dsir.py, hash-seeded so retries pick identical sets):
+    the 20 highest-weight documents by ROUNDED weight (the rounding is
+    the cross-engine compare point — ordering on the raw float could
+    flip near-ties between engines).  Plans as TakeOrderedAndProject:
+    per-partition top-k then driver merge, no global sort exchange."""
+    from pixelspark.ops.dsir import dsir_log_weights, dsir_resample
+
+    d = _t(spark, sf_dir, "documents")
+    w = dsir_log_weights(d, F.col("lang") == "en", num_buckets=256).select(
+        "doc_id", F.round("log_weight", 3).alias("log_weight")
+    )
+    picked = dsir_resample(w, k=20, seed=None)
+    rw = Window.orderBy(F.col("log_weight").desc(), F.col("doc_id").asc())
+    return picked.withColumn("rank", F.row_number().over(rw)).select(
+        "doc_id", "log_weight", "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate hash-checks the FIRST 50
 # entries of QUERIES (CORRECTNESS_r{N}.json keys == registry[0:50]).  Queries
