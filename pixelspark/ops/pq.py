@@ -1,0 +1,289 @@
+"""Product quantization (PQ) for vector search — the Jégou/Douze/
+Schmid TPAMI 2011 codebook compression that IVF-PQ indexes (FAISS)
+are built on, re-expressed as DataFrame ops.
+
+Why PQ next to the existing ANN family (`ops/llm.py`): LSH buckets
+and IVF prune WHICH vectors are scored; SQ8 shrinks each vector 4x
+but still stores one code per dimension.  PQ compresses each vector
+to `m` SUBSPACE codes (m bytes at ksub<=256) — a 64-dim float vector
+becomes 8 bytes, a 32x reduction — and scoring against a query needs
+only `m` table lookups per vector (asymmetric distance computation,
+ADC), never the original floats.  At 100 TB that is the difference
+between scanning a 3 TB code table and a 100 TB embedding table.
+
+Spark-first decomposition:
+
+  * train — all `m` subspace codebooks train TOGETHER: explode every
+    vector into (subspace j, subvector) rows once, then each Lloyd
+    iteration is ONE Arrow-batched assignment pass + ONE
+    groupBy(j, cluster, dim) mean — the iteration count does not
+    multiply by m (a per-subspace driver loop would run m*n_iter
+    jobs; this runs n_iter).  Codebooks collect to the driver:
+    m * ksub * dsub floats, O(1) in corpus size.
+  * encode — one Arrow-batched kernel per vector batch: reshape
+    (n, m, dsub), argmin squared-L2 against each codebook via numpy,
+    emit the length-m int code array.  Plan size is O(1) in m*ksub
+    (codebooks ride the UDF closure, the SemDeDup assignment lesson).
+  * score (ADC) — per query, the driver computes the tiny lookup
+    tables dot(q_j, C[j][c]) and ||C[j][c]||^2 (m*ksub doubles each);
+    they broadcast as a DataFrame joined to the posexploded code
+    column on (j, code), then one groupBy(query, vector) sums the
+    lookups into the approximate cosine — pure JVM-side equi-join +
+    partial aggregation, no Python in the corpus-sized path.
+  * re-rank — the per-query shortlist (>> k) joins back to the
+    full-precision vectors for exact cosine, repairing quantization
+    error exactly like `ann_sq8_rerank` (shortlist makes
+    recall@k -> 1; the floor is pytest-gated).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pixelspark.ops.llm import cosine
+
+
+def _subvector_rows(
+    emb: DataFrame, m: int, dsub: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, j, sv) rows — every vector exploded into its m subvectors
+    in one pass (slice is 1-based)."""
+    parts = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.struct(
+            j.cast("int").alias("j"),
+            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("sv"),
+        ),
+    )
+    return emb.select(F.col(id_col), F.explode(parts).alias("p")).select(
+        F.col(id_col), F.col("p.j").alias("j"), F.col("p.sv").alias("sv")
+    )
+
+
+def _assign_subspace_pandas(codebooks) -> "F.Column":
+    """Arrow-batched (j, sv) -> nearest-centroid id under squared L2.
+    Codebooks ship once in the closure; each batch does one matmul per
+    subspace present in the batch.  numpy argmin keeps the first
+    minimum — the deterministic tie-break the tests pin."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    C = [np.asarray(cb, dtype=np.float64) for cb in codebooks]  # m x (ksub, dsub)
+    N2 = [np.sum(cb * cb, axis=1) for cb in C]
+
+    @pandas_udf("int")
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
+        for pdf in it:
+            j = pdf["j"].to_numpy()
+            SV = np.asarray(pdf["sv"].tolist(), dtype=np.float64)
+            out = np.zeros(len(pdf), dtype="int32")
+            for jj in np.unique(j):
+                mask = j == jj
+                # argmin ||sv - c||^2 == argmin ||c||^2 - 2 sv.c
+                d = N2[jj][None, :] - 2.0 * (SV[mask] @ C[jj].T)
+                out[mask] = np.argmin(d, axis=1).astype("int32")
+            yield pd.Series(out)
+
+    return assign(F.struct("j", "sv"))
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[list[list[float]]]:
+    """Train m subspace codebooks (ksub centroids of dim/m floats
+    each) with Lloyd iterations over ALL subspaces at once.  Seeds are
+    the ksub lowest-id vectors' slices — deterministic, like
+    kmeans_centroids.  Driver state: m * ksub * dsub floats only."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    seed_rows = emb.orderBy(id_col).limit(ksub).select(vec_col).collect()
+    if len(seed_rows) < ksub:
+        raise ValueError(f"need >= {ksub} vectors to seed, got {len(seed_rows)}")
+    codebooks = [
+        [
+            [float(x) for x in row[vec_col][j * dsub : (j + 1) * dsub]]
+            for row in seed_rows
+        ]
+        for j in range(m)
+    ]
+    sub = _subvector_rows(emb, m, dsub, id_col, vec_col)
+    for _ in range(n_iter):
+        assigned = sub.select(
+            "j", "sv", _assign_subspace_pandas(codebooks).alias("c")
+        )
+        means = (
+            assigned.select("j", "c", F.posexplode("sv").alias("d", "val"))
+            .groupBy("j", "c", "d")
+            .agg(F.avg("val").alias("mean"))
+            .groupBy("j", "c")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "mean"))).alias("dims"))
+            .select(
+                "j", "c", F.transform("dims", lambda s: s["mean"]).alias("centroid")
+            )
+            .collect()
+        )
+        got: dict[tuple[int, int], list[float]] = {
+            (r["j"], r["c"]): [float(x) for x in r["centroid"]] for r in means
+        }
+        codebooks = [
+            [got.get((j, c), codebooks[j][c]) for c in range(ksub)]
+            for j in range(m)
+        ]
+    return codebooks
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes) — each vector's length-m array of subspace centroid
+    ids.  One Arrow-batched kernel: reshape the batch to (n, m, dsub)
+    and argmin against every codebook; m bytes of index replace dim
+    floats of payload downstream."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = C.shape
+    N2 = np.sum(C * C, axis=2)  # (m, ksub)
+
+    @pandas_udf("array<int>")
+    def encode(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            V = np.asarray(s.tolist(), dtype=np.float64).reshape(-1, m, dsub)
+            # (n, m, ksub) distances without the ||sv||^2 term
+            d = N2[None, :, :] - 2.0 * np.einsum("nmd,mkd->nmk", V, C)
+            codes = np.argmin(d, axis=2).astype("int32")
+            yield pd.Series(list(codes))
+
+    return emb.select(F.col(id_col), encode(vec_col).alias("codes"))
+
+
+def ann_pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 3,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """PQ-ADC ANN: coarse-score every vector from its m codes via
+    per-query lookup tables, keep a per-query shortlist, re-rank the
+    shortlist exactly.  Output schema matches cosine_topk so the exact
+    brute-force result is the recall yardstick.
+
+    Pass `codebooks`/`codes` to reuse a trained index (the production
+    shape: train once, encode on ingest, query forever)."""
+    if codebooks is None:
+        codebooks = pq_train(
+            emb, m=m, ksub=ksub, n_iter=n_iter,
+            id_col=id_col, vec_col=vec_col, dim=dim,
+        )
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    if codes is None:
+        codes = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
+
+    q_rows = (
+        emb.where(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .collect()
+    )
+    # ADC lookup tables, driver-built from m*ksub centroids per query:
+    # dot(q_j, C[j][c]) and ||C[j][c]||^2 (query-independent, reused)
+    lut = []
+    for r in q_rows:
+        qv = [float(x) for x in r["q_vec"]]
+        qn = sum(x * x for x in qv) ** 0.5
+        for j in range(m):
+            qj = qv[j * dsub : (j + 1) * dsub]
+            for c, cent in enumerate(codebooks[j]):
+                lut.append(
+                    (
+                        int(r["query_id"]),
+                        qn,
+                        j,
+                        c,
+                        sum(a * b for a, b in zip(qj, cent)),
+                        sum(x * x for x in cent),
+                    )
+                )
+    spark = emb.sparkSession
+    lut_df = spark.createDataFrame(
+        lut, "query_id long, q_norm double, j int, c int, dot double, n2 double"
+    )
+    code_rows = codes.select(
+        F.col(id_col).alias("neighbor_id"), F.posexplode("codes").alias("j", "c")
+    )
+    coarse = (
+        code_rows.join(F.broadcast(lut_df), ["j", "c"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            (
+                F.sum("dot")
+                / F.nullif(
+                    F.first("q_norm") * F.sqrt(F.sum("n2")), F.lit(0.0)
+                )
+            ).alias("approx_cosine")
+        )
+    )
+    w_coarse = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    survivors = (
+        coarse.withColumn("crank", F.row_number().over(w_coarse))
+        .where(F.col("crank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    q = spark.createDataFrame(
+        [(int(r["query_id"]), [float(x) for x in r["q_vec"]]) for r in q_rows],
+        "query_id long, q_vec array<double>",
+    )
+    full = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    )
+    rescored = (
+        survivors.join(full, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("n_vec")).alias("raw_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("raw_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("raw_cosine"), 6).alias("cosine"),
+            "rank",
+        )
+    )

@@ -5664,6 +5664,23 @@ def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_ann_pq")  # trained quantizer is approximate -> rows-only
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — product-quantization ANN (TPAMI'11 / the FAISS IVF-PQ
+    building block): m=8 subspace codebooks of 16 centroids compress
+    each 64-dim vector to 8 codes (32x), coarse scoring is pure ADC
+    table lookups over the posexploded code column (JVM equi-join +
+    partial agg, no Python in the corpus path), exact re-rank repairs
+    quantization error.  recall@5 >= 0.9 vs the exact baseline is
+    asserted in tests/test_pq.py."""
+    from pixelspark.ops.pq import ann_pq_topk
+
+    return ann_pq_topk(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4],
+        k=5, m=8, ksub=16, n_iter=2, shortlist=100,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Behavioral-analytics completion pack: sequence-pattern detection
 # (MATCH_RECOGNIZE-style CEP on batch), co-occurrence mining, triangle
