@@ -77,6 +77,10 @@ HEADLINE = [
     "q_duplicate_spans",
     "q_remove_duplicate_spans",
     "q_hybrid_search",
+    # round-5c: DSIR data selection (fit + score passes), PQ-ADC ANN
+    # (in-bench codebook training + encode + lookup-join scoring)
+    "q_dsir_weights",
+    "q_ann_pq",
 ]
 
 

@@ -76,13 +76,21 @@ def dsir_bucket_llr(
     target_cond: Column,
     num_buckets: int = 256,
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """Fit the hashed-n-gram importance model: per-bucket smoothed
     log-likelihood ratio  log p_target(b) - log p_raw(b), where the
     target distribution is estimated from documents matching
     `target_cond` and the raw distribution from ALL documents.  One
     aggregation pass (target and raw tallied together via count_if);
-    output is `num_buckets` rows -> broadcast it onto the scorer."""
+    output is `num_buckets` rows -> broadcast it onto the scorer.
+
+    `materialize` localCheckpoints the bucket-count table (tiny:
+    `num_buckets` rows) so the totals row derives from it WITHOUT
+    re-running the corpus aggregation — lazily, `tot` would re-execute
+    the whole fit scan, making fit+score three corpus passes instead
+    of the minimum two (the same lineage-truncation discipline as
+    dedup_clusters' edge table)."""
     ex = docs.select(
         F.coalesce(target_cond, F.lit(False)).alias("is_target"),
         F.explode(hashed_ngram_buckets(text_col, num_buckets)).alias("bucket"),
@@ -91,6 +99,8 @@ def dsir_bucket_llr(
         F.count_if("is_target").cast("long").alias("t_cnt"),
         F.count(F.lit(1)).cast("long").alias("r_cnt"),
     )
+    if materialize:
+        counts = counts.localCheckpoint(eager=True)
     totals = counts.agg(
         F.sum("t_cnt").cast("long").alias("nt"),
         F.sum("r_cnt").cast("long").alias("nr"),

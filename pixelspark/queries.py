@@ -7539,7 +7539,10 @@ _WINDOW_QUERIES = [
     # aggregate of q_lang_id, which remains in-window)
     "q_substr",
     "q_lang_id",
-    "q_token_count",
+    # r5c rotation: DSIR importance weights (the round-5c data-selection
+    # flagship, value-oracled incl. the fit pass) takes q_token_count's
+    # slot (in-window green r1-r4; stays registered + sweep-checked)
+    "q_dsir_weights",
     "q_doc_fingerprint",
     "q_ngram_jaccard",
     "q_minhash_pairs",
