@@ -175,6 +175,194 @@ def pq_encode(
     return emb.select(F.col(id_col), encode(vec_col).alias("codes"))
 
 
+def ivfpq_index(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+):
+    """Build the FAISS-style IVF-PQ index: coarse k-means partitions
+    the corpus into `n_clusters` lists, PQ codebooks train on the
+    RESIDUALS (vector - assigned centroid — residuals concentrate near
+    zero, so the same ksub centroids quantize them far more tightly
+    than raw vectors), every vector stores (cluster, m codes).
+
+    Returns (centroids, codebooks, codes) where codes is a DataFrame
+    (id, cluster, codes).  Driver state: n_clusters*dim +
+    m*ksub*(dim/m) floats — O(1) in corpus size.  At 100 TB `cluster`
+    is the table's physical partitioning and `codes` is the 32x-
+    compressed payload the probes actually scan."""
+    from pixelspark.ops.llm import _nearest_centroid_pandas, kmeans_centroids
+
+    centroids = kmeans_centroids(
+        emb, k=n_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    cent_df = emb.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cluster int, centroid array<double>",
+    )
+    assigned = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _nearest_centroid_pandas(vec_col, centroids).alias("cluster"),
+    )
+    resid = assigned.join(F.broadcast(cent_df), "cluster").select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.zip_with(
+            F.col(vec_col), F.col("centroid"), lambda a, b: a.cast("double") - b
+        ).alias("resid"),
+    )
+    codebooks = pq_train(
+        resid, m=m, ksub=ksub, n_iter=n_iter, id_col=id_col,
+        vec_col="resid", dim=dim,
+    )
+    codes = pq_encode(resid, codebooks, id_col=id_col, vec_col="resid").join(
+        resid.select(F.col(id_col), "cluster"), id_col
+    )
+    return centroids, codebooks, codes
+
+
+def ann_ivfpq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 3,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 2,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    index=None,
+) -> DataFrame:
+    """IVF-PQ ANN: probe only the `n_probe` coarse clusters nearest
+    each query, ADC-score the probed vectors from their residual codes
+    (reconstruction = centroid + codeword, so the score folds the
+    centroid terms into the per-row lookup values and one plain SUM
+    recovers the approximate cosine), exact-re-rank the shortlist.
+    Probe pruning costs nothing extra: the lookup table only carries
+    (query, probed-cluster) rows, so the equi-join on
+    (cluster, j, code) IS the inverted-list selection.  Output schema
+    matches cosine_topk; recall floor pytest-gated."""
+    if index is None:
+        index = ivfpq_index(
+            emb, n_clusters=n_clusters, m=m, ksub=ksub, n_iter=n_iter,
+            id_col=id_col, vec_col=vec_col, dim=dim,
+        )
+    centroids, codebooks, codes = index
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+
+    q_rows = (
+        emb.where(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .collect()
+    )
+    # per (query, probed cluster, j, c) lookup rows; the per-cluster
+    # constants dot(q, cent) and ||cent||^2 are spread evenly across
+    # the m subspace rows so the score is one plain SUM per pair:
+    #   approx_dot = dot(q, cent) + sum_j dot(q_j, R[j][c_j])
+    #   approx_n2  = ||cent||^2 + sum_j (2 cent_j . R[j][c_j] + ||R[j][c_j]||^2)
+    lut = []
+    for r in q_rows:
+        qv = [float(x) for x in r["q_vec"]]
+        qn = sum(x * x for x in qv) ** 0.5
+        by_dot = sorted(
+            (
+                (sum(a * b for a, b in zip(qv, c)), ci)
+                for ci, c in enumerate(centroids)
+            ),
+            reverse=True,
+        )
+        for _, ci in by_dot[:n_probe]:
+            cent = centroids[ci]
+            qc = sum(a * b for a, b in zip(qv, cent))
+            c2 = sum(x * x for x in cent)
+            for j in range(m):
+                qj = qv[j * dsub : (j + 1) * dsub]
+                cj = cent[j * dsub : (j + 1) * dsub]
+                for c, code_cent in enumerate(codebooks[j]):
+                    lut.append(
+                        (
+                            int(r["query_id"]),
+                            qn,
+                            ci,
+                            j,
+                            c,
+                            qc / m + sum(a * b for a, b in zip(qj, code_cent)),
+                            c2 / m
+                            + 2.0 * sum(a * b for a, b in zip(cj, code_cent))
+                            + sum(x * x for x in code_cent),
+                        )
+                    )
+    spark = emb.sparkSession
+    lut_df = spark.createDataFrame(
+        lut,
+        "query_id long, q_norm double, cluster int, j int, c int, "
+        "dot double, n2 double",
+    )
+    code_rows = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        "cluster",
+        F.posexplode("codes").alias("j", "c"),
+    )
+    coarse = (
+        code_rows.join(F.broadcast(lut_df), ["cluster", "j", "c"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            (
+                F.sum("dot")
+                / F.nullif(F.first("q_norm") * F.sqrt(F.sum("n2")), F.lit(0.0))
+            ).alias("approx_cosine")
+        )
+    )
+    w_coarse = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    survivors = (
+        coarse.withColumn("crank", F.row_number().over(w_coarse))
+        .where(F.col("crank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    q = spark.createDataFrame(
+        [(int(r["query_id"]), [float(x) for x in r["q_vec"]]) for r in q_rows],
+        "query_id long, q_vec array<double>",
+    )
+    full = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    )
+    rescored = (
+        survivors.join(full, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("n_vec")).alias("raw_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("raw_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("raw_cosine"), 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
 def ann_pq_topk(
     emb: DataFrame,
     query_ids: list[int],

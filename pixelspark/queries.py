@@ -5681,6 +5681,22 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_ann_ivfpq")  # trained quantizer is approximate -> rows-only
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — IVF-PQ ANN (the FAISS production index): coarse k-means
+    inverted lists prune WHICH vectors are scored (n_probe/n_clusters
+    of the corpus per query), PQ codes on the RESIDUALS (vector minus
+    centroid — tighter quantization than raw-vector PQ) compress WHAT
+    is scored 32x, ADC lookup-join scores it JVM-side, exact re-rank
+    repairs the error.  recall@5 >= 0.9 gate in tests/test_pq.py."""
+    from pixelspark.ops.pq import ann_ivfpq_topk
+
+    return ann_ivfpq_topk(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4],
+        k=5, n_clusters=8, n_probe=3, m=8, ksub=16, n_iter=2, shortlist=100,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Behavioral-analytics completion pack: sequence-pattern detection
 # (MATCH_RECOGNIZE-style CEP on batch), co-occurrence mining, triangle

@@ -86,15 +86,50 @@ def test_index_reuse_matches_fresh_train(emb, books):
     ) == sorted([(r["query_id"], r["neighbor_id"], r["rank"]) for r in fresh])
 
 
-def test_registry_query_runs(spark, sf_dir):
+def test_ivfpq_recall_floor_and_probe_monotonicity(spark, emb):
+    from pixelspark.ops.pq import ann_ivfpq_topk, ivfpq_index
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, QUERY_IDS, k=5).collect()
+    }
+    idx = ivfpq_index(emb, n_clusters=8, m=8, ksub=16, n_iter=2)
+    got = {}
+    for n_probe in (1, 3):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ann_ivfpq_topk(
+                emb, QUERY_IDS, k=5, n_probe=n_probe, shortlist=100, index=idx
+            ).collect()
+        }
+        got[n_probe] = len(approx & exact) / len(exact)
+    assert got[3] >= 0.9, got
+    # probing more lists can only widen the candidate set
+    assert got[3] >= got[1], got
+
+
+def test_ivfpq_residual_codes_cover_clusters(emb):
+    from pixelspark.ops.pq import ivfpq_index
+
+    centroids, codebooks, codes = ivfpq_index(emb, n_clusters=8, m=8, ksub=16, n_iter=2)
+    assert len(centroids) == 8 and len(codebooks) == 8
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    assert {r["cluster"] for r in rows} <= set(range(8))
+    for r in rows:
+        assert len(r["codes"]) == 8 and all(0 <= c < 16 for c in r["codes"])
+
+
+def test_registry_queries_run(spark, sf_dir):
     from pixelspark.queries import QUERIES
 
-    out = QUERIES["q_ann_pq"](spark, sf_dir)
-    assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
-    rows = out.collect()
-    per_q: dict[int, list[int]] = {}
-    for r in rows:
-        per_q.setdefault(r["query_id"], []).append(r["rank"])
-    assert set(per_q) == set(QUERY_IDS)
-    for ranks in per_q.values():
-        assert sorted(ranks) == [1, 2, 3, 4, 5]
+    for qname in ("q_ann_pq", "q_ann_ivfpq"):
+        out = QUERIES[qname](spark, sf_dir)
+        assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+        rows = out.collect()
+        per_q: dict[int, list[int]] = {}
+        for r in rows:
+            per_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert set(per_q) == set(QUERY_IDS), qname
+        for ranks in per_q.values():
+            assert sorted(ranks) == [1, 2, 3, 4, 5]

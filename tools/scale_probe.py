@@ -57,6 +57,9 @@ DEDUP_QUERIES = [
     # islands window; copies share no grams (alphabet rotation) so
     # postings-list sizes and span count scale ~10x -> expect ~linear
     "q_duplicate_spans",
+    # round-5c: DSIR fit+score — two corpus passes with bounded-key
+    # shuffles (bucket ids, doc ids); expect ~linear
+    "q_dsir_weights",
 ]
 
 
