@@ -1085,6 +1085,51 @@ def q_table_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dv_delete",
+    f"""
+    WITH pv AS (
+      SELECT user_id AS shop, COUNT(*) AS event_count
+      FROM events
+      WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '{TD}'
+      GROUP BY user_id
+    ), bill AS (
+      SELECT c.c_custkey AS shop, COALESCE(pv.event_count, 0) AS page_views
+      FROM customer c LEFT JOIN pv ON c.c_custkey = pv.shop
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_shops,
+           CAST(SUM(page_views) AS BIGINT) AS total_views
+    FROM bill WHERE page_views <> 1 AND NOT (page_views >= 4)
+    """,
+)
+def q_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors (table.py mode='dv',
+    the Delta DV / Iceberg positional-delete shape): two successive DV
+    deletes mask rows by (file, row_index) position WITHOUT rewriting
+    a byte of data — each commit is one tiny vector file + a manifest
+    edit, and the read masks positions with one broadcast anti-join.
+    The oracle states the surviving end state from the raw inputs;
+    the query also asserts the manifest really kept every data entry
+    untouched (the no-rewrite guarantee, checked mechanically)."""
+    import tempfile
+
+    from pixelspark.table import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="pixelspark_dv_") + "/usage_records"
+    t = SnapshotTable(spark, root)
+    bill = B.daily_billing(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "events"), TD)
+    t.overwrite(bill.select("shop", "page_views"))
+    entries_before = t.manifest(t.latest_version())["entries"]
+    t.delete("page_views = 1", mode="dv")
+    t.delete("page_views >= 4", mode="dv")
+    m = t.manifest(t.latest_version())
+    assert m["entries"] == entries_before, "dv delete must not rewrite data"
+    return t.read().agg(
+        F.count(F.lit(1)).cast("long").alias("n_shops"),
+        F.sum("page_views").cast("long").alias("total_views"),
+    )
+
+
+@query(
     "q_stats_prune",
     f"""
     WITH pv AS (

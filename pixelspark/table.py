@@ -311,6 +311,14 @@ class SnapshotTable:
                 new["txn"] = prev["txn"]
             if "schema" not in new and prev and prev.get("schema"):
                 new["schema"] = prev["schema"]
+            # deletion vectors survive commits that keep the data they
+            # mask (append, replace_partitions, ...); ops that
+            # materialize the masked rows (overwrite/compact) set
+            # dv_files explicitly to retire them
+            if "dv_files" not in new and prev and prev.get("dv_files"):
+                new["dv_files"] = prev["dv_files"]
+            if not new.get("dv_files"):
+                new.pop("dv_files", None)
             new["version"] = (v or 0) + 1
             if self.st.write_text_atomic(
                 self._manifest_path(new["version"]), json.dumps(new, indent=1)
@@ -682,6 +690,10 @@ class SnapshotTable:
                 "partition_col": partition_col,
                 "entries": [entry] if has_data else [],
                 "schema": schema,
+                # a full rewrite materializes whatever the deletion
+                # vectors masked — retire them (empty list blocks the
+                # _commit carry-over)
+                "dv_files": [],
                 "op": op or {"name": "overwrite"},
             }
 
@@ -1061,22 +1073,40 @@ class SnapshotTable:
             f"times at {self.root}"
         )
 
-    def delete(self, condition) -> int:
-        """Row-level DELETE (Delta `DELETE FROM ... WHERE`): rewrite
-        without the rows matching `condition` (Column or SQL string
-        over the table's columns; NULL counts as not-matching, SQL
-        semantics).
+    def delete(self, condition, mode: str = "rewrite") -> int:
+        """Row-level DELETE (Delta `DELETE FROM ... WHERE`): remove the
+        rows matching `condition` (Column or SQL string over the
+        table's columns; NULL counts as not-matching, SQL semantics).
 
-        On a partitioned table the doomed rows' partition values are
-        found first (one column-pruned pass), and ONLY those
-        partitions are rewritten via the replace_partitions manifest
-        edit — a GDPR delete of one user's one day touches one
-        partition of a 100-TB table.  A partition whose every row
-        matched is retired outright.  Unpartitioned tables rewrite
-        fully.  Pinned read-modify-write, same conflict discipline as
-        upsert/merge."""
+        `mode="rewrite"` (copy-on-write): on a partitioned table the
+        doomed rows' partition values are found first (one
+        column-pruned pass), and ONLY those partitions are rewritten
+        via the replace_partitions manifest edit — a GDPR delete of
+        one user's one day touches one partition of a 100-TB table.
+        A partition whose every row matched is retired outright.
+        Unpartitioned tables rewrite fully.
+
+        `mode="dv"` (merge-on-read, the Delta deletion-vector /
+        Iceberg positional-delete shape): NO data is rewritten at all
+        — the matched rows' positions (file, row_index) land in a tiny
+        deletion-vector file and the commit is a manifest edit; reads
+        mask the positions with one anti-join.  This is the path for
+        frequent small deletes on an UNPARTITIONED (or
+        wrong-partitioned) 100-TB table, where even a
+        partition-scoped rewrite churns gigabytes to drop one row.
+        The write side defers cost to readers; `compact()` (or any
+        full rewrite) materializes the mask and retires the vectors.
+        Physical erasure (the actual GDPR guarantee) happens at that
+        compact+vacuum, not at the logical delete.
+
+        Both modes are pinned read-modify-writes with the
+        upsert/merge conflict discipline."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         doomed_cond = F.coalesce(cond, F.lit(False))
+        if mode == "dv":
+            return self._delete_dv(doomed_cond)
+        if mode != "rewrite":
+            raise ValueError(f"delete mode must be 'rewrite' or 'dv', got {mode!r}")
         for _ in range(self.max_retries):
             read_v = self.latest_version()
             pcol = self.manifest(read_v).get("partition_col")
@@ -1112,6 +1142,54 @@ class SnapshotTable:
                 continue
         raise ConcurrentCommitError(
             f"delete lost the read-merge-write race {self.max_retries} "
+            f"times at {self.root}"
+        )
+
+    def _delete_dv(self, doomed_cond: Column) -> int:
+        """Merge-on-read delete: find matching row positions in the
+        CURRENT (already-DV-masked) snapshot, write them as one new
+        deletion-vector parquet dir, commit a manifest that keeps every
+        entry and appends the vector.  One column-prunable scan + one
+        tiny write, regardless of table size."""
+        for _ in range(self.max_retries):
+            read_v = self.latest_version()
+            if read_v is None:
+                raise FileNotFoundError(f"no snapshot at {self.root}")
+            m = self.manifest(read_v)
+            entries = m["entries"]
+            if not entries:
+                return read_v  # empty table: nothing to delete
+            df = self._scan_entries(entries, m.get("partition_col"), with_pos=True)
+            dv = self._dv_scan(m)
+            if dv is not None:
+                df = df.join(
+                    F.broadcast(dv), ["__dv_file", "__dv_row"], "left_anti"
+                )
+            doomed = df.where(doomed_cond).select("__dv_file", "__dv_row")
+            if not doomed.limit(1).collect():
+                return read_v  # nothing matched: no-op, no commit
+            rel = f"{DATA_DIR}/__dv={uuid.uuid4().hex[:16]}"
+            doomed.write.mode("errorifexists").parquet(f"{self.root}/{rel}")
+
+            def build(prev: dict | None) -> dict:
+                self._check_expected(prev, read_v)
+                return {
+                    "partition_col": m.get("partition_col"),
+                    "entries": entries,
+                    "schema": m.get("schema"),
+                    "dv_files": (m.get("dv_files") or []) + [rel],
+                    "op": {"name": "delete", "mode": "dv"},
+                }
+
+            try:
+                return self._commit(build)
+            except ConcurrentWriteConflict:
+                continue  # positions were computed against a stale
+                # snapshot (a rival compact may have moved rows to new
+                # files): recompute from latest; the orphaned DV dir is
+                # vacuum-able garbage
+        raise ConcurrentCommitError(
+            f"dv delete lost the read-merge-write race {self.max_retries} "
             f"times at {self.root}"
         )
 
@@ -1332,8 +1410,30 @@ class SnapshotTable:
             return self.spark.createDataFrame(
                 [], StructType.fromJson(json.loads(m["schema"]))
             )
-        df = self._scan_entries(entries, m.get("partition_col"))
+        dv = self._dv_scan(m)
+        df = self._scan_entries(
+            entries, m.get("partition_col"), with_pos=dv is not None
+        )
+        if dv is not None:
+            # merge-on-read: mask DV-addressed row positions.  Cost is
+            # one anti-join against the (small) deleted-position set —
+            # zero when the table has no deletion vectors.
+            df = df.join(
+                F.broadcast(dv), ["__dv_file", "__dv_row"], "left_anti"
+            ).drop("__dv_file", "__dv_row")
         return df.where(residual) if residual is not None else df
+
+    def _dv_scan(self, m: dict) -> DataFrame | None:
+        """Union of the manifest's deletion-vector files as
+        (__dv_file, __dv_row) rows; None when the snapshot has none.
+        Broadcast-sized by design (targeted deletes); a table whose
+        DV set has grown large should compact() to materialize."""
+        dvs = m.get("dv_files") or []
+        if not dvs:
+            return None
+        return self.spark.read.parquet(
+            *[f"{self.root}/{d}" for d in dvs]
+        ).select("__dv_file", "__dv_row")
 
     def _prune_by_stats(
         self, entries: list[dict], predicates: list[tuple[str, str, object]]
@@ -1363,11 +1463,20 @@ class SnapshotTable:
                 out.append({**e, "files": kept})
         return out
 
-    def _scan_entries(self, entries: list[dict], pcol: str | None) -> DataFrame:
+    def _scan_entries(
+        self, entries: list[dict], pcol: str | None, with_pos: bool = False
+    ) -> DataFrame:
         """One parquet relation over the given manifest entries (the
         single-scan `__snap=` path, with the legacy per-entry-union
         fallback).  `entries` must be non-empty.  An entry narrowed to
-        a `files` list (stats pruning) contributes those files only."""
+        a `files` list (stats pruning) contributes those files only.
+
+        `with_pos` appends the (__dv_file, __dv_row) row-position
+        columns deletion vectors address rows by: the file path
+        relative to the table's data dir (stable under table moves)
+        and Spark's `_metadata.row_index`.  Position columns require
+        the modern `__snap=` layout — the legacy union hides the
+        per-scan metadata column."""
         if all("__snap=" in e["base"] for e in entries):
             paths = []
             for e in entries:
@@ -1377,11 +1486,25 @@ class SnapshotTable:
                     paths.append(f"{self.root}/{e['base']}")
                 else:
                     paths += [f"{self.root}/{e['base']}/{p}" for p in e["parts"]]
-            return (
+            df = (
                 self.spark.read.option("basePath", f"{self.root}/{DATA_DIR}")
                 .option("mergeSchema", "true")
                 .parquet(*paths)
-                .drop("__snap")
+            )
+            if with_pos:
+                df = df.select(
+                    "*",
+                    F.substring_index(
+                        F.col("_metadata.file_path"), f"/{DATA_DIR}/", -1
+                    ).alias("__dv_file"),
+                    F.col("_metadata.row_index").alias("__dv_row"),
+                )
+            return df.drop("__snap")
+        if with_pos:
+            raise ValueError(
+                "row positions (deletion vectors) require the __snap= "
+                "data layout; this table has legacy snap dirs — compact() "
+                "first"
             )
         scans = []
         for e in entries:  # legacy snap-<id> layout
@@ -1471,16 +1594,46 @@ class SnapshotTable:
 
         added, removed = r1 - r0, r0 - r1
         ct = F.col("change_type")
-        if not removed:
+        dv0 = list(m0.get("dv_files") or [])
+        dv1 = list(m1.get("dv_files") or [])
+        if dv0 or dv1:
+            # Deletion vectors change ROWS without changing entries, so
+            # the manifest-granularity diff below cannot see them; fall
+            # back to a full DV-applied read of each side (correctness
+            # first — DV tables are the targeted-delete shape, and a
+            # CDF consumer over one pays a keyed diff).  The entry-diff
+            # fast paths remain for DV-free histories.
+            if r0 == r1 and dv0 == dv1:
+                return self.spark.createDataFrame([], schema).withColumn(
+                    "change_type", F.lit("")
+                )
+            new_full = self.read(version=to_v).select(*table_cols)
+            if not from_version:
+                return new_full.withColumn("change_type", F.lit("inserted"))
+            if keys is None:
+                raise ValueError(
+                    f"versions {from_version}->{to_v} involve deletion "
+                    "vectors; pass `keys` to classify changes"
+                )
+            old_full = self.read(version=from_version)
+            old_full = old_full.select(*[
+                F.col(f.name) if f.name in old_full.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ])
+            old, new = old_full, new_full
+        elif not removed:
             return scan(added).withColumn("change_type", F.lit("inserted")) \
                 if added else self.spark.createDataFrame([], schema) \
                 .withColumn("change_type", F.lit(""))
-        if keys is None:
-            raise ValueError(
-                f"versions {from_version}->{to_v} rewrote data; pass `keys` "
-                "to classify changes (append-only histories need none)"
-            )
-        old, new = scan(removed), scan(added)
+        else:
+            if keys is None:
+                raise ValueError(
+                    f"versions {from_version}->{to_v} rewrote data; pass "
+                    "`keys` to classify changes (append-only histories "
+                    "need none)"
+                )
+            old, new = scan(removed), scan(added)
         cols = [c for c in table_cols if c not in keys]
         o = old.select(
             *keys, F.lit(True).alias("__in_old"),
@@ -1628,6 +1781,10 @@ class SnapshotTable:
                 "partition_col": m.get("partition_col"),
                 "entries": m["entries"],
                 "schema": m.get("schema"),
+                # the restored snapshot's OWN deletion vectors come
+                # back with it (explicit: the carry-over default would
+                # wrongly keep the rolled-back-over version's vectors)
+                "dv_files": m.get("dv_files") or [],
                 "op": {"name": "restore", "to_version": version},
             }
 
@@ -1666,6 +1823,11 @@ class SnapshotTable:
                     live_whole.add(name)
                 else:
                     live_parts.setdefault(name, set()).update(e["parts"])
+            # referenced deletion-vector dirs are as live as the data
+            # they mask; superseded ones (post-compact) fall through to
+            # deletion like any other unreferenced dir
+            for d in m.get("dv_files") or []:
+                live_whole.add(d.split("/", 1)[1])
         removed = []
         for name in self.st.list(f"{self.root}/{DATA_DIR}"):
             if name in live_whole:

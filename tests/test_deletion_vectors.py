@@ -1,0 +1,145 @@
+"""Deletion-vector (merge-on-read delete) tests: read-time masking,
+equivalence with the copy-on-write rewrite, composition of multiple
+vectors, time travel, compact materialization, vacuum liveness, CDF
+over DV versions, and interplay with append/upsert."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pixelspark.table import SnapshotTable
+
+
+def _rows(df):
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "k long, v string"
+        )
+    )
+    return t
+
+
+def test_dv_delete_masks_rows_without_rewriting(spark, table):
+    entries_before = table.manifest(table.latest_version())["entries"]
+    v = table.delete(F.col("k") >= 7, mode="dv")
+    m = table.manifest(v)
+    assert m["entries"] == entries_before  # zero data rewritten
+    assert len(m.get("dv_files", [])) == 1
+    assert _rows(table.read()) == [(i, f"v{i}") for i in range(7)]
+
+
+def test_dv_delete_equals_rewrite_delete(spark, tmp_path):
+    data = [(i, f"v{i}") for i in range(20)]
+    a = SnapshotTable(spark, str(tmp_path / "a"))
+    b = SnapshotTable(spark, str(tmp_path / "b"))
+    for t in (a, b):
+        t.overwrite(spark.createDataFrame(data, "k long, v string"))
+    a.delete("k % 3 = 0", mode="dv")
+    b.delete("k % 3 = 0", mode="rewrite")
+    assert _rows(a.read()) == _rows(b.read())
+
+
+def test_dv_deletes_compose(spark, table):
+    table.delete("k >= 8", mode="dv")
+    v = table.delete("k < 2", mode="dv")
+    assert len(table.manifest(v)["dv_files"]) == 2
+    assert _rows(table.read()) == [(i, f"v{i}") for i in range(2, 8)]
+    # deleting already-deleted rows is a no-op commit
+    assert table.delete("k >= 8", mode="dv") == v
+    assert table.latest_version() == v
+
+
+def test_dv_time_travel_sees_predelete_rows(spark, table):
+    v0 = table.latest_version()
+    table.delete("k = 0", mode="dv")
+    assert len(_rows(table.read(version=v0))) == 10
+    assert len(_rows(table.read())) == 9
+
+
+def test_compact_materializes_and_retires_dvs(spark, table):
+    table.delete("k >= 5", mode="dv")
+    v = table.compact()
+    m = table.manifest(v)
+    assert not m.get("dv_files")
+    assert _rows(table.read()) == [(i, f"v{i}") for i in range(5)]
+    # the vector dir (and the masked bytes) are now vacuum-able
+    removed = table.vacuum(keep_versions=1)
+    assert any("__dv=" in p for p in removed)
+    assert _rows(table.read()) == [(i, f"v{i}") for i in range(5)]
+
+
+def test_vacuum_keeps_live_dv_dirs(spark, table):
+    table.delete("k = 3", mode="dv")
+    removed = table.vacuum(keep_versions=1)
+    assert not any("__dv=" in p for p in removed)
+    assert len(_rows(table.read())) == 9
+
+
+def test_append_after_dv_delete_keeps_mask(spark, table):
+    table.delete("k < 5", mode="dv")
+    table.append(
+        spark.createDataFrame([(100, "v100")], "k long, v string")
+    )
+    got = _rows(table.read())
+    assert (100, "v100") in got
+    assert all(k >= 5 for k, _ in got)
+    assert table.manifest(table.latest_version()).get("dv_files")
+
+
+def test_upsert_after_dv_delete_does_not_resurrect(spark, table):
+    table.delete("k = 4", mode="dv")
+    table.upsert(
+        spark.createDataFrame([(5, "v5b")], "k long, v string"), keys=("k",)
+    )
+    got = dict(_rows(table.read()))
+    assert 4 not in got and got[5] == "v5b" and len(got) == 9
+    # the upsert's full rewrite materialized the mask
+    assert not table.manifest(table.latest_version()).get("dv_files")
+
+
+def test_dv_on_partitioned_table(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "p"))
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}", f"v{i}") for i in range(12)],
+        "k long, day string, v string",
+    )
+    t.replace_partitions(df, "day")
+    t.delete("k = 7", mode="dv")
+    got = [r["k"] for r in t.read().collect()]
+    assert sorted(got) == [i for i in range(12) if i != 7]
+    # partition-pruned reads mask too
+    d1 = [r["k"] for r in t.read(partition_values=["d1"]).collect()]
+    assert sorted(d1) == [1, 4, 10]
+
+
+def test_read_changes_sees_dv_deletes(spark, table):
+    v0 = table.latest_version()
+    table.delete("k >= 8", mode="dv")
+    ch = table.read_changes(v0, keys=("k",)).collect()
+    got = {(r["k"], r["change_type"]) for r in ch}
+    assert got == {(8, "deleted"), (9, "deleted")}
+    # no-change window over an unchanged DV set is empty
+    v1 = table.latest_version()
+    assert table.read_changes(v1, v1, keys=("k",)).count() == 0
+
+
+def test_restore_returns_dv_state(spark, table):
+    table.delete("k = 0", mode="dv")
+    v_dv = table.latest_version()
+    table.delete("k = 1", mode="dv")
+    table.restore(v_dv)
+    got = [k for k, _ in _rows(table.read())]
+    assert got == list(range(1, 10))  # k=0 gone, k=1 back
+
+
+def test_dv_delete_nothing_matched_is_noop(spark, table):
+    v = table.latest_version()
+    assert table.delete("k > 1000", mode="dv") == v
+    assert table.latest_version() == v
