@@ -7572,7 +7572,11 @@ _WINDOW_QUERIES = [
     # registered + sweep-checked)
     "q_bloom_prune",
     "q_expectations",
-    "q_daily_active_users",
+    # r5c rotation: the deletion-vector storage flagship (value-oracled
+    # end state + in-query no-rewrite manifest assert) takes
+    # q_daily_active_users' slot (in-window green r2-r4; stays
+    # registered + sweep-checked)
+    "q_dv_delete",
     "q_rollup_day_type",
     "q_revenue_by_flag",
     "q_latest_state",

@@ -1258,6 +1258,44 @@ class SnapshotTable:
             f"times at {self.root}"
         )
 
+    def add_columns(self, columns: dict[str, str]) -> int:
+        """Metadata-only ALTER TABLE ADD COLUMNS (the Delta/Iceberg
+        schema-evolution commit): widen the recorded schema with new
+        nullable columns — NO data is read, rewritten, or even listed;
+        the commit is one manifest write.  Existing rows surface the
+        new columns as typed NULLs on read; later writes populate them
+        (mergeSchema reconciles mixed files).  `columns` maps name ->
+        Spark SQL type string (e.g. {"score": "double"})."""
+        if not columns:
+            raise ValueError("add_columns needs at least one column")
+        from pyspark.sql.types import StructField, _parse_datatype_string
+
+        new_fields = [
+            StructField(name, _parse_datatype_string(dtype), nullable=True)
+            for name, dtype in columns.items()
+        ]
+
+        def build(prev: dict | None) -> dict:
+            if prev is None or not prev.get("schema"):
+                raise FileNotFoundError(
+                    f"no schema-bearing snapshot at {self.root}"
+                )
+            schema = StructType.fromJson(json.loads(prev["schema"]))
+            clash = {f.name for f in schema.fields} & set(columns)
+            if clash:
+                raise ValueError(
+                    f"columns already exist: {sorted(clash)}"
+                )
+            widened = StructType(list(schema.fields) + new_fields)
+            return {
+                "partition_col": prev.get("partition_col"),
+                "entries": prev["entries"],
+                "schema": widened.json(),
+                "op": {"name": "add_columns", "columns": sorted(columns)},
+            }
+
+        return self._commit(build)
+
     def compact(
         self,
         partition_values: list | None = None,
@@ -1421,6 +1459,24 @@ class SnapshotTable:
             df = df.join(
                 F.broadcast(dv), ["__dv_file", "__dv_row"], "left_anti"
             ).drop("__dv_file", "__dv_row")
+        if m.get("schema"):
+            # surface columns the manifest schema has but no data file
+            # does yet (metadata-only add_columns) as typed NULLs; scan
+            # columns missing from the recorded schema are kept as-is
+            # (mergeSchema cross-snapshot safety)
+            missing = [
+                f
+                for f in StructType.fromJson(json.loads(m["schema"])).fields
+                if f.name not in df.columns
+            ]
+            if missing:
+                df = df.select(
+                    "*",
+                    *[
+                        F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in missing
+                    ],
+                )
         return df.where(residual) if residual is not None else df
 
     def _dv_scan(self, m: dict) -> DataFrame | None:

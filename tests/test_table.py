@@ -1377,3 +1377,30 @@ def test_expectation_bad_mode_rejected(spark, tmp_path):
             spark, str(tmp_path / "btbl2"),
             expectations=[("x", "k > 0", "warn")],
         )
+
+
+def test_add_columns_is_metadata_only(spark, tmp_path):
+    """ALTER TABLE ADD COLUMNS must not touch data: same entries, new
+    column reads as typed NULL, later writes populate it, time travel
+    shows the pre-DDL schema, duplicates are rejected."""
+    t = SnapshotTable(spark, str(tmp_path / "ddl"))
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    v0 = t.latest_version()
+    entries = t.manifest(v0)["entries"]
+    v1 = t.add_columns({"score": "double", "tags": "array<string>"})
+    assert t.manifest(v1)["entries"] == entries  # zero data churn
+    got = t.read()
+    assert got.schema["score"].dataType.simpleString() == "double"
+    assert got.schema["tags"].dataType.simpleString() == "array<string>"
+    assert all(r["score"] is None and r["tags"] is None for r in got.collect())
+    # old snapshot is untouched
+    assert "score" not in t.read(version=v0).columns
+    # a later append populates; pre-DDL rows stay NULL
+    t.append(spark.createDataFrame(
+        [(3, "c", 0.5, ["x"])], "k long, v string, score double, tags array<string>"
+    ))
+    by_k = {r["k"]: r for r in t.read().collect()}
+    assert by_k[3]["score"] == 0.5 and by_k[3]["tags"] == ["x"]
+    assert by_k[1]["score"] is None
+    with pytest.raises(ValueError, match="already exist"):
+        t.add_columns({"v": "string"})
