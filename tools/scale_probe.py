@@ -520,6 +520,60 @@ def dedup_index_experiment(spark) -> dict:
             "corpus_sizes": results}
 
 
+def dv_delete_experiment(spark) -> dict:
+    """Merge-on-read vs copy-on-write delete cost: delete ~100 rows by
+    predicate from an unpartitioned snapshot table at growing sizes.
+    Rewrite churns the WHOLE table (O(table) write); the deletion
+    vector writes ~100 positions (O(scan) read + O(matched) write), so
+    the commit-time gap should widen with table size while dv stays
+    near-flat.  Also reports the post-delete read cost (the dv
+    read-side anti-join tax)."""
+    import tempfile
+
+    from pixelspark.table import SnapshotTable
+
+    def tree_bytes(root: str) -> int:
+        total = 0
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for f in filenames:
+                total += os.path.getsize(os.path.join(dirpath, f))
+        return total
+
+    results = {}
+    for n in (200_000, 2_000_000):
+        df = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") % 997).alias("g"),
+                F.md5(F.col("id").cast("string")).alias("payload"),
+            )
+        )
+        out = {}
+        for mode in ("rewrite", "dv"):
+            root = tempfile.mkdtemp(prefix=f"probe_dv_{mode}_") + "/t"
+            t = SnapshotTable(spark, root)
+            t.overwrite(df)
+            t.read().write.format("noop").mode("overwrite").save()  # warm
+            before = tree_bytes(root)
+            t0 = time.time()
+            t.delete(f"k % {n // 100} = 7", mode=mode)  # ~100 rows
+            out[f"{mode}_delete_sec"] = round(time.time() - t0, 3)
+            # wall-clock is noise-dominated at local-NVMe scale; the
+            # scale argument is WRITE VOLUME — rewrite emits O(table)
+            # bytes per delete, dv O(matched positions)
+            out[f"{mode}_bytes_written"] = tree_bytes(root) - before
+            t0 = time.time()
+            t.read().write.format("noop").mode("overwrite").save()
+            out[f"{mode}_read_after_sec"] = round(time.time() - t0, 3)
+        out["bytes_ratio_rewrite_over_dv"] = round(
+            out["rewrite_bytes_written"] / max(out["dv_bytes_written"], 1), 1
+        )
+        results[f"{n}_rows"] = out
+    return {"experiment": "dv_delete_vs_rewrite", "deleted_rows": "~100",
+            **results}
+
+
 def main() -> None:
     spark = get_spark("pixelspark-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -546,6 +600,7 @@ def main() -> None:
             "stats_skipping": stats_skipping_experiment,
             "merge_scoping": merge_scoping_experiment,
             "dedup_index": dedup_index_experiment,
+            "dv_delete": dv_delete_experiment,
         }[sys.argv[1]]
         print(json.dumps(fn(spark)))
         return
@@ -581,6 +636,7 @@ def main() -> None:
     print(json.dumps(stats_skipping_experiment(spark)))
     print(json.dumps(merge_scoping_experiment(spark)))
     print(json.dumps(dedup_index_experiment(spark)))
+    print(json.dumps(dv_delete_experiment(spark)))
 
 
 if __name__ == "__main__":
