@@ -78,9 +78,11 @@ HEADLINE = [
     "q_remove_duplicate_spans",
     "q_hybrid_search",
     # round-5c: DSIR data selection (fit + score passes), PQ-ADC ANN
-    # (in-bench codebook training + encode + lookup-join scoring)
+    # (in-bench codebook training + encode + lookup-join scoring),
+    # and the IVF-PQ production index (coarse lists + residual codes)
     "q_dsir_weights",
     "q_ann_pq",
+    "q_ann_ivfpq",
 ]
 
 

@@ -187,6 +187,77 @@ def lang_score(col: Column | str, lang: str) -> Column:
     return F.size(F.array_intersect(tokens(col), sw))
 
 
+def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) rows — consecutive whitespace-token pairs."""
+    tr = docs.select(F.col(id_col), tokens(text_col).alias("toks"))
+    return tr.where(F.size("toks") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select(id_col, "p.w1", "p.w2")
+
+
+def bigram_lm_score(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Score documents under a bigram LM fitted on a SEPARATE training
+    corpus, with stupid backoff (Brants et al., EMNLP'07 — the
+    web-scale scoring rule with no discounting hyperparameters):
+
+        p(w2|w1) = c(w1 w2) / c(w1)          if the bigram was seen,
+                   backoff * c'(w2) / N      otherwise,
+
+    where c'(w2) = c(w2) + 1 (add-one floor so held-out words unseen
+    in training still score finitely).  Returns (id, n_bigrams,
+    avg_neg_logprob) — lower = more natural under the training
+    distribution.  Plan: two count aggregates over the training
+    corpus (map-side partial), both broadcast onto the scored
+    corpus's bigram stream, one groupBy(doc); the scored corpus is
+    never shuffled except on its own doc ids."""
+    t_bi = _doc_bigrams(train, id_col, text_col)
+    vocab = (
+        train.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    total = vocab.agg(F.sum("tf").cast("long").alias("n"))
+    bc = t_bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("bf")
+    )
+    s_bi = _doc_bigrams(score, id_col, text_col)
+    v1 = vocab.select(F.col("tok").alias("w1"), F.col("tf").alias("tf1"))
+    v2 = vocab.select(F.col("tok").alias("w2"), F.col("tf").alias("tf2"))
+    joined = (
+        s_bi.join(F.broadcast(bc), ["w1", "w2"], "left")
+        .join(F.broadcast(v1), "w1", "left")
+        .join(F.broadcast(v2), "w2", "left")
+        .crossJoin(F.broadcast(total))
+    )
+    lp = F.when(
+        F.col("bf").isNotNull(),
+        F.log(F.col("bf").cast("double") / F.col("tf1")),
+    ).otherwise(
+        F.log(
+            F.lit(backoff)
+            * (F.coalesce(F.col("tf2"), F.lit(0)) + 1)
+            / F.col("n").cast("double")
+        )
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.avg(-lp).alias("avg_neg_logprob"),
+    )
+
+
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax of per-language stopword hits,
     ties broken by language code order, no hits -> 'und'."""

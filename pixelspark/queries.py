@@ -6540,6 +6540,90 @@ def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bigram_logprob",
+    r"""
+    WITH tr AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), uni AS (
+      SELECT unnest(toks) AS tok FROM tr
+    ), vocab AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf FROM uni GROUP BY tok
+    ), total AS (SELECT CAST(SUM(tf) AS BIGINT) AS n FROM vocab),
+    bi AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2, doc_id,
+             CAST(i AS BIGINT) AS pos
+      FROM tr, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+      WHERE len(toks) >= 2
+    ), bigram_counts AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS bf
+      FROM bi GROUP BY w1, w2
+    ), scored AS (
+      SELECT b.doc_id,
+             CASE WHEN bc.bf > 0
+                  THEN ln(CAST(bc.bf AS DOUBLE) / v1.tf)
+                  ELSE ln(0.4 * v2.tf / CAST(total.n AS DOUBLE))
+             END AS lp
+      FROM bi b
+      JOIN bigram_counts bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+      JOIN vocab v1 ON b.w1 = v1.tok
+      JOIN vocab v2 ON b.w2 = v2.tok
+      CROSS JOIN total
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-lp), 3) AS avg_neg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — bigram language-model quality score with stupid backoff
+    (Brants et al., EMNLP'07: score(w2|w1) = c(w1 w2)/c(w1), backing
+    off to 0.4 * c(w2)/N for unseen bigrams — the web-scale LM scoring
+    rule that needs no discounting hyperparameters).  Upgrades the
+    unigram perplexity proxy: context-aware, so word-salad documents
+    score worse even when their unigram mix looks natural.  Plan:
+    vocabulary + bigram-count aggregates (both map-side partial), the
+    counts broadcast onto the bigram stream, one groupBy(doc).  In
+    this corpus-as-its-own-model form every bigram is by construction
+    seen (bf >= 1); the backoff leg is exercised by pytest scoring a
+    HELD-OUT document against a fitted model (`bigram_lm_score`)."""
+    from pixelspark.ops.llm import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tr = docs.select("doc_id", tokens("text").alias("toks"))
+    uni = tr.select(F.explode("toks").alias("tok"))
+    vocab = uni.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    total = vocab.agg(F.sum("tf").cast("long").alias("n"))
+    bi = tr.where(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("bf"))
+    v1 = vocab.select(F.col("tok").alias("w1"), F.col("tf").alias("tf1"))
+    v2 = vocab.select(F.col("tok").alias("w2"), F.col("tf").alias("tf2"))
+    lp = F.when(
+        F.col("bf") > 0, F.log(F.col("bf").cast("double") / F.col("tf1"))
+    ).otherwise(F.log(F.lit(0.4) * F.col("tf2") / F.col("n").cast("double")))
+    return (
+        bi.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(v1), "w1")
+        .join(F.broadcast(v2), "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(-lp), 3).alias("avg_neg_logprob"),
+        )
+    )
+
+
+@query(
     "q_perplexity_buckets",
     r"""
     WITH toks AS (

@@ -889,3 +889,46 @@ def test_winnow_deterministic_under_repartition(spark, docs):
     a = set(map(tuple, L.winnow_fingerprints(d, k=5, w=4).collect()))
     b = set(map(tuple, L.winnow_fingerprints(d.repartition(7), k=5, w=4).collect()))
     assert a == b
+
+
+def test_bigram_lm_score_backoff_and_ordering(spark):
+    """Stupid-backoff bigram scoring: a held-out doc made of seen
+    bigrams scores better (lower neg-logprob) than one with the same
+    unigrams scrambled into unseen bigrams; unseen words hit the
+    add-one backoff floor and score worst; seen-bigram probability is
+    exactly c(w1w2)/c(w1)."""
+    import math
+
+    from pixelspark.ops.llm import bigram_lm_score
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [
+            (100, "the cat sat"),        # all bigrams seen
+            (101, "cat the on sat"),     # same unigrams, unseen bigrams
+            (102, "zz qq ww"),           # unseen words entirely
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in bigram_lm_score(train, score).collect()
+    }
+    assert got[100]["n_bigrams"] == 2
+    # 'the cat': c=5, c('the')=10 -> p=0.5 ; 'cat sat': 5/5 -> p=1
+    expect = -(math.log(0.5) + math.log(1.0)) / 2
+    assert abs(got[100]["avg_neg_logprob"] - expect) < 1e-9
+    assert got[100]["avg_neg_logprob"] < got[101]["avg_neg_logprob"]
+    assert got[101]["avg_neg_logprob"] < got[102]["avg_neg_logprob"]
+
+
+def test_bigram_logprob_registry_matches_manual(spark, sf_dir):
+    from pixelspark.queries import QUERIES
+
+    out = QUERIES["q_bigram_logprob"](spark, sf_dir)
+    assert out.columns == ["doc_id", "n_bigrams", "avg_neg_logprob"]
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["avg_neg_logprob"] >= 0 for r in rows)
