@@ -165,6 +165,7 @@ class SnapshotTable:
         bloom_bits: int = 65536,
         bloom_hashes: int = 5,
         expectations: list[tuple[str, object, str]] | None = None,
+        generated_cols: dict[str, str] | None = None,
     ):
         """`constraints` declares write-side CHECK rules (Delta
         constraint shape): a list of (name, predicate) with the
@@ -236,6 +237,16 @@ class SnapshotTable:
             (name, F.expr(p) if isinstance(p, str) else p)
             for name, p in (constraints or [])
         ]
+        # Generated columns (Delta GENERATED ALWAYS AS): name -> SQL
+        # expression over the other columns.  The expressions PERSIST
+        # in the manifest, so every writer — including one that
+        # reopens the table without this argument — computes them: a
+        # write missing the column gets it generated; a write
+        # providing it is audited against the expression and refused
+        # on mismatch (the Delta consistency check).  The flagship use
+        # is a derived partition column (day = CAST(ts AS DATE)) that
+        # ingest never has to remember to add.
+        self.generated_cols = dict(generated_cols or {})
         self.expectations = [
             (name, F.expr(p) if isinstance(p, str) else p, mode)
             for name, p, mode in (expectations or [])
@@ -319,6 +330,10 @@ class SnapshotTable:
                 new["dv_files"] = prev["dv_files"]
             if not new.get("dv_files"):
                 new.pop("dv_files", None)
+            if "generated" not in new:
+                gen = (prev or {}).get("generated") or self.generated_cols
+                if gen:
+                    new["generated"] = gen
             new["version"] = (v or 0) + 1
             if self.st.write_text_atomic(
                 self._manifest_path(new["version"]), json.dumps(new, indent=1)
@@ -347,6 +362,7 @@ class SnapshotTable:
         produce a dir with no data files at all (always, under
         partitionBy) — committing such an entry would give read() zero
         scannable paths, so callers short-circuit on `has_data=False`."""
+        df = self._apply_generated(df)
         if self.constraints:
             self._enforce_constraints(df)
         metrics = None
@@ -365,6 +381,51 @@ class SnapshotTable:
         if metrics is not None and parts:
             self._write_expectation_metrics(full, metrics)
         return rel, parts, bool(parts)
+
+    def _generation_exprs(self) -> dict[str, str]:
+        """The table's persisted generation expressions (manifest wins
+        over the constructor seed — expressions are fixed at table
+        creation, Delta semantics)."""
+        v = self.latest_version()
+        if v is not None:
+            stored = self.manifest(v).get("generated")
+            if stored:
+                return stored
+        return self.generated_cols
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        """Generated-column write discipline: columns missing from the
+        batch are computed from their expression; columns the writer
+        provided are audited against it in ONE aggregate pass
+        (O(batch)) and the write is refused on any mismatch — silently
+        accepting divergent values would corrupt derived partition
+        columns."""
+        exprs = self._generation_exprs()
+        if not exprs:
+            return df
+        provided = [n for n in exprs if n in df.columns]
+        if provided:
+            row = df.agg(*[
+                F.count_if(
+                    ~F.col(n).eqNullSafe(F.expr(exprs[n]))
+                ).alias(f"__gen_{i}")
+                for i, n in enumerate(provided)
+            ]).collect()[0]
+            bad = {
+                n: int(row[f"__gen_{i}"])
+                for i, n in enumerate(provided)
+                if row[f"__gen_{i}"]
+            }
+            if bad:
+                raise ConstraintViolation(
+                    f"write to {self.root} contradicts generated columns "
+                    f"(column -> divergent rows): {bad}; omit the column "
+                    "to have it generated, or match the expression"
+                )
+        for n, e in exprs.items():
+            if n not in df.columns:
+                df = df.withColumn(n, F.expr(e))
+        return df
 
     def _apply_expectations(self, df: DataFrame) -> tuple[DataFrame, dict]:
         """One aggregate pass tallies per-rule violations (NULL

@@ -1404,3 +1404,39 @@ def test_add_columns_is_metadata_only(spark, tmp_path):
     assert by_k[1]["score"] is None
     with pytest.raises(ValueError, match="already exist"):
         t.add_columns({"v": "string"})
+
+
+def test_generated_columns_compute_audit_and_persist(spark, tmp_path):
+    """GENERATED ALWAYS AS: missing column computed on every write
+    path, provided-but-divergent values refused, expressions persist
+    in the manifest so a reopened writer without the argument still
+    generates, and the derived partition column works with
+    replace_partitions."""
+    import pyspark.sql.functions as F
+
+    from pixelspark.table import ConstraintViolation
+
+    root = str(tmp_path / "gen")
+    t = SnapshotTable(spark, root, generated_cols={"day": "CAST(ts AS DATE)"})
+    df = spark.createDataFrame(
+        [(1, "2024-01-02 03:04:05"), (2, "2024-01-03 00:00:00")],
+        "k long, ts_s string",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+    t.replace_partitions(df, "day")
+    got = {r["k"]: str(r["day"]) for r in t.read().collect()}
+    assert got == {1: "2024-01-02", 2: "2024-01-03"}
+    assert t.manifest(t.latest_version())["generated"] == {
+        "day": "CAST(ts AS DATE)"
+    }
+    # a reopened writer with NO generated_cols argument still generates
+    t2 = SnapshotTable(spark, root)
+    t2.replace_partitions(
+        df.where("k = 1").withColumn("k", F.lit(3).cast("long")), "day"
+    )
+    assert str({r["k"]: str(r["day"]) for r in t2.read().collect()}[3]) == "2024-01-02"
+    # provided matching values pass; divergent values are refused
+    t2.replace_partitions(df.withColumn("day", F.to_date("ts")), "day")
+    with pytest.raises(ConstraintViolation, match="generated"):
+        t2.replace_partitions(
+            df.withColumn("day", F.lit("1999-01-01").cast("date")), "day"
+        )
