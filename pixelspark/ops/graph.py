@@ -163,3 +163,55 @@ def triangle_count(edges: DataFrame, orient: str = "degree") -> DataFrame:
         "left_semi",
     )
     return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def k_core(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
+    """Vertices of the k-core — the maximal subgraph where every
+    vertex keeps degree >= k after all lower-degree vertices are
+    (transitively) removed.  The standard coreness pre-filter for
+    community detection and spam-graph pruning.
+
+    Edges are treated as UNDIRECTED (symmetrized, self-loops and
+    duplicate pairs dropped).  Peeling runs in waves: each round
+    computes degrees (one groupBy with map-side partial counts),
+    removes EVERY vertex currently below k (two anti-joins against the
+    broadcast-sized peel set), and checkpoints the shrinking edge
+    relation so the plan does not grow by a join per round (the
+    iterative-Spark discipline shared with pagerank/dedup_clusters).
+    Rounds are bounded by the graph's degeneracy-ordering depth, not
+    the vertex count — a handful in practice.  Raises on round-budget
+    exhaustion rather than returning a wrong (unpeeled) core.
+
+    Returns (id, degree): the surviving vertices with their degree
+    inside the core.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = sym
+    for _ in range(max_rounds):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        low = deg.where(F.col("deg") < k).select("src").localCheckpoint(eager=True)
+        if not low.limit(1).collect():
+            return deg.select(
+                F.col("src").alias("id"),
+                F.col("deg").cast("long").alias("degree"),
+            )
+        cur = (
+            cur.join(F.broadcast(low), "src", "left_anti")
+            .join(
+                F.broadcast(low.select(F.col("src").alias("dst"))),
+                "dst",
+                "left_anti",
+            )
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"k_core({k}) did not converge within {max_rounds} peeling waves"
+    )

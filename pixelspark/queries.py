@@ -4311,6 +4311,35 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=10).select("id", F.round("rank", 9).alias("rank"))
 
 
+@query("q_kcore")  # iterative peeling to fixpoint -> rows-only check
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph — 3-core decomposition (iterative peeling waves: degree
+    groupBy + broadcast anti-joins per round, edge relation
+    checkpointed; raises rather than returning an unpeeled core) over
+    the same deterministic doc-id graph family as q_pagerank.
+    Cross-checked against a brute-force python peeler in
+    tests/test_graph.py; fixpoint iteration, so no single-statement
+    SQL oracle."""
+    from pixelspark.ops.graph import k_core
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 97)
+    sparse = (
+        docs.select(F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 3) % 97).alias("dst"))
+        .unionByName(
+            docs.select(
+                F.col("doc_id").alias("src"), ((F.col("doc_id") * 13 + 5) % 97).alias("dst")
+            )
+        )
+    )
+    # a dense K8 community embedded in the sparse background: the
+    # 5-core must recover exactly it, after the background (degree ~4)
+    # unravels over several peeling waves
+    ids = docs.where(F.col("doc_id") < 8).select(F.col("doc_id").alias("src"))
+    clique = ids.crossJoin(ids.select(F.col("src").alias("dst")))
+    edges = sparse.unionByName(clique).where(F.col("src") != F.col("dst"))
+    return k_core(edges, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Product-analytics shapes (the web-pixel domain's classic queries)
 # ---------------------------------------------------------------------------

@@ -114,3 +114,41 @@ def test_degree_orientation_bounds_hub_wedge_fanout(spark):
     # one ordered pair per (v1, v2) of those out-neighbors
     assert wedge_count("id") == 500 * 499
     assert _count(triangle_count(star)) == 0
+
+
+def test_k_core_matches_reference_peeling(spark):
+    """K5 clique + a pendant chain: the 4-core is exactly the clique
+    (the chain peels away over multiple waves); the 2-core of a cycle
+    is the whole cycle; an over-demanding k yields an empty core.
+    Cross-checked against a brute-force python peeler."""
+    from pixelspark.ops.graph import k_core
+
+    clique = [(a, b) for a in range(5) for b in range(5) if a < b]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    cycle = [(20, 21), (21, 22), (22, 23), (23, 20)]
+    edges = spark.createDataFrame(
+        clique + chain + cycle, "src long, dst long"
+    )
+
+    def reference(pairs, k):
+        adj: dict[int, set] = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for v in [v for v, ns in adj.items() if len(ns) < k]:
+                for n in adj.pop(v):
+                    adj[n].discard(v)
+                changed = True
+        return {v: len(ns) for v, ns in adj.items()}
+
+    for k in (2, 3, 4, 5):
+        got = {
+            r["id"]: r["degree"]
+            for r in k_core(edges, k).collect()
+        }
+        assert got == reference(clique + chain + cycle, k), k
+    assert k_core(edges, 4).count() == 5  # exactly the K5
+    assert k_core(edges, 5).count() == 0
