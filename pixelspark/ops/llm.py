@@ -1536,6 +1536,64 @@ def pca_project(
     return emb.select(F.col(id_col), project(vec_col).alias("pc"))
 
 
+def jl_sign(i: int, j: int, seed: int) -> int:
+    """Portable ±1 sign for projection cell (i, j): parity of the
+    first 32 bits of md5('<i>_<j>_<seed>') — identical in Python
+    hashlib, Spark md5, and DuckDB md5, so the oracle re-derives the
+    exact projection matrix."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{i}_{j}_{seed}".encode()).hexdigest()[:8], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+def jl_project(
+    emb: DataFrame,
+    out_dim: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with the Achlioptas
+    ±1 sign matrix (Achlioptas, JCSS 2003): y_j = (1/sqrt(out_dim)) *
+    sum_i sign(i,j) x_i.  The database-friendly dimensionality
+    reduction — no training pass at all (vs PCA's covariance
+    eigendecomposition), distances preserved within (1±eps) w.h.p.,
+    and because the matrix is a deterministic portable hash the WHOLE
+    projection is value-checkable cross-engine (every other embedding
+    op here is rows-only).
+
+    Plan: posexplode the vector, equi-join the broadcast
+    (i, j, sign) table (dim*out_dim rows), one partial-agg
+    groupBy(id, j) — all JVM-side; the giant-literal expression
+    alternative costs O(dim*out_dim) codegen per query (the SemDeDup
+    lesson).  Output is LONG form (id, j, val): array assembly would
+    only re-sort what downstream ops explode again."""
+    spark = emb.sparkSession
+    signs = spark.createDataFrame(
+        [
+            (i, j, float(jl_sign(i, j, seed)))
+            for i in range(dim)
+            for j in range(out_dim)
+        ],
+        "i int, j int, s double",
+    )
+    scale = 1.0 / (out_dim ** 0.5)
+    comps = emb.select(
+        F.col(id_col), F.posexplode(vec_col).alias("i", "x")
+    )
+    return (
+        comps.join(F.broadcast(signs), "i")
+        .groupBy(id_col, "j")
+        .agg(
+            (F.sum(F.col("x").cast("double") * F.col("s")) * F.lit(scale)).alias(
+                "val"
+            )
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data curation: chunking, PII scrub, repetition, contamination
 # ---------------------------------------------------------------------------

@@ -4311,6 +4311,44 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=10).select("id", F.round("rank", 9).alias("rank"))
 
 
+@query(
+    "q_jl_project",
+    """
+    WITH comps AS (
+      SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+      FROM embeddings,
+           unnest(generate_series(0, len(embedding) - 1)) AS t(i)
+    ), signs AS (
+      SELECT a.i, b.j,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(a.i AS VARCHAR) || '_' ||
+                               CAST(b.j AS VARCHAR) || '_7'), 1, 8))
+                       AS UBIGINT) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM unnest(generate_series(0, 63)) AS a(i),
+           unnest(generate_series(0, 15)) AS b(j)
+    )
+    SELECT c.vec_id, CAST(s.j AS INT) AS j,
+           ROUND(SUM(c.x * s.s) / sqrt(16.0), 6) AS val
+    FROM comps c JOIN signs s ON c.i = s.i
+    GROUP BY c.vec_id, s.j
+    """,
+)
+def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — Johnson-Lindenstrauss ±1 random projection (Achlioptas
+    2003) of 64-dim embeddings to 16 dims: no training pass (vs PCA),
+    distance-preserving w.h.p., and — uniquely among the embedding
+    ops — VALUE-oracled end to end, because the projection matrix is
+    a portable md5-parity hash both engines re-derive cell by cell.
+    Plan: posexplode + broadcast sign-table equi-join + one
+    partial-agg groupBy, all JVM-side."""
+    from pixelspark.ops.llm import jl_project
+
+    out = jl_project(
+        _t(spark, sf_dir, "embeddings"), out_dim=16, seed=7, dim=64
+    )
+    return out.select("vec_id", "j", F.round("val", 6).alias("val"))
+
+
 @query("q_kcore")  # iterative peeling to fixpoint -> rows-only check
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph — 3-core decomposition (iterative peeling waves: degree

@@ -97,3 +97,19 @@ def test_registry_queries_run(spark, sf_dir):
     assert sorted(ranks) == list(range(1, len(sel) + 1))
     ws = [r["log_weight"] for r in sorted(sel, key=lambda r: r["rank"])]
     assert ws == sorted(ws, reverse=True)
+
+
+def test_fit_scan_runs_once_in_score_plan(spark, sf_dir):
+    """The LLR fit localCheckpoints its 256-row count table, so the
+    totals row derives from it WITHOUT re-running the corpus
+    aggregation: the scoring plan must contain exactly ONE corpus
+    FileScan (the score pass) — lazily it contained three."""
+    from pixelspark.queries import QUERIES
+
+    plan = (
+        QUERIES["q_dsir_weights"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan parquet") == 1, plan[:2000]

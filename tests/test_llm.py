@@ -932,3 +932,41 @@ def test_bigram_logprob_registry_matches_manual(spark, sf_dir):
     rows = out.collect()
     assert len(rows) > 0
     assert all(r["avg_neg_logprob"] >= 0 for r in rows)
+
+
+def test_jl_projection_preserves_distance_structure(spark, sf_dir):
+    """JL with a 16-dim ±1 sign matrix: exact linearity (projection of
+    a vector equals the hand-computed signed sums) and the distance-
+    structure guarantee — per-pair squared-distance ratios
+    projected/original concentrate near 1 (the (1±eps) property; a
+    correlation metric would wash out here because the clustered
+    embeddings make most original distances similar)."""
+    import numpy as np
+
+    from pixelspark.ops.llm import jl_project, jl_sign
+    from pixelspark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").where("vec_id < 40")
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    S = np.array([[jl_sign(i, j, 7) for j in range(16)] for i in range(64)])
+    proj = {}
+    for r in jl_project(emb, out_dim=16, seed=7, dim=64).collect():
+        proj.setdefault(r["vec_id"], {})[r["j"]] = r["val"]
+    for vid, vals in proj.items():
+        got = np.array([vals[j] for j in range(16)])
+        want = rows[vid] @ S / 4.0  # 1/sqrt(16)
+        assert np.allclose(got, want, atol=1e-9), vid
+    ids = sorted(rows)
+    ratios = []
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            o = float(np.sum((rows[ids[a]] - rows[ids[b]]) ** 2))
+            if o == 0:
+                continue
+            pa = np.array([proj[ids[a]][j] for j in range(16)])
+            pb = np.array([proj[ids[b]][j] for j in range(16)])
+            ratios.append(float(np.sum((pa - pb) ** 2)) / o)
+    r = np.array(ratios)
+    assert 0.6 < float(np.median(r)) < 1.4, np.median(r)
+    assert float(np.mean((r > 0.3) & (r < 2.2))) >= 0.95
