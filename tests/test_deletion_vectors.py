@@ -143,3 +143,19 @@ def test_dv_delete_nothing_matched_is_noop(spark, table):
     v = table.latest_version()
     assert table.delete("k > 1000", mode="dv") == v
     assert table.latest_version() == v
+
+
+def test_vacuum_collects_orphaned_dv_dir(spark, table):
+    """A crash between the DV parquet write and the manifest commit
+    leaves an unreferenced __dv= dir — vacuum must collect it like any
+    other crash leftover, without touching live vectors."""
+    table.delete("k = 9", mode="dv")  # live vector
+    orphan = f"{table.root}/data/__dv=deadbeefcafe0000"
+    spark.createDataFrame(
+        [("data/__snap=nope/part-0.parquet", 0)], "__dv_file string, __dv_row long"
+    ).write.parquet(orphan)
+    removed = table.vacuum(keep_versions=1)
+    assert any("__dv=deadbeefcafe0000" in p for p in removed)
+    live = table.manifest(table.latest_version())["dv_files"]
+    assert all(table.st.exists(f"{table.root}/{d}") for d in live)
+    assert len(_rows(table.read())) == 9
