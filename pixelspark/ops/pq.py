@@ -196,11 +196,27 @@ def ivfpq_index(
     m*ksub*(dim/m) floats — O(1) in corpus size.  At 100 TB `cluster`
     is the table's physical partitioning and `codes` is the 32x-
     compressed payload the probes actually scan."""
-    from pixelspark.ops.llm import _nearest_centroid_pandas, kmeans_centroids
+    from pixelspark.ops.llm import kmeans_centroids
 
     centroids = kmeans_centroids(
         emb, k=n_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col, dim=dim
     )
+    resid = _residuals(emb, centroids, id_col, vec_col)
+    codebooks = pq_train(
+        resid, m=m, ksub=ksub, n_iter=n_iter, id_col=id_col,
+        vec_col="resid", dim=dim,
+    )
+    codes = ivfpq_encode(emb, centroids, codebooks, id_col=id_col, vec_col=vec_col)
+    return centroids, codebooks, codes
+
+
+def _residuals(
+    emb: DataFrame, centroids, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, cluster, resid): coarse-assign each vector and subtract its
+    centroid — the quantity residual PQ codebooks train and encode on."""
+    from pixelspark.ops.llm import _nearest_centroid_pandas
+
     cent_df = emb.sparkSession.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
         "cluster int, centroid array<double>",
@@ -210,21 +226,28 @@ def ivfpq_index(
         F.col(vec_col),
         _nearest_centroid_pandas(vec_col, centroids).alias("cluster"),
     )
-    resid = assigned.join(F.broadcast(cent_df), "cluster").select(
+    return assigned.join(F.broadcast(cent_df), "cluster").select(
         F.col(id_col),
         F.col("cluster"),
         F.zip_with(
             F.col(vec_col), F.col("centroid"), lambda a, b: a.cast("double") - b
         ).alias("resid"),
     )
-    codebooks = pq_train(
-        resid, m=m, ksub=ksub, n_iter=n_iter, id_col=id_col,
-        vec_col="resid", dim=dim,
-    )
-    codes = pq_encode(resid, codebooks, id_col=id_col, vec_col="resid").join(
+
+
+def ivfpq_encode(
+    emb: DataFrame,
+    centroids,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, codes) for new vectors under an EXISTING index —
+    the ingest path: coarse-assign, residual-encode, no training."""
+    resid = _residuals(emb, centroids, id_col, vec_col)
+    return pq_encode(resid, codebooks, id_col=id_col, vec_col="resid").join(
         resid.select(F.col(id_col), "cluster"), id_col
     )
-    return centroids, codebooks, codes
 
 
 def ann_ivfpq_topk(
@@ -475,3 +498,133 @@ def ann_pq_topk(
             "rank",
         )
     )
+
+
+class VectorIndex:
+    """Persistent IVF-PQ vector index on the snapshot table format —
+    the production shape of vector search at 100 TB: train ONCE,
+    residual-encode on every ingest (O(batch), exactly-once under
+    replay), query forever against the stored 32x-compressed codes.
+
+    Layout under `root`:
+      _index.json   codebooks + coarse centroids + params, published
+                    with the same atomic no-overwrite discipline as
+                    manifests (storage.write_text_atomic);
+      codes/        SnapshotTable (vec_id, cluster, codes) with
+                    per-file min/max stats on `cluster`, so a probe
+                    restricted to n_probe clusters FILE-SKIPS the
+                    rest of the codes table before Spark plans the
+                    scan (the inverted-list selection, at rest).
+
+    Correctness properties (pytest, tests/test_pq.py):
+      * ingest with `batch_id` is exactly-once — a replayed batch
+        appends nothing (the Delta-txn guard fused into the codes
+        table's manifest commit);
+      * the index reopens from disk — all state is the sidecar JSON
+        plus the codes table's manifests;
+      * `query` equals the in-memory ann_ivfpq_topk on the same
+        (centroids, codebooks, codes).
+    """
+
+    def __init__(self, spark, root: str, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+        from pixelspark.storage import storage_for
+        from pixelspark.table import SnapshotTable
+
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.st = storage_for(self.root, spark)
+        self.codes = SnapshotTable(
+            spark, f"{self.root}/codes", stats_cols=("cluster",)
+        )
+        self._meta_cache: dict | None = None
+
+    @property
+    def meta_path(self) -> str:
+        return f"{self.root}/_index.json"
+
+    def build(
+        self,
+        emb: DataFrame,
+        n_clusters: int = 8,
+        m: int = 8,
+        ksub: int = 16,
+        n_iter: int = 2,
+        dim: int = 64,
+    ) -> None:
+        """Train the coarse quantizer + residual codebooks on `emb`
+        and store everything.  Refuses to overwrite an existing index
+        (quantizers are fixed at build — re-encoding history under new
+        codebooks would silently change every stored code; delete the
+        root to rebuild)."""
+        import json
+
+        if self.st.exists(self.meta_path):
+            raise FileExistsError(
+                f"vector index already built at {self.root}; delete it to rebuild"
+            )
+        centroids, codebooks, codes = ivfpq_index(
+            emb, n_clusters=n_clusters, m=m, ksub=ksub, n_iter=n_iter,
+            id_col=self.id_col, vec_col=self.vec_col, dim=dim,
+        )
+        if not self.st.write_text_atomic(
+            self.meta_path,
+            json.dumps({
+                "n_clusters": n_clusters, "m": m, "ksub": ksub, "dim": dim,
+                "centroids": centroids, "codebooks": codebooks,
+            }),
+        ):
+            raise FileExistsError(
+                f"lost the build race for {self.meta_path}"
+            )
+        self.codes.overwrite(codes)
+
+    def _meta(self) -> dict:
+        import json
+
+        if self._meta_cache is None:
+            self._meta_cache = json.loads(self.st.read_text(self.meta_path))
+        return self._meta_cache
+
+    def ingest(
+        self,
+        emb_batch: DataFrame,
+        batch_id: int | None = None,
+        app_id: str = "vector-index",
+    ) -> int | None:
+        """Encode a batch under the STORED quantizers (no training —
+        O(batch) cost at any index size) and append its codes.  With
+        `batch_id`, the append is exactly-once: a replayed batch
+        (foreachBatch re-delivery, checkpoint loss) commits nothing
+        and returns None."""
+        meta = self._meta()
+        codes = ivfpq_encode(
+            emb_batch, meta["centroids"], meta["codebooks"],
+            id_col=self.id_col, vec_col=self.vec_col,
+        )
+        if batch_id is None:
+            return self.codes.append(codes)
+        return self.codes.append_once(codes, app_id, batch_id)
+
+    def query(
+        self,
+        emb_source: DataFrame,
+        query_ids: list[int],
+        k: int = 5,
+        n_probe: int = 3,
+        shortlist: int = 100,
+        version: int | None = None,
+    ) -> DataFrame:
+        """ANN top-k against the stored codes (time-travel to an older
+        index state via `version`).  `emb_source` supplies the query
+        vectors and the full-precision re-rank — the index itself
+        never stores uncompressed vectors."""
+        meta = self._meta()
+        stored = self.codes.read(version=version)
+        return ann_ivfpq_topk(
+            emb_source, query_ids, k=k, n_probe=n_probe,
+            shortlist=shortlist, id_col=self.id_col, vec_col=self.vec_col,
+            index=(meta["centroids"], meta["codebooks"], stored),
+        )

@@ -133,3 +133,57 @@ def test_registry_queries_run(spark, sf_dir):
         assert set(per_q) == set(QUERY_IDS), qname
         for ranks in per_q.values():
             assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
+def test_vector_index_build_ingest_query_reopen(spark, sf_dir, tmp_path):
+    """Persistent IVF-PQ index lifecycle: build stores quantizers +
+    codes; query equals the in-memory path on the same state; ingest
+    is O(batch) encode + append and exactly-once under replay; the
+    index reopens from disk; double-build is refused."""
+    from pixelspark.ops.pq import VectorIndex, ann_ivfpq_topk
+    from pixelspark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where("vec_id < 400")
+    idx = VectorIndex(spark, str(tmp_path / "vidx"))
+    idx.build(base, n_clusters=8, m=8, ksub=16, n_iter=2)
+
+    meta = idx._meta()
+    stored = idx.codes.read()
+    assert stored.count() == 400
+    direct = ann_ivfpq_topk(
+        emb, [0, 1, 2], k=5, n_probe=3, shortlist=100,
+        index=(meta["centroids"], meta["codebooks"], stored),
+    ).collect()
+    via_index = idx.query(emb, [0, 1, 2], k=5, n_probe=3, shortlist=100).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])
+    assert sorted(map(key, via_index)) == sorted(map(key, direct))
+
+    # exactly-once ingest: same batch twice adds nothing
+    batch = emb.where("vec_id >= 400")
+    assert idx.ingest(batch, batch_id=1) is not None
+    assert idx.codes.read().count() == 500
+    assert idx.ingest(batch, batch_id=1) is None  # replay
+    assert idx.codes.read().count() == 500
+
+    # newly ingested vectors are findable
+    got = {r["neighbor_id"] for r in idx.query(emb, [450], k=5).collect()}
+    assert len(got) == 5
+
+    # reopens from disk (same answer as the live handle, post-ingest);
+    # time travel back to the pre-ingest codes reproduces via_index;
+    # a second build is refused
+    idx2 = VectorIndex(spark, str(tmp_path / "vidx"))
+    now = idx.query(emb, [0, 1, 2], k=5, n_probe=3, shortlist=100).collect()
+    again = idx2.query(emb, [0, 1, 2], k=5, n_probe=3, shortlist=100).collect()
+    assert sorted(map(key, again)) == sorted(map(key, now))
+    pre_ingest = idx2.query(
+        emb, [0, 1, 2], k=5, n_probe=3, shortlist=100, version=1
+    ).collect()
+    assert sorted(map(key, pre_ingest)) == sorted(map(key, via_index))
+    with pytest.raises(FileExistsError):
+        idx2.build(base)
+
+    # cluster stats land in the manifest (the file-skip path at rest)
+    m0 = idx.codes.manifest(idx.codes.latest_version())
+    assert any(e.get("stats") for e in m0["entries"])
