@@ -4349,6 +4349,29 @@ def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "j", F.round("val", 6).alias("val"))
 
 
+@query("q_vector_index")  # trained quantizer is approximate -> rows-only
+def q_vector_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — persistent IVF-PQ vector index lifecycle (ops/pq.py
+    VectorIndex): build on 80% of the corpus (quantizers + codes
+    stored on the snapshot table format), exactly-once ingest of the
+    remaining 20% under the stored quantizers (O(batch) — no
+    retraining), then query the reopened on-disk state.  Lifecycle
+    equalities (reopen, replay no-op, time travel) are pytest-pinned
+    in tests/test_pq.py."""
+    import tempfile
+
+    from pixelspark.ops.pq import VectorIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cut = emb.agg(F.expr("percentile(vec_id, 0.8)").alias("c")).collect()[0]["c"]
+    root = tempfile.mkdtemp(prefix="pixelspark_vidx_") + "/idx"
+    idx = VectorIndex(spark, root)
+    idx.build(emb.where(F.col("vec_id") <= cut), n_clusters=8, m=8, ksub=16, n_iter=2)
+    idx.ingest(emb.where(F.col("vec_id") > cut), batch_id=1)
+    reopened = VectorIndex(spark, root)
+    return reopened.query(emb, [0, 1, 2, 3, 4], k=5, n_probe=3, shortlist=100)
+
+
 @query("q_kcore")  # iterative peeling to fixpoint -> rows-only check
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph — 3-core decomposition (iterative peeling waves: degree
