@@ -438,3 +438,34 @@ def run_snapshot_cdc_sink(
     )
     q.awaitTermination()
     return q
+
+
+def run_vector_index_sink(
+    emb_stream: DataFrame, index_root: str, checkpoint: str,
+    app_id: str = "pixelspark-vector-index",
+):
+    """Exactly-once streaming ingest into a persistent IVF-PQ vector
+    index (ops/pq.VectorIndex): each micro-batch of embeddings is
+    residual-encoded under the index's STORED quantizers (O(batch) —
+    no retraining, ever, on the streaming path) and appended to the
+    codes table through the (app_id, batch_id) txn guard, so a
+    re-delivered batch indexes nothing twice.  The index must already
+    be `build()`-ed — training belongs to a batch job, not a stream
+    (quantizers are fixed at build; silently retraining per batch
+    would re-interpret every previously stored code)."""
+    from pixelspark.ops.pq import VectorIndex
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        VectorIndex(batch_df.sparkSession, index_root).ingest(
+            batch_df, batch_id=batch_id, app_id=app_id
+        )
+
+    q = (
+        emb_stream.writeStream.foreachBatch(commit)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -187,3 +187,34 @@ def test_vector_index_build_ingest_query_reopen(spark, sf_dir, tmp_path):
     # cluster stats land in the manifest (the file-skip path at rest)
     m0 = idx.codes.manifest(idx.codes.latest_version())
     assert any(e.get("stats") for e in m0["entries"])
+
+
+def test_streaming_ingest_into_vector_index(spark, sf_dir, tmp_path):
+    """foreachBatch ingest into the persistent index is exactly-once:
+    a checkpoint-loss replay of the same stream (fresh checkpoint,
+    same batch ids) re-delivers every batch and indexes nothing twice;
+    streamed vectors are queryable."""
+    from pixelspark.ops.pq import VectorIndex
+    from pixelspark.schemas import load_table
+    from pixelspark.streaming import daily as SD
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx_root = str(tmp_path / "vidx")
+    idx = VectorIndex(spark, idx_root)
+    idx.build(emb.where("vec_id < 300"), n_clusters=8, m=8, ksub=16, n_iter=2)
+
+    src = str(tmp_path / "incoming")
+    emb.where("vec_id >= 300").write.parquet(src)
+    stream = spark.readStream.schema(
+        emb.schema
+    ).parquet(src)
+    SD.run_vector_index_sink(stream, idx_root, str(tmp_path / "ckpt"))
+    assert idx.codes.read().count() == 500
+
+    # checkpoint loss: fresh checkpoint, same source -> same batch ids
+    stream2 = spark.readStream.schema(emb.schema).parquet(src)
+    SD.run_vector_index_sink(stream2, idx_root, str(tmp_path / "ckpt2"))
+    assert idx.codes.read().count() == 500  # nothing double-indexed
+
+    got = {r["neighbor_id"] for r in idx.query(emb, [350], k=5).collect()}
+    assert len(got) == 5
