@@ -331,7 +331,13 @@ def ann_ivfpq_topk(
         "query_id long, q_norm double, cluster int, j int, c int, "
         "dot double, n2 double",
     )
-    code_rows = codes.select(
+    # restrict the code scan to the union of probed clusters BEFORE the
+    # posexplode: the equi-join would drop non-probed rows anyway, but
+    # this filter reaches the parquet reader (PushedFilters: In(cluster))
+    # so non-probed inverted lists are pruned at row-group granularity —
+    # on a cluster-partitioned/compacted codes table, never read at all
+    probed = sorted({ci for (_q, _n, ci, _j, _c, _d, _n2) in lut})
+    code_rows = codes.where(F.col("cluster").isin(probed)).select(
         F.col(id_col).alias("neighbor_id"),
         "cluster",
         F.posexplode("codes").alias("j", "c"),

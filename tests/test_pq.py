@@ -218,3 +218,21 @@ def test_streaming_ingest_into_vector_index(spark, sf_dir, tmp_path):
 
     got = {r["neighbor_id"] for r in idx.query(emb, [350], k=5).collect()}
     assert len(got) == 5
+
+
+def test_ivfpq_probe_filter_reaches_parquet_scan(spark, sf_dir, tmp_path):
+    """The probed-cluster restriction must reach the codes scan as a
+    pushed filter (In/EqualTo on cluster) — on a compacted
+    cluster-clustered codes table that is what turns logical probe
+    pruning into skipped I/O."""
+    from pixelspark.ops.pq import VectorIndex
+    from pixelspark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = VectorIndex(spark, str(tmp_path / "vidx"))
+    idx.build(emb, n_clusters=8, m=8, ksub=16, n_iter=2)
+    out = idx.query(emb, [0], k=5, n_probe=2, shortlist=50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "cluster" in pushed, pushed
