@@ -1227,10 +1227,15 @@ class SnapshotTable:
                     F.broadcast(dv), ["__dv_file", "__dv_row"], "left_anti"
                 )
             doomed = df.where(doomed_cond).select("__dv_file", "__dv_row")
-            if not doomed.limit(1).collect():
-                return read_v  # nothing matched: no-op, no commit
+            # write first, inspect the (tiny) output after: a separate
+            # any-matches pre-check would cost a second full scan of
+            # the table per delete
             rel = f"{DATA_DIR}/__dv={uuid.uuid4().hex[:16]}"
-            doomed.write.mode("errorifexists").parquet(f"{self.root}/{rel}")
+            full = f"{self.root}/{rel}"
+            doomed.write.mode("errorifexists").parquet(full)
+            if self.spark.read.parquet(full).limit(1).isEmpty():
+                self.st.delete(full)  # nothing matched: no-op, no commit
+                return read_v
 
             def build(prev: dict | None) -> dict:
                 self._check_expected(prev, read_v)
