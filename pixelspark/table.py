@@ -1259,14 +1259,26 @@ class SnapshotTable:
             f"times at {self.root}"
         )
 
-    def update(self, set: dict, condition=None) -> int:
+    def update(self, set: dict, condition=None, mode: str = "rewrite") -> int:
         """Row-level UPDATE (Delta `UPDATE ... SET ... WHERE`): `set`
         maps column -> expression (Column or SQL string over the
         table's columns); rows matching `condition` (default: all) get
-        the new values.  The partition column cannot be assigned (a
-        row may not migrate partitions in a partition-scoped rewrite);
-        same touched-partitions-only rewrite and conflict discipline
-        as delete()."""
+        the new values.
+
+        `mode="rewrite"` (copy-on-write): the partition column cannot
+        be assigned (a row may not migrate partitions in a
+        partition-scoped rewrite); same touched-partitions-only
+        rewrite and conflict discipline as delete().
+
+        `mode="dv"` (merge-on-read, the Iceberg MOR-update shape):
+        the matched rows' positions land in a deletion vector and
+        their UPDATED copies land in one new data dir — both
+        published by a single atomic manifest commit, so readers see
+        pre-update or post-update, never a row both ways.  Write cost
+        is O(matched), not O(partition); and because the new rows are
+        ordinary appended data, even the partition column may be
+        assigned (the row simply moves lists).  compact() materializes
+        as usual."""
         cond = (F.lit(True) if condition is None
                 else F.expr(condition) if isinstance(condition, str)
                 else condition)
@@ -1274,6 +1286,10 @@ class SnapshotTable:
         assigns = {
             c: (F.expr(e) if isinstance(e, str) else e) for c, e in set.items()
         }
+        if mode == "dv":
+            return self._update_dv(assigns, hit)
+        if mode != "rewrite":
+            raise ValueError(f"update mode must be 'rewrite' or 'dv', got {mode!r}")
 
         def apply(df: DataFrame) -> DataFrame:
             return df.select(*[
@@ -1321,6 +1337,68 @@ class SnapshotTable:
                 continue
         raise ConcurrentCommitError(
             f"update lost the read-merge-write race {self.max_retries} "
+            f"times at {self.root}"
+        )
+
+    def _update_dv(self, assigns: dict, hit: Column) -> int:
+        """Merge-on-read UPDATE: one scan finds the matched rows; their
+        positions become a deletion vector, their updated copies a new
+        data dir; ONE manifest commit publishes both."""
+        for _ in range(self.max_retries):
+            read_v = self.latest_version()
+            if read_v is None:
+                raise FileNotFoundError(f"no snapshot at {self.root}")
+            m = self.manifest(read_v)
+            entries = m["entries"]
+            pcol = m.get("partition_col")
+            if not entries:
+                return read_v
+            df = self._scan_entries(entries, pcol, with_pos=True)
+            dv = self._dv_scan(m)
+            if dv is not None:
+                df = df.join(
+                    F.broadcast(dv), ["__dv_file", "__dv_row"], "left_anti"
+                )
+            # materialize the matched rows once: the dv write and the
+            # updated-copy write both consume them, and lazily each
+            # would re-scan the whole table
+            matched = df.where(hit).localCheckpoint(eager=True)
+            data_cols = [
+                c for c in df.columns if c not in ("__dv_file", "__dv_row")
+            ]
+            updated = matched.select(*[
+                (assigns[c] if c in assigns else F.col(c)).alias(c)
+                for c in data_cols
+            ])
+            rel_dv = f"{DATA_DIR}/__dv={uuid.uuid4().hex[:16]}"
+            full_dv = f"{self.root}/{rel_dv}"
+            matched.select("__dv_file", "__dv_row").write.mode(
+                "errorifexists"
+            ).parquet(full_dv)
+            if self.spark.read.parquet(full_dv).limit(1).isEmpty():
+                self.st.delete(full_dv)
+                return read_v  # nothing matched
+            rel_new, parts, has_data = self._write_snap(updated, pcol)
+            entry = self._entry_for(rel_new, parts, has_data, updated.schema)
+
+            def build(prev: dict | None) -> dict:
+                self._check_expected(prev, read_v)
+                return {
+                    "partition_col": pcol,
+                    "entries": entries + ([entry] if has_data else []),
+                    "schema": m.get("schema"),
+                    "dv_files": (m.get("dv_files") or []) + [rel_dv],
+                    "op": {"name": "update", "mode": "dv",
+                           "columns": sorted(assigns)},
+                }
+
+            try:
+                return self._commit(build)
+            except ConcurrentWriteConflict:
+                continue  # recompute against the advanced snapshot;
+                # the orphaned dv/data dirs are vacuum-able garbage
+        raise ConcurrentCommitError(
+            f"dv update lost the read-merge-write race {self.max_retries} "
             f"times at {self.root}"
         )
 

@@ -159,3 +159,48 @@ def test_vacuum_collects_orphaned_dv_dir(spark, table):
     live = table.manifest(table.latest_version())["dv_files"]
     assert all(table.st.exists(f"{table.root}/{d}") for d in live)
     assert len(_rows(table.read())) == 9
+
+
+def test_dv_update_equals_rewrite_update(spark, tmp_path):
+    data = [(i, f"d{i % 3}", i * 10) for i in range(12)]
+    a = SnapshotTable(spark, str(tmp_path / "ua"))
+    b = SnapshotTable(spark, str(tmp_path / "ub"))
+    for t in (a, b):
+        t.replace_partitions(
+            spark.createDataFrame(data, "k long, day string, x long"), "day"
+        )
+    a.update({"x": "x + 1"}, condition="k % 4 = 0", mode="dv")
+    b.update({"x": "x + 1"}, condition="k % 4 = 0", mode="rewrite")
+    ra = sorted((r["k"], r["day"], r["x"]) for r in a.read().collect())
+    rb = sorted((r["k"], r["day"], r["x"]) for r in b.read().collect())
+    assert ra == rb
+    # no pre-existing partition data was rewritten: every original
+    # entry survives; the commit ADDED one entry + one vector
+    m = a.manifest(a.latest_version())
+    assert len(m["entries"]) == 2 and len(m["dv_files"]) == 1
+
+
+def test_dv_update_can_move_partitions(spark, tmp_path):
+    """mode='dv' may assign the partition column — the updated copy is
+    ordinary appended data, so the row just moves lists (the rewrite
+    mode must refuse this)."""
+    t = SnapshotTable(spark, str(tmp_path / "mv"))
+    t.replace_partitions(
+        spark.createDataFrame(
+            [(1, "d0", 1), (2, "d1", 2)], "k long, day string, x long"
+        ),
+        "day",
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        t.update({"day": F.lit("d9")}, condition="k = 1", mode="rewrite")
+    t.update({"day": F.lit("d9")}, condition="k = 1", mode="dv")
+    got = {r["k"]: r["day"] for r in t.read().collect()}
+    assert got == {1: "d9", 2: "d1"}
+    d9 = [r["k"] for r in t.read(partition_values=["d9"]).collect()]
+    assert d9 == [1]
+
+
+def test_dv_update_nothing_matched_is_noop(spark, table):
+    v = table.latest_version()
+    assert table.update({"v": F.lit("zz")}, condition="k > 99", mode="dv") == v
+    assert table.latest_version() == v
