@@ -83,6 +83,7 @@ HEADLINE = [
     "q_dsir_weights",
     "q_ann_pq",
     "q_ann_ivfpq",
+    "q_bigram_logprob",
 ]
 
 
