@@ -3084,6 +3084,77 @@ ORACLES["q_dedup_clusters"] = f"""
 ORACLES["q_dedup_clusters_star"] = ORACLES["q_dedup_clusters"]
 
 
+@query("q_cluster_representatives")
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — best-representative selection per near-dup family: real
+    curation keeps the HIGHEST-QUALITY member of each cluster, not the
+    lowest id — here the longest document (n_chars, doc_id tiebreak).
+    Composition: CC labels left-joined onto the corpus (unclustered
+    docs are their own family), one per-cluster row_number window.
+    The oracle re-derives clusters with the recursive CTE and picks
+    identically."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = L.portable_near_dup_pairs(docs, threshold=0.5)
+    labels = L.dedup_clusters(pairs).withColumnRenamed("cluster_id", "_cl")
+    lab = docs.select("doc_id", "n_chars").join(
+        F.broadcast(labels), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.col("_cl"), F.col("doc_id")).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        lab.withColumn("n_members",
+                       F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+                       .cast("long"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").alias("rep_n_chars"),
+            "n_members",
+        )
+    )
+
+
+ORACLES["q_cluster_representatives"] = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({_portable_minhash_oracle()}) t
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM edges
+    ), reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id
+    ), labels AS (
+      SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY id
+    ), lab AS (
+      SELECT d.doc_id, d.n_chars,
+             COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN labels l USING (doc_id)
+    ), ranked AS (
+      SELECT cluster_id, doc_id, n_chars,
+             CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS n_members,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM lab
+    )
+    SELECT cluster_id, doc_id AS rep_doc_id, n_chars AS rep_n_chars,
+           n_members
+    FROM ranked WHERE rn = 1
+    """
+
+
 def _portable_simhash_oracle(bits: int = 60) -> str:
     """DuckDB SQL mirroring q_simhash_portable: per-token md5-derived
     60-bit hash, per-bit +/-1 votes over distinct tokens, fingerprint
