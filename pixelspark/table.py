@@ -955,6 +955,7 @@ class SnapshotTable:
         update_condition=None,
         broadcast_source: bool = False,
         validate_keys: bool = True,
+        mode: str = "rewrite",
     ) -> int:
         """Multi-clause MERGE (Delta `MERGE INTO` / the general form of
         the reference's keyed UPDATE+INSERT, src/services/bigquery.ts:
@@ -1024,6 +1025,20 @@ class SnapshotTable:
                     f"{tuple(dup[0][k] for k in keys)!r}; de-duplicate the "
                     "source (latest-wins window) or pass validate_keys=False"
                 )
+
+        if mode == "dv":
+            # merge-on-read MERGE (Iceberg MOR / Delta DV merge): the
+            # matched-and-changed rows' positions become a deletion
+            # vector, their post-images plus the inserts land in ONE
+            # new data dir, one manifest commit publishes both.  Write
+            # cost is O(changed + inserted), never O(table) — the CDC
+            # apply shape for tables the merge key does not partition.
+            return self._merge_dv(
+                source, keys, when_matched_update,
+                del_cond, ins_cond, upd_cond,
+            )
+        if mode != "rewrite":
+            raise ValueError(f"merge mode must be 'rewrite' or 'dv', got {mode!r}")
 
         for _ in range(self.max_retries):
             read_v = self.latest_version()
@@ -1131,6 +1146,146 @@ class SnapshotTable:
                 continue
         raise ConcurrentCommitError(
             f"merge lost the read-merge-write race {self.max_retries} "
+            f"times at {self.root}"
+        )
+
+    def _merge_dv(
+        self, source: DataFrame, keys, when_matched_update,
+        del_cond, ins_cond, upd_cond,
+    ) -> int:
+        """Merge-on-read MERGE: positions of deleted/updated target
+        rows -> deletion vector; updated post-images + inserts -> one
+        appended data dir; one atomic manifest commit.  The matched
+        set localCheckpoints so the full-width target scans once."""
+        for _ in range(self.max_retries):
+            read_v = self.latest_version()
+            if read_v is None:
+                inserts_only = source.where(
+                    F.coalesce(ins_cond, F.lit(False))
+                )
+                return self.overwrite(
+                    inserts_only, expected_version=None,
+                    op={"name": "merge", "mode": "dv", "keys": list(keys)},
+                )
+            m = self.manifest(read_v)
+            entries = m["entries"]
+            pcol = m.get("partition_col")
+            if not entries:
+                inserts_only = source.where(
+                    F.coalesce(ins_cond, F.lit(False))
+                )
+                return self.overwrite(
+                    inserts_only, partition_col=pcol,
+                    expected_version=read_v,
+                    op={"name": "merge", "mode": "dv", "keys": list(keys)},
+                )
+            df = self._scan_entries(entries, pcol, with_pos=True)
+            dv0 = self._dv_scan(m)
+            if dv0 is not None:
+                df = df.join(
+                    F.broadcast(dv0), ["__dv_file", "__dv_row"], "left_anti"
+                )
+            out_cols = [
+                c for c in df.columns if c not in ("__dv_file", "__dv_row")
+            ]
+            if when_matched_update == "all":
+                upd_map = {
+                    c: F.col(f"s.{c}")
+                    for c in out_cols
+                    if c in source.columns and c not in keys
+                }
+            else:
+                upd_map = {
+                    c: (F.expr(e) if isinstance(e, str) else e)
+                    for c, e in when_matched_update.items()
+                } if when_matched_update else {}
+
+            t_m = df.alias("t")
+            s_m = source.withColumn("__s", F.lit(True)).alias("s")
+            on = reduce(
+                lambda a, b: a & b,
+                [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
+            )
+            j = t_m.join(s_m, on, "inner")  # only matched rows matter here
+            deleted = F.coalesce(del_cond, F.lit(False))
+            updated = ~deleted & F.coalesce(upd_cond, F.lit(False))
+
+            def out(c: str):
+                tgt = F.col(f"t.{c}")
+                if c in upd_map:
+                    return F.when(updated, upd_map[c]).otherwise(tgt).alias(c)
+                return tgt.alias(c)
+
+            hits = (
+                j.where(deleted | updated)
+                .select(
+                    F.col("t.__dv_file").alias("__dv_file"),
+                    F.col("t.__dv_row").alias("__dv_row"),
+                    deleted.alias("__del"),
+                    *[out(c) for c in out_cols],
+                )
+                .localCheckpoint(eager=True)
+            )
+            rel_dv = f"{DATA_DIR}/__dv={uuid.uuid4().hex[:16]}"
+            full_dv = f"{self.root}/{rel_dv}"
+            hits.select("__dv_file", "__dv_row").write.mode(
+                "errorifexists"
+            ).parquet(full_dv)
+            has_dv = not self.spark.read.parquet(full_dv).limit(1).isEmpty()
+            if not has_dv:
+                self.st.delete(full_dv)
+
+            def ins(c: str):
+                if c in source.columns:
+                    return F.col(c).alias(c)
+                return F.lit(None).cast(
+                    dict(zip(df.columns, [f.dataType for f in df.schema.fields]))[c]
+                ).alias(c)
+
+            inserts = (
+                source.alias("s")
+                .join(df.select(*keys), list(keys), "left_anti")
+                .where(F.coalesce(ins_cond, F.lit(False)))
+                .select(*[ins(c) for c in out_cols])
+            )
+            new_data = hits.where(~F.col("__del")).select(*out_cols).unionByName(
+                inserts
+            )
+            rel_new, parts, has_data = self._write_snap(new_data, pcol)
+            # an empty unpartitioned write can still leave a zero-row
+            # part file (has_data=True); read the (tiny or empty) snap
+            # back so a fully-no-op merge commits nothing
+            if has_data and self.spark.read.parquet(
+                f"{self.root}/{rel_new}"
+            ).limit(1).isEmpty():
+                has_data = False
+            entry = self._entry_for(rel_new, parts, has_data, new_data.schema)
+            if not has_dv and not has_data:
+                self.st.delete(f"{self.root}/{rel_new}")
+                return read_v  # nothing matched, nothing inserted
+
+            def build(prev: dict | None) -> dict:
+                self._check_expected(prev, read_v)
+                out_m = {
+                    "partition_col": pcol,
+                    "entries": entries + ([entry] if has_data else []),
+                    "schema": m.get("schema"),
+                    "op": {"name": "merge", "mode": "dv",
+                           "keys": list(keys)},
+                }
+                dvs = list(m.get("dv_files") or [])
+                if has_dv:
+                    dvs.append(rel_dv)
+                if dvs:
+                    out_m["dv_files"] = dvs
+                return out_m
+
+            try:
+                return self._commit(build)
+            except ConcurrentWriteConflict:
+                continue  # recompute against the advanced snapshot
+        raise ConcurrentCommitError(
+            f"dv merge lost the read-merge-write race {self.max_retries} "
             f"times at {self.root}"
         )
 

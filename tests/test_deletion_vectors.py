@@ -204,3 +204,64 @@ def test_dv_update_nothing_matched_is_noop(spark, table):
     v = table.latest_version()
     assert table.update({"v": F.lit("zz")}, condition="k > 99", mode="dv") == v
     assert table.latest_version() == v
+
+
+def test_dv_merge_equals_rewrite_merge(spark, tmp_path):
+    """mode='dv' MERGE must produce the same end state as the rewrite
+    merge across all three clauses (update / delete / insert), while
+    keeping every pre-existing data entry untouched."""
+    data = [(i, f"v{i}", i * 10) for i in range(10)]
+    src = [(5, "v5new", 0), (8, "v8new", 0), (100, "v100", 1000)]
+    a = SnapshotTable(spark, str(tmp_path / "ma"))
+    b = SnapshotTable(spark, str(tmp_path / "mb"))
+    for t in (a, b):
+        t.overwrite(spark.createDataFrame(data, "k long, v string, x long"))
+    source = spark.createDataFrame(src, "k long, v string, x long")
+    for t, mode in ((a, "dv"), (b, "rewrite")):
+        t.merge(
+            source, keys=("k",),
+            when_matched_delete="t.k = 8",
+            when_matched_update="all",
+            when_not_matched_insert=True,
+            mode=mode,
+        )
+    ra = sorted((r["k"], r["v"], r["x"]) for r in a.read().collect())
+    rb = sorted((r["k"], r["v"], r["x"]) for r in b.read().collect())
+    assert ra == rb
+    assert (5, "v5new", 0) in ra and (100, "v100", 1000) in ra
+    assert not any(k == 8 for k, _, _ in ra)
+    m = a.manifest(a.latest_version())
+    assert len(m["entries"]) == 2 and len(m["dv_files"]) == 1
+
+
+def test_dv_merge_insert_only_and_noop(spark, table):
+    """A source with no matches inserts without writing a vector; a
+    fully-no-op merge (no matches, insert condition false) commits
+    nothing."""
+    v0 = table.latest_version()
+    src = spark_df = None
+    source = table.spark.createDataFrame(
+        [(50, "v50")], "k long, v string"
+    )
+    table.merge(source, keys=("k",), mode="dv")
+    m = table.manifest(table.latest_version())
+    assert not m.get("dv_files")
+    assert dict(_rows(table.read()))[50] == "v50"
+    v1 = table.latest_version()
+    assert table.merge(
+        source.where("k > 999"), keys=("k",), mode="dv"
+    ) == v1
+    assert table.latest_version() == v1
+
+
+def test_dv_merge_after_dv_delete_does_not_resurrect(spark, table):
+    """A key removed by a DV delete counts as absent: merging it again
+    INSERTS a fresh row (it does not un-mask the old one)."""
+    table.delete("k = 3", mode="dv")
+    table.merge(
+        table.spark.createDataFrame([(3, "v3new")], "k long, v string"),
+        keys=("k",),
+        mode="dv",
+    )
+    got = dict(_rows(table.read()))
+    assert got[3] == "v3new" and len(got) == 10
