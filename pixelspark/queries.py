@@ -974,6 +974,58 @@ def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().groupBy("status").agg(F.count(F.lit(1)).alias("n"))
 
 
+@query("q_snapshot_merge_dv")
+def q_snapshot_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage — the SAME three-clause merge as q_snapshot_merge, run
+    MERGE-ON-READ (table.py merge(mode='dv')): deleted+updated target
+    positions land in a deletion vector, post-images + inserts in one
+    appended dir, one atomic commit, zero pre-existing data rewritten
+    (asserted in-query).  End state must be identical — the oracle is
+    shared."""
+    import tempfile
+
+    from pixelspark.table import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="pixelspark_mergedv_") + "/usage_records"
+    t = SnapshotTable(spark, root)
+    bill = B.daily_billing(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "events"), TD)
+    base = (
+        bill.withColumn("shop", F.col("shop").cast("string"))
+        .withColumn("status", F.lit("pending"))
+    )
+    t.overwrite(base)
+    entries_before = t.manifest(t.latest_version())["entries"]
+    updates = base.where(F.col("page_views") > 0).withColumn("status", F.lit("success"))
+    inserts = (
+        _t(spark, sf_dir, "supplier")
+        .select(
+            F.concat(F.lit("sup-"), F.col("s_suppkey")).alias("shop"),
+            F.to_date(F.lit(TD)).alias("billing_date"),
+            F.lit(0).cast("long").alias("page_views"),
+            F.lit(0.0).alias("billing_amount"),
+            F.lit(0.0).alias("rate_per_million"),
+            F.lit("inserted").alias("status"),
+        )
+    )
+    t.merge(
+        updates.unionByName(inserts),
+        keys=("shop", "billing_date"),
+        when_matched_delete="s.page_views >= 2",
+        when_matched_update="all",
+        when_not_matched_insert=True,
+        mode="dv",
+    )
+    m = t.manifest(t.latest_version())
+    assert m["entries"][: len(entries_before)] == entries_before, (
+        "dv merge must not rewrite pre-existing data"
+    )
+    assert m.get("dv_files"), "dv merge must record a deletion vector"
+    return t.read().groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+ORACLES["q_snapshot_merge_dv"] = ORACLES["q_snapshot_merge"]
+
+
 @query(
     "q_table_changes",
     f"""
