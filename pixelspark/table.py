@@ -713,6 +713,29 @@ class SnapshotTable:
     def _entry_for(self, rel: str, parts: list[str], has_data: bool,
                    df_schema: StructType) -> dict:
         entry: dict = {"base": rel, "parts": parts or None}
+        if has_data:
+            # per-part (or whole-dir) row counts: COUNT(*) on parquet
+            # resolves from footer metadata alone (no column reads), so
+            # recording this is nearly free and makes row_count() a
+            # manifest read at any table size (the Delta fast-count
+            # path).  Keyed per `col=value` part so replace_partitions
+            # subsets keep exact counts.
+            scan = self.spark.read.parquet(f"{self.root}/{rel}")
+            if parts:
+                pcol = parts[0].split("=", 1)[0]
+                got = {
+                    f"{pcol}={r['__p']}": int(r["__n"])
+                    for r in scan.groupBy(
+                        F.col(pcol).cast("string").alias("__p")
+                    ).agg(F.count(F.lit(1)).alias("__n")).collect()
+                }
+                # record only when every directory name round-trips
+                # through the value's string form — an encoding
+                # mismatch must lose the optimization, never the count
+                if set(got) == set(parts):
+                    entry["rows"] = got
+            else:
+                entry["rows"] = {"": int(scan.count())}
         if has_data and self.stats_cols:
             st = self._file_stats(rel, df_schema)
             if st:
@@ -864,6 +887,7 @@ class SnapshotTable:
                 if last is not None and last >= txn[1]:
                     return None  # replay: skip before paying the write
         rel, parts, has_data = self._write_snap(df, partition_col)
+        entry = self._entry_for(rel, sorted(parts), has_data, df.schema)
         new_parts = set(parts)  # subdirs that actually exist in the new snap
         replaced = set(new_parts)  # values retired from previous entries
         if replace_values is not None:
@@ -896,9 +920,27 @@ class SnapshotTable:
             for e in (prev or {"entries": []})["entries"]:
                 kept = [p for p in (e["parts"] or []) if p not in replaced]
                 if kept:
-                    entries.append({"base": e["base"], "parts": kept})
+                    sub: dict = {"base": e["base"], "parts": kept}
+                    # kept parts' files are untouched, so their row
+                    # counts / file stats / bloom sidecar stay valid —
+                    # dropping them would silently degrade fast-count
+                    # and data skipping after every partition refresh
+                    if e.get("rows"):
+                        sub["rows"] = {
+                            p: e["rows"][p] for p in kept if p in e["rows"]
+                        }
+                    if e.get("stats"):
+                        st_sub = {
+                            f: s for f, s in e["stats"].items()
+                            if f.split("/", 1)[0] in kept
+                        }
+                        if st_sub:
+                            sub["stats"] = st_sub
+                    if e.get("bloom"):
+                        sub["bloom"] = True
+                    entries.append(sub)
             if has_data:
-                entries.append({"base": rel, "parts": sorted(new_parts)})
+                entries.append(entry)
             out = {"partition_col": partition_col, "entries": entries,
                    "schema": schema,
                    "op": op or {"name": "replace_partitions",
@@ -2056,6 +2098,29 @@ class SnapshotTable:
                 } or None
                 out.append(unit)
         return out
+
+    def row_count(self, version: int | None = None) -> int:
+        """COUNT(*) from the manifest alone when possible — every
+        write records per-part row counts (parquet footer metadata,
+        near-free), so counting a 100-TB table is a manifest read, no
+        scan, no job (the Delta fast-count path).  Falls back to a
+        real count when a deletion vector masks rows (stale manifest
+        arithmetic would overcount) or when an entry predates count
+        recording."""
+        v = version if version is not None else self.latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no snapshot at {self.root}")
+        m = self.manifest(v)
+        if m.get("dv_files"):
+            return self.read(version=v).count()
+        total = 0
+        for e in m["entries"]:
+            rows = e.get("rows")
+            units = e["parts"] or [""]
+            if rows is None or any(p not in rows for p in units):
+                return self.read(version=v).count()
+            total += sum(rows[p] for p in units)
+        return total
 
     def poll_changes(
         self,

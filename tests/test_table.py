@@ -1440,3 +1440,40 @@ def test_generated_columns_compute_audit_and_persist(spark, tmp_path):
         t2.replace_partitions(
             df.withColumn("day", F.lit("1999-01-01").cast("date")), "day"
         )
+
+
+def test_row_count_is_manifest_only_and_exact(spark, tmp_path):
+    """row_count() must equal a real count across append / partition
+    replace / compact / dv-delete, and must be answered from the
+    manifest (every entry carries per-part counts) except under
+    deletion vectors, where it falls back honestly."""
+    t = SnapshotTable(spark, str(tmp_path / "rc"))
+    t.overwrite(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, v string"
+    ))
+    assert t.row_count() == 10
+    t.append(spark.createDataFrame([(100, "x"), (101, "y")], "k long, v string"))
+    assert t.row_count() == 12
+    m = t.manifest(t.latest_version())
+    assert all(e.get("rows") for e in m["entries"])  # manifest-answerable
+
+    p = SnapshotTable(spark, str(tmp_path / "rcp"))
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}") for i in range(12)], "k long, day string"
+    )
+    p.replace_partitions(df, "day")
+    assert p.row_count() == 12
+    p.replace_partitions(
+        spark.createDataFrame([(50, "d1")], "k long, day string"), "day"
+    )
+    assert p.row_count() == 9  # d1's 4 rows -> 1; d0/d2 kept counts
+    mp = p.manifest(p.latest_version())
+    assert all(e.get("rows") for e in mp["entries"])
+    p.compact()
+    assert p.row_count() == 9
+
+    # dv masking: manifest arithmetic would overcount -> fallback
+    t.delete("k >= 100", mode="dv")
+    assert t.row_count() == 10
+    t.compact()
+    assert t.row_count() == 10
