@@ -4472,6 +4472,107 @@ def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "j", F.round("val", 6).alias("val"))
 
 
+@query(
+    "q_zipf_slope",
+    r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY tok
+    ), ranked AS (
+      SELECT tf, row_number() OVER (ORDER BY tf DESC, tok ASC) AS rank
+      FROM vocab
+    ), pts AS (
+      SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(tf AS DOUBLE)) AS y
+      FROM ranked
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           ROUND(covar_pop(x, y) / var_pop(x), 4) AS zipf_slope
+    FROM pts
+    """,
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — Zipf rank-frequency slope: least-squares slope of
+    ln(frequency) on ln(rank) over the whole vocabulary (natural text
+    sits near -1; a slope far off flags synthetic, boilerplate-heavy,
+    or truncated corpora — the standard corpus-health diagnostic).
+    Closed-form covar/var, so it is exactly SQL-expressible: one
+    vocabulary aggregate, one rank window, one moment aggregate."""
+    from pixelspark.ops.llm import tokens
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(tokens("text")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    w = Window.orderBy(F.col("tf").desc(), F.col("tok").asc())
+    pts = vocab.withColumn("rank", F.row_number().over(w)).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("tf").cast("double")).alias("y"),
+    )
+    return pts.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 4).alias("zipf_slope"),
+    )
+
+
+@query(
+    "q_vocab_coverage",
+    r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY tok
+    ), ranked AS (
+      SELECT tf, row_number() OVER (ORDER BY tf DESC, tok ASC) AS rank
+      FROM vocab
+    ), tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS n FROM ranked)
+    SELECT k,
+           ROUND(CAST((SELECT SUM(tf) FROM ranked WHERE rank <= k) AS DOUBLE)
+                 / (SELECT n FROM tot), 6) AS coverage
+    FROM (SELECT unnest([100, 500, 1000]) AS k)
+    ORDER BY k
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — top-k vocabulary coverage: the fraction of all token
+    OCCURRENCES covered by the k most frequent types, at k = 100 /
+    500 / 1000 — the curve that sizes a tokenizer's vocabulary (stop
+    growing k where coverage flattens).  One vocabulary aggregate,
+    one rank window, one conditional-sum aggregate — the coverage for
+    every k rides a single pass over the ranked vocabulary."""
+    from pixelspark.ops.llm import tokens
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(tokens("text")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    w = Window.orderBy(F.col("tf").desc(), F.col("tok").asc())
+    ranked = vocab.withColumn("rank", F.row_number().over(w))
+    ks = [100, 500, 1000]
+    agg = ranked.agg(
+        F.sum("tf").cast("double").alias("__n"),
+        *[
+            F.sum(F.when(F.col("rank") <= k, F.col("tf"))).cast("double")
+            .alias(f"__c{k}")
+            for k in ks
+        ],
+    )
+    stacked = agg.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("k"),
+                    F.round(F.col(f"__c{k}") / F.col("__n"), 6).alias("coverage"),
+                )
+                for k in ks
+            ])
+        ).alias("r")
+    )
+    return stacked.select("r.k", "r.coverage").orderBy("k")
+
+
 @query("q_vector_index")  # trained quantizer is approximate -> rows-only
 def q_vector_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM — persistent IVF-PQ vector index lifecycle (ops/pq.py
