@@ -1536,6 +1536,41 @@ def pca_project(
     return emb.select(F.col(id_col), project(vec_col).alias("pc"))
 
 
+def compression_ratio(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compressibility — compressed_bytes /
+    raw_bytes.  The classic cheap redundancy signal (low ratio =
+    repetitive boilerplate/spam, near-1 = high-entropy text or noise;
+    both tails are filter candidates in CCNet/Gopher-style pipelines).
+    zlib has no JVM column function, so this is an Arrow-batched
+    scalar pandas_udf (the sanctioned Python path — one C call per
+    value, no row-Python plan nodes); DEFLATE is deterministic for a
+    fixed level, so results are retry- and rerun-stable."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def ratio(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            yield s.map(
+                lambda t: (
+                    len(zlib.compress(t.encode("utf-8"), level))
+                    / max(len(t.encode("utf-8")), 1)
+                )
+                if t is not None
+                else None
+            )
+
+    return docs.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.round(ratio(text_col), 6).alias("zlib_ratio"),
+    )
+
+
 def jl_sign(i: int, j: int, seed: int) -> int:
     """Portable ±1 sign for projection cell (i, j): parity of the
     first 32 bits of md5('<i>_<j>_<seed>') — identical in Python

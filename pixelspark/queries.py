@@ -4472,6 +4472,19 @@ def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "j", F.round("val", 6).alias("val"))
 
 
+@query("q_compress_ratio")  # zlib has no DuckDB equivalent -> rows-only
+def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — zlib compressibility per document (the classic cheap
+    redundancy filter signal: low ratio = boilerplate/repetition,
+    near-1 = high-entropy noise).  Arrow-batched pandas_udf (no JVM
+    zlib column function exists); deterministic for a fixed DEFLATE
+    level, so rerun-stable.  Value behavior (repetitive < natural <
+    random ordering, exact hand-computed ratios) is pytest-pinned."""
+    from pixelspark.ops.llm import compression_ratio
+
+    return compression_ratio(_t(spark, sf_dir, "documents"))
+
+
 @query(
     "q_zipf_slope",
     r"""

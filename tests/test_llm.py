@@ -970,3 +970,25 @@ def test_jl_projection_preserves_distance_structure(spark, sf_dir):
     r = np.array(ratios)
     assert 0.6 < float(np.median(r)) < 1.4, np.median(r)
     assert float(np.mean((r > 0.3) & (r < 2.2))) >= 0.95
+
+
+def test_compression_ratio_orders_text_kinds(spark):
+    """zlib ratio must order repetitive < natural < random, match a
+    hand computation exactly, and null-propagate."""
+    import zlib
+
+    from pixelspark.ops.llm import compression_ratio
+
+    rep = "spam " * 200
+    nat = "the quick brown fox jumps over the lazy dog and then naps " * 10
+    import random as _r
+    rng = _r.Random(7)
+    rnd = "".join(chr(rng.randint(33, 126)) for _ in range(1000))
+    df = spark.createDataFrame(
+        [(1, rep), (2, nat), (3, rnd), (4, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert got[1]["zlib_ratio"] < got[2]["zlib_ratio"] < got[3]["zlib_ratio"]
+    want = round(len(zlib.compress(rep.encode(), 6)) / len(rep.encode()), 6)
+    assert got[1]["zlib_ratio"] == want
+    assert got[4]["zlib_ratio"] is None
