@@ -2023,20 +2023,57 @@ def sequence_pack(
     offset, and the first/last sequence ids it lands in (a doc spans
     multiple sequences when it crosses a cut).
 
-    Scale note: the global running offset is a window cumsum over
-    id order WITHOUT partitions — Spark executes it as one
-    range-partitioned sort (the same shape as a global orderBy, no
-    single-reducer stage), which is the honest cost of any
-    order-dependent packing.  At 100 TB, pack per shard instead:
-    add a shard column to the partitionBy and the cumsum runs
-    per-shard in parallel (sequences then never cross shards, which
-    is what large training pipelines do anyway)."""
+    Scale note: a window cumsum WITHOUT a partitionBy plans
+    `Exchange SinglePartition` under WindowExec — the whole corpus
+    funnels through one task, a 100-TB killer.  The global running
+    offset is therefore computed the distributed way (the same
+    frozen-boundary trick as relational.assign_row_ids):
+
+      1. range-shard docs on frozen approxQuantile boundaries of
+         `id_col` — the shard id is monotone in doc id, so
+         per-shard order concatenates to the global order;
+      2. one tiny per-shard token-sum aggregate -> driver-side
+         exclusive prefix sums = shard BASE offsets (a handful of
+         longs, broadcast back as a literal CASE chain);
+      3. the cumsum window runs partitionBy(__shard) — every shard
+         in parallel — and adds its base.
+
+    Output is bit-identical to the naive global window (offsets are
+    exact longs; boundary freezing makes both passes agree), but
+    nothing ever concentrates on one node."""
     n_tok = F.size(tokens(text_col))
-    w = Window.orderBy(F.col(id_col)).rowsBetween(Window.unboundedPreceding, -1)
-    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    t = docs.select(F.col(id_col), n_tok.alias("n_tokens"))
+    n_shards = docs.sparkSession.sparkContext.defaultParallelism
+    bounds: list = []
+    if n_shards > 1:
+        probs = [i / n_shards for i in range(1, n_shards)]
+        bounds = sorted(set(t.stat.approxQuantile(id_col, probs, 0.001)))
+    shard = F.lit(0)
+    for b in bounds:
+        shard = shard + F.when(F.col(id_col) > F.lit(b), 1).otherwise(0)
+    t = t.withColumn("__shard", shard.cast("int"))
+    per_shard = {
+        r["__shard"]: r["s"]
+        for r in t.groupBy("__shard")
+        .agg(F.sum("n_tokens").cast("long").alias("s"))
+        .collect()
+    }
+    base_of: dict[int, int] = {}
+    acc = 0
+    for p in sorted(per_shard):
+        base_of[p] = acc
+        acc += per_shard[p]
+    base = F.lit(0).cast("long")
+    for p, off in base_of.items():
+        base = F.when(F.col("__shard") == p, F.lit(off).cast("long")).otherwise(base)
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = (base + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))).cast("long")
     return (
-        docs.select(F.col(id_col), n_tok.alias("n_tokens"))
-        .withColumn("start_offset", start)
+        t.withColumn("start_offset", start)
         .select(
             id_col,
             "n_tokens",

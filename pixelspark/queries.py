@@ -2603,7 +2603,10 @@ def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dense_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W-ext — dense_rank + ntile quartiles."""
+    """W-ext — dense_rank + ntile quartiles.  The unpartitioned rank
+    window is inherent to the operator's semantics (a total order) and
+    scoped to the SUPPLIER DIMENSION — dim-sized input, allowlisted in
+    test_plan_lint; never point this at a fact table."""
     s = _t(spark, sf_dir, "supplier")
     w = Window.orderBy(F.col("s_acctbal").desc())
     return s.select(
@@ -4511,16 +4514,29 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     sits near -1; a slope far off flags synthetic, boilerplate-heavy,
     or truncated corpora — the standard corpus-health diagnostic).
     Closed-form covar/var, so it is exactly SQL-expressible: one
-    vocabulary aggregate, one rank window, one moment aggregate."""
+    vocabulary aggregate, one distributed rank, one moment aggregate.
+
+    The rank is assign_row_ids (frozen-quantile range buckets +
+    per-bucket offsets, oracle-checked as q_row_ids), NOT
+    row_number() over an unpartitioned window: on a real web corpus
+    the vocabulary is 1e8-1e9 types and a global window would plan
+    Exchange SinglePartition — every type through one task.  Ids are
+    exact (counts, not samples), so the oracle is unchanged."""
     from pixelspark.ops.llm import tokens
+    from pixelspark.ops.relational import assign_row_ids
 
     toks = _t(spark, sf_dir, "documents").select(
         F.explode(tokens("text")).alias("tok")
     )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    w = Window.orderBy(F.col("tf").desc(), F.col("tok").asc())
-    pts = vocab.withColumn("rank", F.row_number().over(w)).select(
-        F.log(F.col("rank").cast("double")).alias("x"),
+    # rank 1..V by (tf DESC, tok ASC) == rid 0..V-1 by (-tf ASC, tok ASC)
+    ranked = assign_row_ids(
+        vocab.withColumn("neg_tf", (-F.col("tf")).cast("long")),
+        ["neg_tf", "tok"],
+        id_col="rid",
+    )
+    pts = ranked.select(
+        F.log((F.col("rid") + 1).cast("double")).alias("x"),
         F.log(F.col("tf").cast("double")).alias("y"),
     )
     return pts.agg(
@@ -4552,26 +4568,33 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM — top-k vocabulary coverage: the fraction of all token
     OCCURRENCES covered by the k most frequent types, at k = 100 /
     500 / 1000 — the curve that sizes a tokenizer's vocabulary (stop
-    growing k where coverage flattens).  One vocabulary aggregate,
-    one rank window, one conditional-sum aggregate — the coverage for
-    every k rides a single pass over the ranked vocabulary."""
+    growing k where coverage flattens).
+
+    Only the TOP max(k) vocabulary rows ever need a rank, so the
+    query never global-sorts the vocabulary: `orderBy(...).limit(
+    1000)` plans TakeOrderedAndProject (per-partition top-k, merge of
+    1000-row heads — no Exchange SinglePartition over the 1e8-type
+    vocab), and the rank window then runs over a 1000-row bounded
+    input (allowlisted post-limit window in test_plan_lint).  The
+    denominator is a separate plain aggregate over all types."""
     from pixelspark.ops.llm import tokens
 
     toks = _t(spark, sf_dir, "documents").select(
         F.explode(tokens("text")).alias("tok")
     )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    w = Window.orderBy(F.col("tf").desc(), F.col("tok").asc())
-    ranked = vocab.withColumn("rank", F.row_number().over(w))
     ks = [100, 500, 1000]
+    total = vocab.agg(F.sum("tf").cast("double").alias("__n"))
+    top = vocab.orderBy(F.col("tf").desc(), F.col("tok").asc()).limit(max(ks))
+    w = Window.orderBy(F.col("tf").desc(), F.col("tok").asc())  # bounded: post-limit
+    ranked = top.withColumn("rank", F.row_number().over(w))
     agg = ranked.agg(
-        F.sum("tf").cast("double").alias("__n"),
         *[
             F.sum(F.when(F.col("rank") <= k, F.col("tf"))).cast("double")
             .alias(f"__c{k}")
             for k in ks
         ],
-    )
+    ).crossJoin(F.broadcast(total))
     stacked = agg.select(
         F.explode(
             F.array(*[
@@ -6988,12 +7011,21 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     gets the expensive model-based second look.  Buckets come from
     NTILE over the (rounded score, doc_id) total order, so membership
     is EXACTLY reproducible cross-engine — no float threshold
-    comparisons at interpolation ULPs.  The global NTILE sort is the
-    one non-scalable op here and it is deliberate (exact oracle);
-    the 100-TB path replaces it with approx_percentile thresholds
-    (two numbers broadcast, no global sort) at the cost of boundary
-    fuzz, exactly the trade CCNet itself makes."""
+    comparisons at interpolation ULPs.
+
+    The registered plan does NOT use NTILE's unpartitioned window
+    (Exchange SinglePartition — every document's score through one
+    task): it ranks documents with assign_row_ids (frozen-quantile
+    range buckets, fully parallel, exact ids — the q_row_ids
+    primitive) and reproduces NTILE's bucket arithmetic closed-form:
+    n rows into 3 tiles means the first n%3 tiles carry
+    floor(n/3)+1 rows, the rest floor(n/3).  The result is
+    bit-identical to the SQL oracle's NTILE while nothing ever
+    concentrates on one node.  (A production CCNet pipeline would
+    loosen further to approx_percentile thresholds; exact membership
+    costs nothing extra here.)"""
     from pixelspark.ops.llm import tokens
+    from pixelspark.ops.relational import assign_row_ids
 
     toks = (
         _t(spark, sf_dir, "documents")
@@ -7011,8 +7043,19 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score")
         )
     )
-    w = Window.orderBy(F.col("score").asc(), F.col("doc_id").asc())
-    tiled = scored.withColumn("tile", F.ntile(3).over(w))
+    ranked = assign_row_ids(scored, ["score", "doc_id"], id_col="rid")
+    n_df = F.broadcast(ranked.agg(F.count(F.lit(1)).cast("long").alias("__nn")))
+    base = F.floor(F.col("__nn") / 3).cast("long")  # rows per small tile
+    rem = (F.col("__nn") % 3).cast("long")  # first `rem` tiles get +1
+    big = rem * (base + 1)  # rows covered by the big tiles
+    tile = (
+        F.when(F.col("rid") < big, F.floor(F.col("rid") / (base + 1)) + 1)
+        .otherwise(
+            rem + F.floor((F.col("rid") - big) / F.greatest(base, F.lit(1))) + 1
+        )
+        .cast("int")
+    )
+    tiled = ranked.crossJoin(n_df).withColumn("tile", tile)
     return (
         tiled.groupBy("tile")
         .agg(

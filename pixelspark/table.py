@@ -427,6 +427,36 @@ class SnapshotTable:
                 df = df.withColumn(n, F.expr(e))
         return df
 
+    def _recompute_generated(
+        self, df: DataFrame, assigned=(), keep=()
+    ) -> DataFrame:
+        """Delta DML semantics for generated columns: rewrite paths
+        (UPDATE / MERGE post-images) RECOMPUTE generated columns the
+        statement did not explicitly assign instead of carrying the
+        pre-image values — a carried value goes stale the moment the
+        DML touches one of the expression's inputs, and the write
+        audit (_apply_generated) would then refuse the whole
+        statement, making generation-input columns un-updatable.
+        Dropping the column here lets _apply_generated regenerate it
+        from the post-image.
+
+        `assigned`: columns the caller explicitly SET — their values
+        are kept and still audited (providing a divergent value is
+        refused, as for any externally provided batch).
+        `keep`: carried untouched regardless — used for the partition
+        column in partition-SCOPED rewrites, where silently
+        recomputing it could migrate a row OUT of the partition set
+        being replaced (rewriting partition A must not emit rows for
+        partition B, which would clobber B's other rows).  Those
+        writes stay fail-closed under the audit instead."""
+        exprs = self._generation_exprs()
+        drop = [
+            c
+            for c in exprs
+            if c in df.columns and c not in assigned and c not in keep
+        ]
+        return df.drop(*drop) if drop else df
+
     def _apply_expectations(self, df: DataFrame) -> tuple[DataFrame, dict]:
         """One aggregate pass tallies per-rule violations (NULL
         predicate = violation, CHECK semantics); fail-mode rules with
@@ -1170,7 +1200,11 @@ class SnapshotTable:
                     .where(F.coalesce(ins_cond, F.lit(False)))
                     .select(*[ins(c) for c in out_cols])
                 )
-                merged = survivors.unionByName(inserts)
+                merged = self._recompute_generated(
+                    survivors.unionByName(inserts),
+                    assigned=upd_map,
+                    keep=(pcol,) if partition_scoped else (),
+                )
                 merge_op = {"name": "merge", "keys": list(keys)}
                 if read_v is None:
                     return self.overwrite(merged, expected_version=None,
@@ -1290,8 +1324,12 @@ class SnapshotTable:
                 .where(F.coalesce(ins_cond, F.lit(False)))
                 .select(*[ins(c) for c in out_cols])
             )
-            new_data = hits.where(~F.col("__del")).select(*out_cols).unionByName(
-                inserts
+            new_data = self._recompute_generated(
+                hits.where(~F.col("__del")).select(*out_cols).unionByName(
+                    inserts
+                ),
+                assigned=upd_map,  # DV merge appends ordinary new rows;
+                # nothing is partition-scoped, so everything may regen
             )
             rel_new, parts, has_data = self._write_snap(new_data, pcol)
             # an empty unpartitioned write can still leave a zero-row
@@ -1506,7 +1544,9 @@ class SnapshotTable:
             try:
                 if pcol is None:
                     return self.overwrite(
-                        apply(self.read(version=read_v)),
+                        self._recompute_generated(
+                            apply(self.read(version=read_v)), assigned=assigns
+                        ),
                         expected_version=read_v, op=op,
                     )
                 touched = [
@@ -1521,9 +1561,14 @@ class SnapshotTable:
                         "update matching rows in the NULL partition is "
                         "not partition-addressable; compact first"
                     )
-                subset = apply(
-                    self.read(version=read_v, partition_values=touched)
-                    .where(F.col(pcol).isin(touched))
+                subset = self._recompute_generated(
+                    apply(
+                        self.read(version=read_v, partition_values=touched)
+                        .where(F.col(pcol).isin(touched))
+                    ),
+                    assigned=assigns,
+                    keep=(pcol,),  # partition-scoped: a recomputed pcol
+                    # could migrate rows out of `touched`; fail-closed
                 )
                 v = self.replace_partitions(
                     subset, pcol, expected_version=read_v, op=op,
@@ -1563,10 +1608,14 @@ class SnapshotTable:
             data_cols = [
                 c for c in df.columns if c not in ("__dv_file", "__dv_row")
             ]
-            updated = matched.select(*[
-                (assigns[c] if c in assigns else F.col(c)).alias(c)
-                for c in data_cols
-            ])
+            updated = self._recompute_generated(
+                matched.select(*[
+                    (assigns[c] if c in assigns else F.col(c)).alias(c)
+                    for c in data_cols
+                ]),
+                assigned=assigns,  # DV update appends ordinary new rows:
+                # even a generated partition column may legally move
+            )
             rel_dv = f"{DATA_DIR}/__dv={uuid.uuid4().hex[:16]}"
             full_dv = f"{self.root}/{rel_dv}"
             matched.select("__dv_file", "__dv_row").write.mode(

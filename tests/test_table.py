@@ -1442,6 +1442,63 @@ def test_generated_columns_compute_audit_and_persist(spark, tmp_path):
         )
 
 
+def test_generated_columns_recomputed_on_dml(spark, tmp_path):
+    """Delta DML semantics: UPDATE/MERGE that change a generation
+    INPUT column recompute generated columns not explicitly assigned
+    (the pre-image value is stale, not a constraint violation).  The
+    partition-scoped rewrite keeps its fail-closed guard when the
+    recomputed value would migrate rows across partitions."""
+    import pyspark.sql.functions as F
+
+    from pixelspark.table import ConstraintViolation
+
+    root = str(tmp_path / "gendml")
+    t = SnapshotTable(spark, root, generated_cols={"day": "CAST(ts AS DATE)"})
+    df = spark.createDataFrame(
+        [(1, "2024-01-02 03:04:05"), (2, "2024-01-03 00:00:00")],
+        "k long, ts_s string",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+    t.overwrite(df)  # unpartitioned: 'day' generated on write
+
+    # update a generation input -> 'day' silently recomputed (this
+    # exact shape was refused with ConstraintViolation before)
+    t.update({"ts": "ts + INTERVAL 2 DAYS"}, condition="k = 1")
+    got = {r["k"]: str(r["day"]) for r in t.read().collect()}
+    assert got == {1: "2024-01-04", 2: "2024-01-03"}
+
+    # same via dv-mode UPDATE (appended post-image, O(matched))
+    t.update({"ts": "ts + INTERVAL 1 DAY"}, condition="k = 2", mode="dv")
+    got = {r["k"]: str(r["day"]) for r in t.read().collect()}
+    assert got == {1: "2024-01-04", 2: "2024-01-04"}
+
+    # MERGE post-images recompute too (rewrite + dv modes)
+    src = spark.createDataFrame(
+        [(1, "2024-02-10 00:00:00")], "k long, ts_s string"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+    t.merge(src, keys=("k",))
+    assert str({r["k"]: r["day"] for r in t.read().collect()}[1]) == "2024-02-10"
+    src2 = src.withColumn("ts", F.col("ts") + F.expr("INTERVAL 5 DAYS"))
+    t.merge(src2, keys=("k",), mode="dv")
+    assert str({r["k"]: r["day"] for r in t.read().collect()}[1]) == "2024-02-15"
+
+    # explicitly ASSIGNING a divergent generated value is still refused
+    with pytest.raises(ConstraintViolation, match="generated"):
+        t.update({"day": "CAST('1999-01-01' AS DATE)"}, condition="k = 1")
+
+    # partition-scoped rewrite on a GENERATED partition column: an
+    # input change that would migrate the row stays fail-closed
+    root2 = str(tmp_path / "gendml_part")
+    tp = SnapshotTable(
+        spark, root2, generated_cols={"day": "CAST(ts AS DATE)"}
+    )
+    tp.replace_partitions(df, "day")
+    with pytest.raises(ConstraintViolation, match="generated"):
+        tp.update({"ts": "ts + INTERVAL 30 DAYS"}, condition="k = 1")
+    # ...but the dv path legally moves the row (append + delete)
+    tp.update({"ts": "ts + INTERVAL 30 DAYS"}, condition="k = 1", mode="dv")
+    assert str({r["k"]: r["day"] for r in tp.read().collect()}[1]) == "2024-02-01"
+
+
 def test_row_count_is_manifest_only_and_exact(spark, tmp_path):
     """row_count() must equal a real count across append / partition
     replace / compact / dv-delete, and must be answered from the
