@@ -575,6 +575,14 @@ class VectorIndex:
             emb, n_clusters=n_clusters, m=m, ksub=ksub, n_iter=n_iter,
             id_col=self.id_col, vec_col=self.vec_col, dim=dim,
         )
+        # codes FIRST, sidecar LAST: the atomic _index.json write is
+        # the commit point (manifest discipline).  The reverse order
+        # left a crash window where the sidecar existed with no codes
+        # table — query() failed and build() permanently refused with
+        # FileExistsError until manual deletion.  A crash here instead
+        # leaves only an uncommitted codes table; the next build()
+        # passes the meta guard and overwrites it.
+        self.codes.overwrite(codes)
         if not self.st.write_text_atomic(
             self.meta_path,
             json.dumps({
@@ -585,7 +593,6 @@ class VectorIndex:
             raise FileExistsError(
                 f"lost the build race for {self.meta_path}"
             )
-        self.codes.overwrite(codes)
 
     def _meta(self) -> dict:
         import json

@@ -1340,9 +1340,13 @@ class SnapshotTable:
             ).limit(1).isEmpty():
                 has_data = False
             entry = self._entry_for(rel_new, parts, has_data, new_data.schema)
-            if not has_dv and not has_data:
+            if not has_data:
+                # the data dir is empty either way — drop it now rather
+                # than leaving unreferenced garbage for vacuum (a
+                # DV-only merge still commits the vector below)
                 self.st.delete(f"{self.root}/{rel_new}")
-                return read_v  # nothing matched, nothing inserted
+                if not has_dv:
+                    return read_v  # nothing matched, nothing inserted
 
             def build(prev: dict | None) -> dict:
                 self._check_expected(prev, read_v)
@@ -1363,6 +1367,12 @@ class SnapshotTable:
             try:
                 return self._commit(build)
             except ConcurrentWriteConflict:
+                # the retry rewrites both sidecars from the advanced
+                # snapshot — reclaim this attempt's now-orphaned dirs
+                if has_dv:
+                    self.st.delete(full_dv)
+                if has_data:
+                    self.st.delete(f"{self.root}/{rel_new}")
                 continue  # recompute against the advanced snapshot
         raise ConcurrentCommitError(
             f"dv merge lost the read-merge-write race {self.max_retries} "
@@ -1641,8 +1651,12 @@ class SnapshotTable:
             try:
                 return self._commit(build)
             except ConcurrentWriteConflict:
-                continue  # recompute against the advanced snapshot;
-                # the orphaned dv/data dirs are vacuum-able garbage
+                # the retry rewrites both sidecars from the advanced
+                # snapshot — reclaim this attempt's now-orphaned dirs
+                self.st.delete(full_dv)
+                if has_data:
+                    self.st.delete(f"{self.root}/{rel_new}")
+                continue  # recompute against the advanced snapshot
         raise ConcurrentCommitError(
             f"dv update lost the read-merge-write race {self.max_retries} "
             f"times at {self.root}"
@@ -2042,17 +2056,17 @@ class SnapshotTable:
         ct = F.col("change_type")
         dv0 = list(m0.get("dv_files") or [])
         dv1 = list(m1.get("dv_files") or [])
-        if dv0 or dv1:
+        if (dv0 or dv1) and (dv0 != dv1 or removed):
             # Deletion vectors change ROWS without changing entries, so
             # the manifest-granularity diff below cannot see them; fall
             # back to a full DV-applied read of each side (correctness
             # first — DV tables are the targeted-delete shape, and a
             # CDF consumer over one pays a keyed diff).  The entry-diff
-            # fast paths remain for DV-free histories.
-            if r0 == r1 and dv0 == dv1:
-                return self.spark.createDataFrame([], schema).withColumn(
-                    "change_type", F.lit("")
-                )
+            # fast paths remain for DV-free histories — AND for pure
+            # appends on a DV-bearing table (dv0 == dv1, nothing
+            # removed): vectors address only pre-existing files, so
+            # appended dirs cannot be masked and stay keyless
+            # 'inserted' reads of just the new dirs.
             new_full = self.read(version=to_v).select(*table_cols)
             if not from_version:
                 return new_full.withColumn("change_type", F.lit("inserted"))

@@ -130,6 +130,38 @@ def test_read_changes_sees_dv_deletes(spark, table):
     assert table.read_changes(v1, v1, keys=("k",)).count() == 0
 
 
+def test_read_changes_pure_append_on_dv_table_stays_keyless(spark, table):
+    """A pure append on a DV-bearing table (dv sets identical, no
+    entry removed) keeps the insert-only fast path: no `keys`
+    required, and only the appended dirs are read — vectors address
+    pre-existing files only, so new dirs can never be masked."""
+    table.delete("k = 3", mode="dv")
+    v1 = table.latest_version()
+    table.append(spark.createDataFrame([(100, "x")], "k long, v string"))
+    ch = table.read_changes(v1).collect()  # keyless — was ValueError
+    assert {(r["k"], r["change_type"]) for r in ch} == {(100, "inserted")}
+    # a window where the DV set changed still demands keys
+    with pytest.raises(ValueError, match="deletion"):
+        table.read_changes(v1 - 1)
+
+
+def test_dv_only_merge_leaves_no_empty_data_dir(spark, table):
+    """A MERGE whose only effect is deletion (DV written, zero
+    post-images/inserts) must not leave an empty __snap= dir behind."""
+    snaps_before = {p for p in table.st.list(f"{table.root}/data")
+                    if p.startswith("__snap=")}
+    src = spark.createDataFrame([(2, "dead")], "k long, v string")
+    table.merge(src, keys=("k",), when_matched_update=None,
+                when_matched_delete="true", when_not_matched_insert=False,
+                mode="dv")
+    assert sorted(k for k, _ in _rows(table.read())) == [
+        i for i in range(10) if i != 2
+    ]
+    snaps_after = {p for p in table.st.list(f"{table.root}/data")
+                   if p.startswith("__snap=")}
+    assert snaps_after == snaps_before  # vector committed, no data dir
+
+
 def test_restore_returns_dv_state(spark, table):
     table.delete("k = 0", mode="dv")
     v_dv = table.latest_version()
@@ -239,7 +271,6 @@ def test_dv_merge_insert_only_and_noop(spark, table):
     fully-no-op merge (no matches, insert condition false) commits
     nothing."""
     v0 = table.latest_version()
-    src = spark_df = None
     source = table.spark.createDataFrame(
         [(50, "v50")], "k long, v string"
     )

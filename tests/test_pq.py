@@ -189,6 +189,40 @@ def test_vector_index_build_ingest_query_reopen(spark, sf_dir, tmp_path):
     assert any(e.get("stats") for e in m0["entries"])
 
 
+def test_vector_index_build_crash_window_recoverable(spark, sf_dir, tmp_path):
+    """The sidecar _index.json is the COMMIT POINT (written last): a
+    crash mid-build leaves codes without meta, and a retried build()
+    must succeed — never the wedged sidecar-without-codes state that
+    the old meta-first order produced."""
+    from pixelspark.ops.pq import VectorIndex
+    from pixelspark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").where("vec_id < 200")
+    root = str(tmp_path / "vidx_crash")
+    idx = VectorIndex(spark, root)
+
+    # simulate the crash between codes.overwrite and the sidecar write
+    orig = idx.st.write_text_atomic
+
+    def boom(path, text):
+        if path.endswith("_index.json"):
+            raise RuntimeError("simulated crash before sidecar publish")
+        return orig(path, text)
+
+    idx.st.write_text_atomic = boom
+    with pytest.raises(RuntimeError, match="simulated"):
+        idx.build(emb, n_clusters=4, m=8, ksub=16, n_iter=1)
+    idx.st.write_text_atomic = orig
+    assert not idx.st.exists(idx.meta_path)  # no torn commit visible
+
+    # retry on a fresh handle: passes the guard, overwrites the
+    # uncommitted codes, and the index is fully usable
+    idx2 = VectorIndex(spark, root)
+    idx2.build(emb, n_clusters=4, m=8, ksub=16, n_iter=1)
+    got = idx2.query(emb, [0, 1], k=3, n_probe=2, shortlist=50).collect()
+    assert {r["query_id"] for r in got} == {0, 1}
+
+
 def test_streaming_ingest_into_vector_index(spark, sf_dir, tmp_path):
     """foreachBatch ingest into the persistent index is exactly-once:
     a checkpoint-loss replay of the same stream (fresh checkpoint,
