@@ -13,7 +13,11 @@ filesystem semantics, and those differ by substrate:
   immutable, a commit is the atomic publication of one small manifest
   (`write_text_atomic` below), and `replace_partitions`/`upsert`/
   `overwrite` are transactional on every substrate with no rename of
-  live data at all.  The idempotency ledger still refuses
+  live data at all.  For MULTI-committer exactly-once on object
+  stores, wrap the substrate in `ConditionalPutStorage` bound to the
+  store's conditional-put API (S3 `If-None-Match: *`, GCS
+  generation-match) — the server then arbitrates the commit race
+  atomically.  The idempotency ledger still refuses
   object-store schemes (see `ledger_precondition`) because its
   O_EXCL claim files are a POSIX-only contract.
 
@@ -37,6 +41,13 @@ from pyspark.sql import SparkSession
 
 class Storage:
     """Minimal directory-level filesystem contract the write paths need."""
+
+    # True when write_text_atomic's no-overwrite decision is made
+    # ATOMICALLY by the substrate itself (POSIX link(2), HDFS rename,
+    # or a server-side conditional put).  SnapshotTable consults this
+    # to decide whether multi-committer optimistic concurrency is
+    # supported on the path's scheme.
+    conditional_put: bool = False
 
     def exists(self, path: str) -> bool:
         raise NotImplementedError
@@ -124,6 +135,8 @@ def _strip_file_scheme(path: str) -> str:
 class LocalStorage(Storage):
     """POSIX-local backend (tests, single-node runs).  Accepts both
     scheme-less and file:// paths — Spark writers emit/consume either."""
+
+    conditional_put = True  # link(2) decides exclusivity atomically
 
     def exists(self, path: str) -> bool:
         return os.path.exists(_strip_file_scheme(path))
@@ -264,6 +277,62 @@ class HadoopStorage(Storage):
             return True
         fs.delete(tmp, False)
         return False
+
+
+class ConditionalPutStorage(Storage):
+    """Object-store backend with SERVER-SIDE conditional put — the
+    mode that makes multi-committer optimistic concurrency sound on
+    object stores, where a client-side exists-then-copy check leaves
+    a lost-commit window.
+
+    Every modern store exposes the primitive: S3 `PutObject` with
+    `If-None-Match: *` (412 on conflict, GA since 2024-08), GCS
+    `x-goog-if-generation-match: 0`, Azure Blob `If-None-Match: *`.
+    The store serializes the existence check and the write in ONE
+    request, so two racing committers writing the same manifest key
+    get exactly one winner — the same guarantee link(2) gives
+    LocalStorage — and SnapshotTable's commit-race rebase plus the
+    (app_id, batch_id) exactly-once guard hold with ANY number of
+    committers (the role Delta fills with S3 conditional writes /
+    DynamoDB LogStore).
+
+    Construction takes the substrate Storage for everything else
+    (data dirs are immutable and their ops — list/exists/recursive
+    delete/parquet probe — are reads or idempotent deletes, safe on
+    any substrate) plus `put_if_absent(path, content) -> bool`
+    binding whichever SDK surface the deployment has.  The callable
+    MUST return False on a conflict (key already present) and never
+    overwrite; tests/test_storage.py pins the two-committer race."""
+
+    conditional_put = True
+
+    def __init__(self, inner: Storage, put_if_absent) -> None:
+        self.inner = inner
+        self._put_if_absent = put_if_absent
+
+    def exists(self, path: str) -> bool:
+        return self.inner.exists(path)
+
+    def list(self, path: str) -> list[str]:
+        return self.inner.list(path)
+
+    def delete(self, path: str) -> None:
+        self.inner.delete(path)
+
+    def rename(self, src: str, dst: str) -> None:
+        self.inner.rename(src, dst)
+
+    def mkdirs(self, path: str) -> None:
+        self.inner.mkdirs(path)
+
+    def has_parquet(self, path: str) -> bool:
+        return self.inner.has_parquet(path)
+
+    def read_text(self, path: str) -> str:
+        return self.inner.read_text(path)
+
+    def write_text_atomic(self, path: str, content: str) -> bool:
+        return bool(self._put_if_absent(path, content))
 
 
 def storage_for(path: str, spark: SparkSession | None = None) -> Storage:

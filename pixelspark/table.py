@@ -258,18 +258,26 @@ class SnapshotTable:
                     f"got {mode!r}"
                 )
         scheme = root.split("://", 1)[0] if "://" in root else ""
-        if scheme in NON_ATOMIC_CREATE_SCHEMES:
+        if scheme in NON_ATOMIC_CREATE_SCHEMES and not getattr(
+            self.st, "conditional_put", False
+        ):
             # write_text_atomic's no-overwrite check is check-then-copy
             # on object stores, so everything built on its exclusivity
             # (commit-race rebase, append_once/txn exactly-once)
             # silently degrades under >1 committer.  Say so loudly
-            # instead of only in docstrings.
+            # instead of only in docstrings.  The SUPPORTED mode is
+            # storage=ConditionalPutStorage(...) — server-side
+            # If-None-Match puts make multi-committer commits sound
+            # (tests/test_storage.py pins the race).
             warnings.warn(
                 f"SnapshotTable at {root}: scheme '{scheme}' has no atomic "
                 "create-if-absent, so optimistic concurrency and the "
                 "(app_id, batch_id) exactly-once guard assume a SINGLE "
                 "committer per table (delta-on-S3-without-a-lock stance); "
-                "with multiple committers, commits can be lost",
+                "with multiple committers, commits can be lost — pass "
+                "storage=ConditionalPutStorage(...) bound to the store's "
+                "conditional-put API (S3 If-None-Match / GCS "
+                "generation-match) for supported multi-committer mode",
                 RuntimeWarning,
                 stacklevel=2,
             )
