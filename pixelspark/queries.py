@@ -8050,19 +8050,25 @@ _WINDOW_QUERIES = [
     "q_schema_evolve",
     "q_upsert_roundtrip",
     "q_docs_exact_dedup",
-    "q_docs_dedup_norm",
-    "q_text_stats",
+    # r6 rotation: the three never-windowed §2 rows (U1 q_union_all /
+    # q_except, L3 q_recent_records) take the slots of long-proven LLM
+    # rows q_docs_dedup_norm / q_text_stats / q_doc_fingerprint
+    # (in-window green r1-r5; they stay registered + sweep-checked).
+    # With this rotation every §2 row has sat in a driver CORRECTNESS
+    # window in some round.
+    "q_union_all",
+    "q_except",
     # r5 rotation: q_substr (§2 F10) takes q_lang_stats' slot so every
     # §2 row has appeared in a driver CORRECTNESS file at least once
     # (q_lang_stats stays registered + sweep-checked; it is the
     # aggregate of q_lang_id, which remains in-window)
     "q_substr",
     "q_lang_id",
+    "q_recent_records",
     # r5c rotation: DSIR importance weights (the round-5c data-selection
     # flagship, value-oracled incl. the fit pass) takes q_token_count's
     # slot (in-window green r1-r4; stays registered + sweep-checked)
     "q_dsir_weights",
-    "q_doc_fingerprint",
     "q_ngram_jaccard",
     "q_minhash_pairs",
     "q_simhash",

@@ -69,6 +69,7 @@ from __future__ import annotations
 
 import base64
 import json
+import time
 import uuid
 import warnings
 from functools import reduce
@@ -343,6 +344,11 @@ class SnapshotTable:
                 if gen:
                     new["generated"] = gen
             new["version"] = (v or 0) + 1
+            # wall-clock commit instant (epoch seconds, UTC): feeds
+            # DESCRIBE HISTORY and age-based vacuum retention.  Like
+            # Delta's commit timestamps it is informational ordering —
+            # version numbers, not clocks, define the table's order
+            new["committed_at"] = time.time()
             if self.st.write_text_atomic(
                 self._manifest_path(new["version"]), json.dumps(new, indent=1)
             ):
@@ -2234,14 +2240,16 @@ class SnapshotTable:
 
     def history(self) -> list[dict]:
         """Commit log, newest first (Delta DESCRIBE HISTORY): version,
-        the operation that produced it, live entry count, and the
-        streaming-txn watermarks at that point."""
+        the operation that produced it, the commit instant (epoch
+        seconds; None for manifests predating the field), live entry
+        count, and the streaming-txn watermarks at that point."""
         out = []
         for v in reversed(self.versions()):
             m = self.manifest(v)
             out.append({
                 "version": v,
                 "op": m.get("op") or {"name": "unknown"},
+                "committed_at": m.get("committed_at"),
                 "n_entries": len(m["entries"]),
                 "partition_col": m.get("partition_col"),
                 "txn": m.get("txn") or {},
@@ -2283,18 +2291,44 @@ class SnapshotTable:
 
     # -- maintenance -------------------------------------------------------
 
-    def vacuum(self, keep_versions: int = 1, dry_run: bool = False) -> list[str]:
-        """Delete data dirs unreferenced by the `keep_versions` newest
-        manifests (crash leftovers, replaced snapshots) and prune older
-        manifests.  Returns removed relative paths.  Like Delta VACUUM,
-        run it OUT-of-band of writers; retention must cover any reader
-        still pinned to an old version — `dry_run=True` reports what
-        WOULD be removed (Delta VACUUM DRY RUN) without touching
-        anything, including the manifests."""
+    def vacuum(
+        self,
+        keep_versions: int = 1,
+        keep_hours: float | None = None,
+        dry_run: bool = False,
+        now: float | None = None,
+    ) -> list[str]:
+        """Delete data dirs unreferenced by the retained manifests
+        (crash leftovers, replaced snapshots) and prune the older
+        manifests.  Returns removed relative paths.
+
+        Retention is the UNION of two windows (so either alone is a
+        floor, never a ceiling):
+          * `keep_versions` — the N newest manifests, always >= 1;
+          * `keep_hours` — every manifest whose `committed_at` is
+            within the trailing window (Delta's `RETAIN n HOURS`,
+            the operational norm: "keep a week of time travel"
+            regardless of how many commits landed).  Manifests
+            predating the committed_at field count as out-of-window
+            (they are still protected by keep_versions).
+
+        Like Delta VACUUM, run it OUT-of-band of writers; retention
+        must cover any reader still pinned to an old version and any
+        restore target — `dry_run=True` reports what WOULD be removed
+        (Delta VACUUM DRY RUN) without touching anything, including
+        the manifests.  `now` injects the clock for tests."""
         vs = self.versions()
         if not vs:
             return []
         keep = vs[-keep_versions:]
+        if keep_hours is not None:
+            cutoff = (time.time() if now is None else now) - keep_hours * 3600.0
+            aged_in = [
+                v
+                for v in vs[:-keep_versions]
+                if (self.manifest(v).get("committed_at") or 0) >= cutoff
+            ]
+            keep = sorted(set(aged_in) | set(keep))
         # Liveness at (snap dir, partition subdir) granularity: a snap
         # dir referenced only through SOME of its col=value parts (the
         # replace_partitions shape) keeps those parts and sheds the
@@ -2339,8 +2373,10 @@ class SnapshotTable:
             removed.append(f"{DATA_DIR}/{name}")
         if dry_run:
             return sorted(removed)
-        for v in vs[:-keep_versions]:
-            self.st.delete(self._manifest_path(v))
+        kept = set(keep)
+        for v in vs:
+            if v not in kept:
+                self.st.delete(self._manifest_path(v))
         # manifest-publication temp files orphaned by a committer crash
         # (versions() never reads them; this is pure tidying)
         for name in self.st.list(f"{self.root}/{MANIFEST_DIR}"):

@@ -1179,6 +1179,35 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tbl, tmp_path):
     assert tbl.vacuum(keep_versions=1) == would
 
 
+def test_vacuum_age_based_retention(spark, tbl):
+    """vacuum(keep_hours=...) — Delta RETAIN n HOURS: versions inside
+    the trailing window survive REGARDLESS of keep_versions; versions
+    outside it are reclaimed; the two windows union (either is a
+    floor).  Commit instants come from the manifests' committed_at
+    (injected clock for determinism)."""
+    tbl.overwrite(_df(spark, [(1, "a")]))
+    tbl.overwrite(_df(spark, [(2, "b")]))
+    tbl.overwrite(_df(spark, [(3, "c")]))
+    t_commit = tbl.manifest(3)["committed_at"]
+    assert all(tbl.manifest(v).get("committed_at") for v in (1, 2, 3))
+    assert tbl.history()[0]["committed_at"] == t_commit
+
+    # everything is inside a 24h window "now": nothing reclaimed even
+    # though keep_versions=1 alone would have dropped v1+v2
+    assert tbl.vacuum(keep_versions=1, keep_hours=24, now=t_commit) == []
+    assert tbl.versions() == [1, 2, 3]
+    assert [r["k"] for r in tbl.read(version=1).collect()] == [1]
+
+    # 3 hours later with a 1h window: v1+v2 age out, v3 held by both
+    removed = tbl.vacuum(keep_versions=1, keep_hours=1, now=t_commit + 3 * 3600)
+    assert len(removed) == 2  # v1's and v2's replaced snap dirs
+    assert tbl.versions() == [3]
+    assert [r["k"] for r in tbl.read().collect()] == [3]
+    # vacuumed history is gone for restore too (manifest pruned)
+    with pytest.raises(FileNotFoundError):
+        tbl.restore(1)
+
+
 def test_poll_changes_at_least_once_cursor(spark, tbl, tmp_path):
     """Poll-based CDC consumption: unacked polls re-deliver (crash
     mid-processing), acked polls advance, empty polls return None."""
