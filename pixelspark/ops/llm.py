@@ -2399,3 +2399,39 @@ class DedupIndex:
             self.buckets.append(b_new)
             self.shingles.append(sh_new)
         return pairs
+
+    def compact(
+        self, num_files: int = 8, recap_hot_buckets: bool = False
+    ) -> None:
+        """Maintenance: fold the per-ingest appended entries of both
+        artifact tables into one snap dir each, so a 10-ingest index
+        reads (and probes) like a 1-ingest index — the append-only
+        growth otherwise widens every candidate join's scan union by
+        one entry per batch.
+
+        `recap_hot_buckets=True` additionally MATERIALIZES the
+        `max_bucket_size` cap: bucket rows whose (band_idx, band_key)
+        group exceeds the cap are dropped from the stored table
+        outright.  Probes already ignore them (the query-time
+        hot-bucket filter), so results are unchanged — but after
+        re-capping, ingest stops re-aggregating and re-shipping the
+        boilerplate rows on every batch.  The rewrite is a normal
+        snapshot commit: streaming-txn watermarks carry over (replay
+        protection survives), and pre-compact versions stay
+        time-travelable until vacuum, so `batch_id` replays still
+        reproduce their original pairs."""
+        if recap_hot_buckets and self.max_bucket_size is not None:
+            be = self.buckets.read()
+            ok = (
+                be.groupBy("band_idx", "band_key")
+                .agg(F.count(F.lit(1)).alias("__bsz"))
+                .where(F.col("__bsz") <= self.max_bucket_size)
+                .drop("__bsz")
+            )
+            # the overwrite IS the buckets compaction (one new dir)
+            self.buckets.overwrite(
+                be.join(ok, ["band_idx", "band_key"], "left_semi")
+            )
+        else:
+            self.buckets.compact(num_files=num_files)
+        self.shingles.compact(num_files=num_files)

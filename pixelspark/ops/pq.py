@@ -621,6 +621,18 @@ class VectorIndex:
             return self.codes.append(codes)
         return self.codes.append_once(codes, app_id, batch_id)
 
+    def compact(self, num_files: int = 8) -> int:
+        """Maintenance: fold the per-ingest appended code entries into
+        `num_files` files RANGE-CLUSTERED ON `cluster` — after many
+        ingests every snap dir spans all inverted lists, so the
+        per-file cluster min/max stats prune nothing; re-clustering
+        makes each file cover a narrow cluster range and a probe of
+        n_probe lists file-skips the rest again (a 10-ingest index
+        probes like a 1-ingest index).  Ordinary snapshot commit:
+        txn watermarks carry over, so exactly-once ingest replay
+        protection survives compaction."""
+        return self.codes.compact(cluster_by=("cluster",), num_files=num_files)
+
     def query(
         self,
         emb_source: DataFrame,

@@ -689,6 +689,63 @@ def test_dedup_index_reopens_from_disk(spark, tmp_path):
     assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 5)}
 
 
+def test_dedup_index_compact_preserves_results_and_shrinks_entries(
+    spark, tmp_path
+):
+    """compact() folds the per-ingest entries into one dir per table
+    and changes NOTHING observable: the next ingest returns the same
+    pairs as an uncompacted twin, replay protection survives, and
+    the hot-bucket re-cap drops only rows probes already ignored."""
+    docs = [
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        [(2, "completely unrelated text about spark manifests and tables")],
+        [(3, "a third batch with its own fresh distinct vocabulary")],
+    ]
+    probe = [(9, "the quick brown fox jumps over the lazy dog tonight")]
+    a = L.DedupIndex(spark, str(tmp_path / "a"), threshold=0.4)
+    b = L.DedupIndex(spark, str(tmp_path / "b"), threshold=0.4)
+    for i, rows in enumerate(docs, start=1):
+        a.ingest(_didx_docs(spark, rows), app_id="job", batch_id=i)
+        b.ingest(_didx_docs(spark, rows), app_id="job", batch_id=i)
+    assert len(a.buckets.manifest(a.buckets.latest_version())["entries"]) == 3
+    stored = a.buckets.read().orderBy("doc_id", "band_idx").collect()
+    a.compact()
+    # one entry per table now; stored artifacts bit-identical
+    assert len(a.buckets.manifest(a.buckets.latest_version())["entries"]) == 1
+    assert len(a.shingles.manifest(a.shingles.latest_version())["entries"]) == 1
+    assert a.buckets.read().orderBy("doc_id", "band_idx").collect() == stored
+    # next ingest equal on compacted vs uncompacted twin
+    pa = a.ingest(_didx_docs(spark, probe), app_id="job", batch_id=4)
+    pb = b.ingest(_didx_docs(spark, probe), app_id="job", batch_id=4)
+    key = lambda r: (r["id_a"], r["id_b"])
+    assert sorted(map(key, pa.collect())) == sorted(map(key, pb.collect())) \
+        == [(1, 9)]
+    # replay protection survived the compaction commit
+    n = a.buckets.read().count()
+    a.ingest(_didx_docs(spark, probe), app_id="job", batch_id=4)
+    assert a.buckets.read().count() == n
+
+
+def test_dedup_index_recap_materializes_hot_bucket_cap(spark, tmp_path):
+    """recap_hot_buckets drops stored rows of over-cap buckets; probe
+    results match the uncapped query-time filter (which already
+    ignored them), and the stored table actually shrank."""
+    boiler = "common boilerplate header text repeated on every single page"
+    rows = [(i, boiler) for i in range(1, 5)]  # 4 near-identical docs
+    idx = L.DedupIndex(
+        spark, str(tmp_path / "hot"), threshold=0.4, max_bucket_size=2
+    )
+    idx.ingest(_didx_docs(spark, rows))
+    before = idx.buckets.read().count()
+    idx.compact(recap_hot_buckets=True)
+    after = idx.buckets.read().count()
+    assert after < before  # boilerplate buckets gone from storage
+    # a probe doc that matches ONLY via over-cap buckets finds nothing
+    # — identical to the pre-compact query-time behavior
+    pairs = idx.ingest(_didx_docs(spark, [(99, boiler)]))
+    assert pairs.collect() == []
+
+
 # ---------------------------------------------------------------------------
 # exact duplicated-substring spans (ExactSubstr, arXiv:2107.06499)
 # ---------------------------------------------------------------------------

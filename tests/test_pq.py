@@ -189,6 +189,46 @@ def test_vector_index_build_ingest_query_reopen(spark, sf_dir, tmp_path):
     assert any(e.get("stats") for e in m0["entries"])
 
 
+def test_vector_index_compact_preserves_answers_and_tightens_stats(
+    spark, sf_dir, tmp_path
+):
+    """compact() re-clusters the codes on `cluster` after many
+    ingests: answers are unchanged, the manifest folds to bounded
+    entries with tight per-file cluster stats (the file-skip path
+    works again), and exactly-once replay survives the commit."""
+    from pixelspark.ops.pq import VectorIndex
+    from pixelspark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = VectorIndex(spark, str(tmp_path / "vidx_c"))
+    idx.build(emb.where("vec_id < 200"), n_clusters=8, m=8, ksub=16, n_iter=2)
+    for i in range(1, 4):  # three ingests widen the scan union
+        idx.ingest(
+            emb.where(f"vec_id >= {100 + 100 * i} and vec_id < {200 + 100 * i}"),
+            batch_id=i,
+        )
+    m_before = idx.codes.manifest(idx.codes.latest_version())
+    assert len(m_before["entries"]) == 4
+    before = idx.query(emb, [0, 7, 42], k=5, n_probe=3, shortlist=100).collect()
+    idx.compact(num_files=4)
+    m_after = idx.codes.manifest(idx.codes.latest_version())
+    assert len(m_after["entries"]) == 1
+    # per-file cluster ranges are now narrow: no file spans every list
+    stats = m_after["entries"][0]["stats"]
+    n_clusters = 8
+    assert any(
+        s["cluster"][1] - s["cluster"][0] < n_clusters - 1
+        for s in stats.values()
+    )
+    after = idx.query(emb, [0, 7, 42], k=5, n_probe=3, shortlist=100).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])
+    assert sorted(map(key, after)) == sorted(map(key, before))
+    # replay protection survived compaction
+    n = idx.codes.read().count()
+    assert idx.ingest(emb.where("vec_id >= 400 and vec_id < 500"), batch_id=3) is None
+    assert idx.codes.read().count() == n
+
+
 def test_vector_index_build_crash_window_recoverable(spark, sf_dir, tmp_path):
     """The sidecar _index.json is the COMMIT POINT (written last): a
     crash mid-build leaves codes without meta, and a retried build()
