@@ -84,6 +84,14 @@ HEADLINE = [
     "q_ann_pq",
     "q_ann_ivfpq",
     "q_bigram_logprob",
+    # round-6: the four ex-single-partition-window queries, now on
+    # distributed primitives (assign_row_ids bucketed rank, top-k +
+    # bounded window, per-shard cumsum) — benched so the scale-safe
+    # plans' costs are on the record, not just their shapes
+    "q_zipf_slope",
+    "q_vocab_coverage",
+    "q_perplexity_buckets",
+    "q_sequence_pack",
 ]
 
 

@@ -139,6 +139,28 @@ def test_no_unguarded_cartesian_products(all_plans):
     assert not offenders, f"unguarded cartesian product planned in: {offenders}"
 
 
+def test_lint_detects_a_reverted_global_window(spark, sf_dir):
+    """Revert-guard: the exact shape the round-5 offenders had — an
+    unpartitioned window over a corpus-scale scan — must trip the
+    detector (proves the lint would catch a regression of any of the
+    four rewritten queries), while a post-limit bounded window must
+    not (TakeOrderedAndProject feeds it without an exchange)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from pixelspark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bad = docs.withColumn(
+        "rank", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    assert _window_over_single_partition(_plan(bad))
+    good = docs.orderBy("doc_id").limit(100).withColumn(
+        "rank", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    assert not _window_over_single_partition(_plan(good))
+
+
 def test_no_single_partition_global_windows(all_plans):
     offenders = [
         n

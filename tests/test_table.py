@@ -556,6 +556,8 @@ class FakeObjectStorage(LocalStorage):
     neither path exist); `write_text_atomic` is a check-then-put whose
     put has atomic VISIBILITY (one object) but no exclusivity."""
 
+    conditional_put = False  # check-then-put, NOT server-arbitrated
+
     def __init__(self):
         self.rename_calls: list = []
 

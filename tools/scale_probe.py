@@ -520,6 +520,193 @@ def dedup_index_experiment(spark) -> dict:
             "corpus_sizes": results}
 
 
+def _replicate_embeddings(spark, mult: int, dim: int = 64):
+    """`mult` copies of the sf0.1 embeddings (2k vectors): vec_id
+    shifted per copy and components CIRCULARLY ROTATED by 6*copy
+    positions.  Rotation preserves norms and each copy's internal
+    neighborhood structure but decorrelates copies from each other,
+    so extra copies are genuine DISTRACTORS: a query's true top-5
+    stays inside its own copy and the recall problem keeps its 1x
+    difficulty while the corpus the scan/probe must cover grows 10x.
+    (A small per-copy perturbation instead makes every query's top-5
+    its own near-identical replicas — trivially bucketable, recall
+    saturates at 1.0 and the curve measures nothing.)"""
+    from pixelspark.schemas import load_table
+
+    base = load_table(spark, SF01, "embeddings").select("vec_id", "embedding")
+    copies = []
+    for i in range(mult):
+        c = base.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
+        if i:
+            r = (6 * i) % dim
+            c = c.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", r + 1, dim - r),
+                    F.slice("embedding", 1, r),
+                ),
+            )
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out.localCheckpoint()
+
+
+def ann_scale_experiment(spark) -> dict:
+    """Measured recall + latency cost curves for the whole ANN family
+    at 1x and 10x vectors — the same treatment the dedup pack already
+    has (BASELINE.md round-4/5 tables): the 100-TB claims (bucket
+    equi-joins, probe pruning, shortlist re-rank) as numbers, not
+    assertions.  Timings include quantizer training where the variant
+    trains (pq/ivf/ivfpq) — the production VectorIndex trains once;
+    the curve's SHAPE is the claim, recall floors are the gates."""
+    from pixelspark.ops import llm as L
+    from pixelspark.ops import pq as P
+
+    qids = list(range(8))
+    results = {}
+    # JVM/codegen warm-up outside the measurement
+    L.cosine_topk(_replicate_embeddings(spark, 1), qids, k=5) \
+        .write.format("noop").mode("overwrite").save()
+    for mult in (1, 10):
+        emb = _replicate_embeddings(spark, mult)
+        n = emb.count()
+        truth = {}
+        for r in L.cosine_topk(emb, qids, k=5).collect():
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+        variants = {
+            "exact": lambda e: L.cosine_topk(e, qids, k=5),
+            "lsh": lambda e: L.ann_lsh_topk(e, qids, k=5, n_planes=4, n_tables=4),
+            "ivf": lambda e: L.ann_ivf_topk(e, qids, k=5, n_clusters=8, n_probe=3),
+            "sq8": lambda e: L.ann_sq8_rerank(e, qids, k=5, shortlist=50),
+            "pq": lambda e: P.ann_pq_topk(e, qids, k=5, shortlist=100),
+            "ivfpq": lambda e: P.ann_ivfpq_topk(
+                e, qids, k=5, n_probe=3, shortlist=100
+            ),
+            # the scale knob: shortlist grows with the corpus (fixed
+            # FRACTION scanned, not fixed count) — the standard recall
+            # repair for quantization error at bigger N
+            "pq_scaled_shortlist": lambda e: P.ann_pq_topk(
+                e, qids, k=5, shortlist=100 * mult
+            ),
+            "ivfpq_scaled_shortlist": lambda e: P.ann_ivfpq_topk(
+                e, qids, k=5, n_probe=3, shortlist=100 * mult
+            ),
+        }
+        rows = {}
+        for name, fn in variants.items():
+            t0 = time.time()
+            got = fn(emb).collect()
+            secs = round(time.time() - t0, 3)
+            by_q: dict = {}
+            for r in got:
+                by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            recall = sum(
+                len(by_q.get(q, set()) & truth[q]) / len(truth[q]) for q in truth
+            ) / len(truth)
+            rows[name] = {"sec": secs, "recall_at_5": round(recall, 3)}
+        results[f"{n}_vectors"] = rows
+    return {"experiment": "ann_scale_10x_vectors", "queries": len(qids),
+            **results}
+
+
+def index_compaction_experiment(spark) -> dict:
+    """A 10-ingest index must read like a 1-ingest index after
+    compact(): the dedup index's probe cost returns to the fresh-build
+    level and the vector index's query cost likewise, with manifest
+    entries folded 10-and-11 -> 1."""
+    import tempfile
+
+    from pixelspark.ops import llm as L
+    from pixelspark.ops.pq import VectorIndex
+    from pixelspark.schemas import load_table
+
+    out: dict = {"experiment": "index_compaction"}
+
+    # --- DedupIndex: 10 x 500-doc ingests vs 1 x 5000-doc ingest ----
+    docs = load_table(spark, SF01, "documents").select("doc_id", "text")
+    probe = (
+        docs.limit(200)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(77_000_000))
+        .localCheckpoint()
+    )
+    frag = L.DedupIndex(
+        spark, tempfile.mkdtemp(prefix="probe_didx10_") + "/idx",
+        threshold=0.5, max_bucket_size=200,
+    )
+    for i in range(10):
+        frag.ingest(
+            docs.where(f"doc_id % 10 = {i}"), app_id="probe", batch_id=i + 1
+        )
+    entries_before = len(
+        frag.buckets.manifest(frag.buckets.latest_version())["entries"]
+    )
+    t0 = time.time()
+    frag.ingest(probe).write.format("noop").mode("overwrite").save()
+    t_frag = round(time.time() - t0, 3)
+    frag.compact()
+    entries_after = len(
+        frag.buckets.manifest(frag.buckets.latest_version())["entries"]
+    )
+    t0 = time.time()
+    frag.ingest(
+        probe.withColumn("doc_id", F.col("doc_id") + 1_000)
+    ).write.format("noop").mode("overwrite").save()
+    t_compacted = round(time.time() - t0, 3)
+    fresh = L.DedupIndex(
+        spark, tempfile.mkdtemp(prefix="probe_didx1_") + "/idx",
+        threshold=0.5, max_bucket_size=200,
+    )
+    fresh.ingest(docs)
+    t0 = time.time()
+    fresh.ingest(probe).write.format("noop").mode("overwrite").save()
+    t_fresh = round(time.time() - t0, 3)
+    out["dedup_index"] = {
+        "entries_10_ingests": entries_before,
+        "entries_after_compact": entries_after,
+        "probe_sec_10_ingests": t_frag,
+        "probe_sec_after_compact": t_compacted,
+        "probe_sec_single_ingest_reference": t_fresh,
+    }
+
+    # --- VectorIndex: build + 9 ingests, query pre/post compact -----
+    emb10 = _replicate_embeddings(spark, 10)
+    vidx = VectorIndex(spark, tempfile.mkdtemp(prefix="probe_vidx_") + "/idx")
+    vidx.build(emb10.where("vec_id < 1000000"), n_clusters=8, m=8, ksub=16,
+               n_iter=2)
+    for i in range(1, 10):
+        vidx.ingest(
+            emb10.where(
+                f"vec_id >= {i * 1_000_000} and vec_id < {(i + 1) * 1_000_000}"
+            ),
+            batch_id=i,
+        )
+    v_entries_before = len(
+        vidx.codes.manifest(vidx.codes.latest_version())["entries"]
+    )
+    t0 = time.time()
+    vidx.query(emb10, list(range(8)), k=5, n_probe=3, shortlist=100) \
+        .write.format("noop").mode("overwrite").save()
+    t_pre = round(time.time() - t0, 3)
+    vidx.compact(num_files=8)
+    v_entries_after = len(
+        vidx.codes.manifest(vidx.codes.latest_version())["entries"]
+    )
+    t0 = time.time()
+    vidx.query(emb10, list(range(8)), k=5, n_probe=3, shortlist=100) \
+        .write.format("noop").mode("overwrite").save()
+    t_post = round(time.time() - t0, 3)
+    out["vector_index"] = {
+        "entries_10_ingests": v_entries_before,
+        "entries_after_compact": v_entries_after,
+        "query_sec_10_ingests": t_pre,
+        "query_sec_after_compact": t_post,
+    }
+    return out
+
+
 def dv_delete_experiment(spark) -> dict:
     """Merge-on-read vs copy-on-write delete cost: delete ~100 rows by
     predicate from an unpartitioned snapshot table at growing sizes.
@@ -601,6 +788,8 @@ def main() -> None:
             "merge_scoping": merge_scoping_experiment,
             "dedup_index": dedup_index_experiment,
             "dv_delete": dv_delete_experiment,
+            "ann_scale": ann_scale_experiment,
+            "index_compaction": index_compaction_experiment,
         }[sys.argv[1]]
         print(json.dumps(fn(spark)))
         return
@@ -637,6 +826,8 @@ def main() -> None:
     print(json.dumps(merge_scoping_experiment(spark)))
     print(json.dumps(dedup_index_experiment(spark)))
     print(json.dumps(dv_delete_experiment(spark)))
+    print(json.dumps(ann_scale_experiment(spark)))
+    print(json.dumps(index_compaction_experiment(spark)))
 
 
 if __name__ == "__main__":
