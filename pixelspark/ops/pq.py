@@ -273,7 +273,14 @@ def ann_ivfpq_topk(
     Probe pruning costs nothing extra: the lookup table only carries
     (query, probed-cluster) rows, so the equi-join on
     (cluster, j, code) IS the inverted-list selection.  Output schema
-    matches cosine_topk; recall floor pytest-gated."""
+    matches cosine_topk; recall floor pytest-gated.
+
+    Sizing note (measured, BASELINE.md round-6 ANN curve): keep the
+    shortlist a fixed FRACTION of the corpus (or per probed list),
+    never a fixed count — at 10x vectors a fixed shortlist=100 decays
+    recall@5 to ~0.6 while shortlist=100*scale holds ~0.97 at ~flat
+    cost, because the re-rank join is tiny next to the ADC
+    lookup-join either way."""
     if index is None:
         index = ivfpq_index(
             emb, n_clusters=n_clusters, m=m, ksub=ksub, n_iter=n_iter,

@@ -1797,11 +1797,34 @@ class SnapshotTable:
 
     # -- read operations ---------------------------------------------------
 
+    def version_at(self, timestamp: float) -> int:
+        """Delta `TIMESTAMP AS OF` resolution: the newest version whose
+        commit instant is <= `timestamp` (epoch seconds).  Commit
+        instants are the manifests' `committed_at`; manifests predating
+        the field count as instant-unknown and are skipped (same
+        conservative stance as the age-based vacuum).  Raises when the
+        timestamp predates the oldest dated commit — Delta errors
+        there too rather than guessing."""
+        candidates = [
+            v
+            for v in self.versions()
+            if (self.manifest(v).get("committed_at") or float("inf"))
+            <= timestamp
+        ]
+        if not candidates:
+            raise ValueError(
+                f"no commit at or before timestamp {timestamp} at "
+                f"{self.root} (oldest dated commit is newer, or history "
+                "was vacuumed)"
+            )
+        return max(candidates)
+
     def read(
         self,
         version: int | None = None,
         partition_values: list | None = None,
         predicates: list[tuple[str, str, object]] | None = None,
+        as_of_timestamp: float | None = None,
     ) -> DataFrame:
         """Current table (or time-travel to `version`) as ONE scan:
         all live data dirs are `__snap=<id>`-shaped, so they enter a
@@ -1827,7 +1850,18 @@ class SnapshotTable:
         whose range cannot satisfy every predicate never enters the
         scan's path list.  The same predicates are then re-applied as a
         normal WHERE, so results are exact whether or not stats exist
-        (files without stats are conservatively kept)."""
+        (files without stats are conservatively kept).
+
+        `as_of_timestamp` (epoch seconds) time-travels by COMMIT
+        INSTANT instead of version number (Delta `TIMESTAMP AS OF`,
+        resolved via version_at) — mutually exclusive with
+        `version`."""
+        if as_of_timestamp is not None:
+            if version is not None:
+                raise ValueError(
+                    "pass version OR as_of_timestamp, not both"
+                )
+            version = self.version_at(as_of_timestamp)
         v = version if version is not None else self.latest_version()
         if v is None:
             raise FileNotFoundError(f"no snapshot at {self.root}")

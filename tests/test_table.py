@@ -1210,6 +1210,25 @@ def test_vacuum_age_based_retention(spark, tbl):
         tbl.restore(1)
 
 
+def test_read_timestamp_as_of(spark, tbl):
+    """Delta TIMESTAMP AS OF: read resolves the newest commit at or
+    before the instant; pre-history instants error; version and
+    timestamp are mutually exclusive."""
+    tbl.overwrite(_df(spark, [(1, "a")]))
+    t1 = tbl.manifest(1)["committed_at"]
+    tbl.overwrite(_df(spark, [(2, "b")]))
+    t2 = tbl.manifest(2)["committed_at"]
+    assert tbl.version_at(t1) == 1
+    assert tbl.version_at((t1 + t2) / 2) == 1  # between commits -> older
+    assert tbl.version_at(t2 + 10) == 2
+    assert [r["k"] for r in tbl.read(as_of_timestamp=t1).collect()] == [1]
+    assert [r["k"] for r in tbl.read(as_of_timestamp=t2 + 10).collect()] == [2]
+    with pytest.raises(ValueError, match="no commit at or before"):
+        tbl.version_at(t1 - 10)
+    with pytest.raises(ValueError, match="not both"):
+        tbl.read(version=1, as_of_timestamp=t2)
+
+
 def test_poll_changes_at_least_once_cursor(spark, tbl, tmp_path):
     """Poll-based CDC consumption: unacked polls re-deliver (crash
     mid-processing), acked polls advance, empty polls return None."""
