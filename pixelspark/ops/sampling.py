@@ -101,6 +101,91 @@ def corpus_mixture(
     return out
 
 
+def domain_mixture_rates(
+    df: DataFrame,
+    domain_col: str,
+    target: dict[str, float],
+) -> DataFrame:
+    """Per-domain keep rates that reshape the corpus to a TARGET domain
+    mixture by downsampling only (no replication): the data-mixing step
+    every LLM pretraining pipeline runs before tokenization (cf. DoReMi,
+    arXiv:2305.10429 — here the closed-form proportional variant, no
+    proxy model: given target shares t_d and observed shares p_d, keep
+    rate r_d = c * t_d / p_d with c = min_d p_d / t_d, the largest
+    scaling for which every rate <= 1).  The expected post-sample share
+    of domain d is then exactly t_d, and the scarcest-relative-to-target
+    domain is kept whole (rate 1.0).
+
+    Scale shape: one COUNT(*) GROUP BY over the corpus (partial-agg,
+    one shuffle of |domains| rows), then all arithmetic on the
+    domain-sized relation — two 1-row aggregates broadcast back with
+    crossJoin, never a driver collect of data rows.  Domains absent
+    from `target` get no row (callers drop them); a target domain
+    absent from the corpus contributes nothing to c (its rate would be
+    unsatisfiable) and yields no row.
+
+    Returns (domain, n_docs, obs_share, keep_rate) — shares and rates
+    as doubles from integer-count arithmetic, so the DuckDB oracle
+    reproduces them bit-for-bit when it mirrors the operation order.
+    """
+    if not target:
+        raise ValueError("target mixture must be non-empty")
+    doms = sorted(target)
+    tmap = F.create_map(
+        *[x for d in doms for x in (F.lit(d), F.lit(float(target[d])))]
+    )
+    counts = (
+        df.where(F.col(domain_col).isin(doms))
+        .groupBy(F.col(domain_col).alias("domain"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("t_share", tmap[F.col("domain")])
+    )
+    total = counts.agg(F.sum("n_docs").cast("double").alias("_n_total"))
+    counts = counts.crossJoin(F.broadcast(total)).withColumn(
+        "obs_share", F.col("n_docs").cast("double") / F.col("_n_total")
+    )
+    c = counts.agg(
+        F.min(F.col("obs_share") / F.col("t_share")).alias("_c")
+    )
+    return (
+        counts.crossJoin(F.broadcast(c))
+        .select(
+            "domain",
+            "n_docs",
+            "obs_share",
+            F.least(
+                F.lit(1.0),
+                F.col("_c") * F.col("t_share") / F.col("obs_share"),
+            ).alias("keep_rate"),
+        )
+    )
+
+
+def domain_mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    target: dict[str, float],
+    key_col: str,
+    seed: int = 11,
+) -> DataFrame:
+    """Downsample the corpus to the target domain mixture: broadcast
+    the domain-sized rate table from `domain_mixture_rates` onto the
+    corpus and keep rows where the deterministic per-row unit hash
+    falls under the domain's keep rate.  Hash-deterministic like every
+    sampler here — rerun/retry-stable and oracle-checkable — and the
+    corpus-side plan is a broadcast-join + filter (no extra shuffle)."""
+    rates = domain_mixture_rates(df, domain_col, target).select(
+        F.col("domain").alias(f"__{domain_col}"), "keep_rate"
+    )
+    return (
+        df.join(
+            F.broadcast(rates), F.col(domain_col) == F.col(f"__{domain_col}")
+        )
+        .where(unit_hash(key_col, seed) < F.col("keep_rate"))
+        .drop(f"__{domain_col}", "keep_rate")
+    )
+
+
 def group_topk_sample(
     df: DataFrame,
     group_col: str,

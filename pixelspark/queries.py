@@ -2820,6 +2820,193 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
 
 
+# Target pretraining mixture over the corpus languages: en capped at
+# 30%, the rest equal.  The English surplus is the downsampled one.
+_MIX_TARGET = {"en": 0.3, "de": 0.175, "es": 0.175, "fr": 0.175, "zh": 0.175}
+
+# Shared oracle CTE: per-domain counts -> observed shares -> the
+# closed-form proportional keep rates (c = min obs/target so the
+# scarcest-vs-target domain is kept whole).  Literal target shares are
+# CAST AS DOUBLE so DuckDB mirrors Spark's double arithmetic (its bare
+# 0.175 literal would be DECIMAL and round differently).
+_MIX_RATES_CTE = """
+    d AS (
+      SELECT lang AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents WHERE lang IN ('de', 'en', 'es', 'fr', 'zh')
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS n_total FROM d),
+    s AS (
+      SELECT domain, n_docs,
+             CAST(n_docs AS DOUBLE) / tot.n_total AS obs_share,
+             CASE domain WHEN 'en' THEN CAST(0.3 AS DOUBLE)
+                         ELSE CAST(0.175 AS DOUBLE) END AS t_share
+      FROM d, tot
+    ),
+    c AS (SELECT MIN(obs_share / t_share) AS c FROM s),
+    r AS (
+      SELECT domain, n_docs, obs_share,
+             LEAST(CAST(1.0 AS DOUBLE), c.c * s.t_share / s.obs_share) AS keep_rate
+      FROM s, c
+    )
+"""
+
+
+@query(
+    "q_domain_mix_rates",
+    f"""
+    WITH {_MIX_RATES_CTE}
+    SELECT domain AS lang, n_docs,
+           ROUND(obs_share, 6) AS obs_share,
+           ROUND(keep_rate, 6) AS keep_rate
+    FROM r
+    """,
+)
+def q_domain_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — data-mixing rates: per-language keep rates that reshape
+    the corpus to the target pretraining mixture by downsampling only
+    (closed-form proportional DoReMi variant, ops/sampling.py
+    domain_mixture_rates).  One corpus GROUP BY; every later step is
+    arithmetic on the 5-row domain relation, broadcast back — the
+    oracle reproduces the double arithmetic bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    r = SP.domain_mixture_rates(docs, "lang", _MIX_TARGET)
+    return r.select(
+        F.col("domain").alias("lang"),
+        "n_docs",
+        F.round("obs_share", 6).alias("obs_share"),
+        F.round("keep_rate", 6).alias("keep_rate"),
+    )
+
+
+@query(
+    "q_domain_mix",
+    f"""
+    WITH {_MIX_RATES_CTE},
+    sel AS (
+      SELECT doc.lang, CAST(COUNT(*) AS BIGINT) AS n_selected
+      FROM documents doc JOIN r ON doc.lang = r.domain
+      WHERE {SP.unit_hash_sql('doc.doc_id', 11)} < r.keep_rate
+      GROUP BY 1
+    )
+    SELECT r.domain AS lang, r.n_docs AS n_total,
+           CAST(COALESCE(sel.n_selected, 0) AS BIGINT) AS n_selected
+    FROM r LEFT JOIN sel ON sel.lang = r.domain
+    """,
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — the applied mixture: documents downsampled to the target
+    language mixture via hash-deterministic per-row selection under the
+    broadcast rate table (ops/sampling.py domain_mixture_sample), then
+    per-language selected counts.  Corpus-side plan is broadcast-join +
+    filter + one partial-agg shuffle; the md5 unit hash makes the
+    exact selected set DuckDB-checkable."""
+    docs = _t(spark, sf_dir, "documents")
+    sel = (
+        SP.domain_mixture_sample(docs, "lang", _MIX_TARGET, "doc_id", seed=11)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_selected"))
+    )
+    totals = SP.domain_mixture_rates(docs, "lang", _MIX_TARGET).select(
+        F.col("domain").alias("lang"), F.col("n_docs").alias("n_total")
+    )
+    return totals.join(sel, "lang", "left").select(
+        "lang",
+        "n_total",
+        F.coalesce(F.col("n_selected"), F.lit(0)).cast("long").alias("n_selected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M6d — dense quality classifier (rule distillation, ops/classifier.py)
+# ---------------------------------------------------------------------------
+
+from pixelspark.ops import classifier as CL  # noqa: E402
+
+# Frozen scorer weights, distilled offline: fit_logreg against the
+# Gopher rule-pack labels (25 iters, lr 2.0, 100% train agreement at
+# sf0.01), rounded to 3dp and pinned.  Positional over
+# CL.QUALITY_FEATURES.
+_QUALITY_W = [-0.856, 2.337, -4.762, -2.018, 10.31, -0.856]
+
+
+@query(
+    "q_quality_logreg",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             CAST(1.0 AS DOUBLE) AS f_bias,
+             ln(CAST(1.0 AS DOUBLE) + CAST(len(toks) AS DOUBLE)) AS f_log_tokens,
+             ROUND(list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE)))
+                   / NULLIF(CAST(len(toks) AS DOUBLE), 0.0), 6) AS f_mean_len,
+             ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / NULLIF(CAST(len(toks) AS DOUBLE), 0.0), 6) AS f_distinct,
+             CAST(len(list_intersect(list_transform(toks, t -> lower(t)),
+                  ['the','a','of','and','to','in','is','on','for','with'])) AS DOUBLE)
+               AS f_stop_kinds,
+             ROUND(CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+                   / NULLIF(CAST(len(toks) AS DOUBLE), 0.0), 6) AS f_alpha_frac
+      FROM t
+    ), z AS (
+      SELECT doc_id,
+             CAST(-0.856 AS DOUBLE) * f_bias
+               + CAST(2.337 AS DOUBLE) * f_log_tokens
+               + CAST(-4.762 AS DOUBLE) * f_mean_len
+               + CAST(-2.018 AS DOUBLE) * f_distinct
+               + CAST(10.31 AS DOUBLE) * f_stop_kinds
+               + CAST(-0.856 AS DOUBLE) * f_alpha_frac AS z
+      FROM f
+    )
+    SELECT doc_id,
+           ROUND(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-z)), 6) AS quality_score,
+           CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-z)) >= CAST(0.5 AS DOUBLE)
+             AS keep
+    FROM z
+    """,
+)
+def q_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — dense quality scorer (ops/classifier.py): the Gopher rule
+    pack distilled into a frozen logistic model, applied as one
+    shuffle-free literal projection (fastText-style heuristic
+    distillation).  Features are 6dp-quantized so the dot product and
+    sigmoid are reproduced value-for-value by the DuckDB oracle; empty
+    documents score NULL in both engines (no tokens -> no quality)."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = CL.quality_features(docs)
+    scored = CL.score_logreg(feats, CL.QUALITY_FEATURES, _QUALITY_W)
+    return scored.select(
+        "doc_id",
+        F.round("score", 6).alias("quality_score"),
+        (F.col("score") >= 0.5).alias("keep"),
+    )
+
+
+@query("q_quality_logreg_fit")  # iterative float fit -> rows-only; pytest
+def q_quality_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — the distillation itself, distributed: label the corpus
+    with the Gopher rule pack, then full-batch GD logistic regression
+    where every iteration is ONE map-side-combined aggregation job and
+    driver state is d floats (ops/classifier.py fit_logreg — the
+    treeAggregate shape MLlib uses).  Float-sum order across
+    partitions makes the low digits run-dependent, so this is
+    rows-only here; tests/test_classifier.py pins the math against a
+    sequential reference on identical rows and asserts 100% train
+    agreement with the teacher rule."""
+    from pixelspark.ops.llm import gopher_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    labels = gopher_quality(docs).select("doc_id", F.col("passes").cast("double").alias("label"))
+    feats = CL.quality_features(docs).join(labels, "doc_id")
+    w = CL.fit_logreg(feats, CL.QUALITY_FEATURES, "label", iters=25, lr=2.0)
+    rows = [(name, float(round(wi, 4))) for name, wi in zip(CL.QUALITY_FEATURES, w)]
+    return spark.createDataFrame(rows, "feature string, weight double")
+
+
 # ---------------------------------------------------------------------------
 # M1b — textual SQL surface (the reference embeds SQL strings; the
 # engine's spark.sql path must run the same shapes)

@@ -68,3 +68,38 @@ def test_group_topk_sample_exact_k(spark, sf_dir):
     # different seed -> (almost surely) different sample
     c = {r["doc_id"] for r in group_topk_sample(d, "lang", "doc_id", k=5, seed=7).collect()}
     assert a != c
+
+
+def test_domain_mixture_rates_properties(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    target = {"en": 0.3, "de": 0.175, "es": 0.175, "fr": 0.175, "zh": 0.175}
+    rates = {r["domain"]: r for r in SP.domain_mixture_rates(docs, "lang", target).collect()}
+    assert set(rates) == set(target)
+    # every rate in (0, 1]; the scarcest-vs-target domain is kept whole
+    assert all(0.0 < r["keep_rate"] <= 1.0 for r in rates.values())
+    assert any(abs(r["keep_rate"] - 1.0) < 1e-12 for r in rates.values())
+    # expected post-sample shares == target shares (rate * obs ∝ t)
+    exp_mass = {d: rates[d]["keep_rate"] * rates[d]["obs_share"] for d in rates}
+    tot = sum(exp_mass.values())
+    for d, t in target.items():
+        assert abs(exp_mass[d] / tot - t) < 1e-9, (d, exp_mass[d] / tot, t)
+
+
+def test_domain_mixture_sample_deterministic_and_directional(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    target = {"en": 0.3, "de": 0.175, "es": 0.175, "fr": 0.175, "zh": 0.175}
+    sel = SP.domain_mixture_sample(docs, "lang", target, "doc_id", seed=11)
+    a = {r["doc_id"] for r in sel.select("doc_id").collect()}
+    b = {r["doc_id"] for r in SP.domain_mixture_sample(
+        docs, "lang", target, "doc_id", seed=11).select("doc_id").collect()}
+    assert a == b  # hash-deterministic
+    # en is over-represented vs 0.3 target -> it must be downsampled;
+    # realized share moves toward the target
+    n0 = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    n1 = {r["lang"]: r["n"] for r in sel.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    share0 = n0["en"] / sum(n0[d] for d in target)
+    share1 = n1["en"] / sum(n1.values())
+    assert share0 > 0.3
+    assert abs(share1 - 0.3) < abs(share0 - 0.3)
+    # schema untouched (helper columns dropped)
+    assert sel.columns == docs.columns
