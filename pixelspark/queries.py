@@ -910,6 +910,65 @@ def q_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_column_mapping",
+    """
+    SELECT c_custkey AS id, c_name AS cust_name, CAST(NULL AS VARCHAR) AS note
+    FROM customer WHERE c_custkey <= 1000
+    UNION ALL
+    SELECT s_suppkey + 1000000 AS id, s_name AS cust_name, 'added' AS note
+    FROM supplier
+    """,
+)
+def q_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-mapping schema evolution end-to-end (table.py
+    enable_column_mapping / rename_column / drop_column /
+    add_columns): seed a snapshot table from the customer dim, then —
+    as pure metadata commits, no data rewritten — rename
+    name->cust_name, drop the balance column, add a fresh `note`
+    column, and append supplier-derived rows under the NEW logical
+    schema.  The read-back end state is plain SQL over the inputs;
+    in-query asserts pin that the rename/drop/add wrote no data dir
+    (entry bases unchanged) and that the data files still carry the
+    original physical name."""
+    import tempfile
+
+    from pixelspark.table import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="pixelspark_cmap_") + "/shops"
+    t = SnapshotTable(spark, root)
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 1000)
+    t.overwrite(
+        cust.select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("bal"),
+        )
+    )
+    t.enable_column_mapping()
+    bases_before = {e["base"] for e in t.manifest(t.latest_version())["entries"]}
+    t.rename_column("name", "cust_name")
+    t.drop_column("bal")
+    t.add_columns({"note": "string"})
+    bases_after = {e["base"] for e in t.manifest(t.latest_version())["entries"]}
+    assert bases_after == bases_before, "schema DDL must be metadata-only"
+    sup = _t(spark, sf_dir, "supplier")
+    t.append(
+        sup.select(
+            (F.col("s_suppkey") + 1000000).alias("id"),
+            F.col("s_name").alias("cust_name"),
+            F.lit("added").alias("note"),
+        )
+    )
+    raw_cols = set(
+        spark.read.parquet(f"{root}/{sorted(bases_before)[0]}").columns
+    )
+    assert "name" in raw_cols and "cust_name" not in raw_cols, (
+        "rename must not touch the stored physical columns"
+    )
+    return t.read().select("id", "cust_name", "note")
+
+
+@query(
     "q_snapshot_merge",
     f"""
     WITH pv AS (

@@ -69,6 +69,7 @@ from __future__ import annotations
 
 import base64
 import json
+import re
 import time
 import uuid
 import warnings
@@ -77,7 +78,7 @@ from typing import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from pixelspark.storage import NON_ATOMIC_CREATE_SCHEMES, Storage, storage_for
 
@@ -343,6 +344,13 @@ class SnapshotTable:
                 gen = (prev or {}).get("generated") or self.generated_cols
                 if gen:
                     new["generated"] = gen
+            # column mapping (rename/drop without rewrite) survives every
+            # commit; ops that change it (rename_column, drop_column,
+            # add_columns, restore) set the key explicitly
+            if "column_mapping" not in new and prev and prev.get("column_mapping"):
+                new["column_mapping"] = prev["column_mapping"]
+            if not new.get("column_mapping"):
+                new.pop("column_mapping", None)
             new["version"] = (v or 0) + 1
             # wall-clock commit instant (epoch seconds, UTC): feeds
             # DESCRIBE HISTORY and age-based vacuum retention.  Like
@@ -367,21 +375,56 @@ class SnapshotTable:
         # measured 11.3s -> ~1s on a 60-commit table (see BASELINE.md).
         return f"{DATA_DIR}/__snap={uuid.uuid4().hex[:16]}"
 
+    @staticmethod
+    def _to_logical(df: DataFrame, cmap: dict | None) -> DataFrame:
+        """Physical -> logical projection for mapping-enabled scans:
+        every mapped physical present in the files surfaces under its
+        logical name (mapping order = schema order), engine-internal
+        row-position columns ride along, and any OTHER physical —
+        i.e. a dropped column's bytes — is projected away."""
+        if not cmap:
+            return df
+        have = set(df.columns)
+        sel = [
+            F.col(phys).alias(logical)
+            for logical, phys in cmap["cols"].items()
+            if phys in have
+        ]
+        sel += [F.col(c) for c in ("__dv_file", "__dv_row") if c in have]
+        return df.select(*sel)
+
     def _write_snap(
         self, df: DataFrame, partition_col: str | None
-    ) -> tuple[str, list[str], bool]:
+    ) -> tuple[str, list[str], bool, dict | None]:
         """Write one immutable data dir; returns (relative dir, list of
-        `col=value` subdirectory names — empty for unpartitioned, and
-        whether any parquet data file landed).  An empty DataFrame can
-        produce a dir with no data files at all (always, under
-        partitionBy) — committing such an entry would give read() zero
-        scannable paths, so callers short-circuit on `has_data=False`."""
+        `col=value` subdirectory names — empty for unpartitioned,
+        whether any parquet data file landed, and the column-mapping
+        manifest value the write was translated under — commit builds
+        that add this dir's entry must raise _Conflicted if the
+        table's mapping has moved since, or a rename racing a write
+        would publish data whose physical names no longer match the
+        mapping).  An empty DataFrame can produce a dir with no data
+        files at all (always, under partitionBy) — committing such an
+        entry would give read() zero scannable paths, so callers
+        short-circuit on `has_data=False`."""
         df = self._apply_generated(df)
         if self.constraints:
             self._enforce_constraints(df)
         metrics = None
         if self.expectations:
             df, metrics = self._apply_expectations(df)
+        cmap = self._current_mapping()
+        if cmap:
+            cols = cmap["cols"]
+            unmapped = [c for c in df.columns if c not in cols]
+            if unmapped:
+                raise ValueError(
+                    f"columns {unmapped} are not in the column mapping — on a "
+                    "mapping-enabled table new columns must be declared with "
+                    "add_columns() before they can be written (Iceberg-style "
+                    "schema-evolution-first contract)"
+                )
+            df = df.select(*[F.col(c).alias(cols[c]) for c in df.columns])
         rel = self._new_snap()
         full = f"{self.root}/{rel}"
         if partition_col is None:
@@ -389,12 +432,12 @@ class SnapshotTable:
             has = self.st.has_parquet(full)
             if metrics is not None and has:
                 self._write_expectation_metrics(full, metrics)
-            return rel, [], has
+            return rel, [], has, cmap
         df.write.mode("errorifexists").partitionBy(partition_col).parquet(full)
         parts = [p for p in self.st.list(full) if p.startswith(f"{partition_col}=")]
         if metrics is not None and parts:
             self._write_expectation_metrics(full, metrics)
-        return rel, parts, bool(parts)
+        return rel, parts, bool(parts), cmap
 
     def _generation_exprs(self) -> dict[str, str]:
         """The table's persisted generation expressions (manifest wins
@@ -597,12 +640,23 @@ class SnapshotTable:
             return v.isoformat()
         return None
 
-    def _file_stats(self, rel: str, df_schema: StructType) -> dict | None:
+    def _file_stats(
+        self, rel: str, df_schema: StructType, cmap: dict | None = None
+    ) -> dict | None:
         """Per-file min/max for `stats_cols`, keyed by path relative to
         the snap dir.  One extra scan of just-written data (bounded by
         the write itself; Delta computes the same stats inline).  Files
-        with zero rows never appear — correct, they contribute no rows."""
-        cols = [c for c in self.stats_cols if c in {f.name for f in df_schema.fields}]
+        with zero rows never appear — correct, they contribute no rows.
+        On a mapping-enabled table the written files carry PHYSICAL
+        column names, so `stats_cols` (logical) are translated and the
+        stat keys are physical — read() translates its predicates the
+        same way before probing."""
+        trans = (cmap or {}).get("cols") or {}
+        cols = [
+            trans.get(c, c)
+            for c in self.stats_cols
+            if c in {f.name for f in df_schema.fields}
+        ]
         if not cols:
             return None
         full = f"{self.root}/{rel}"
@@ -641,13 +695,20 @@ class SnapshotTable:
             ]
         )
 
-    def _write_blooms(self, rel: str, df_schema: StructType) -> bool:
+    def _write_blooms(
+        self, rel: str, df_schema: StructType, cmap: dict | None = None
+    ) -> bool:
         """Build per-file bloom filters for `bloom_cols` and write the
         `_bloom.json` sidecar into the (still-unpublished) snap dir.
         One aggregate per bloom column over the just-written files; bit
         positions are computed JVM-side (xxhash64), only the distinct
         set positions per file come back to the driver for packing."""
-        cols = [c for c in self.bloom_cols if c in {f.name for f in df_schema.fields}]
+        trans = (cmap or {}).get("cols") or {}
+        cols = [
+            trans.get(c, c)
+            for c in self.bloom_cols
+            if c in {f.name for f in df_schema.fields}
+        ]
         if not cols:
             return False
         full = f"{self.root}/{rel}"
@@ -755,7 +816,7 @@ class SnapshotTable:
         return out
 
     def _entry_for(self, rel: str, parts: list[str], has_data: bool,
-                   df_schema: StructType) -> dict:
+                   df_schema: StructType, cmap: dict | None = None) -> dict:
         entry: dict = {"base": rel, "parts": parts or None}
         if has_data:
             # per-part (or whole-dir) row counts: COUNT(*) on parquet
@@ -781,11 +842,11 @@ class SnapshotTable:
             else:
                 entry["rows"] = {"": int(scan.count())}
         if has_data and self.stats_cols:
-            st = self._file_stats(rel, df_schema)
+            st = self._file_stats(rel, df_schema, cmap)
             if st:
                 entry["stats"] = st
         if has_data and self.bloom_cols:
-            if self._write_blooms(rel, df_schema):
+            if self._write_blooms(rel, df_schema, cmap):
                 entry["bloom"] = True
         return entry
 
@@ -808,12 +869,14 @@ class SnapshotTable:
         """Full snapshot replacement.  An empty `df` is a truncate: the
         manifest commits with zero entries but keeps the schema, so
         read() returns an empty typed DataFrame."""
-        rel, parts, has_data = self._write_snap(df, partition_col)
-        entry = self._entry_for(rel, parts, has_data, df.schema)
+        rel, parts, has_data, wmap = self._write_snap(df, partition_col)
+        entry = self._entry_for(rel, parts, has_data, df.schema, wmap)
         schema = df.schema.json()
 
         def build(prev: dict | None) -> dict:
             self._check_expected(prev, expected_version)
+            if (prev or {}).get("column_mapping") != wmap:
+                raise _Conflicted
             return {
                 "partition_col": partition_col,
                 "entries": [entry] if has_data else [],
@@ -833,8 +896,8 @@ class SnapshotTable:
         empty DataFrame to an existing table is a no-op (returns the
         current version); to a missing table it creates an empty one
         so the schema is established."""
-        rel, _, has_data = self._write_snap(df, None)
-        entry = self._entry_for(rel, [], has_data, df.schema)
+        rel, _, has_data, wmap = self._write_snap(df, None)
+        entry = self._entry_for(rel, [], has_data, df.schema, wmap)
         if not has_data:
             v = self.latest_version()
             if v is not None:
@@ -842,6 +905,8 @@ class SnapshotTable:
         schema = df.schema.json()
 
         def build(prev: dict | None) -> dict:
+            if (prev or {}).get("column_mapping") != wmap:
+                raise _Conflicted
             entries = list(prev["entries"]) if prev else []
             if prev and prev.get("partition_col"):
                 raise ValueError(
@@ -873,11 +938,13 @@ class SnapshotTable:
             last = self.manifest(v).get("txn", {}).get(app_id)
             if last is not None and last >= batch_id:
                 return None  # replay detected before paying the write
-        rel, _, has_data = self._write_snap(df, None)
-        entry = self._entry_for(rel, [], has_data, df.schema)
+        rel, _, has_data, wmap = self._write_snap(df, None)
+        entry = self._entry_for(rel, [], has_data, df.schema, wmap)
         schema = df.schema.json()
 
         def build(prev: dict | None) -> dict:
+            if (prev or {}).get("column_mapping") != wmap:
+                raise _Conflicted
             txn = dict((prev or {}).get("txn") or {})
             last = txn.get(app_id)
             if last is not None and last >= batch_id:
@@ -930,8 +997,8 @@ class SnapshotTable:
                 last = self.manifest(v).get("txn", {}).get(txn[0])
                 if last is not None and last >= txn[1]:
                     return None  # replay: skip before paying the write
-        rel, parts, has_data = self._write_snap(df, partition_col)
-        entry = self._entry_for(rel, sorted(parts), has_data, df.schema)
+        rel, parts, has_data, wmap = self._write_snap(df, partition_col)
+        entry = self._entry_for(rel, sorted(parts), has_data, df.schema, wmap)
         new_parts = set(parts)  # subdirs that actually exist in the new snap
         replaced = set(new_parts)  # values retired from previous entries
         if replace_values is not None:
@@ -946,6 +1013,8 @@ class SnapshotTable:
 
         def build(prev: dict | None) -> dict:
             self._check_expected(prev, expected_version)
+            if (prev or {}).get("column_mapping") != wmap:
+                raise _Conflicted
             if prev and prev.get("partition_col") != partition_col and prev["entries"]:
                 # includes partition_col=None: partition-replacing an
                 # UNPARTITIONED table would reduce every parts=None
@@ -1269,7 +1338,9 @@ class SnapshotTable:
                     expected_version=read_v,
                     op={"name": "merge", "mode": "dv", "keys": list(keys)},
                 )
-            df = self._scan_entries(entries, pcol, with_pos=True)
+            df = self._scan_entries(
+                entries, pcol, with_pos=True, cmap=m.get("column_mapping")
+            )
             dv0 = self._dv_scan(m)
             if dv0 is not None:
                 df = df.join(
@@ -1345,7 +1416,7 @@ class SnapshotTable:
                 assigned=upd_map,  # DV merge appends ordinary new rows;
                 # nothing is partition-scoped, so everything may regen
             )
-            rel_new, parts, has_data = self._write_snap(new_data, pcol)
+            rel_new, parts, has_data, wmap_new = self._write_snap(new_data, pcol)
             # an empty unpartitioned write can still leave a zero-row
             # part file (has_data=True); read the (tiny or empty) snap
             # back so a fully-no-op merge commits nothing
@@ -1479,7 +1550,10 @@ class SnapshotTable:
             entries = m["entries"]
             if not entries:
                 return read_v  # empty table: nothing to delete
-            df = self._scan_entries(entries, m.get("partition_col"), with_pos=True)
+            df = self._scan_entries(
+                entries, m.get("partition_col"), with_pos=True,
+                cmap=m.get("column_mapping"),
+            )
             dv = self._dv_scan(m)
             if dv is not None:
                 df = df.join(
@@ -1619,7 +1693,9 @@ class SnapshotTable:
             pcol = m.get("partition_col")
             if not entries:
                 return read_v
-            df = self._scan_entries(entries, pcol, with_pos=True)
+            df = self._scan_entries(
+                entries, pcol, with_pos=True, cmap=m.get("column_mapping")
+            )
             dv = self._dv_scan(m)
             if dv is not None:
                 df = df.join(
@@ -1648,7 +1724,7 @@ class SnapshotTable:
             if self.spark.read.parquet(full_dv).limit(1).isEmpty():
                 self.st.delete(full_dv)
                 return read_v  # nothing matched
-            rel_new, parts, has_data = self._write_snap(updated, pcol)
+            rel_new, parts, has_data, wmap_upd = self._write_snap(updated, pcol)
             entry = self._entry_for(rel_new, parts, has_data, updated.schema)
 
             def build(prev: dict | None) -> dict:
@@ -1705,11 +1781,176 @@ class SnapshotTable:
                     f"columns already exist: {sorted(clash)}"
                 )
             widened = StructType(list(schema.fields) + new_fields)
-            return {
+            out = {
                 "partition_col": prev.get("partition_col"),
                 "entries": prev["entries"],
                 "schema": widened.json(),
                 "op": {"name": "add_columns", "columns": sorted(columns)},
+            }
+            cmap = prev.get("column_mapping")
+            if cmap:
+                # mapping-enabled: new logical columns get FRESH physical
+                # names (col_<id>, monotonically assigned, never reused)
+                # so a column re-added after a drop can never resurrect
+                # the dropped column's bytes through mergeSchema
+                cmap = json.loads(json.dumps(cmap))  # deep copy
+                for f in new_fields:
+                    cmap["cols"][f.name] = self._fresh_physical(cmap, f.name)
+                out["column_mapping"] = cmap
+            return out
+
+        return self._commit(build)
+
+    # -- column mapping (rename / drop without rewrite) --------------------
+
+    def _current_mapping(self) -> dict | None:
+        v = self.latest_version()
+        if v is None:
+            return None
+        return self.manifest(v).get("column_mapping")
+
+    @staticmethod
+    def _fresh_physical(cmap: dict, logical: str) -> str:
+        """Next never-used physical name: col_<id> ids are monotone and
+        recorded, and the name additionally skips anything live in the
+        mapping or retired by a drop (an identity-mapped column could
+        literally be named col_3)."""
+        taken = set(cmap["cols"].values()) | set(cmap.get("dropped") or [])
+        while True:
+            name = f"col_{cmap['next_id']}"
+            cmap["next_id"] += 1
+            if name not in taken:
+                return name
+
+    def _mapping_guard_exprs(self, prev: dict | None, logical: str) -> None:
+        """Shared rename/drop validations against the previous manifest."""
+        if prev is None or not prev.get("schema"):
+            raise FileNotFoundError(f"no schema-bearing snapshot at {self.root}")
+        if prev.get("partition_col") == logical:
+            raise ValueError(
+                f"{logical!r} is the partition column — its name is baked "
+                "into the col=value directory layout; repartition via "
+                "overwrite instead"
+            )
+        gen = prev.get("generated") or {}
+        for target, expr in gen.items():
+            if logical == target or re.search(
+                rf"\b{re.escape(logical)}\b", expr
+            ):
+                raise ValueError(
+                    f"{logical!r} is a generated column or feeds generated "
+                    f"column {target!r} ({expr!r}) — drop the generation "
+                    "first"
+                )
+
+    def enable_column_mapping(self) -> int:
+        """Turn on name-based column mapping (Delta column-mapping
+        `name` mode): every logical column gets a recorded physical
+        name (initially identity), reads project physical->logical,
+        writes translate logical->physical.  From then on
+        rename_column / drop_column are pure metadata commits — no
+        data is read or rewritten — at the price of an Iceberg-style
+        contract: NEW columns must be declared with add_columns()
+        before a write may carry them."""
+
+        def build(prev: dict | None) -> dict:
+            if prev is None or not prev.get("schema"):
+                raise FileNotFoundError(f"no schema-bearing snapshot at {self.root}")
+            if prev.get("column_mapping"):
+                raise ValueError("column mapping is already enabled")
+            schema = StructType.fromJson(json.loads(prev["schema"]))
+            return {
+                "partition_col": prev.get("partition_col"),
+                "entries": prev["entries"],
+                "schema": prev["schema"],
+                "column_mapping": {
+                    "cols": {f.name: f.name for f in schema.fields},
+                    "next_id": 1,
+                    "dropped": [],
+                },
+                "op": {"name": "enable_column_mapping"},
+            }
+
+        return self._commit(build)
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN as ONE manifest write: the logical
+        name changes, the physical name in every already-written
+        parquet file stays — zero data touched, old versions time-travel
+        with their old names.  Requires column mapping
+        (enable_column_mapping); refuses the partition column and
+        generated-column participants (their expressions and the
+        directory layout embed the name)."""
+
+        def build(prev: dict | None) -> dict:
+            self._mapping_guard_exprs(prev, old)
+            cmap = prev.get("column_mapping")
+            if not cmap:
+                raise ValueError(
+                    "rename_column needs column mapping — call "
+                    "enable_column_mapping() first (a metadata-only commit)"
+                )
+            schema = StructType.fromJson(json.loads(prev["schema"]))
+            names = [f.name for f in schema.fields]
+            if old not in names:
+                raise ValueError(f"no such column: {old!r}")
+            if new in names:
+                raise ValueError(f"column already exists: {new!r}")
+            cmap = json.loads(json.dumps(cmap))
+            # rebuild preserving field order; the physical name rides along
+            cmap["cols"] = {
+                (new if l == old else l): p for l, p in cmap["cols"].items()
+            }
+            renamed = StructType(
+                [
+                    StructField(new, f.dataType, f.nullable, f.metadata)
+                    if f.name == old
+                    else f
+                    for f in schema.fields
+                ]
+            )
+            return {
+                "partition_col": prev.get("partition_col"),
+                "entries": prev["entries"],
+                "schema": renamed.json(),
+                "column_mapping": cmap,
+                "op": {"name": "rename_column", "from": old, "to": new},
+            }
+
+        return self._commit(build)
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN as ONE manifest write: the column
+        leaves the logical schema and the mapping; its bytes stay in
+        the already-written files but are never projected again (and
+        its physical name is retired so a later add_columns can reuse
+        the logical name without resurrecting them).  Time travel to
+        pre-drop versions still sees the column."""
+
+        def build(prev: dict | None) -> dict:
+            self._mapping_guard_exprs(prev, name)
+            cmap = prev.get("column_mapping")
+            if not cmap:
+                raise ValueError(
+                    "drop_column needs column mapping — call "
+                    "enable_column_mapping() first (a metadata-only commit)"
+                )
+            schema = StructType.fromJson(json.loads(prev["schema"]))
+            names = [f.name for f in schema.fields]
+            if name not in names:
+                raise ValueError(f"no such column: {name!r}")
+            if len(names) == 1:
+                raise ValueError("cannot drop the last column")
+            cmap = json.loads(json.dumps(cmap))
+            phys = cmap["cols"].pop(name)
+            cmap.setdefault("dropped", []).append(phys)
+            narrowed = StructType([f for f in schema.fields if f.name != name])
+            return {
+                "partition_col": prev.get("partition_col"),
+                "entries": prev["entries"],
+                "schema": narrowed.json(),
+                "column_mapping": cmap,
+                "op": {"name": "drop_column", "column": name},
             }
 
         return self._commit(build)
@@ -1881,8 +2122,20 @@ class SnapshotTable:
             ]
         residual = None
         if predicates:
-            entries = self._prune_by_stats(entries, predicates)
-            entries = self._prune_by_bloom(entries, predicates)
+            # stats/bloom metadata is keyed by PHYSICAL column names;
+            # translate for pruning, keep the residual WHERE logical
+            # (it runs after the scan's physical->logical projection)
+            cmap = m.get("column_mapping")
+            phys_preds = predicates
+            if cmap:
+                unknown = [c for c, _, _ in predicates if c not in cmap["cols"]]
+                if unknown:
+                    raise ValueError(f"no such column(s): {sorted(set(unknown))}")
+                phys_preds = [
+                    (cmap["cols"][c], op, val) for c, op, val in predicates
+                ]
+            entries = self._prune_by_stats(entries, phys_preds)
+            entries = self._prune_by_bloom(entries, phys_preds)
             residual = reduce(
                 lambda a, b: a & b,
                 [_PRED_OPS[op](F.col(c), F.lit(val)) for c, op, val in predicates],
@@ -1902,7 +2155,8 @@ class SnapshotTable:
             )
         dv = self._dv_scan(m)
         df = self._scan_entries(
-            entries, m.get("partition_col"), with_pos=dv is not None
+            entries, m.get("partition_col"), with_pos=dv is not None,
+            cmap=m.get("column_mapping"),
         )
         if dv is not None:
             # merge-on-read: mask DV-addressed row positions.  Cost is
@@ -1972,7 +2226,8 @@ class SnapshotTable:
         return out
 
     def _scan_entries(
-        self, entries: list[dict], pcol: str | None, with_pos: bool = False
+        self, entries: list[dict], pcol: str | None, with_pos: bool = False,
+        cmap: dict | None = None,
     ) -> DataFrame:
         """One parquet relation over the given manifest entries (the
         single-scan `__snap=` path, with the legacy per-entry-union
@@ -2007,7 +2262,7 @@ class SnapshotTable:
                     ).alias("__dv_file"),
                     F.col("_metadata.row_index").alias("__dv_row"),
                 )
-            return df.drop("__snap")
+            return self._to_logical(df.drop("__snap"), cmap)
         if with_pos:
             raise ValueError(
                 "row positions (deletion vectors) require the __snap= "
@@ -2024,8 +2279,9 @@ class SnapshotTable:
                 scans.append(
                     self.spark.read.option("basePath", base).parquet(*paths)
                 )
-        return reduce(
-            lambda a, b: a.unionByName(b, allowMissingColumns=True), scans
+        return self._to_logical(
+            reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), scans),
+            cmap,
         )
 
     def read_changes(
@@ -2069,6 +2325,12 @@ class SnapshotTable:
         m1 = self.manifest(to_v)
         m0 = self.manifest(from_version) if from_version else {"entries": []}
         pcol = m1.get("partition_col")
+        if from_version and m0.get("column_mapping") != m1.get("column_mapping"):
+            raise ValueError(
+                "read_changes across a column-mapping change (rename/drop/"
+                "add under mapping) is ambiguous — read the two snapshots "
+                "and diff them explicitly"
+            )
         schema = StructType.fromJson(json.loads(m1["schema"]))
         table_cols = [f.name for f in schema.fields]
 
@@ -2091,7 +2353,7 @@ class SnapshotTable:
                 {"base": b, "parts": None if ps == [None] else ps}
                 for b, ps in by_base.items()
             ]
-            df = self._scan_entries(entries, pcol)
+            df = self._scan_entries(entries, pcol, cmap=m1.get("column_mapping"))
             # align to the target-snapshot schema (older snaps may
             # predate an evolved column)
             return df.select(*[
@@ -2318,6 +2580,9 @@ class SnapshotTable:
                 # back with it (explicit: the carry-over default would
                 # wrongly keep the rolled-back-over version's vectors)
                 "dv_files": m.get("dv_files") or [],
+                # same for the column mapping: a restore across a
+                # rename/drop must resurrect the old logical schema
+                "column_mapping": m.get("column_mapping") or None,
                 "op": {"name": "restore", "to_version": version},
             }
 

@@ -1,0 +1,194 @@
+"""Column mapping (Delta column-mapping `name` mode): rename/drop as
+pure metadata commits — no data file read, rewritten, or touched — with
+physical->logical projection on read and logical->physical translation
+on write, never resurrecting a dropped column's bytes."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pixelspark.table import ConcurrentWriteConflict, SnapshotTable
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], "k long, v string, amt double"
+        )
+    )
+    return t
+
+
+def _data_mtimes(root: str) -> dict[str, float]:
+    out = {}
+    for dirpath, _dirs, files in os.walk(os.path.join(root, "data")):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            out[p] = os.path.getmtime(p)
+    return out
+
+
+def test_rename_is_metadata_only_and_time_travels(spark, tbl, tmp_path):
+    root = str(tmp_path / "tbl")
+    tbl.enable_column_mapping()
+    before = _data_mtimes(root)
+    v = tbl.rename_column("v", "label")
+    assert _data_mtimes(root) == before  # zero data churn
+    got = {(r["k"], r["label"]) for r in tbl.read().collect()}
+    assert got == {(1, "a"), (2, "b")}
+    assert "v" not in tbl.read().columns
+    # the files still carry the PHYSICAL name
+    snap = tbl.manifest(v)["entries"][0]["base"]
+    raw = spark.read.parquet(f"{root}/{snap}")
+    assert "v" in raw.columns and "label" not in raw.columns
+    # pre-rename versions keep the old logical name
+    assert "v" in tbl.read(version=1).columns
+
+
+def test_write_after_rename_translates_to_physical(spark, tbl, tmp_path):
+    tbl.enable_column_mapping()
+    tbl.rename_column("v", "label")
+    tbl.append(
+        spark.createDataFrame([(3, "c", 30.0)], "k long, label string, amt double")
+    )
+    got = {(r["k"], r["label"]) for r in tbl.read().collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    # the appended file ALSO stores the original physical name, so the
+    # whole table remains one homogeneous mergeSchema scan
+    snap = tbl.manifest(tbl.latest_version())["entries"][-1]["base"]
+    raw = spark.read.parquet(f"{tmp_path / 'tbl'}/{snap}")
+    assert "v" in raw.columns
+
+
+def test_unmapped_column_write_is_refused(spark, tbl):
+    tbl.enable_column_mapping()
+    with pytest.raises(ValueError, match="add_columns"):
+        tbl.append(
+            spark.createDataFrame(
+                [(3, "c", 1.0, "x")], "k long, v string, amt double, extra string"
+            )
+        )
+
+
+def test_drop_then_readd_never_resurrects(spark, tbl):
+    tbl.enable_column_mapping()
+    tbl.drop_column("v")
+    assert "v" not in tbl.read().columns
+    # re-add the SAME logical name: a fresh physical is assigned, so
+    # the old files' bytes stay invisible
+    tbl.add_columns({"v": "string"})
+    rows = {r["k"]: r["v"] for r in tbl.read().collect()}
+    assert rows == {1: None, 2: None}
+    tbl.append(spark.createDataFrame([(3, 1.0, "new")], "k long, amt double, v string"))
+    rows = {r["k"]: r["v"] for r in tbl.read().collect()}
+    assert rows == {1: None, 2: None, 3: "new"}
+    # physical name of the re-added column is a fresh col_<id>
+    cmap = tbl.manifest(tbl.latest_version())["column_mapping"]
+    assert cmap["cols"]["v"].startswith("col_")
+    assert "v" in cmap["dropped"]
+
+
+def test_rename_refuses_partition_and_generated_columns(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "pt"))
+    df = spark.createDataFrame([(1, "2024-01-01", 5.0)], "k long, day string, x double")
+    t.replace_partitions(df, "day")
+    t.enable_column_mapping()
+    with pytest.raises(ValueError, match="partition column"):
+        t.rename_column("day", "dt")
+    g = SnapshotTable(
+        spark, str(tmp_path / "gt"), generated_cols={"x2": "x * 2"}
+    )
+    g.overwrite(spark.createDataFrame([(1, 3.0)], "k long, x double"))
+    g.enable_column_mapping()
+    with pytest.raises(ValueError, match="generated"):
+        g.rename_column("x", "y")
+    with pytest.raises(ValueError, match="generated"):
+        g.drop_column("x2")
+
+
+def test_restore_across_rename_resurrects_old_schema(spark, tbl):
+    tbl.enable_column_mapping()
+    tbl.rename_column("v", "label")
+    tbl.restore(1)
+    assert "v" in tbl.read().columns and "label" not in tbl.read().columns
+    got = {(r["k"], r["v"]) for r in tbl.read().collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_stats_pruning_survives_rename(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "st"), stats_cols=("k",))
+    t.overwrite(spark.createDataFrame([(i, f"r{i}") for i in range(10)], "k long, v string"))
+    t.enable_column_mapping()
+    t.append(spark.createDataFrame([(i, f"r{i}") for i in range(100, 110)], "k long, v string"))
+    t.rename_column("k", "key")
+    # predicates use the NEW logical name; stats keys are physical
+    pruned = t.read(predicates=[("key", ">=", 100)])
+    assert {r["key"] for r in pruned.collect()} == set(range(100, 110))
+    files = pruned.inputFiles()
+    full = t.read().inputFiles()
+    assert len(files) < len(full), "stats pruning lost after rename"
+    with pytest.raises(ValueError, match="no such column"):
+        t.read(predicates=[("k", ">=", 100)])
+
+
+def test_dml_on_mapped_table(spark, tbl):
+    tbl.enable_column_mapping()
+    tbl.rename_column("v", "label")
+    tbl.update({"label": F.lit("upd")}, F.col("k") == 1, mode="dv")
+    tbl.delete(F.col("k") == 2, mode="dv")
+    got = {(r["k"], r["label"]) for r in tbl.read().collect()}
+    assert got == {(1, "upd")}
+
+
+def test_merge_on_mapped_table(spark, tbl):
+    tbl.enable_column_mapping()
+    tbl.rename_column("v", "label")
+    src = spark.createDataFrame(
+        [(1, "m1", 11.0), (9, "m9", 99.0)], "k long, label string, amt double"
+    )
+    tbl.merge(src, keys=("k",), when_matched_update="all", when_not_matched_insert=True)
+    got = {(r["k"], r["label"]) for r in tbl.read().collect()}
+    assert got == {(1, "m1"), (2, "b"), (9, "m9")}
+
+
+def test_read_changes_refuses_mapping_drift(spark, tbl):
+    v1 = tbl.latest_version()
+    tbl.enable_column_mapping()
+    tbl.rename_column("v", "label")
+    v3 = tbl.latest_version()
+    with pytest.raises(ValueError, match="column-mapping change"):
+        tbl.read_changes(from_version=v1, to_version=v3)
+    # within a stable mapping CDF works
+    tbl.append(spark.createDataFrame([(5, "e", 5.0)], "k long, label string, amt double"))
+    ch = tbl.read_changes(from_version=v3, to_version=tbl.latest_version())
+    assert {(r["k"], r["change_type"]) for r in ch.collect()} == {(5, "inserted")}
+
+
+def test_stale_mapping_write_conflicts(spark, tbl):
+    """A rename that lands between a writer's translation and its
+    commit must conflict, not publish mistranslated physicals."""
+    tbl.enable_column_mapping()
+    stale = tbl._current_mapping()
+    tbl.rename_column("v", "label")
+    tbl._current_mapping = lambda: stale  # simulate the race window
+    with pytest.raises(ConcurrentWriteConflict):
+        tbl.append(
+            spark.createDataFrame([(7, "x", 1.0)], "k long, v string, amt double")
+        )
+
+
+def test_enable_requires_schema_and_is_idempotent_guarded(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "empty"))
+    with pytest.raises(FileNotFoundError):
+        t.enable_column_mapping()
+    t.overwrite(spark.createDataFrame([(1,)], "k long"))
+    t.enable_column_mapping()
+    with pytest.raises(ValueError, match="already enabled"):
+        t.enable_column_mapping()
+    with pytest.raises(ValueError, match="cannot drop the last column"):
+        t.drop_column("k")
