@@ -75,6 +75,13 @@ class Storage:
         """Full contents of a small text file (manifests, pointers)."""
         raise NotImplementedError
 
+    def mtime(self, path: str) -> float | None:
+        """Last-modification instant (epoch seconds) of a file or
+        directory, or None when the backend cannot say.  Consumers
+        must treat None conservatively (age unknown != old) — vacuum's
+        orphan min-age window KEEPS a dir whose age it cannot prove."""
+        return None
+
     def write_text_atomic(self, path: str, content: str) -> bool:
         """Publish a small IMMUTABLE text file with all-or-nothing
         visibility: readers see the complete file or no file, never a
@@ -175,6 +182,13 @@ class LocalStorage(Storage):
         with open(_strip_file_scheme(path), encoding="utf-8") as f:
             return f.read()
 
+    def mtime(self, path: str) -> float | None:
+        path = _strip_file_scheme(path)
+        try:
+            return os.path.getmtime(path)
+        except OSError:
+            return None
+
     def write_text_atomic(self, path: str, content: str) -> bool:
         path = _strip_file_scheme(path)
         parent = os.path.dirname(path)
@@ -245,6 +259,13 @@ class HadoopStorage(Storage):
             if it.next().getPath().getName().endswith(".parquet"):
                 return True
         return False
+
+    def mtime(self, path: str) -> float | None:
+        fs, p = self._fs(path), self._path(path)
+        try:
+            return fs.getFileStatus(p).getModificationTime() / 1000.0
+        except Exception:
+            return None
 
     def read_text(self, path: str) -> str:
         fs, p = self._fs(path), self._path(path)
@@ -330,6 +351,9 @@ class ConditionalPutStorage(Storage):
 
     def read_text(self, path: str) -> str:
         return self.inner.read_text(path)
+
+    def mtime(self, path: str) -> float | None:
+        return self.inner.mtime(path)
 
     def write_text_atomic(self, path: str, content: str) -> bool:
         return bool(self._put_if_absent(path, content))

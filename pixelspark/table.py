@@ -2596,6 +2596,7 @@ class SnapshotTable:
         keep_hours: float | None = None,
         dry_run: bool = False,
         now: float | None = None,
+        min_age_hours: float = 0.0,
     ) -> list[str]:
         """Delete data dirs unreferenced by the retained manifests
         (crash leftovers, replaced snapshots) and prune the older
@@ -2611,11 +2612,24 @@ class SnapshotTable:
             predating the committed_at field count as out-of-window
             (they are still protected by keep_versions).
 
-        Like Delta VACUUM, run it OUT-of-band of writers; retention
-        must cover any reader still pinned to an old version and any
-        restore target — `dry_run=True` reports what WOULD be removed
-        (Delta VACUUM DRY RUN) without touching anything, including
-        the manifests.  `now` injects the clock for tests."""
+        `min_age_hours` protects IN-FLIGHT writers (the Delta
+        "deleted files must be older than the retention period"
+        rule): an unreferenced dir is only removed once its
+        last-modification instant is at least this old, so a writer
+        that has staged its data dir but not yet committed the
+        manifest cannot have it vacuumed from under the commit.  A dir
+        whose age the storage backend cannot report (mtime -> None)
+        is conservatively KEPT whenever a floor is set.  The default 0
+        keeps the historical eager behavior for out-of-band runs;
+        concurrent-writer deployments should set it above their
+        longest write duration.
+
+        Like Delta VACUUM, run it OUT-of-band of writers (or set
+        `min_age_hours`); retention must cover any reader still pinned
+        to an old version and any restore target — `dry_run=True`
+        reports what WOULD be removed (Delta VACUUM DRY RUN) without
+        touching anything, including the manifests.  `now` injects the
+        clock for tests."""
         vs = self.versions()
         if not vs:
             return []
@@ -2652,6 +2666,13 @@ class SnapshotTable:
             # deletion like any other unreferenced dir
             for d in m.get("dv_files") or []:
                 live_whole.add(d.split("/", 1)[1])
+        def old_enough(rel: str) -> bool:
+            if min_age_hours <= 0:
+                return True
+            age_cutoff = (time.time() if now is None else now) - min_age_hours * 3600.0
+            mt = self.st.mtime(f"{self.root}/{rel}")
+            return mt is not None and mt <= age_cutoff
+
         removed = []
         for name in self.st.list(f"{self.root}/{DATA_DIR}"):
             if name in live_whole:
@@ -2661,12 +2682,15 @@ class SnapshotTable:
                     dead = (
                         child not in live_parts[name]
                         and any(child.startswith(f"{pc}=") for pc in pcols)
+                        and old_enough(f"{DATA_DIR}/{name}/{child}")
                     )
                     if dead:  # superseded col=value subdir in a live dir
                         if not dry_run:
                             self.st.delete(f"{self.root}/{DATA_DIR}/{name}/{child}")
                         removed.append(f"{DATA_DIR}/{name}/{child}")
                 continue
+            if not old_enough(f"{DATA_DIR}/{name}"):
+                continue  # possibly an in-flight writer's staged dir
             if not dry_run:
                 self.st.delete(f"{self.root}/{DATA_DIR}/{name}")
             removed.append(f"{DATA_DIR}/{name}")

@@ -1584,3 +1584,36 @@ def test_row_count_is_manifest_only_and_exact(spark, tmp_path):
     assert t.row_count() == 10
     t.compact()
     assert t.row_count() == 10
+
+
+def test_vacuum_min_age_protects_inflight_writer_dirs(spark, tbl, tmp_path):
+    """An unreferenced data dir younger than min_age_hours must survive
+    vacuum (it may be a concurrent writer's staged-but-uncommitted
+    dir); once provably old it is reclaimed.  A backend that cannot
+    report age keeps the dir whenever a floor is set."""
+    import os
+    import time as _time
+
+    root = str(tmp_path / "tbl")
+    tbl.overwrite(_df(spark, [(1, "a")]))
+    # fake a crash leftover: a staged dir no manifest references
+    orphan = os.path.join(root, "data", "__snap=deadbeefcafef00d")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "w") as f:
+        f.write("x")
+    # fresh orphan + age floor -> kept
+    assert tbl.vacuum(min_age_hours=1.0) == []
+    assert os.path.exists(orphan)
+    # age the dir past the floor -> reclaimed
+    old = _time.time() - 7200
+    os.utime(orphan, (old, old))
+    removed = tbl.vacuum(min_age_hours=1.0)
+    assert removed == ["data/__snap=deadbeefcafef00d"]
+    assert not os.path.exists(orphan)
+    # unknown age (backend returns None) is conservative: kept
+    os.makedirs(orphan)
+    tbl.st.mtime = lambda path: None
+    assert tbl.vacuum(min_age_hours=1.0) == []
+    assert os.path.exists(orphan)
+    # ...but with no floor the historical eager behavior remains
+    assert tbl.vacuum() == ["data/__snap=deadbeefcafef00d"]
