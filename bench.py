@@ -92,6 +92,12 @@ HEADLINE = [
     "q_vocab_coverage",
     "q_perplexity_buckets",
     "q_sequence_pack",
+    # round-6b: target-mixture domain reweighting (one corpus GROUP BY
+    # + broadcast rate join) and the distilled dense quality scorer
+    # (shuffle-free literal projection) — both should stay near the
+    # per-query floor; a regression here means a shuffle crept in
+    "q_domain_mix",
+    "q_quality_logreg",
 ]
 
 

@@ -181,6 +181,85 @@ def gopher_quality(
     )
 
 
+def ngram_rows(
+    docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, gram) rows — every consecutive whitespace-token n-gram.
+    Generated as one array transform + explode (JVM-side, no Python);
+    a doc with fewer than n tokens contributes nothing."""
+    tr = docs.select(F.col(id_col), tokens(text_col).alias("toks")).where(
+        F.size("toks") >= n
+    )
+    idx = F.sequence(F.lit(1), F.size("toks") - (n - 1))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("toks"), i + k) for k in range(n)]
+        ),
+    )
+    return tr.select(F.col(id_col), F.explode(gram).alias("gram"))
+
+
+def repetition_signals(
+    docs: DataFrame,
+    ns: tuple[int, ...] = (2, 3),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_thresholds: dict[int, float] | None = None,
+) -> DataFrame:
+    """Within-document repetition quality signals (Gopher, Rae et al.
+    2021 arXiv:2112.11446 table A1 "repetition" rules, as used by
+    MassiveText/RefinedWeb): for each n in `ns`, the fraction of the
+    document's n-grams accounted for by its single most frequent
+    n-gram (`top{n}_frac`) and the fraction that are duplicate
+    occurrences (`dup{n}_frac` = sum(count-1)/total).  A document
+    caught in a template/boilerplate loop scores high on both long
+    before exact-dedup would catch it.
+
+    `passes_repetition` applies the published top-n-gram thresholds
+    (default: 2-gram 0.20, 3-gram 0.18 — Gopher's values).
+
+    Complements `ngram_repetition` (the shuffle-free array-only
+    dup-fraction for one n): the TOP-n-gram fraction needs per-gram
+    occurrence counts, and counting inside the array would be
+    O(distinct·len) per row — quadratic for long documents — so this
+    op takes the explode + partial-agg route instead, linear in
+    corpus size.  Scale shape per n: one partial-aggregated shuffle
+    on (doc, gram) then one on doc — both keyed by doc id, no global
+    funnel; the ns are independent branches joined on the doc id.
+    Docs shorter than n tokens emit NULL fractions (no n-grams -> no
+    signal) and pass by default."""
+    thresholds = {2: 0.20, 3: 0.18}
+    if top_thresholds:
+        thresholds.update(top_thresholds)
+    out = docs.select(F.col(id_col))
+    pass_cond = F.lit(True)
+    for n in ns:
+        per_gram = (
+            ngram_rows(docs, n, id_col, text_col)
+            .groupBy(id_col, "gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        per_doc = per_gram.groupBy(id_col).agg(
+            F.sum("c").cast("long").alias(f"n_{n}grams"),
+            F.round(F.max("c").cast("double") / F.sum("c"), 6).alias(
+                f"top{n}_frac"
+            ),
+            F.round(
+                (F.sum("c") - F.count(F.lit(1))).cast("double") / F.sum("c"), 6
+            ).alias(f"dup{n}_frac"),
+        )
+        out = out.join(per_doc, id_col, "left")
+        if n in thresholds:
+            pass_cond = pass_cond & (
+                F.coalesce(
+                    F.col(f"top{n}_frac") <= F.lit(float(thresholds[n])),
+                    F.lit(True),
+                )
+            )
+    return out.withColumn("passes_repetition", pass_cond)
+
+
 def lang_score(col: Column | str, lang: str) -> Column:
     """Stopword-hit count for one language (n-gram-free heuristic)."""
     sw = F.array([F.lit(w) for w in STOPWORDS[lang]])

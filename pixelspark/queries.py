@@ -2976,6 +2976,63 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_repetition_signals",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])) AS gram
+      FROM t WHERE len(toks) >= 2
+    ),
+    g3 AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+             i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+                  || ' ' || toks[CAST(i AS INT) + 2])) AS gram
+      FROM t WHERE len(toks) >= 3
+    ),
+    a2 AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+             ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top2_frac,
+             ROUND(CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS dup2_frac
+      FROM (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2)
+      GROUP BY doc_id
+    ),
+    a3 AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_3grams,
+             ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top3_frac,
+             ROUND(CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS dup3_frac
+      FROM (SELECT doc_id, gram, COUNT(*) AS c FROM g3 GROUP BY 1, 2)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, a2.n_2grams, a2.top2_frac, a2.dup2_frac,
+           a3.n_3grams, a3.top3_frac, a3.dup3_frac,
+           (COALESCE(a2.top2_frac <= CAST(0.20 AS DOUBLE), TRUE)
+            AND COALESCE(a3.top3_frac <= CAST(0.18 AS DOUBLE), TRUE))
+             AS passes_repetition
+    FROM documents d
+    LEFT JOIN a2 ON d.doc_id = a2.doc_id
+    LEFT JOIN a3 ON d.doc_id = a3.doc_id
+    """,
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — within-document repetition quality signals (Gopher table
+    A1 repetition rules, ops/llm.py repetition_signals): top-n-gram
+    and duplicate-n-gram fractions for n=2,3 plus the published
+    threshold conjunction.  Every branch is a (doc, gram)-keyed
+    partial-agg shuffle — no global funnel; fractions are
+    6dp-quantized from integer counts so DuckDB reproduces them
+    exactly, NULL for docs shorter than n tokens in both engines."""
+    from pixelspark.ops.llm import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"), ns=(2, 3))
+
+
 # ---------------------------------------------------------------------------
 # M6d — dense quality classifier (rule distillation, ops/classifier.py)
 # ---------------------------------------------------------------------------
@@ -8318,10 +8375,17 @@ _WINDOW_QUERIES = [
     "q_ngram_jaccard",
     "q_minhash_pairs",
     "q_simhash",
-    "q_vector_norm",
+    # r6b rotation: the round-6 flagships — column-mapping schema
+    # evolution (metadata-only rename/drop lifecycle), target-mixture
+    # domain reweighting, and the distilled dense quality scorer (all
+    # value-oracled) — take the slots of q_vector_norm / q_embed_neardup
+    # / q_multimodal_meta (in-window green r1-r5; they stay registered +
+    # sweep-checked; q_ann_topk keeps an embedding row in-window and
+    # q_media_features keeps the multimodal family's in-window seat)
+    "q_column_mapping",
+    "q_domain_mix",
+    "q_quality_logreg",
     "q_ann_topk",
-    "q_embed_neardup",
-    "q_multimodal_meta",
     "q_media_features",
     "q_intersect",
     "q_charge_execute",

@@ -42,3 +42,31 @@ def test_check_unique(spark, sf_dir):
     dupes = DQ.check_unique(e.unionByName(e.limit(5)), ["event_id"])
     assert dupes.count() == 5
     assert all(r["n"] == 2 for r in dupes.collect())
+
+
+def test_repetition_signals_hand_computed(spark):
+    """'a b a b a b' -> bigrams [a b, b a, a b, b a, a b]: total 5,
+    top 'a b' 3x -> top2 3/5, dup = (5-2)/5; a looping template must
+    fail the published 2-gram threshold while varied text passes."""
+    from pixelspark.ops.llm import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "x"),          # shorter than any n: NULL signals, passes
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(docs, ns=(2, 3)).collect()}
+    assert got[1]["n_2grams"] == 5
+    assert abs(got[1]["top2_frac"] - 0.6) < 1e-9
+    assert abs(got[1]["dup2_frac"] - 0.6) < 1e-9
+    # trigrams of doc1: [aba, bab, aba, bab] -> top 2/4
+    assert got[1]["n_3grams"] == 4
+    assert abs(got[1]["top3_frac"] - 0.5) < 1e-9
+    assert got[1]["passes_repetition"] is False
+    assert got[2]["top2_frac"] is not None and got[2]["passes_repetition"] is True
+    assert got[3]["n_2grams"] is None and got[3]["passes_repetition"] is True
+    assert got[4]["n_2grams"] is None and got[4]["passes_repetition"] is True
