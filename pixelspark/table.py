@@ -1111,6 +1111,7 @@ class SnapshotTable:
         broadcast_source: bool = False,
         validate_keys: bool = True,
         mode: str = "rewrite",
+        schema_evolution: bool = False,
     ) -> int:
         """Multi-clause MERGE (Delta `MERGE INTO` / the general form of
         the reference's keyed UPDATE+INSERT, src/services/bigquery.ts:
@@ -1145,6 +1146,14 @@ class SnapshotTable:
         not 100 TB.  (Matched rows live in the source's partition
         values precisely because the partition column is part of the
         join key.)  Unpartitioned tables rewrite fully, like `upsert`.
+
+        `schema_evolution=True` (Delta `withSchemaEvolution()`): source
+        columns absent from the target are ADDED to the table schema by
+        the same commit — existing rows surface them as typed NULLs,
+        matched-updated rows and inserts carry the source values.
+        Refused on a column-mapping-enabled table (there new physical
+        names must be assigned via add_columns() first — the same
+        Iceberg-style contract every write follows).
 
         Like `upsert`, the read-merge-write is pinned to the version it
         read and re-runs on ConcurrentWriteConflict."""
@@ -1190,7 +1199,7 @@ class SnapshotTable:
             # apply shape for tables the merge key does not partition.
             return self._merge_dv(
                 source, keys, when_matched_update,
-                del_cond, ins_cond, upd_cond,
+                del_cond, ins_cond, upd_cond, schema_evolution,
             )
         if mode != "rewrite":
             raise ValueError(f"merge mode must be 'rewrite' or 'dv', got {mode!r}")
@@ -1222,7 +1231,10 @@ class SnapshotTable:
                 else:
                     target = self.read(version=read_v)
 
-                out_cols = target.columns
+                new_cols = self._evolution_cols(
+                    source, target.columns, schema_evolution, read_v
+                )
+                out_cols = target.columns + new_cols
                 if when_matched_update == "all":
                     upd_map = {
                         c: F.col(f"s.{c}")
@@ -1265,6 +1277,13 @@ class SnapshotTable:
                 updated = is_match & F.coalesce(upd_cond, F.lit(False))
 
                 def out(c: str):
+                    if c in new_cols:
+                        # evolved column: no target side exists yet —
+                        # NULL except where the matched-update writes it
+                        absent = F.lit(None).cast(source.schema[c].dataType)
+                        if c in upd_map:
+                            return F.when(updated, upd_map[c]).otherwise(absent).alias(c)
+                        return absent.alias(c)
                     tgt = F.col(f"t.{c}")
                     if c in upd_map:
                         return F.when(updated, upd_map[c]).otherwise(tgt).alias(c)
@@ -1308,9 +1327,29 @@ class SnapshotTable:
             f"times at {self.root}"
         )
 
+    def _evolution_cols(
+        self, source: DataFrame, target_cols: list, enabled: bool,
+        read_v: int | None,
+    ) -> list[str]:
+        """Source columns the schema-evolving merge will add; [] when
+        evolution is off.  Mapping-enabled tables refuse (physical
+        names must be assigned by add_columns first)."""
+        if not enabled:
+            return []
+        new_cols = [c for c in source.columns if c not in target_cols]
+        if new_cols and read_v is not None and self.manifest(read_v).get(
+            "column_mapping"
+        ):
+            raise ValueError(
+                f"schema-evolving merge would add {new_cols} to a "
+                "column-mapping-enabled table — declare them with "
+                "add_columns() first so physical names are assigned"
+            )
+        return new_cols
+
     def _merge_dv(
         self, source: DataFrame, keys, when_matched_update,
-        del_cond, ins_cond, upd_cond,
+        del_cond, ins_cond, upd_cond, schema_evolution: bool = False,
     ) -> int:
         """Merge-on-read MERGE: positions of deleted/updated target
         rows -> deletion vector; updated post-images + inserts -> one
@@ -1346,9 +1385,13 @@ class SnapshotTable:
                 df = df.join(
                     F.broadcast(dv0), ["__dv_file", "__dv_row"], "left_anti"
                 )
-            out_cols = [
+            tgt_cols = [
                 c for c in df.columns if c not in ("__dv_file", "__dv_row")
             ]
+            new_cols = self._evolution_cols(
+                source, tgt_cols, schema_evolution, read_v
+            )
+            out_cols = tgt_cols + new_cols
             if when_matched_update == "all":
                 upd_map = {
                     c: F.col(f"s.{c}")
@@ -1372,6 +1415,11 @@ class SnapshotTable:
             updated = ~deleted & F.coalesce(upd_cond, F.lit(False))
 
             def out(c: str):
+                if c in new_cols:
+                    absent = F.lit(None).cast(source.schema[c].dataType)
+                    if c in upd_map:
+                        return F.when(updated, upd_map[c]).otherwise(absent).alias(c)
+                    return absent.alias(c)
                 tgt = F.col(f"t.{c}")
                 if c in upd_map:
                     return F.when(updated, upd_map[c]).otherwise(tgt).alias(c)
@@ -1403,6 +1451,19 @@ class SnapshotTable:
                     dict(zip(df.columns, [f.dataType for f in df.schema.fields]))[c]
                 ).alias(c)
 
+            widened_schema = m.get("schema")
+            if new_cols and widened_schema is not None:
+                ws = StructType.fromJson(json.loads(widened_schema))
+                ws = StructType(
+                    list(ws.fields)
+                    + [
+                        StructField(c, source.schema[c].dataType, True)
+                        for c in new_cols
+                        if c not in {f.name for f in ws.fields}
+                    ]
+                )
+                widened_schema = ws.json()
+
             inserts = (
                 source.alias("s")
                 .join(df.select(*keys), list(keys), "left_anti")
@@ -1424,7 +1485,7 @@ class SnapshotTable:
                 f"{self.root}/{rel_new}"
             ).limit(1).isEmpty():
                 has_data = False
-            entry = self._entry_for(rel_new, parts, has_data, new_data.schema)
+            entry = self._entry_for(rel_new, parts, has_data, new_data.schema, wmap_new)
             if not has_data:
                 # the data dir is empty either way — drop it now rather
                 # than leaving unreferenced garbage for vacuum (a
@@ -1438,7 +1499,7 @@ class SnapshotTable:
                 out_m = {
                     "partition_col": pcol,
                     "entries": entries + ([entry] if has_data else []),
-                    "schema": m.get("schema"),
+                    "schema": widened_schema,
                     "op": {"name": "merge", "mode": "dv",
                            "keys": list(keys)},
                 }
@@ -1725,7 +1786,7 @@ class SnapshotTable:
                 self.st.delete(full_dv)
                 return read_v  # nothing matched
             rel_new, parts, has_data, wmap_upd = self._write_snap(updated, pcol)
-            entry = self._entry_for(rel_new, parts, has_data, updated.schema)
+            entry = self._entry_for(rel_new, parts, has_data, updated.schema, wmap_upd)
 
             def build(prev: dict | None) -> dict:
                 self._check_expected(prev, read_v)

@@ -1617,3 +1617,59 @@ def test_vacuum_min_age_protects_inflight_writer_dirs(spark, tbl, tmp_path):
     assert os.path.exists(orphan)
     # ...but with no floor the historical eager behavior remains
     assert tbl.vacuum() == ["data/__snap=deadbeefcafef00d"]
+
+
+def test_merge_schema_evolution_rewrite(spark, tbl):
+    """Delta withSchemaEvolution(): source-only columns join the table
+    schema in the same commit — NULL for untouched rows, source values
+    for updates and inserts; off by default."""
+    tbl.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    src = spark.createDataFrame(
+        [(1, "a2", 0.9), (3, "c", 0.3)], "k long, v string, score double"
+    )
+    # default: the extra column is ignored and the schema unchanged
+    tbl.merge(src, keys=("k",))
+    assert "score" not in tbl.read().columns
+    tbl.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    tbl.merge(src, keys=("k",), schema_evolution=True)
+    rows = {r["k"]: (r["v"], r["score"]) for r in tbl.read().collect()}
+    assert rows == {1: ("a2", 0.9), 2: ("b", None), 3: ("c", 0.3)}
+
+
+def test_merge_schema_evolution_dv_mode(spark, tbl):
+    tbl.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    src = spark.createDataFrame(
+        [(1, "a2", 0.9), (3, "c", 0.3)], "k long, v string, score double"
+    )
+    tbl.merge(src, keys=("k",), mode="dv", schema_evolution=True)
+    rows = {r["k"]: (r["v"], r["score"]) for r in tbl.read().collect()}
+    assert rows == {1: ("a2", 0.9), 2: ("b", None), 3: ("c", 0.3)}
+    # the untouched row's data dir was not rewritten: DV commit keeps
+    # the original entry and appends one new dir
+    bases = {e["base"] for e in tbl.manifest(tbl.latest_version())["entries"]}
+    first = tbl.manifest(1)["entries"][0]["base"]
+    assert first in bases and len(bases) == 2
+
+
+def test_merge_schema_evolution_partition_scoped(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "pt"))
+    t.replace_partitions(
+        spark.createDataFrame(
+            [("d1", 1, "a"), ("d2", 2, "b")], "day string, k long, v string"
+        ),
+        "day",
+    )
+    src = spark.createDataFrame(
+        [("d1", 1, "a2", 7.0)], "day string, k long, v string, score double"
+    )
+    t.merge(src, keys=("day", "k"), schema_evolution=True)
+    rows = {r["k"]: (r["v"], r["score"]) for r in t.read().collect()}
+    assert rows == {1: ("a2", 7.0), 2: ("b", None)}
+
+
+def test_merge_schema_evolution_refused_on_mapped_table(spark, tbl):
+    tbl.overwrite(_df(spark, [(1, "a")]))
+    tbl.enable_column_mapping()
+    src = spark.createDataFrame([(1, "a2", 0.5)], "k long, v string, score double")
+    with pytest.raises(ValueError, match="add_columns"):
+        tbl.merge(src, keys=("k",), schema_evolution=True)
