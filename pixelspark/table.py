@@ -783,7 +783,9 @@ class SnapshotTable:
                 continue
             try:
                 sidecar = json.loads(
-                    self.st.read_text(f"{self.root}/{e['base']}/_bloom.json")
+                    self.st.read_text(
+                        f"{e.get('root') or self.root}/{e['base']}/_bloom.json"
+                    )
                 )
             except Exception:
                 out.append(e)  # sidecar unreadable -> keep whole entry
@@ -1034,6 +1036,8 @@ class SnapshotTable:
                 kept = [p for p in (e["parts"] or []) if p not in replaced]
                 if kept:
                     sub: dict = {"base": e["base"], "parts": kept}
+                    if e.get("root"):
+                        sub["root"] = e["root"]
                     # kept parts' files are untouched, so their row
                     # counts / file stats / bloom sidecar stay valid —
                     # dropping them would silently degrade fast-count
@@ -2254,9 +2258,12 @@ class SnapshotTable:
         dvs = m.get("dv_files") or []
         if not dvs:
             return None
-        return self.spark.read.parquet(
-            *[f"{self.root}/{d}" for d in dvs]
-        ).select("__dv_file", "__dv_row")
+        paths = [
+            f"{d['root']}/{d['path']}" if isinstance(d, dict)
+            else f"{self.root}/{d}"
+            for d in dvs
+        ]
+        return self.spark.read.parquet(*paths).select("__dv_file", "__dv_row")
 
     def _prune_by_stats(
         self, entries: list[dict], predicates: list[tuple[str, str, object]]
@@ -2302,28 +2309,44 @@ class SnapshotTable:
         the modern `__snap=` layout — the legacy union hides the
         per-scan metadata column."""
         if all("__snap=" in e["base"] for e in entries):
-            paths = []
+            # entries may reference another table's data dirs (shallow
+            # clone): group by owning root — each root is one basePath
+            # relation; a freshly cloned table is a single foreign
+            # group, so it still plans ONE scan
+            by_root: dict[str, list] = {}
             for e in entries:
-                if e.get("files") is not None:
-                    paths += [f"{self.root}/{e['base']}/{f}" for f in e["files"]]
-                elif pcol is None:
-                    paths.append(f"{self.root}/{e['base']}")
-                else:
-                    paths += [f"{self.root}/{e['base']}/{p}" for p in e["parts"]]
-            df = (
-                self.spark.read.option("basePath", f"{self.root}/{DATA_DIR}")
-                .option("mergeSchema", "true")
-                .parquet(*paths)
-            )
-            if with_pos:
-                df = df.select(
-                    "*",
-                    F.substring_index(
-                        F.col("_metadata.file_path"), f"/{DATA_DIR}/", -1
-                    ).alias("__dv_file"),
-                    F.col("_metadata.row_index").alias("__dv_row"),
+                by_root.setdefault(e.get("root") or self.root, []).append(e)
+            scans = []
+            for root, es in by_root.items():
+                paths = []
+                for e in es:
+                    if e.get("files") is not None:
+                        paths += [f"{root}/{e['base']}/{f}" for f in e["files"]]
+                    elif pcol is None:
+                        paths.append(f"{root}/{e['base']}")
+                    else:
+                        paths += [f"{root}/{e['base']}/{p}" for p in e["parts"]]
+                df = (
+                    self.spark.read.option("basePath", f"{root}/{DATA_DIR}")
+                    .option("mergeSchema", "true")
+                    .parquet(*paths)
                 )
-            return self._to_logical(df.drop("__snap"), cmap)
+                if with_pos:
+                    df = df.select(
+                        "*",
+                        F.substring_index(
+                            F.col("_metadata.file_path"), f"/{DATA_DIR}/", -1
+                        ).alias("__dv_file"),
+                        F.col("_metadata.row_index").alias("__dv_row"),
+                    )
+                scans.append(df.drop("__snap"))
+            return self._to_logical(
+                reduce(
+                    lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                    scans,
+                ),
+                cmap,
+            )
         if with_pos:
             raise ValueError(
                 "row positions (deletion vectors) require the __snap= "
@@ -2332,7 +2355,7 @@ class SnapshotTable:
             )
         scans = []
         for e in entries:  # legacy snap-<id> layout
-            base = f"{self.root}/{e['base']}"
+            base = f"{e.get('root') or self.root}/{e['base']}"
             if e["parts"] is None:
                 scans.append(self.spark.read.parquet(base))
             else:
@@ -2395,11 +2418,11 @@ class SnapshotTable:
         schema = StructType.fromJson(json.loads(m1["schema"]))
         table_cols = [f.name for f in schema.fields]
 
-        def refs(m: dict) -> set[tuple[str, str | None]]:
+        def refs(m: dict) -> set[tuple[str, str, str | None]]:
             out = set()
             for e in m["entries"]:
                 for p in (e["parts"] or [None]):
-                    out.add((e["base"], p))
+                    out.add((e.get("root") or self.root, e["base"], p))
             return out
 
         r0, r1 = refs(m0), refs(m1)
@@ -2407,12 +2430,16 @@ class SnapshotTable:
         def scan(ref_set: set) -> DataFrame:
             if not ref_set:
                 return self.spark.createDataFrame([], schema)
-            by_base: dict[str, list] = {}
-            for base, p in sorted(ref_set):
-                by_base.setdefault(base, []).append(p)
+            by_base: dict[tuple, list] = {}
+            for root, base, p in sorted(ref_set):
+                by_base.setdefault((root, base), []).append(p)
             entries = [
-                {"base": b, "parts": None if ps == [None] else ps}
-                for b, ps in by_base.items()
+                {
+                    "base": b,
+                    "parts": None if ps == [None] else ps,
+                    **({"root": r} if r != self.root else {}),
+                }
+                for (r, b), ps in by_base.items()
             ]
             df = self._scan_entries(entries, pcol, cmap=m1.get("column_mapping"))
             # align to the target-snapshot schema (older snaps may
@@ -2524,6 +2551,7 @@ class SnapshotTable:
                 unit = {
                     "base": e["base"],
                     "partition": p,
+                    "root": e.get("root") or self.root,
                     "path": f"{e['base']}/{p}" if p else e["base"],
                 }
                 unit["file_stats"] = {
@@ -2626,7 +2654,7 @@ class SnapshotTable:
         restore would double-append)."""
         m = self.manifest(version)
         for e in m["entries"]:
-            if not self.st.exists(f"{self.root}/{e['base']}"):
+            if not self.st.exists(f"{e.get('root') or self.root}/{e['base']}"):
                 raise FileNotFoundError(
                     f"cannot restore v{version}: data dir {e['base']} was "
                     "vacuumed — keep_versions must cover restore targets"
@@ -2648,6 +2676,62 @@ class SnapshotTable:
             }
 
         return self._commit(build)
+
+    def clone_to(self, dest_root: str) -> "SnapshotTable":
+        """Zero-copy SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW
+        CLONE`): the destination's first manifest points at THIS
+        table's current data dirs (and deletion vectors) by absolute
+        reference — no bytes move, the clone materializes instantly at
+        any table size.  The clone then lives its own life: appends,
+        DML, DDL and compaction write LOCAL dirs (compact() fully
+        un-shares it), vacuum on the clone never touches the source's
+        dirs, and the clone starts a fresh history + txn ledger.
+
+        Same caveat as Delta: vacuuming or dropping the SOURCE can
+        break a shallow clone that still references its dirs — clones
+        are for dev/test forks and experiments, not archival.  The
+        schema, partition column, column mapping, and generation
+        expressions all carry over."""
+        v = self.latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no snapshot at {self.root}")
+        m = self.manifest(v)
+        dest = SnapshotTable(
+            self.spark, dest_root,
+            generated_cols=self.generated_cols,
+            stats_cols=self.stats_cols,
+            bloom_cols=self.bloom_cols,
+        )
+        entries = [
+            {**e, "root": e.get("root") or self.root} for e in m["entries"]
+        ]
+        dvs = [
+            d if isinstance(d, dict) else {"path": d, "root": self.root}
+            for d in (m.get("dv_files") or [])
+        ]
+        src = self.root
+
+        def build(prev: dict | None) -> dict:
+            if prev is not None:
+                raise ValueError(
+                    f"clone destination {dest_root} already has a table"
+                )
+            out = {
+                "partition_col": m.get("partition_col"),
+                "entries": entries,
+                "schema": m.get("schema"),
+                "op": {"name": "clone", "source": src, "source_version": v},
+            }
+            if dvs:
+                out["dv_files"] = dvs
+            if m.get("column_mapping"):
+                out["column_mapping"] = m["column_mapping"]
+            if m.get("generated"):
+                out["generated"] = m["generated"]
+            return out
+
+        dest._commit(build)
+        return dest
 
     # -- maintenance -------------------------------------------------------
 
@@ -2717,6 +2801,8 @@ class SnapshotTable:
             if m.get("partition_col"):
                 pcols.add(m["partition_col"])
             for e in m["entries"]:
+                if e.get("root"):
+                    continue  # clone reference into another table's dirs
                 name = e["base"].split("/", 1)[1]  # snap dir name
                 if e["parts"] is None:
                     live_whole.add(name)
@@ -2726,6 +2812,8 @@ class SnapshotTable:
             # they mask; superseded ones (post-compact) fall through to
             # deletion like any other unreferenced dir
             for d in m.get("dv_files") or []:
+                if isinstance(d, dict):
+                    continue  # foreign (cloned) vector dir
                 live_whole.add(d.split("/", 1)[1])
         def old_enough(rel: str) -> bool:
             if min_age_hours <= 0:
