@@ -761,6 +761,70 @@ def dv_delete_experiment(spark) -> dict:
             **results}
 
 
+def clone_experiment(spark) -> dict:
+    """SHALLOW CLONE cost model: clone_to must be O(1) in table size
+    (one manifest write), while a copy-fork (read + overwrite) pays
+    the full data volume.  Forks a small table and a 10x-bigger one;
+    the receipt is clone time flat across sizes, copy time growing
+    with the data, and the clone reading identical rows."""
+    from pixelspark.table import SnapshotTable
+
+    root = os.path.join(BASE, "clone_probe")
+    shutil.rmtree(root, ignore_errors=True)
+    out: dict = {"experiment": "shallow_clone_cost"}
+    for label, frac in [("small", 0.1), ("10x", 1.0)]:
+        src_df = spark.read.parquet(f"{SF01}/lineitem.parquet")
+        if frac < 1.0:
+            src_df = src_df.where(F.col("l_orderkey") % 10 == 0)
+        t = SnapshotTable(spark, f"{root}/{label}/src")
+        t.overwrite(src_df)
+        n = t.row_count()
+        t0 = time.time()
+        c = t.clone_to(f"{root}/{label}/fork")
+        clone_s = time.time() - t0
+        t0 = time.time()
+        deep = SnapshotTable(spark, f"{root}/{label}/copy")
+        deep.overwrite(t.read())
+        copy_s = time.time() - t0
+        assert c.row_count() == n
+        out[label] = {
+            "rows": n,
+            "clone_sec": round(clone_s, 3),
+            "copy_fork_sec": round(copy_s, 3),
+            "copy_over_clone": round(copy_s / clone_s, 1) if clone_s else None,
+        }
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# round-6b: the data-mixing + quality-scoring + repetition pack at 10x
+# documents — all are one-or-two partial-agg shuffles keyed by doc or
+# domain; expect ~linear (ratio well under 10 from fixed overheads)
+MIX_QUERIES = [
+    "q_domain_mix",
+    "q_quality_logreg",
+    "q_repetition_signals",
+]
+
+
+def mix_scale_experiment(spark) -> dict:
+    sf1 = build_sf1(spark)
+    a01 = time_queries(spark, SF01, MIX_QUERIES)
+    a1 = time_queries(spark, sf1, MIX_QUERIES)
+    b01 = time_queries(spark, SF01, MIX_QUERIES)
+    b1 = time_queries(spark, sf1, MIX_QUERIES)
+    d01 = {k: min(a01[k], b01[k]) for k in a01}
+    d1 = {k: min(a1[k], b1[k]) for k in a1}
+    return {
+        "experiment": "mix_quality_scale_10x_documents",
+        "sf0.1_sec": d01,
+        "10x_docs_sec": d1,
+        "time_ratio_at_10x_data": {
+            k: round(d1[k] / d01[k], 2) if d01[k] else None for k in d01
+        },
+    }
+
+
 def main() -> None:
     spark = get_spark("pixelspark-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -790,6 +854,8 @@ def main() -> None:
             "dv_delete": dv_delete_experiment,
             "ann_scale": ann_scale_experiment,
             "index_compaction": index_compaction_experiment,
+            "clone": clone_experiment,
+            "mix_scale": mix_scale_experiment,
         }[sys.argv[1]]
         print(json.dumps(fn(spark)))
         return
