@@ -34,6 +34,12 @@ from pyspark.sql import functions as F
 
 from pixelspark.ops.llm import STOPWORDS, tokens
 
+#: Frozen production scorer weights, distilled offline against the
+#: Gopher rule pack (25 GD iterations, lr 2.0, 100% train agreement at
+#: sf0.01), rounded to 3dp and pinned.  Positional over
+#: QUALITY_FEATURES.
+QUALITY_WEIGHTS = [-0.856, 2.337, -4.762, -2.018, 10.31, -0.856]
+
 #: Feature order is part of the model contract (weights are positional).
 QUALITY_FEATURES = [
     "f_bias",

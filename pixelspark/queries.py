@@ -3039,11 +3039,9 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from pixelspark.ops import classifier as CL  # noqa: E402
 
-# Frozen scorer weights, distilled offline: fit_logreg against the
-# Gopher rule-pack labels (25 iters, lr 2.0, 100% train agreement at
-# sf0.01), rounded to 3dp and pinned.  Positional over
-# CL.QUALITY_FEATURES.
-_QUALITY_W = [-0.856, 2.337, -4.762, -2.018, 10.31, -0.856]
+# The frozen production scorer weights (see ops/classifier.py
+# QUALITY_WEIGHTS — the oracle SQL embeds the same 3dp literals).
+_QUALITY_W = CL.QUALITY_WEIGHTS
 
 
 @query(

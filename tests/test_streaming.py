@@ -664,3 +664,65 @@ def test_streaming_expectations_drop_and_quarantine(spark, sf_dir, tmp_path):
     assert "typed" in set(
         q.select(F.explode("failed_expectations")).toPandas().iloc[:, 0]
     )
+
+
+def test_streaming_curation_sink_end_to_end(spark, tmp_path):
+    """The full curation ingest: quality gate -> batch-interior exact
+    dedup -> near-dup gate vs the persistent DedupIndex -> exactly-once
+    curated append.  Two source batches with a cross-batch near-dup
+    and a junk doc; then catastrophic checkpoint loss replays both
+    batches and must change nothing."""
+    import shutil
+
+    from pixelspark.table import SnapshotTable
+
+    good1 = "the quick brown fox jumps over the lazy dog and runs far away today"
+    good2 = "completely different quality text with the usual stopwords in it for sure"
+    near1 = good1 + " extra"            # near-dup of good1, later batch
+    junk = "zzzz qqqq xxxx"             # no stopwords -> fails the gate
+    src = str(tmp_path / "cur_in")
+    # batch order is by file; one parquet file per micro-batch
+    spark.createDataFrame(
+        [(1, good1), (2, good1), (3, junk)], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table_root = str(tmp_path / "curated")
+    index_root = str(tmp_path / "cur_index")
+    ckpt = str(tmp_path / "cur_ckpt")
+    SD.run_curation_sink(stream, table_root, index_root, ckpt)
+
+    t = SnapshotTable(spark, table_root)
+    got = {r["doc_id"] for r in t.read().collect()}
+    # doc 2 is an exact in-batch dup of 1 (lowest id wins); junk fails
+    assert got == {1}
+
+    # second batch: a near-dup of the curated corpus + one fresh doc
+    spark.createDataFrame(
+        [(10, near1), (11, good2)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    SD.run_curation_sink(stream2, table_root, index_root, ckpt)
+    got = {r["doc_id"] for r in t.read().collect()}
+    assert got == {1, 11}, got  # 10 caught by the cross-corpus index
+
+    # checkpoint loss: both batches replay from offset zero; the index
+    # txn guard and the table txn guard must both no-op everything
+    n_versions = t.latest_version()
+    shutil.rmtree(ckpt)
+    stream3 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    SD.run_curation_sink(stream3, table_root, index_root, str(tmp_path / "ck2"))
+    assert {r["doc_id"] for r in t.read().collect()} == {1, 11}
+    assert t.latest_version() == n_versions
