@@ -969,6 +969,78 @@ def q_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_clone_lifecycle",
+    """
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT CASE WHEN c_custkey <= 500 THEN 'updated' ELSE 'kept' END AS status
+      FROM customer WHERE c_custkey <= 1000
+    ) GROUP BY status
+    """,
+)
+def q_clone_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow-clone lifecycle end-to-end (table.py clone_to): seed a
+    snapshot table from the customer dim, zero-copy clone it, then
+    DV-update half the CLONE's rows — the deletion vector and
+    post-images land in the clone's local dirs while the masked data
+    files still belong to the source.  In-query asserts pin the
+    zero-copy property (no local data dirs after clone) and source
+    isolation (source rows unchanged); the returned end state is the
+    clone's status counts, plain SQL over the inputs."""
+    import os
+    import tempfile
+
+    from pixelspark.table import SnapshotTable
+
+    base = tempfile.mkdtemp(prefix="pixelspark_clone_")
+    src_t = SnapshotTable(spark, f"{base}/src")
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 1000)
+    src_t.overwrite(
+        cust.select(F.col("c_custkey"), F.lit("kept").alias("status"))
+    )
+    fork = src_t.clone_to(f"{base}/fork")
+    assert not os.path.isdir(f"{base}/fork/data"), "clone must move no bytes"
+    fork.update(
+        {"status": F.lit("updated")}, F.col("c_custkey") <= 500, mode="dv"
+    )
+    n_src_kept = src_t.read().where(F.col("status") == "kept").count()
+    assert n_src_kept == src_t.row_count(), "source must be isolated"
+    return fork.read().groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_csv_roundtrip",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+    FROM customer
+    """,
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink end-to-end (io.py write_csv/read_csv): the
+    customer dim exported to CSV and read back through the
+    explicit-schema PERMISSIVE reader must aggregate identically to
+    the parquet original — the oracle runs on the raw inputs, so any
+    round-trip loss (quoting, type coercion, corrupt-row routing)
+    breaks the value hash."""
+    import tempfile
+
+    from pixelspark import io as pio
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    path = tempfile.mkdtemp(prefix="pixelspark_csv_") + "/customer_csv"
+    pio.write_csv(cust, path)
+    back = pio.read_csv(spark, path, cust.schema)
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+        F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
+    )
+
+
+@query(
     "q_snapshot_merge",
     f"""
     WITH pv AS (
@@ -2673,6 +2745,38 @@ def q_dense_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_acctbal",
         F.dense_rank().over(w).alias("drank"),
         F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "q_window_distribution",
+    """
+    SELECT s_suppkey, s_nationkey,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           nth_value(s_name, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS second_in_nation
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-ext — distribution window functions (percent_rank, cume_dist,
+    nth_value) partitioned by nation: per-nation windows hash-exchange
+    on the partition key, so unlike a global rank this shape scales —
+    fractions are exact integer-ratio doubles, tie-broken on the key
+    for cross-engine determinism."""
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("s_name", 2).over(wf).alias("second_in_nation"),
     )
 
 

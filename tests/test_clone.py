@@ -128,3 +128,25 @@ def test_clone_cdf_within_clone_history(spark, src, tmp_path):
     c.append(spark.createDataFrame([(9, "z", 9.0)], "k long, v string, amt double"))
     ch = c.read_changes(from_version=1, to_version=2)
     assert {(r["k"], r["change_type"]) for r in ch.collect()} == {(9, "inserted")}
+
+
+def test_partition_subset_compact_localizes_only_that_partition(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "psrc2"))
+    t.replace_partitions(
+        spark.createDataFrame(
+            [("d1", 1), ("d1", 2), ("d2", 3)], "day string, k long"
+        ),
+        "day",
+    )
+    c = t.clone_to(str(tmp_path / "pfork2"))
+    c.compact(partition_values=["d1"])
+    m = c.manifest(c.latest_version())
+    by_foreign = {bool(e.get("root")): e["parts"] for e in m["entries"]}
+    assert by_foreign[False] == ["day=d1"]   # localized
+    assert by_foreign[True] == ["day=d2"]    # still served from the source
+    got = {(r["day"], r["k"]) for r in c.read().collect()}
+    assert got == {("d1", 1), ("d1", 2), ("d2", 3)}
+    # restore across the localize, and time travel, both stay readable
+    c.restore(1)
+    assert {(r["day"], r["k"]) for r in c.read().collect()} == got
+    assert {(r["day"], r["k"]) for r in c.read(version=2).collect()} == got
