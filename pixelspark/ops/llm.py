@@ -2094,6 +2094,7 @@ def sequence_pack(
     budget_tokens: int = 512,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Sequence packing — the concat-and-chop step that turns variable
     -length documents into fixed-budget training sequences: lay all
@@ -2119,18 +2120,39 @@ def sequence_pack(
 
     Output is bit-identical to the naive global window (offsets are
     exact longs; boundary freezing makes both passes agree), but
-    nothing ever concentrates on one node."""
+    nothing ever concentrates on one node.
+
+    The frozen-quantile sharding needs a NUMERIC id (approxQuantile's
+    contract).  Non-numeric ids must pass `shard_col`: a column whose
+    values are monotone non-decreasing in `id_col` order (a date or
+    source prefix is the usual choice) — shards then cumsum in
+    parallel exactly as the derived ones do."""
+    from pyspark.sql.types import NumericType
+
     n_tok = F.size(tokens(text_col))
-    t = docs.select(F.col(id_col), n_tok.alias("n_tokens"))
-    n_shards = docs.sparkSession.sparkContext.defaultParallelism
-    bounds: list = []
-    if n_shards > 1:
-        probs = [i / n_shards for i in range(1, n_shards)]
-        bounds = sorted(set(t.stat.approxQuantile(id_col, probs, 0.001)))
-    shard = F.lit(0)
-    for b in bounds:
-        shard = shard + F.when(F.col(id_col) > F.lit(b), 1).otherwise(0)
-    t = t.withColumn("__shard", shard.cast("int"))
+    if shard_col is not None:
+        t = docs.select(
+            F.col(id_col), F.col(shard_col).alias("__shard"),
+            n_tok.alias("n_tokens"),
+        )
+    else:
+        if not isinstance(docs.schema[id_col].dataType, NumericType):
+            raise ValueError(
+                f"sequence_pack shards on frozen quantiles of {id_col!r}, "
+                "which requires a numeric id; for string ids pass "
+                "shard_col= (any column monotone in id order, e.g. a "
+                "date or source prefix)"
+            )
+        t = docs.select(F.col(id_col), n_tok.alias("n_tokens"))
+        n_shards = docs.sparkSession.sparkContext.defaultParallelism
+        bounds: list = []
+        if n_shards > 1:
+            probs = [i / n_shards for i in range(1, n_shards)]
+            bounds = sorted(set(t.stat.approxQuantile(id_col, probs, 0.001)))
+        shard = F.lit(0)
+        for b in bounds:
+            shard = shard + F.when(F.col(id_col) > F.lit(b), 1).otherwise(0)
+        t = t.withColumn("__shard", shard.cast("int"))
     per_shard = {
         r["__shard"]: r["s"]
         for r in t.groupBy("__shard")
@@ -2410,6 +2432,21 @@ class DedupIndex:
             "commit is no longer in history (vacuumed); cannot replay pairs"
         )
 
+    def _capped(self, be: DataFrame) -> DataFrame:
+        """The hot-bucket cap as ONE rule shared by probe time
+        (ingest's corpus side) and maintenance time (compact's
+        recap): bucket rows whose (band_idx, band_key) group exceeds
+        max_bucket_size are excluded.  No-op when uncapped."""
+        if self.max_bucket_size is None:
+            return be
+        ok = (
+            be.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .where(F.col("__bsz") <= self.max_bucket_size)
+            .drop("__bsz")
+        )
+        return be.join(ok, ["band_idx", "band_key"], "left_semi")
+
     def ingest(
         self,
         docs: DataFrame,
@@ -2435,15 +2472,7 @@ class DedupIndex:
                 [], "id_a long, id_b long, jaccard double"
             )
         else:
-            be = self.buckets.read(version=read_v).alias("a")
-            if self.max_bucket_size is not None:
-                ok = (
-                    be.groupBy("band_idx", "band_key")
-                    .agg(F.count(F.lit(1)).alias("__bsz"))
-                    .where(F.col("__bsz") <= self.max_bucket_size)
-                    .drop("__bsz")
-                )
-                be = be.join(ok, ["band_idx", "band_key"], "left_semi").alias("a")
+            be = self._capped(self.buckets.read(version=read_v)).alias("a")
             cands = (
                 be.join(
                     b_new.alias("b"),
@@ -2500,17 +2529,10 @@ class DedupIndex:
         time-travelable until vacuum, so `batch_id` replays still
         reproduce their original pairs."""
         if recap_hot_buckets and self.max_bucket_size is not None:
-            be = self.buckets.read()
-            ok = (
-                be.groupBy("band_idx", "band_key")
-                .agg(F.count(F.lit(1)).alias("__bsz"))
-                .where(F.col("__bsz") <= self.max_bucket_size)
-                .drop("__bsz")
-            )
-            # the overwrite IS the buckets compaction (one new dir)
-            self.buckets.overwrite(
-                be.join(ok, ["band_idx", "band_key"], "left_semi")
-            )
+            # the overwrite IS the buckets compaction (one new dir);
+            # the SAME cap rule probes apply at query time (_capped)
+            # is what gets materialized, so the two can never drift
+            self.buckets.overwrite(self._capped(self.buckets.read()))
         else:
             self.buckets.compact(num_files=num_files)
         self.shingles.compact(num_files=num_files)

@@ -578,18 +578,32 @@ class VectorIndex:
             raise FileExistsError(
                 f"vector index already built at {self.root}; delete it to rebuild"
             )
+        # pin the codes table's pre-build version NOW: the overwrite
+        # below asserts it, so two concurrent builders serialize on the
+        # codes commit itself (the loser conflicts before it can
+        # publish codes that would then sit under the winner's meta)
+        codes_pre = self.codes.latest_version() if self.codes.exists() else None
         centroids, codebooks, codes = ivfpq_index(
             emb, n_clusters=n_clusters, m=m, ksub=ksub, n_iter=n_iter,
             id_col=self.id_col, vec_col=self.vec_col, dim=dim,
         )
-        # codes FIRST, sidecar LAST: the atomic _index.json write is
-        # the commit point (manifest discipline).  The reverse order
-        # left a crash window where the sidecar existed with no codes
-        # table — query() failed and build() permanently refused with
-        # FileExistsError until manual deletion.  A crash here instead
-        # leaves only an uncommitted codes table; the next build()
-        # passes the meta guard and overwrites it.
-        self.codes.overwrite(codes)
+        # codes FIRST (version-pinned), sidecar LAST: the atomic
+        # _index.json write is the commit point (manifest discipline).
+        # Crash windows: after codes, before meta -> an uncommitted
+        # codes table; the next build() passes the meta guard, pins the
+        # stale version and overwrites it.  Two racing builders: the
+        # codes pin lets exactly one publish codes; only a builder
+        # whose OWN codes landed can reach the meta write, so the live
+        # codes always belong to the meta that describes them.
+        from pixelspark.table import ConcurrentWriteConflict
+
+        try:
+            self.codes.overwrite(codes, expected_version=codes_pre)
+        except ConcurrentWriteConflict:
+            raise FileExistsError(
+                f"lost the build race for {self.root} (a rival builder "
+                "committed its codes table first)"
+            ) from None
         if not self.st.write_text_atomic(
             self.meta_path,
             json.dumps({

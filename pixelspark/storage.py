@@ -263,9 +263,14 @@ class HadoopStorage(Storage):
     def mtime(self, path: str) -> float | None:
         fs, p = self._fs(path), self._path(path)
         try:
-            return fs.getFileStatus(p).getModificationTime() / 1000.0
+            ms = fs.getFileStatus(p).getModificationTime()
         except Exception:
             return None
+        # Object stores report 0 for directory prefixes (S3A has no
+        # real directory mtime).  0 must surface as "unknown", not
+        # "epoch 1970" — otherwise vacuum's min-age floor would treat
+        # a just-staged dir as infinitely old and delete it.
+        return ms / 1000.0 if ms > 0 else None
 
     def read_text(self, path: str) -> str:
         fs, p = self._fs(path), self._path(path)

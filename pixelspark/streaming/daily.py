@@ -489,8 +489,10 @@ def run_curation_sink(
       1. quality gate: the frozen distilled scorer (ops/classifier.py,
          shuffle-free literal projection) drops docs under
          `score_threshold` (NULL scores — empty docs — drop too);
-      2. batch-interior exact dedup: md5 fingerprint of normalized
-         text, lowest id wins;
+      2. batch-interior dedup: exact (md5 fingerprint of normalized
+         text, lowest id wins) AND near-dup (the same-family LSH
+         pipeline within the batch — the index can't see two near-dup
+         docs that arrive together);
       3. cross-corpus near-dup gate: the batch is checked against the
          persistent DedupIndex AS OF before this batch — docs
          near-duplicating the already-curated corpus are dropped, and
@@ -509,7 +511,7 @@ def run_curation_sink(
     (they were real observations); `DedupIndex.compact()` is the
     maintenance path, same as batch ingest."""
     from pixelspark.ops import classifier as CL
-    from pixelspark.ops.llm import DedupIndex, fingerprint
+    from pixelspark.ops.llm import DedupIndex, fingerprint, near_dup_pairs
     from pixelspark.table import SnapshotTable
 
     w = list(weights) if weights is not None else list(CL.QUALITY_WEIGHTS)
@@ -533,6 +535,21 @@ def run_curation_sink(
             sp, index_root, id_col=id_col, text_col=text_col,
             **(index_kwargs or {}),
         )
+        # batch-INTERIOR near-dups: the index only checks the batch
+        # against the corpus as of before the batch, so two near-dup
+        # docs arriving together would both pass.  Run the same-family
+        # LSH pipeline within the batch and keep the lowest id of each
+        # pair before anything reaches the index or the table.
+        in_pairs = near_dup_pairs(
+            kept, id_col=id_col, text_col=text_col,
+            threshold=idx.threshold, num_hashes=idx.num_hashes,
+            shingle_k=idx.shingle_k, bands=idx.bands,
+            max_bucket_size=idx.max_bucket_size,
+        )
+        in_losers = in_pairs.select(
+            F.greatest("id_a", "id_b").alias(id_col)
+        ).distinct()
+        kept = kept.join(in_losers, id_col, "left_anti")
         pairs = idx.ingest(kept, app_id=app_id, batch_id=batch_id)
         dup_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
         final = kept.join(dup_ids, id_col, "left_anti")

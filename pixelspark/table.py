@@ -898,29 +898,44 @@ class SnapshotTable:
         empty DataFrame to an existing table is a no-op (returns the
         current version); to a missing table it creates an empty one
         so the schema is established."""
-        rel, _, has_data, wmap = self._write_snap(df, None)
-        entry = self._entry_for(rel, [], has_data, df.schema, wmap)
-        if not has_data:
-            v = self.latest_version()
-            if v is not None:
-                return v
         schema = df.schema.json()
+        for _ in range(self.max_retries):
+            rel, _, has_data, wmap = self._write_snap(df, None)
+            entry = self._entry_for(rel, [], has_data, df.schema, wmap)
+            if not has_data:
+                v = self.latest_version()
+                if v is not None:
+                    return v
 
-        def build(prev: dict | None) -> dict:
-            if (prev or {}).get("column_mapping") != wmap:
-                raise _Conflicted
-            entries = list(prev["entries"]) if prev else []
-            if prev and prev.get("partition_col"):
-                raise ValueError(
-                    "append() on a partitioned snapshot table — use "
-                    "replace_partitions() so partition pruning stays intact"
-                )
-            if has_data:
-                entries = entries + [entry]
-            return {"partition_col": None, "entries": entries, "schema": schema,
-                    "op": {"name": "append"}}
+            def build(prev: dict | None) -> dict:
+                if (prev or {}).get("column_mapping") != wmap:
+                    raise _Conflicted
+                entries = list(prev["entries"]) if prev else []
+                if prev and prev.get("partition_col"):
+                    raise ValueError(
+                        "append() on a partitioned snapshot table — use "
+                        "replace_partitions() so partition pruning stays intact"
+                    )
+                if has_data:
+                    entries = entries + [entry]
+                return {"partition_col": None, "entries": entries,
+                        "schema": schema, "op": {"name": "append"}}
 
-        return self._commit(build)
+            try:
+                return self._commit(build)
+            except ConcurrentWriteConflict:
+                # a column-mapping DDL commit landed between this
+                # append's translation and its manifest write: the
+                # staged dir carries stale physical names.  Reclaim it
+                # and re-stage under the fresh mapping — an append has
+                # no read set, so the retry is always safe.
+                if has_data:
+                    self.st.delete(f"{self.root}/{rel}")
+                continue
+        raise ConcurrentCommitError(
+            f"append lost the mapping race {self.max_retries} times at "
+            f"{self.root}"
+        )
 
     def append_once(self, df: DataFrame, app_id: str, batch_id: int) -> int | None:
         """Transactional streaming append (the Delta `txn` appId/version
@@ -940,10 +955,29 @@ class SnapshotTable:
             last = self.manifest(v).get("txn", {}).get(app_id)
             if last is not None and last >= batch_id:
                 return None  # replay detected before paying the write
-        rel, _, has_data, wmap = self._write_snap(df, None)
-        entry = self._entry_for(rel, [], has_data, df.schema, wmap)
-        schema = df.schema.json()
+        for _ in range(self.max_retries):
+            rel, _, has_data, wmap = self._write_snap(df, None)
+            entry = self._entry_for(rel, [], has_data, df.schema, wmap)
+            schema = df.schema.json()
+            try:
+                return self._append_once_commit(
+                    df, app_id, batch_id, rel, entry, has_data, wmap, schema
+                )
+            except ConcurrentWriteConflict:
+                # mapping DDL raced the write (see append): re-stage
+                # under the fresh mapping — the txn guard still makes
+                # the eventual commit exactly-once
+                if has_data:
+                    self.st.delete(f"{self.root}/{rel}")
+                continue
+        raise ConcurrentCommitError(
+            f"append_once lost the mapping race {self.max_retries} times "
+            f"at {self.root}"
+        )
 
+    def _append_once_commit(
+        self, df, app_id, batch_id, rel, entry, has_data, wmap, schema
+    ) -> int | None:
         def build(prev: dict | None) -> dict:
             if (prev or {}).get("column_mapping") != wmap:
                 raise _Conflicted
@@ -1389,6 +1423,7 @@ class SnapshotTable:
                 df = df.join(
                     F.broadcast(dv0), ["__dv_file", "__dv_row"], "left_anti"
                 )
+            df = self._fill_schema_columns(df, m)
             tgt_cols = [
                 c for c in df.columns if c not in ("__dv_file", "__dv_row")
             ]
@@ -1519,6 +1554,10 @@ class SnapshotTable:
             except ConcurrentWriteConflict:
                 # the retry rewrites both sidecars from the advanced
                 # snapshot — reclaim this attempt's now-orphaned dirs
+                # AND the eager checkpoint blocks (otherwise every lost
+                # race strands a full-width matched-set copy on the
+                # executors for the life of the session)
+                hits.unpersist()
                 if has_dv:
                     self.st.delete(full_dv)
                 if has_data:
@@ -1624,6 +1663,7 @@ class SnapshotTable:
                 df = df.join(
                     F.broadcast(dv), ["__dv_file", "__dv_row"], "left_anti"
                 )
+            df = self._fill_schema_columns(df, m)
             doomed = df.where(doomed_cond).select("__dv_file", "__dv_row")
             # write first, inspect the (tiny) output after: a separate
             # any-matches pre-check would cost a second full scan of
@@ -1766,6 +1806,7 @@ class SnapshotTable:
                 df = df.join(
                     F.broadcast(dv), ["__dv_file", "__dv_row"], "left_anti"
                 )
+            df = self._fill_schema_columns(df, m)
             # materialize the matched rows once: the dv write and the
             # updated-copy write both consume them, and lazily each
             # would re-scan the whole table
@@ -1808,6 +1849,8 @@ class SnapshotTable:
             except ConcurrentWriteConflict:
                 # the retry rewrites both sidecars from the advanced
                 # snapshot — reclaim this attempt's now-orphaned dirs
+                # and the eager matched-set checkpoint blocks
+                matched.unpersist()
                 self.st.delete(full_dv)
                 if has_data:
                     self.st.delete(f"{self.root}/{rel_new}")
@@ -2230,25 +2273,30 @@ class SnapshotTable:
             df = df.join(
                 F.broadcast(dv), ["__dv_file", "__dv_row"], "left_anti"
             ).drop("__dv_file", "__dv_row")
-        if m.get("schema"):
-            # surface columns the manifest schema has but no data file
-            # does yet (metadata-only add_columns) as typed NULLs; scan
-            # columns missing from the recorded schema are kept as-is
-            # (mergeSchema cross-snapshot safety)
-            missing = [
-                f
-                for f in StructType.fromJson(json.loads(m["schema"])).fields
-                if f.name not in df.columns
-            ]
-            if missing:
-                df = df.select(
-                    "*",
-                    *[
-                        F.lit(None).cast(f.dataType).alias(f.name)
-                        for f in missing
-                    ],
-                )
+        df = self._fill_schema_columns(df, m)
         return df.where(residual) if residual is not None else df
+
+    def _fill_schema_columns(self, df: DataFrame, m: dict) -> DataFrame:
+        """Surface columns the manifest schema has but no data file
+        does yet (metadata-only add_columns) as typed NULLs; scan
+        columns missing from the recorded schema are kept as-is
+        (mergeSchema cross-snapshot safety).  Every path that builds
+        its output column list from a scan — read() AND the DV DML
+        paths — must go through this, or a merge/update addressing a
+        schema-only column would silently drop the assignment."""
+        if not m.get("schema"):
+            return df
+        missing = [
+            f
+            for f in StructType.fromJson(json.loads(m["schema"])).fields
+            if f.name not in df.columns
+        ]
+        if missing:
+            df = df.select(
+                "*",
+                *[F.lit(None).cast(f.dataType).alias(f.name) for f in missing],
+            )
+        return df
 
     def _dv_scan(self, m: dict) -> DataFrame | None:
         """Union of the manifest's deletion-vector files as
@@ -2698,9 +2746,19 @@ class SnapshotTable:
         m = self.manifest(v)
         dest = SnapshotTable(
             self.spark, dest_root,
+            max_retries=self.max_retries,
+            # the fork inherits the source's full write-side posture:
+            # commit backend (a ConditionalPutStorage source must not
+            # fall back to check-then-copy on its clone), constraints,
+            # expectations, stats/bloom configuration
+            storage=self.st,
             generated_cols=self.generated_cols,
             stats_cols=self.stats_cols,
+            constraints=self.constraints,
             bloom_cols=self.bloom_cols,
+            bloom_bits=self.bloom_bits,
+            bloom_hashes=self.bloom_hashes,
+            expectations=self.expectations,
         )
         entries = [
             {**e, "root": e.get("root") or self.root} for e in m["entries"]

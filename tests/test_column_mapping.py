@@ -169,17 +169,52 @@ def test_read_changes_refuses_mapping_drift(spark, tbl):
     assert {(r["k"], r["change_type"]) for r in ch.collect()} == {(5, "inserted")}
 
 
-def test_stale_mapping_write_conflicts(spark, tbl):
-    """A rename that lands between a writer's translation and its
-    commit must conflict, not publish mistranslated physicals."""
+def test_stale_mapping_write_restages_and_retries(spark, tbl, tmp_path):
+    """A mapping DDL (here add_columns) landing between a writer's
+    translation and its commit must never publish data staged under
+    the stale mapping: the stale dir is reclaimed and the append
+    re-stages under the fresh mapping (r6b — previously this was a
+    terminal conflict, which crashed streaming micro-batches on
+    benign metadata commits)."""
     tbl.enable_column_mapping()
     stale = tbl._current_mapping()
+    tbl.add_columns({"note": "string"})  # the racing DDL
+    real = tbl._current_mapping
+    calls = {"n": 0}
+
+    def once_stale():
+        calls["n"] += 1
+        return stale if calls["n"] == 1 else real()
+
+    tbl._current_mapping = once_stale  # one stale read, then fresh
+    v = tbl.append(
+        spark.createDataFrame([(7, "x", 1.0)], "k long, v string, amt double")
+    )
+    assert v == tbl.latest_version()
+    assert {(r["k"], r["v"]) for r in tbl.read().collect()} == {
+        (1, "a"), (2, "b"), (7, "x")
+    }
+    # no stale garbage dir was left behind: every local data dir is
+    # referenced by the latest manifest
+    m = tbl.manifest(tbl.latest_version())
+    live = {e["base"].split("/", 1)[1] for e in m["entries"]}
+    import os
+
+    on_disk = set(os.listdir(os.path.join(str(tmp_path / "tbl"), "data")))
+    assert on_disk == live
+
+    # a writer whose frame no longer matches the CURRENT mapping (a
+    # rename raced it) fails with the explicit declare-first error,
+    # not a silent mistranslation
+    tbl._current_mapping = real
     tbl.rename_column("v", "label")
-    tbl._current_mapping = lambda: stale  # simulate the race window
-    with pytest.raises(ConcurrentWriteConflict):
+    with pytest.raises(Exception) as ei:
         tbl.append(
-            spark.createDataFrame([(7, "x", 1.0)], "k long, v string, amt double")
+            spark.createDataFrame([(8, "y", 1.0)], "k long, v string, amt double")
         )
+    assert "add_columns" in str(ei.value) or isinstance(
+        ei.value, ConcurrentWriteConflict
+    )
 
 
 def test_enable_requires_schema_and_is_idempotent_guarded(spark, tmp_path):

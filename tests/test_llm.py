@@ -1049,3 +1049,29 @@ def test_compression_ratio_orders_text_kinds(spark):
     want = round(len(zlib.compress(rep.encode(), 6)) / len(rep.encode()), 6)
     assert got[1]["zlib_ratio"] == want
     assert got[4]["zlib_ratio"] is None
+
+
+def test_sequence_pack_string_ids_need_shard_col(spark):
+    """Non-numeric ids cannot range-shard on quantiles: a clear error
+    names the contract, and a caller-provided monotone shard column
+    restores the distributed path with identical offsets."""
+    import pytest as _pytest
+
+    from pixelspark.ops.llm import sequence_pack
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i:03d}", f"2024-01-{1 + i // 3:02d}", "w " * (i + 1))
+         for i in range(9)],
+        "doc_id string, day string, text string",
+    )
+    with _pytest.raises(ValueError, match="shard_col"):
+        sequence_pack(docs, budget_tokens=8)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_offset"])
+        for r in sequence_pack(docs, budget_tokens=8, shard_col="day").collect()
+    }
+    # offsets are the exclusive prefix sums of 1..9 in id order
+    acc = 0
+    for i in range(9):
+        assert got[f"doc-{i:03d}"] == (i + 1, acc)
+        acc += i + 1

@@ -310,3 +310,44 @@ def test_ivfpq_probe_filter_reaches_parquet_scan(spark, sf_dir, tmp_path):
     assert "PushedFilters: [" in plan
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "cluster" in pushed, pushed
+
+
+def test_vector_index_build_race_serializes_on_codes(spark, sf_dir, tmp_path, monkeypatch):
+    """Two racing builders must never leave one builder's meta over the
+    other's codes: the codes commit is version-pinned, so the loser
+    fails BEFORE its codes can land under the winner's quantizers —
+    and a crashed half-build (codes, no meta) is repaired by the next
+    build()."""
+    import pixelspark.ops.pq as PQ
+    from pixelspark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").where("vec_id < 200")
+    root = str(tmp_path / "vidx_race")
+    idx = PQ.VectorIndex(spark, root)
+
+    orig = PQ.ivfpq_index
+    rival_done = {}
+
+    def racing(*a, **k):
+        res = orig(*a, **k)
+        # a rival builder lands its codes between this builder's
+        # version pin and its overwrite
+        if not rival_done:
+            rival = PQ.VectorIndex(spark, root)
+            rival.codes.overwrite(res[2])
+            rival_done["v"] = rival.codes.latest_version()
+        return res
+
+    monkeypatch.setattr(PQ, "ivfpq_index", racing)
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError, match="rival"):
+        idx.build(emb, n_clusters=4, m=4, ksub=8, n_iter=1)
+
+    # state now == rival crashed before meta (codes live, no sidecar):
+    # a fresh build() must repair, not wedge
+    monkeypatch.setattr(PQ, "ivfpq_index", orig)
+    idx2 = PQ.VectorIndex(spark, root)
+    idx2.build(emb, n_clusters=4, m=4, ksub=8, n_iter=1)
+    got = idx2.query(emb, [0, 1], k=3, n_probe=4, shortlist=50).collect()
+    assert len(got) == 6

@@ -679,11 +679,13 @@ def test_streaming_curation_sink_end_to_end(spark, tmp_path):
     good1 = "the quick brown fox jumps over the lazy dog and runs far away today"
     good2 = "completely different quality text with the usual stopwords in it for sure"
     near1 = good1 + " extra"            # near-dup of good1, later batch
+    near0 = good1 + " now"              # near-dup of good1, SAME batch
     junk = "zzzz qqqq xxxx"             # no stopwords -> fails the gate
     src = str(tmp_path / "cur_in")
     # batch order is by file; one parquet file per micro-batch
     spark.createDataFrame(
-        [(1, good1), (2, good1), (3, junk)], "doc_id long, text string"
+        [(1, good1), (2, good1), (3, junk), (4, near0)],
+        "doc_id long, text string",
     ).coalesce(1).write.mode("overwrite").parquet(src)
 
     stream = (
@@ -698,7 +700,8 @@ def test_streaming_curation_sink_end_to_end(spark, tmp_path):
 
     t = SnapshotTable(spark, table_root)
     got = {r["doc_id"] for r in t.read().collect()}
-    # doc 2 is an exact in-batch dup of 1 (lowest id wins); junk fails
+    # doc 2 is an exact in-batch dup of 1, doc 4 a NEAR-dup of 1 in
+    # the same batch (lowest id wins both); junk fails the gate
     assert got == {1}
 
     # second batch: a near-dup of the curated corpus + one fresh doc
