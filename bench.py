@@ -98,6 +98,7 @@ HEADLINE = [
     # per-query floor; a regression here means a shuffle crept in
     "q_domain_mix",
     "q_quality_logreg",
+    "q_repetition_signals",
 ]
 
 

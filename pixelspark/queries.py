@@ -1041,6 +1041,38 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_jsonl_roundtrip",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(length(text)) AS BIGINT) AS text_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source/sink end-to-end (io.py write_jsonl/read_jsonl — the
+    LLM-corpus interchange format): documents exported as JSON lines
+    and read back through the explicit-schema reader must aggregate
+    identically to the parquet original, including text content
+    lengths (any serialization loss — escaping, unicode, nulls —
+    breaks the value hash)."""
+    import tempfile
+
+    from pixelspark import io as pio
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="pixelspark_jsonl_") + "/docs_jsonl"
+    pio.write_jsonl(docs, path)
+    back = pio.read_jsonl(spark, path, docs.schema)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+        F.sum(F.length("text")).cast("long").alias("text_chars"),
+    )
+
+
+@query(
     "q_snapshot_merge",
     f"""
     WITH pv AS (
@@ -8474,7 +8506,10 @@ _WINDOW_QUERIES = [
     # flagship, value-oracled incl. the fit pass) takes q_token_count's
     # slot (in-window green r1-r4; stays registered + sweep-checked)
     "q_dsir_weights",
-    "q_ngram_jaccard",
+    # r6c rotation: the Gopher repetition pack (round-6b quality
+    # flagship, value-oracled) takes q_ngram_jaccard's slot (in-window
+    # green r1-r5; stays registered + sweep-checked)
+    "q_repetition_signals",
     "q_minhash_pairs",
     "q_simhash",
     # r6b rotation: the round-6 flagships — column-mapping schema
