@@ -1041,6 +1041,50 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_orc_roundtrip",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink end-to-end (io.py write_orc/read_orc — the
+    Hive-ecosystem columnar interchange): orders exported to ORC and
+    read back with a pushed-down status filter must aggregate
+    identically to the parquet original.  The in-query assert pins
+    that the equality predicate actually reaches the ORC scan
+    (PushedFilters), so format coverage and pushdown are checked by
+    the same row."""
+    import tempfile
+
+    from pixelspark import io as pio
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="pixelspark_orc_") + "/orders_orc"
+    pio.write_orc(orders, path)
+    back = pio.read_orc(spark, path).where(F.col("o_orderstatus") == "O")
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    assert "PushedFilters" in buf.getvalue() and "o_orderstatus" in buf.getvalue(), (
+        "status equality must push into the ORC scan"
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
     "q_jsonl_roundtrip",
     """
     SELECT lang,
