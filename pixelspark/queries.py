@@ -1041,6 +1041,71 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_partition_evolution",
+    f"""
+    WITH pv AS (
+      SELECT user_id AS shop, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS views
+      FROM events
+      -- OR-of-equals, not IN: DuckDB's IN misevaluates over dates
+      -- derived from the nanos-timestamp view (returns empty).
+      -- shop <= 200 keeps the shop-layout dir count demonstration-
+      -- sized (a 1500-value partition column is itself the
+      -- anti-pattern partition evolution exists to migrate away from)
+      WHERE (CAST(ts AS DATE) = DATE '{TD}'
+             OR CAST(ts AS DATE) = DATE '2024-01-03')
+        AND user_id <= 200
+      GROUP BY 1, 2
+    )
+    SELECT CAST(day AS VARCHAR) AS day_s,
+           CAST(COUNT(*) AS BIGINT) AS n_shops,
+           CAST(SUM(views) AS BIGINT) AS views
+    FROM pv GROUP BY day
+    """,
+)
+def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition evolution end-to-end (table.py evolve_partitioning):
+    seed a day-partitioned rollup, evolve the layout to shop as a
+    metadata commit (entry list byte-identical — asserted), write the
+    second day under the NEW layout, and read the union of both
+    layouts back.  The end state is plain SQL over events; the
+    in-query asserts pin zero data churn at the evolution commit and
+    the mixed-layout manifest."""
+    import tempfile
+
+    from pixelspark.table import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="pixelspark_pevo_") + "/pv_rollup"
+    t = SnapshotTable(spark, root)
+    ev = _t(spark, sf_dir, "events")
+    pv = (
+        ev.withColumn("day", F.col("ts").cast("date").cast("string"))
+        .where(F.col("day").isin(TD, "2024-01-03") & (F.col("user_id") <= 200))
+        .groupBy("day", F.col("user_id").alias("shop"))
+        .agg(F.count(F.lit(1)).cast("long").alias("views"))
+    )
+    t.replace_partitions(pv.where(F.col("day") == TD), "day")
+    v0 = t.latest_version()
+    v1 = t.evolve_partitioning("shop")
+    assert t.manifest(v1)["entries"] == t.manifest(v0)["entries"], (
+        "evolution must be metadata-only"
+    )
+    t.replace_partitions(pv.where(F.col("day") == "2024-01-03"), "shop")
+    layouts = {
+        t._entry_layout(e) for e in t.manifest(t.latest_version())["entries"]
+    }
+    assert layouts == {"day", "shop"}, layouts
+    return (
+        t.read()
+        .groupBy(F.col("day").alias("day_s"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shops"),
+            F.sum("views").cast("long").alias("views"),
+        )
+    )
+
+
+@query(
     "q_orc_roundtrip",
     """
     SELECT o_orderpriority,

@@ -1067,6 +1067,12 @@ class SnapshotTable:
                 tmap[txn[0]] = txn[1]
             entries = []
             for e in (prev or {"entries": []})["entries"]:
+                if e["parts"] is None or self._entry_layout(e) != partition_col:
+                    # pre-evolution layout (or unpartitioned dir): not
+                    # addressable by this replace's col=value names —
+                    # carried whole, never silently dropped
+                    entries.append(e)
+                    continue
                 kept = [p for p in (e["parts"] or []) if p not in replaced]
                 if kept:
                     sub: dict = {"base": e["base"], "parts": kept}
@@ -1909,6 +1915,54 @@ class SnapshotTable:
 
         return self._commit(build)
 
+    @staticmethod
+    def _entry_layout(e: dict) -> str | None:
+        """The partition column an entry's data dirs are PHYSICALLY
+        laid out by — self-described by its `col=value` part names
+        (None for unpartitioned dirs).  After evolve_partitioning the
+        manifest's partition_col is the CURRENT layout; entries
+        written before the evolution keep describing their own."""
+        if not e.get("parts"):
+            return None
+        return e["parts"][0].split("=", 1)[0]
+
+    def evolve_partitioning(self, new_col: str | None) -> int:
+        """Iceberg-style partition evolution as ONE metadata commit:
+        future writes lay data out by `new_col` (or unpartitioned for
+        None); every already-written entry keeps its own layout and
+        stays readable — scans group per layout, nothing is rewritten.
+
+        Scoping (documented, enforced): while layouts are MIXED,
+        `read(partition_values=...)` — and therefore partition-scoped
+        merge and partition-subset compact — refuse with a clear
+        error, because a partition-values read that silently returned
+        old-layout rows whole would let a subsequent replace write
+        duplicate them.  A full `compact()` rewrites history into the
+        current layout and restores all of it.  Refused on
+        column-mapping-enabled tables (the layout name is physical)."""
+
+        def build(prev: dict | None) -> dict:
+            if prev is None or not prev.get("schema"):
+                raise FileNotFoundError(f"no schema-bearing snapshot at {self.root}")
+            if prev.get("column_mapping"):
+                raise ValueError(
+                    "partition evolution on a column-mapping-enabled table "
+                    "is not supported (the col=value layout embeds physical "
+                    "names)"
+                )
+            if new_col is not None:
+                schema = StructType.fromJson(json.loads(prev["schema"]))
+                if new_col not in {f.name for f in schema.fields}:
+                    raise ValueError(f"no such column: {new_col!r}")
+            return {
+                "partition_col": new_col,
+                "entries": prev["entries"],
+                "schema": prev["schema"],
+                "op": {"name": "evolve_partitioning", "to": new_col},
+            }
+
+        return self._commit(build)
+
     # -- column mapping (rename / drop without rewrite) --------------------
 
     def _current_mapping(self) -> dict | None:
@@ -2222,6 +2276,17 @@ class SnapshotTable:
                 raise ValueError(
                     "partition_values given but table is unpartitioned"
                 )
+            stale = [
+                e for e in entries
+                if e["parts"] is not None and self._entry_layout(e) != pcol
+            ]
+            if stale or any(e["parts"] is None for e in entries):
+                raise ValueError(
+                    f"table has entries not laid out by {pcol!r} (partition "
+                    "evolution in progress): partition_values pruning would "
+                    "be unsound on them — run a full compact() to rewrite "
+                    "history into the current layout first"
+                )
             wanted = {f"{pcol}={val}" for val in map(str, partition_values)}
             entries = [
                 {**e, "parts": kept}
@@ -2358,19 +2423,22 @@ class SnapshotTable:
         per-scan metadata column."""
         if all("__snap=" in e["base"] for e in entries):
             # entries may reference another table's data dirs (shallow
-            # clone): group by owning root — each root is one basePath
-            # relation; a freshly cloned table is a single foreign
-            # group, so it still plans ONE scan
-            by_root: dict[str, list] = {}
+            # clone) or carry a pre-evolution layout: group by (owning
+            # root, layout column) — each group is one basePath
+            # partition-discovery relation (mixed col=... dirs in one
+            # relation would corrupt discovery); the ordinary table is
+            # a single group, so it still plans ONE scan
+            by_root: dict[tuple, list] = {}
             for e in entries:
-                by_root.setdefault(e.get("root") or self.root, []).append(e)
+                key = (e.get("root") or self.root, self._entry_layout(e))
+                by_root.setdefault(key, []).append(e)
             scans = []
-            for root, es in by_root.items():
+            for (root, _layout), es in by_root.items():
                 paths = []
                 for e in es:
                     if e.get("files") is not None:
                         paths += [f"{root}/{e['base']}/{f}" for f in e["files"]]
-                    elif pcol is None:
+                    elif e["parts"] is None:
                         paths.append(f"{root}/{e['base']}")
                     else:
                         paths += [f"{root}/{e['base']}/{p}" for p in e["parts"]]
