@@ -25,7 +25,31 @@ Why this is exactly-once and cheap at scale:
     represent that as inserts, so the source FAILS by default;
     `.option("onchange", "ignore")` opts into Delta's
     ignoreChanges stance (emit additions, skip removals — downstream
-    must tolerate re-delivered rows for rewritten entries).
+    must tolerate re-delivered rows for rewritten entries).  A
+    deletion vector that masks rows of an ALREADY-DELIVERED entry is
+    the same kind of change and follows the same policy; a vector
+    that only masks rows of entries new in this very batch is applied
+    silently (the batch delivers the entry's end-of-range state).
+
+READER-PROTOCOL AWARENESS — this adapter understands every feature
+the table format currently has (`pixelspark.table.READER_FEATURES`):
+
+  * deletion-vectors: DV sidecars are loaded driver-side (they are
+    broadcast-sized by design) and applied as Arrow-level row masks
+    per parquet fragment, so merge-on-read tables stream/batch-read
+    correctly instead of resurrecting deleted rows;
+  * column-mapping: physical file columns are projected back to
+    logical schema names (renames honored, dropped columns' bytes
+    projected away);
+  * multi-layout: each entry decodes its partition value by ITS OWN
+    `col=value` layout, so partition evolution mid-history reads
+    correctly;
+  * external-roots: shallow-clone entries are read from their owning
+    table's root.
+
+A manifest that lists a reader feature outside this set (written by
+a future engine version) is refused loudly via
+`check_reader_features` — never silently mis-read.
 
 The executor-side `read(partition)` decodes parquet with pyarrow and
 yields Arrow record batches (the vectorized path through the Python
@@ -43,6 +67,7 @@ container doesn't ship).
 from __future__ import annotations
 
 import json
+from bisect import bisect_left, bisect_right
 from typing import Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -54,7 +79,12 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from pixelspark.storage import storage_for
-from pixelspark.table import DATA_DIR, MANIFEST_DIR
+from pixelspark.table import (
+    DATA_DIR,
+    MANIFEST_DIR,
+    READER_FEATURES,
+    check_reader_features,
+)
 
 FORMAT_NAME = "snapshot_table"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -77,22 +107,99 @@ def _versions(root: str) -> list[int]:
 
 def _manifest(root: str, version: int) -> dict:
     st = storage_for(root)
-    return json.loads(st.read_text(f"{root}/{MANIFEST_DIR}/v{version:08d}.json"))
+    m = json.loads(st.read_text(f"{root}/{MANIFEST_DIR}/v{version:08d}.json"))
+    check_reader_features(m, READER_FEATURES, "snapshot_table data source")
+    return m
 
 
-def _refs(m: dict) -> set[tuple[str, str | None]]:
+def _refs(root: str, m: dict) -> set[tuple[str, str, str | None]]:
+    """(owning root, data dir rel, `col=value` part or None) units."""
     return {
-        (e["base"], p) for e in m["entries"] for p in (e["parts"] or [None])
+        (e.get("root") or root, e["base"], p)
+        for e in m["entries"]
+        for p in (e["parts"] or [None])
     }
 
 
-class _Ref(InputPartition):
-    """One immutable (data dir, partition subdir) unit of work."""
+def _after_data(rel_or_path: str) -> str:
+    """Path relative to the owning table's data dir (the coordinate
+    system deletion vectors address files in)."""
+    return rel_or_path.rsplit(f"{DATA_DIR}/", 1)[-1]
 
-    def __init__(self, path: str, pcol: str | None, pval: str | None):
+
+def _dv_dirs(root: str, m: dict) -> set[tuple[str, str]]:
+    """(owning root, dv dir rel) for every deletion-vector sidecar."""
+    return {
+        (d["root"], d["path"]) if isinstance(d, dict) else (root, d)
+        for d in (m.get("dv_files") or [])
+    }
+
+
+def _dv_rows(root: str, m: dict) -> dict[str, list[int]]:
+    """Driver-side load of a manifest's deletion vectors:
+    {file path relative to data dir: sorted row indices}.  DV sets are
+    broadcast-sized by design (targeted deletes; a table whose vectors
+    have grown large should compact()), so this is a small read."""
+    import pyarrow.dataset as pads
+
+    out: dict[str, set[int]] = {}
+    for dv_root, rel in sorted(_dv_dirs(root, m)):
+        tbl = (
+            pads.dataset(f"{dv_root}/{rel}", format="parquet")
+            .to_table(columns=["__dv_file", "__dv_row"])
+        )
+        for f, r in zip(
+            tbl.column("__dv_file").to_pylist(),
+            tbl.column("__dv_row").to_pylist(),
+        ):
+            out.setdefault(f, set()).add(int(r))
+    return {f: sorted(rows) for f, rows in out.items()}
+
+
+class _Ref(InputPartition):
+    """One immutable (data dir, partition subdir) unit of work.
+    `phys` maps logical column name -> physical file column name when
+    column mapping is enabled; `dv` holds the deletion-vector row
+    masks for files under this dir ({rel file: sorted row indices})."""
+
+    def __init__(
+        self,
+        path: str,
+        pcol: str | None,
+        pval: str | None,
+        phys: dict[str, str] | None = None,
+        dv: dict[str, list[int]] | None = None,
+    ):
         self.path = path
         self.pcol = pcol
         self.pval = pval
+        self.phys = phys
+        self.dv = dv
+
+
+def _make_refs(
+    root: str,
+    ref_set: set[tuple[str, str, str | None]],
+    m: dict,
+    dv_rows: dict[str, list[int]],
+) -> list[_Ref]:
+    """Materialize `_Ref`s for a set of (root, base, part) units under
+    manifest `m`'s column mapping, decoding each unit's partition
+    column from ITS OWN `col=value` name (multi-layout safe)."""
+    cmap = m.get("column_mapping")
+    phys = dict(cmap["cols"]) if cmap else None
+    out = []
+    for e_root, base, p in sorted(ref_set):
+        path = f"{e_root}/{base}" if p is None else f"{e_root}/{base}/{p}"
+        prefix = _after_data(base) if p is None else f"{_after_data(base)}/{p}"
+        dv = {
+            f: rows
+            for f, rows in dv_rows.items()
+            if f.startswith(prefix + "/")
+        } or None
+        pcol, pval = (None, None) if p is None else tuple(p.split("=", 1))
+        out.append(_Ref(path, pcol, pval, phys, dv))
+    return out
 
 
 def _partition_scalar(pval: str | None, field):
@@ -128,34 +235,56 @@ def _partition_scalar(pval: str | None, field):
 def _read_ref_batches(ref: _Ref, schema: StructType) -> Iterator:
     """Executor-side: decode one immutable dir with pyarrow and yield
     record batches aligned to the stream schema (partition column
-    restored as a constant, missing columns as nulls — the mergeSchema
-    analog for schema-evolved histories).  STREAMED batch-by-batch via
+    restored as a constant, column mapping projected physical ->
+    logical, missing columns as nulls — the mergeSchema analog for
+    schema-evolved histories).  STREAMED batch-by-batch via
     pyarrow.dataset — a multi-GB appended dir never materializes as
-    one Arrow table in the Python worker."""
+    one Arrow table in the Python worker.  Deletion-vector masks are
+    applied per parquet FRAGMENT (row indices are file-relative, the
+    same coordinates Spark's `_metadata.row_index` yields), so
+    merge-on-read deletes are honored without a join."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.dataset as pads
 
     from pyspark.sql.pandas.types import to_arrow_schema
 
     target = to_arrow_schema(schema)
-    for batch in pads.dataset(ref.path, format="parquet").to_batches():
-        n = batch.num_rows
-        if n == 0:
-            continue
-        names = set(batch.schema.names)
-        cols = []
-        for field, afield in zip(schema.fields, target):
-            if field.name == ref.pcol:
-                val = _partition_scalar(ref.pval, field)
-                cols.append(pa.nulls(n, afield.type) if val is None
-                            else pa.array([val] * n, type=afield.type))
-            elif field.name in names:
-                cols.append(
-                    batch.column(field.name).cast(afield.type)
-                )
-            else:
-                cols.append(pa.nulls(n, afield.type))
-        yield pa.RecordBatch.from_arrays(cols, schema=target)
+    phys = ref.phys or {}
+    for frag in pads.dataset(ref.path, format="parquet").get_fragments():
+        masked = (ref.dv or {}).get(_after_data(frag.path))
+        offset = 0
+        for batch in frag.to_batches():
+            n = batch.num_rows
+            lo = offset
+            offset += n
+            if n == 0:
+                continue
+            if masked:
+                i0 = bisect_left(masked, lo)
+                i1 = bisect_right(masked, lo + n - 1)
+                if i1 > i0:
+                    keep = np.ones(n, dtype=bool)
+                    keep[[r - lo for r in masked[i0:i1]]] = False
+                    batch = batch.filter(pa.array(keep))
+                    n = batch.num_rows
+                    if n == 0:
+                        continue
+            names = set(batch.schema.names)
+            cols = []
+            for field, afield in zip(schema.fields, target):
+                fname = phys.get(field.name, field.name)
+                if field.name == ref.pcol:
+                    val = _partition_scalar(ref.pval, field)
+                    cols.append(pa.nulls(n, afield.type) if val is None
+                                else pa.array([val] * n, type=afield.type))
+                elif fname in names:
+                    cols.append(
+                        batch.column(fname).cast(afield.type)
+                    )
+                else:
+                    cols.append(pa.nulls(n, afield.type))
+            yield pa.RecordBatch.from_arrays(cols, schema=target)
 
 
 class _SnapshotBatchReader(DataSourceReader):
@@ -169,15 +298,9 @@ class _SnapshotBatchReader(DataSourceReader):
         if not vs:
             return []
         m = _manifest(self.root, self.version if self.version is not None else vs[-1])
-        pcol = m.get("partition_col")
-        return [
-            _Ref(
-                f"{self.root}/{base}" if p is None else f"{self.root}/{base}/{p}",
-                pcol,
-                p.split("=", 1)[1] if p is not None else None,
-            )
-            for base, p in sorted(_refs(m))
-        ]
+        return _make_refs(
+            self.root, _refs(self.root, m), m, _dv_rows(self.root, m)
+        )
 
     def read(self, partition: _Ref) -> Iterator:
         return _read_ref_batches(partition, self._schema)
@@ -212,7 +335,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             return []
         m1 = _manifest(self.root, v1)
         m0 = _manifest(self.root, v0) if v0 else {"entries": []}
-        r0, r1 = _refs(m0), _refs(m1)
+        r0, r1 = _refs(self.root, m0), _refs(self.root, m1)
         removed = r0 - r1
         if removed and self.on_change == "fail":
             raise RuntimeError(
@@ -222,21 +345,50 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 "histories — set .option('onchange','ignore') to skip "
                 "removals (downstream must tolerate re-delivery)"
             )
-        pcol = m1.get("partition_col")
-        return [
-            _Ref(
-                f"{self.root}/{base}" if p is None else f"{self.root}/{base}/{p}",
-                pcol,
-                p.split("=", 1)[1] if p is not None else None,
+        dv0, dv1 = _dv_dirs(self.root, m0), _dv_dirs(self.root, m1)
+        dv_rows = _dv_rows(self.root, m1) if dv1 else {}
+        if dv0 != dv1 and self.on_change == "fail":
+            # a REMOVED vector resurrects rows — always a change.  An
+            # ADDED vector is a change only if it masks rows of an
+            # entry delivered in an earlier batch; one that only masks
+            # entries NEW in (v0, v1] is folded into this batch's
+            # delivery (the entry arrives already masked).
+            old_prefixes = [
+                _after_data(b) if p is None else f"{_after_data(b)}/{p}"
+                for _, b, p in r0
+            ]
+            added_rows: dict[str, list[int]] = (
+                _dv_rows_of(self.root, dv1 - dv0) if dv1 - dv0 else {}
             )
-            for base, p in sorted(r1 - r0)
-        ]
+            touches_old = dv0 - dv1 or any(
+                f.startswith(pre + "/")
+                for f in added_rows
+                for pre in old_prefixes
+            )
+            if touches_old:
+                raise RuntimeError(
+                    f"snapshot table at {self.root} changed rows of "
+                    f"already-streamed data between versions {v0} and "
+                    f"{v1} via deletion vectors (merge-on-read "
+                    "delete/update); a tail cannot retract delivered "
+                    "rows — set .option('onchange','ignore') to keep "
+                    "tailing additions (downstream must tolerate "
+                    "stale previously-delivered rows)"
+                )
+        return _make_refs(self.root, r1 - r0, m1, dv_rows)
 
     def read(self, partition: _Ref) -> Iterator:
         return _read_ref_batches(partition, self._schema)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the streaming checkpoint
+
+
+def _dv_rows_of(root: str, dirs: set[tuple[str, str]]) -> dict[str, list[int]]:
+    """Like `_dv_rows` but for an explicit (root, rel) dir subset."""
+    return _dv_rows(root, {"dv_files": [
+        {"root": r, "path": p} for r, p in dirs
+    ]})
 
 
 class SnapshotTableDataSource(DataSource):

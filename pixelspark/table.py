@@ -99,6 +99,106 @@ _PRED_OPS = {
 }
 
 
+def entry_layout(e: dict) -> str | None:
+    """The partition column an entry's data dirs are PHYSICALLY laid
+    out by — self-described by its `col=value` part names (None for
+    unpartitioned dirs).  Module-level so external readers (the Python
+    DataSource adapter) share one definition with the table."""
+    if not e.get("parts"):
+        return None
+    return e["parts"][0].split("=", 1)[0]
+
+
+# Reader-protocol features (the Delta/Iceberg reader-version idea):
+# every committed manifest records which of these a correct reader
+# MUST understand to return the right rows.  A reader that does not
+# recognize a listed feature must refuse the table instead of
+# silently mis-reading it (resurrecting DV-deleted rows, nulling
+# renamed columns, mis-typing partition values across layouts).
+READER_FEATURES = {
+    # rows masked out by deletion-vector sidecars (merge-on-read)
+    "deletion-vectors",
+    # physical file column names differ from logical schema names
+    "column-mapping",
+    # entries carry more than one partition layout (partition
+    # evolution in progress), or a layout other than the manifest's
+    # current partition_col
+    "multi-layout",
+    # entries / DV sidecars reference another table root (shallow clone)
+    "external-roots",
+}
+
+
+def reader_features(m: dict) -> list[str]:
+    """Derive the reader-protocol features a manifest's data depends
+    on.  Called at commit time (so every manifest self-describes) and
+    by readers as the fallback for manifests written before the
+    `reader_features` key existed."""
+    feats: set[str] = set()
+    entries = m.get("entries") or []
+    dvs = m.get("dv_files") or []
+    if dvs:
+        feats.add("deletion-vectors")
+    if m.get("column_mapping"):
+        feats.add("column-mapping")
+    layouts = {entry_layout(e) for e in entries}
+    if len(layouts) > 1 or (entries and layouts != {m.get("partition_col")}):
+        feats.add("multi-layout")
+    if any(e.get("root") for e in entries) or any(
+        isinstance(d, dict) for d in dvs
+    ):
+        feats.add("external-roots")
+    return sorted(feats)
+
+
+def check_reader_features(m: dict, supported: set[str], who: str) -> None:
+    """Fail-fast guard: raise when manifest `m` requires a reader
+    feature outside `supported`.  Manifests without the recorded key
+    (pre-protocol versions) are re-derived, so the guard cannot be
+    bypassed by age."""
+    need = set(m.get("reader_features") or reader_features(m))
+    unknown = need - supported
+    if unknown:
+        raise ValueError(
+            f"{who} cannot read this snapshot: it requires reader "
+            f"feature(s) {sorted(unknown)} this reader does not "
+            f"support (supported: {sorted(supported)})"
+        )
+
+
+# Writer-protocol features: everything a reader must understand, a
+# writer must too (a commit that keeps entries must preserve DV masks,
+# write in the current layout, translate logical->physical names), plus
+# write-side-only invariants.
+WRITER_FEATURES = READER_FEATURES | {
+    # rows carry values computed from recorded expressions; a writer
+    # ignorant of them would commit divergent data
+    "generated-columns",
+}
+
+
+def writer_features(m: dict) -> list[str]:
+    feats = set(reader_features(m))
+    if m.get("generated"):
+        feats.add("generated-columns")
+    return sorted(feats)
+
+
+def check_writer_features(m: dict, supported: set[str], who: str) -> None:
+    """Raise when committing on top of manifest `m` requires a writer
+    feature outside `supported` — the Delta minWriterVersion idea: an
+    old engine must refuse to mutate a table whose invariants it
+    cannot uphold, instead of silently corrupting them."""
+    need = set(m.get("writer_features") or writer_features(m))
+    unknown = need - supported
+    if unknown:
+        raise ValueError(
+            f"{who} cannot write to this table: its current snapshot "
+            f"requires writer feature(s) {sorted(unknown)} this writer "
+            f"does not support (supported: {sorted(supported)})"
+        )
+
+
 def _range_admits(rng, op: str, val) -> bool:
     """Can a file whose column spans [mn, mx] contain a row satisfying
     `col op val`?  Conservative: unknown stats, open bounds (all-null
@@ -319,6 +419,14 @@ class SnapshotTable:
         for _ in range(self.max_retries):
             v = self.latest_version()
             prev = self.manifest(v) if v is not None else None
+            if prev is not None:
+                # refuse to mutate a table whose invariants this
+                # engine version cannot uphold (forward-compat guard;
+                # current manifests always pass — WRITER_FEATURES is
+                # derived from what this code itself writes)
+                check_writer_features(
+                    prev, WRITER_FEATURES, "SnapshotTable commit"
+                )
             try:
                 new = build(prev)
             except _SkipCommit:
@@ -351,6 +459,19 @@ class SnapshotTable:
                 new["column_mapping"] = prev["column_mapping"]
             if not new.get("column_mapping"):
                 new.pop("column_mapping", None)
+            # self-describing reader protocol: record which features a
+            # correct reader of THIS manifest must understand (derived
+            # from the final manifest state, so no build() can forget)
+            feats = reader_features(new)
+            if feats:
+                new["reader_features"] = feats
+            else:
+                new.pop("reader_features", None)
+            wfeats = writer_features(new)
+            if wfeats:
+                new["writer_features"] = wfeats
+            else:
+                new.pop("writer_features", None)
             new["version"] = (v or 0) + 1
             # wall-clock commit instant (epoch seconds, UTC): feeds
             # DESCRIBE HISTORY and age-based vacuum retention.  Like
@@ -1917,14 +2038,10 @@ class SnapshotTable:
 
     @staticmethod
     def _entry_layout(e: dict) -> str | None:
-        """The partition column an entry's data dirs are PHYSICALLY
-        laid out by — self-described by its `col=value` part names
-        (None for unpartitioned dirs).  After evolve_partitioning the
-        manifest's partition_col is the CURRENT layout; entries
+        """See module-level `entry_layout`.  After evolve_partitioning
+        the manifest's partition_col is the CURRENT layout; entries
         written before the evolution keep describing their own."""
-        if not e.get("parts"):
-            return None
-        return e["parts"][0].split("=", 1)[0]
+        return entry_layout(e)
 
     def evolve_partitioning(self, new_col: str | None) -> int:
         """Iceberg-style partition evolution as ONE metadata commit:
@@ -2269,6 +2386,10 @@ class SnapshotTable:
         if v is None:
             raise FileNotFoundError(f"no snapshot at {self.root}")
         m = self.manifest(v)
+        # forward-compat: a manifest committed by a NEWER engine
+        # version may depend on reader features this code predates —
+        # refuse loudly rather than return wrong rows
+        check_reader_features(m, READER_FEATURES, "SnapshotTable.read")
         entries = m["entries"]
         if partition_values is not None:
             pcol = m.get("partition_col")
@@ -2523,6 +2644,9 @@ class SnapshotTable:
         if to_v is None:
             raise FileNotFoundError(f"no snapshot at {self.root}")
         m1 = self.manifest(to_v)
+        check_reader_features(
+            m1, READER_FEATURES, "SnapshotTable.read_changes"
+        )
         m0 = self.manifest(from_version) if from_version else {"entries": []}
         pcol = m1.get("partition_col")
         if from_version and m0.get("column_mapping") != m1.get("column_mapping"):
@@ -2812,6 +2936,10 @@ class SnapshotTable:
         if v is None:
             raise FileNotFoundError(f"no snapshot at {self.root}")
         m = self.manifest(v)
+        # a clone re-publishes the source's invariants as its own
+        # first manifest — refuse sources with features this engine
+        # version cannot carry over faithfully
+        check_writer_features(m, WRITER_FEATURES, "SnapshotTable.clone_to")
         dest = SnapshotTable(
             self.spark, dest_root,
             max_retries=self.max_retries,
@@ -2904,6 +3032,12 @@ class SnapshotTable:
         vs = self.versions()
         if not vs:
             return []
+        # a vacuum decides which files are DEAD — on a table using a
+        # future feature this version cannot interpret, that judgment
+        # could delete live data.  Refuse, like everything write-side.
+        check_writer_features(
+            self.manifest(vs[-1]), WRITER_FEATURES, "SnapshotTable.vacuum"
+        )
         keep = vs[-keep_versions:]
         if keep_hours is not None:
             cutoff = (time.time() if now is None else now) - keep_hours * 3600.0

@@ -246,3 +246,116 @@ def test_streaming_cdc_apply_sink_keeps_replica_in_lockstep(reg, spark, tmp_path
     # final change, whose re-application is a no-op
     run(ck2)
     assert sorted((r["k"], r["v"]) for r in t.read().collect()) == got
+
+
+# -- reader-protocol feature support ----------------------------------------
+
+
+def test_batch_format_honors_deletion_vectors(reg, spark, tmp_path):
+    """A merge-on-read table read through the adapter must NOT
+    resurrect DV-deleted rows (the exact silent-wrongness the
+    reader-features protocol exists to prevent)."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(10)]))
+    t.delete(F.col("k") % 3 == 0, mode="dv")
+    assert t.manifest(t.latest_version()).get("dv_files")  # truly MOR
+    got = sorted(r["k"] for r in
+                 spark.read.format("snapshot_table").load(root).collect())
+    assert got == [i for i in range(10) if i % 3 != 0]
+    native = sorted(r["k"] for r in t.read().collect())
+    assert got == native
+
+
+def test_batch_format_honors_column_mapping(reg, spark, tmp_path):
+    """Renamed columns surface under their logical names (not nulls),
+    dropped columns disappear."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.append(spark.createDataFrame([(1, "a", 10.0)], "k long, v string, x double"))
+    t.enable_column_mapping()
+    t.rename_column("v", "label")
+    t.drop_column("x")
+    df = spark.read.format("snapshot_table").load(root)
+    assert df.columns == ["k", "label"]
+    assert [(r["k"], r["label"]) for r in df.collect()] == [(1, "a")]
+
+
+def test_batch_format_honors_partition_evolution(reg, spark, tmp_path):
+    """Entries decode their partition value by their OWN layout after
+    evolve_partitioning (multi-layout manifests)."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.replace_partitions(
+        spark.createDataFrame([(7, 1), (8, 2)], "day int, k long"), "day"
+    )
+    t.evolve_partitioning(None)
+    t.append(spark.createDataFrame([(9, 3)], "day int, k long"))
+    got = sorted((r["day"], r["k"]) for r in
+                 spark.read.format("snapshot_table").load(root).collect())
+    assert got == [(7, 1), (8, 2), (9, 3)]
+    native = sorted((r["day"], r["k"]) for r in t.read().collect())
+    assert got == native
+
+
+def test_batch_format_honors_shallow_clone_roots(reg, spark, tmp_path):
+    """Clone entries read from the OWNING table's root."""
+    src_root, clone_root = str(tmp_path / "src"), str(tmp_path / "cl")
+    t = SnapshotTable(spark, src_root)
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.clone_to(clone_root)
+    got = sorted((r["k"], r["v"]) for r in
+                 spark.read.format("snapshot_table").load(clone_root).collect())
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_stream_fails_on_dv_masking_delivered_rows(reg, spark, tmp_path):
+    """A DV landing on an already-streamed entry is a change: the tail
+    cannot retract delivered rows, so it fails under the default
+    policy and keeps tailing under onchange=ignore."""
+    root, ckpt, out = (str(tmp_path / p) for p in ("t", "ck", "out"))
+    t = SnapshotTable(spark, root)
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    _tail_once(spark, root, ckpt, out)
+    t.delete(F.col("k") == 1, mode="dv")
+    t.append(_df(spark, [(3, "c")]))
+    with pytest.raises(Exception, match="deletion vectors"):
+        _tail_once(spark, root, ckpt, out)
+    _tail_once(spark, root, ckpt, out, onchange="ignore")
+    got = sorted((r["k"], r["v"]) for r in spark.read.parquet(out).collect())
+    # row 1 was already delivered (stale, documented); row 3 arrives once
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_stream_applies_dv_to_entries_new_in_batch(reg, spark, tmp_path):
+    """append + dv-delete landing WITHIN one micro-batch range is not
+    a change: the entry is delivered already masked, no failure."""
+    root, ckpt, out = (str(tmp_path / p) for p in ("t", "ck", "out"))
+    t = SnapshotTable(spark, root)
+    t.append(_df(spark, [(i, "x") for i in range(6)]))
+    t.delete(F.col("k") >= 4, mode="dv")
+    assert t.manifest(t.latest_version()).get("dv_files")
+    _tail_once(spark, root, ckpt, out)
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got == [0, 1, 2, 3]
+
+
+def test_unknown_reader_feature_is_refused(reg, spark, tmp_path):
+    """Forward-compat: a manifest recording a feature this adapter
+    does not know must be refused, not silently mis-read."""
+    import json as _json
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.append(_df(spark, [(1, "a")]))
+    v = t.latest_version()
+    path = f"{root}/_manifests/v{v + 1:08d}.json"
+    m = t.manifest(v)
+    m["version"] = v + 1
+    m["reader_features"] = ["row-tracking-v9"]
+    with open(path, "w") as fh:
+        fh.write(_json.dumps(m))
+    with pytest.raises(Exception, match="row-tracking-v9"):
+        spark.read.format("snapshot_table").load(root).collect()
+    with pytest.raises(ValueError, match="row-tracking-v9"):
+        t.read()

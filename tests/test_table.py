@@ -1673,3 +1673,71 @@ def test_merge_schema_evolution_refused_on_mapped_table(spark, tbl):
     src = spark.createDataFrame([(1, "a2", 0.5)], "k long, v string, score double")
     with pytest.raises(ValueError, match="add_columns"):
         tbl.merge(src, keys=("k",), schema_evolution=True)
+
+
+# -- reader/writer protocol features ----------------------------------------
+
+
+def _forge_future_manifest(tbl, extra_key, feature):
+    """Publish a manifest claiming a feature this engine predates."""
+    import json as _json
+
+    v = tbl.latest_version()
+    m = tbl.manifest(v)
+    m["version"] = v + 1
+    m[extra_key] = [feature]
+    tbl.st.write_text_atomic(
+        tbl._manifest_path(v + 1), _json.dumps(m)
+    )
+
+
+def test_manifests_self_describe_protocol_features(spark, tbl):
+    tbl.append(_df(spark, [(1, "a")]))
+    assert "reader_features" not in tbl.manifest(1)  # plain append: none
+    assert "writer_features" not in tbl.manifest(1)
+    tbl.delete(F.col("k") == 1, mode="dv")
+    m = tbl.manifest(tbl.latest_version())
+    assert m["reader_features"] == ["deletion-vectors"]
+    assert m["writer_features"] == ["deletion-vectors"]
+    tbl.enable_column_mapping()
+    m = tbl.manifest(tbl.latest_version())
+    assert "column-mapping" in m["reader_features"]
+    # compact materializes the DV and un-maps nothing: dv feature gone
+    tbl.compact()
+    m = tbl.manifest(tbl.latest_version())
+    assert "deletion-vectors" not in (m.get("reader_features") or [])
+
+
+def test_generated_columns_are_writer_only_feature(spark, tmp_path):
+    t = SnapshotTable(
+        spark, str(tmp_path / "g"),
+        generated_cols={"kk": "k * 2"},
+    )
+    t.append(spark.createDataFrame([(1,)], "k long"))
+    m = t.manifest(t.latest_version())
+    assert "generated-columns" in (m.get("writer_features") or [])
+    assert "generated-columns" not in (m.get("reader_features") or [])
+
+
+def test_unknown_reader_feature_refuses_reads_not_maintenance(spark, tbl):
+    tbl.append(_df(spark, [(1, "a")]))
+    _forge_future_manifest(tbl, "reader_features", "row-tracking-v9")
+    with pytest.raises(ValueError, match="row-tracking-v9"):
+        tbl.read()
+    with pytest.raises(ValueError, match="row-tracking-v9"):
+        tbl.read_changes(0)
+    # history stays readable — diagnosing a too-new table must work
+    assert len(tbl.history()) == 2
+
+
+def test_unknown_writer_feature_refuses_commits_and_vacuum(spark, tbl, tmp_path):
+    tbl.append(_df(spark, [(1, "a")]))
+    _forge_future_manifest(tbl, "writer_features", "row-tracking-v9")
+    with pytest.raises(ValueError, match="row-tracking-v9"):
+        tbl.append(_df(spark, [(2, "b")]))
+    with pytest.raises(ValueError, match="row-tracking-v9"):
+        tbl.vacuum()
+    with pytest.raises(ValueError, match="row-tracking-v9"):
+        tbl.clone_to(str(tmp_path / "cl"))
+    # reads are unaffected: the feature is writer-side only
+    assert [r["k"] for r in tbl.read().collect()] == [1]
