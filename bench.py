@@ -99,6 +99,11 @@ HEADLINE = [
     "q_domain_mix",
     "q_quality_logreg",
     "q_repetition_signals",
+    # round-6d: the incremental materialized-view lifecycle (CDF
+    # pre/post-image fold + idempotent merge through three source
+    # commits) — measures the whole refresh loop, dominated by the
+    # change-window fold, never a source re-read
+    "q_incremental_matview",
 ]
 
 

@@ -1,0 +1,183 @@
+"""Incremental materialized aggregate views over snapshot tables —
+the Materialize / Delta Live Tables shape, built from parts the
+engine already has:
+
+  * the source table's change data feed with full pre/post images
+    (`SnapshotTable.read_changes(preimages=True)`, Delta CDF
+    vocabulary: inserted / deleted / update_preimage /
+    update_postimage);
+  * algebraic aggregates (COUNT, SUM) that fold a change stream
+    exactly: +1/+value for inserted and update_postimage rows,
+    -1/-value for deleted and update_preimage rows — retraction is
+    subtraction, so the refresh never reads the source table itself,
+    only its CDF window;
+  * idempotent MERGE (`merge(txn=...)`): the fold lands in the view
+    atomically WITH the (app_id, source_version) watermark, so a
+    crashed-and-retried refresh commits nothing twice.
+
+Cost model at 100 TB: a refresh is O(changes since last refresh) +
+O(touched view keys) — never O(source table), never O(view).  The
+CDF itself is manifest-diff-driven (appends read only appended dirs;
+partition-scoped merges diff only touched partitions), the fold is
+one partial-aggregated groupBy of the change window, and the MERGE
+rewrites only what the delta touches (partition-scoped when the view
+is partitioned by a group key; merge-on-read DV mode available via
+`merge_mode="dv"`).
+
+Exactness: COUNT and integral SUMs are exact.  Floating SUM columns
+are folded in DECIMAL(28,6) (cast once at fold time) so retraction
+is exact subtraction — the same discipline `ops/rollup.py` uses;
+float accumulation-order drift cannot leave ghost residue in the
+view.  Non-algebraic aggregates (MIN/MAX/DISTINCT) are NOT
+maintainable by retraction — they need the affected groups
+re-scanned; keep those in a rollup refreshed by
+`refresh_rollup_snapshot` or recompute-affected-partitions instead.
+
+AVG is derived at read time (`with_avg`) from the exact SUM/COUNT
+pair, the standard algebraic decomposition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ByteType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    ShortType,
+)
+
+from pixelspark.table import SnapshotTable
+
+# exact decimal for floating-point sums: retraction must be exact
+# subtraction, not float-order-sensitive accumulation
+_SUM_T = "decimal(28,6)"
+
+_ADDS = ("inserted", "update_postimage")
+_RETRACTS = ("deleted", "update_preimage")
+
+
+def _app_id(src: SnapshotTable, view: SnapshotTable) -> str:
+    # one watermark per (source, view) pair: several views may fold
+    # the same source, and a view could (rarely) fold several sources
+    return f"matview::{src.root}"
+
+
+def last_folded_version(src: SnapshotTable, view: SnapshotTable) -> int:
+    """The source version the view has folded up to (0 = nothing)."""
+    v = view.latest_version()
+    if v is None:
+        return 0
+    return int(view.manifest(v).get("txn", {}).get(_app_id(src, view), 0))
+
+
+def fold_delta(
+    changes: DataFrame,
+    group_by: tuple[str, ...],
+    sum_cols: tuple[str, ...] = (),
+    count_col: str = "n",
+) -> DataFrame:
+    """Collapse a pre/post-image change window into one signed delta
+    row per touched group: `count_col` = net row-count change, each
+    sum column = net value change.  One partial-aggregated groupBy —
+    the only shuffle a refresh pays, keyed and sized by the CHANGE
+    window, not the table."""
+    if count_col in set(group_by) | set(sum_cols):
+        raise ValueError(
+            f"count_col {count_col!r} collides with a group/sum column — "
+            "pick a distinct name"
+        )
+    sign = (
+        F.when(F.col("change_type").isin(*_ADDS), F.lit(1))
+        .when(F.col("change_type").isin(*_RETRACTS), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+
+    def val(c: str):
+        dt = changes.schema[c].dataType
+        col = F.col(c)
+        if isinstance(dt, (FloatType, DoubleType)):
+            col = col.cast(_SUM_T)
+        elif isinstance(dt, (ByteType, ShortType, IntegerType)):
+            col = col.cast("long")
+        return col
+
+    aggs = [F.sum(sign).cast("long").alias(count_col)] + [
+        # SUM skips NULLs on both add and retract, so a NULL value
+        # nets to zero symmetrically; coalesce keeps the arithmetic
+        # in the merge total-able when a group's window is all-NULL
+        F.coalesce(F.sum(sign * val(c)), F.lit(0).cast(
+            _SUM_T if isinstance(changes.schema[c].dataType,
+                                 (FloatType, DoubleType)) else "long"
+        )).alias(c)
+        for c in sum_cols
+    ]
+    return changes.groupBy(*group_by).agg(*aggs)
+
+
+def refresh_agg_view(
+    src: SnapshotTable,
+    view: SnapshotTable,
+    group_by: tuple[str, ...],
+    sum_cols: tuple[str, ...] = (),
+    count_col: str = "n",
+    src_keys: tuple[str, ...] | None = None,
+    merge_mode: str = "rewrite",
+) -> int | None:
+    """Fold everything the source committed since the last refresh
+    into the view, exactly once.  Returns the view's new version, or
+    None when there was nothing new (or a replayed refresh detected
+    its fold already landed).
+
+    `src_keys` — the source's unique row key, required by the CDF
+    whenever the window contains rewrites or deletion vectors
+    (append-only windows need none).  `merge_mode="dv"` folds via
+    merge-on-read (O(touched keys) write even on an unpartitioned
+    view).
+
+    The view's schema is group_by + `count_col` (BIGINT) + one column
+    per sum (BIGINT for integral inputs, DECIMAL(28,6) for floating).
+    Groups whose count reaches zero are deleted — the view never
+    carries ghost rows, so it equals the from-scratch aggregate after
+    every refresh (pytest-pinned)."""
+    to_v = src.latest_version()
+    if to_v is None:
+        return None  # source doesn't exist yet: nothing to fold
+    from_v = last_folded_version(src, view)
+    if from_v >= to_v:
+        return None  # already current
+    changes = src.read_changes(
+        from_v, to_v, keys=src_keys, preimages=True
+    )
+    delta = fold_delta(changes, group_by, sum_cols, count_col)
+    t_n, s_n = F.col(f"t.{count_col}"), F.col(f"s.{count_col}")
+    upd = {count_col: (t_n + s_n).cast("long")}
+    for c in sum_cols:
+        upd[c] = F.col(f"t.{c}") + F.col(f"s.{c}")
+    return view.merge(
+        delta,
+        keys=group_by,
+        when_matched_delete=(t_n + s_n) == 0,
+        when_matched_update=upd,
+        when_not_matched_insert=s_n > 0,
+        validate_keys=False,  # delta is a groupBy output: unique by construction
+        mode=merge_mode,
+        txn=(_app_id(src, view), to_v),
+    )
+
+
+def with_avg(
+    view_df: DataFrame,
+    sum_cols: tuple[str, ...],
+    count_col: str = "n",
+) -> DataFrame:
+    """Derive AVG columns (`avg_<c>`) from the exact SUM/COUNT pairs —
+    the read-time half of the algebraic-aggregate decomposition."""
+    out = view_df
+    for c in sum_cols:
+        out = out.withColumn(
+            f"avg_{c}", F.col(c) / F.col(count_col)
+        )
+    return out

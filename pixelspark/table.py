@@ -980,6 +980,29 @@ class SnapshotTable:
         if (prev["version"] if prev else None) != expected_version:
             raise _Conflicted
 
+    @staticmethod
+    def _txn_watermark_manifest(
+        prev: dict | None, txn: tuple[str, int], op: dict
+    ) -> dict:
+        """Build for a WATERMARK-ONLY commit: a no-effect batch that
+        still must record its (app_id, batch_id) so replay detection
+        never depends on the batch having had effects.  Everything
+        else carries over from the previous manifest."""
+        if prev is None:
+            raise FileNotFoundError("no snapshot to record a txn against")
+        tmap = dict(prev.get("txn") or {})
+        last = tmap.get(txn[0])
+        if last is not None and last >= txn[1]:
+            raise _SkipCommit
+        tmap[txn[0]] = txn[1]
+        return {
+            "partition_col": prev.get("partition_col"),
+            "entries": prev["entries"],
+            "schema": prev.get("schema"),
+            "txn": tmap,
+            "op": op,
+        }
+
     # -- write operations --------------------------------------------------
 
     def overwrite(
@@ -988,10 +1011,21 @@ class SnapshotTable:
         partition_col: str | None = None,
         expected_version=_ANY_VERSION,
         op: dict | None = None,
-    ) -> int:
+        txn: tuple[str, int] | None = None,
+    ) -> int | None:
         """Full snapshot replacement.  An empty `df` is a truncate: the
         manifest commits with zero entries but keeps the schema, so
-        read() returns an empty typed DataFrame."""
+        read() returns an empty typed DataFrame.
+
+        `txn=(app_id, batch_id)` gives the replacement the
+        `append_once` exactly-once guard: a replayed batch commits
+        nothing and returns None."""
+        if txn is not None:
+            v = self.latest_version()
+            if v is not None:
+                last = self.manifest(v).get("txn", {}).get(txn[0])
+                if last is not None and last >= txn[1]:
+                    return None  # replay detected before paying the write
         rel, parts, has_data, wmap = self._write_snap(df, partition_col)
         entry = self._entry_for(rel, parts, has_data, df.schema, wmap)
         schema = df.schema.json()
@@ -1000,7 +1034,7 @@ class SnapshotTable:
             self._check_expected(prev, expected_version)
             if (prev or {}).get("column_mapping") != wmap:
                 raise _Conflicted
-            return {
+            out = {
                 "partition_col": partition_col,
                 "entries": [entry] if has_data else [],
                 "schema": schema,
@@ -1010,6 +1044,14 @@ class SnapshotTable:
                 "dv_files": [],
                 "op": op or {"name": "overwrite"},
             }
+            if txn is not None:
+                tmap = dict((prev or {}).get("txn") or {})
+                last = tmap.get(txn[0])
+                if last is not None and last >= txn[1]:
+                    raise _SkipCommit  # rival replay landed mid-rebase
+                tmap[txn[0]] = txn[1]
+                out["txn"] = tmap
+            return out
 
         return self._commit(build)
 
@@ -1277,7 +1319,8 @@ class SnapshotTable:
         validate_keys: bool = True,
         mode: str = "rewrite",
         schema_evolution: bool = False,
-    ) -> int:
+        txn: tuple[str, int] | None = None,
+    ) -> int | None:
         """Multi-clause MERGE (Delta `MERGE INTO` / the general form of
         the reference's keyed UPDATE+INSERT, src/services/bigquery.ts:
         168-190).  For each source row joined to the target on `keys`
@@ -1320,8 +1363,25 @@ class SnapshotTable:
         names must be assigned via add_columns() first — the same
         Iceberg-style contract every write follows).
 
+        `txn=(app_id, batch_id)` makes the merge IDEMPOTENT the way
+        `append_once` is (Delta's txn appId/version for foreachBatch
+        MERGE sinks): the watermark is recorded by the same atomic
+        manifest commit that publishes the merge, so a replayed batch
+        — sink re-delivery, checkpoint-loss re-run, or a crashed
+        driver retried by an orchestrator — commits nothing and
+        returns None.  This is what lets a non-idempotent-by-
+        construction merge (e.g. `views = t.views + s.delta`) run
+        exactly-once under at-least-once delivery.
+
         Like `upsert`, the read-merge-write is pinned to the version it
         read and re-runs on ConcurrentWriteConflict."""
+        if txn is not None:
+            v = self.latest_version()
+            if v is not None:
+                last = self.manifest(v).get("txn", {}).get(txn[0])
+                if last is not None and last >= txn[1]:
+                    return None  # replay detected before paying any work
+
         def as_cond(c, default: bool):
             if c is None:
                 return F.lit(default)
@@ -1364,7 +1424,7 @@ class SnapshotTable:
             # apply shape for tables the merge key does not partition.
             return self._merge_dv(
                 source, keys, when_matched_update,
-                del_cond, ins_cond, upd_cond, schema_evolution,
+                del_cond, ins_cond, upd_cond, schema_evolution, txn,
             )
         if mode != "rewrite":
             raise ValueError(f"merge mode must be 'rewrite' or 'dv', got {mode!r}")
@@ -1384,7 +1444,17 @@ class SnapshotTable:
                         r[0] for r in source.select(pcol).distinct().collect()
                     ]
                     if not touched:
-                        return read_v  # empty source: no-op
+                        if txn is None:
+                            return read_v  # empty source: no-op
+                        # still record the txn watermark (see
+                        # _txn_watermark_manifest)
+                        return self._commit(
+                            lambda prev: self._txn_watermark_manifest(
+                                prev, txn,
+                                {"name": "merge", "keys": list(keys),
+                                 "noop": True},
+                            )
+                        )
                     if any(v is None for v in touched):
                         raise ValueError(
                             "partition-scoped merge cannot address a NULL "
@@ -1475,16 +1545,17 @@ class SnapshotTable:
                 merge_op = {"name": "merge", "keys": list(keys)}
                 if read_v is None:
                     return self.overwrite(merged, expected_version=None,
-                                          op=merge_op)
+                                          op=merge_op, txn=txn)
                 if partition_scoped:
                     v = self.replace_partitions(
                         merged, pcol, expected_version=read_v,
-                        replace_values=touched, op=merge_op,
+                        replace_values=touched, op=merge_op, txn=txn,
                     )
-                    assert v is not None
+                    assert v is not None or txn is not None
                     return v
                 return self.overwrite(merged, partition_col=pcol,
-                                      expected_version=read_v, op=merge_op)
+                                      expected_version=read_v, op=merge_op,
+                                      txn=txn)
             except ConcurrentWriteConflict:
                 continue
         raise ConcurrentCommitError(
@@ -1515,7 +1586,8 @@ class SnapshotTable:
     def _merge_dv(
         self, source: DataFrame, keys, when_matched_update,
         del_cond, ins_cond, upd_cond, schema_evolution: bool = False,
-    ) -> int:
+        txn: tuple[str, int] | None = None,
+    ) -> int | None:
         """Merge-on-read MERGE: positions of deleted/updated target
         rows -> deletion vector; updated post-images + inserts -> one
         appended data dir; one atomic manifest commit.  The matched
@@ -1523,24 +1595,28 @@ class SnapshotTable:
         for _ in range(self.max_retries):
             read_v = self.latest_version()
             if read_v is None:
-                inserts_only = source.where(
+                # alias so an insert condition written over `s.*`
+                # resolves, exactly as in the joined legs
+                inserts_only = source.alias("s").where(
                     F.coalesce(ins_cond, F.lit(False))
                 )
                 return self.overwrite(
                     inserts_only, expected_version=None,
                     op={"name": "merge", "mode": "dv", "keys": list(keys)},
+                    txn=txn,
                 )
             m = self.manifest(read_v)
             entries = m["entries"]
             pcol = m.get("partition_col")
             if not entries:
-                inserts_only = source.where(
+                inserts_only = source.alias("s").where(
                     F.coalesce(ins_cond, F.lit(False))
                 )
                 return self.overwrite(
                     inserts_only, partition_col=pcol,
                     expected_version=read_v,
                     op={"name": "merge", "mode": "dv", "keys": list(keys)},
+                    txn=txn,
                 )
             df = self._scan_entries(
                 entries, pcol, with_pos=True, cmap=m.get("column_mapping")
@@ -1658,7 +1734,18 @@ class SnapshotTable:
                 # DV-only merge still commits the vector below)
                 self.st.delete(f"{self.root}/{rel_new}")
                 if not has_dv:
-                    return read_v  # nothing matched, nothing inserted
+                    if txn is None:
+                        return read_v  # nothing matched, nothing inserted
+                    # a no-op batch still records its txn watermark (the
+                    # replace_partitions discipline): replay detection
+                    # must not depend on the batch having had effects
+                    return self._commit(
+                        lambda prev: self._txn_watermark_manifest(
+                            prev, txn,
+                            {"name": "merge", "mode": "dv",
+                             "keys": list(keys), "noop": True},
+                        )
+                    )
 
             def build(prev: dict | None) -> dict:
                 self._check_expected(prev, read_v)
@@ -1674,6 +1761,13 @@ class SnapshotTable:
                     dvs.append(rel_dv)
                 if dvs:
                     out_m["dv_files"] = dvs
+                if txn is not None:
+                    tmap = dict((prev or {}).get("txn") or {})
+                    last = tmap.get(txn[0])
+                    if last is not None and last >= txn[1]:
+                        raise _SkipCommit
+                    tmap[txn[0]] = txn[1]
+                    out_m["txn"] = tmap
                 return out_m
 
             try:
@@ -2610,6 +2704,7 @@ class SnapshotTable:
         from_version: int,
         to_version: int | None = None,
         keys: tuple[str, ...] | None = None,
+        preimages: bool = False,
     ) -> DataFrame:
         """Change data feed (Delta CDF / `table_changes`): the rows
         that changed going FROM snapshot `from_version` TO `to_version`
@@ -2639,7 +2734,15 @@ class SnapshotTable:
         insert+delete pairs) and must be unique per snapshot — true
         for tables maintained by upsert/merge/rollup.  'updated' rows
         carry the post-image (time-travel `read(version=...)` has the
-        pre-image); 'deleted' rows carry the old values."""
+        pre-image); 'deleted' rows carry the old values.
+
+        `preimages=True` switches to the full Delta CDF vocabulary:
+        each updated key yields TWO rows, 'update_preimage' (old
+        values) and 'update_postimage' (new values), instead of one
+        'updated' row.  This is what makes the feed FOLDABLE into
+        downstream algebraic state (incremental materialized views
+        retract the pre-image and apply the post-image) without a
+        second time-travel read."""
         to_v = to_version if to_version is not None else self.latest_version()
         if to_v is None:
             raise FileNotFoundError(f"no snapshot at {self.root}")
@@ -2754,17 +2857,36 @@ class SnapshotTable:
             .when(differs, "updated")
             .otherwise("unchanged")
         )
-        out_vals = {
-            c: F.when(ct == "deleted", F.col(f"__old_{c}"))
-               .otherwise(F.col(f"__new_{c}")).alias(c)
-            for c in cols
-        }
-        return (
-            j.withColumn("change_type", change)
-            .where(ct != "unchanged")
-            .select(*[out_vals.get(c, F.col(c)) for c in table_cols],
-                    "change_type")
+        j = j.withColumn("change_type", change).where(ct != "unchanged")
+        if not preimages:
+            out_vals = {
+                c: F.when(ct == "deleted", F.col(f"__old_{c}"))
+                   .otherwise(F.col(f"__new_{c}")).alias(c)
+                for c in cols
+            }
+            return j.select(
+                *[out_vals.get(c, F.col(c)) for c in table_cols],
+                "change_type",
+            )
+
+        def img(side: str, label: str):
+            return F.struct(
+                *[
+                    (F.col(f"__{side}_{c}") if c in cols else F.col(c)).alias(c)
+                    for c in table_cols
+                ],
+                F.lit(label).alias("change_type"),
+            )
+
+        # one inline-explode pass: updated keys fan out into their
+        # pre- and post-image rows, inserts/deletes stay single
+        rows = (
+            F.when(ct == "deleted", F.array(img("old", "deleted")))
+            .when(ct == "inserted", F.array(img("new", "inserted")))
+            .otherwise(F.array(img("old", "update_preimage"),
+                               img("new", "update_postimage")))
         )
+        return j.select(F.inline(rows))
 
     def register_view(self, name: str, version: int | None = None) -> None:
         """Expose the snapshot (optionally time-traveled) as a temp

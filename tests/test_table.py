@@ -1741,3 +1741,73 @@ def test_unknown_writer_feature_refuses_commits_and_vacuum(spark, tbl, tmp_path)
         tbl.clone_to(str(tmp_path / "cl"))
     # reads are unaffected: the feature is writer-side only
     assert [r["k"] for r in tbl.read().collect()] == [1]
+
+
+# -- CDF pre/post images and idempotent merge -------------------------------
+
+
+def test_read_changes_preimages_vocabulary(spark, tbl):
+    tbl.overwrite(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    tbl.upsert(_df(spark, [(2, "B"), (4, "d")]), keys=("k",))
+    ch = tbl.read_changes(1, 2, keys=("k",), preimages=True)
+    got = sorted((r["k"], r["v"], r["change_type"]) for r in ch.collect())
+    assert got == [
+        (2, "B", "update_postimage"),
+        (2, "b", "update_preimage"),
+        (4, "d", "inserted"),
+    ]
+    # the plain vocabulary is unchanged
+    ch1 = tbl.read_changes(1, 2, keys=("k",))
+    got1 = sorted((r["k"], r["v"], r["change_type"]) for r in ch1.collect())
+    assert got1 == [(2, "B", "updated"), (4, "d", "inserted")]
+
+
+def test_read_changes_preimages_delete_and_insert_only(spark, tbl):
+    tbl.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    tbl.delete("k = 1")
+    ch = tbl.read_changes(1, 2, keys=("k",), preimages=True)
+    assert [(r["k"], r["change_type"]) for r in ch.collect()] == [
+        (1, "deleted")
+    ]
+    tbl.append(_df(spark, [(9, "z")]))
+    ch2 = tbl.read_changes(2, 3, preimages=True)  # append-only: keyless
+    assert [(r["k"], r["change_type"]) for r in ch2.collect()] == [
+        (9, "inserted")
+    ]
+
+
+def test_merge_txn_is_exactly_once(spark, tbl):
+    tbl.overwrite(_df(spark, [(1, "a")]))
+    v = tbl.merge(_df(spark, [(1, "A"), (2, "b")]), keys=("k",),
+                  txn=("job", 7))
+    assert v is not None
+    # replay: same (app, batch) commits nothing — even though this
+    # merge is NOT idempotent by construction
+    assert tbl.merge(_df(spark, [(1, "AA")]), keys=("k",),
+                     txn=("job", 7)) is None
+    assert tbl.latest_version() == v
+    assert sorted((r["k"], r["v"]) for r in tbl.read().collect()) == [
+        (1, "A"), (2, "b")
+    ]
+    # next batch proceeds
+    assert tbl.merge(_df(spark, [(2, "B")]), keys=("k",),
+                     txn=("job", 8)) == v + 1
+
+
+def test_merge_txn_dv_mode_and_noop_watermark(spark, tbl):
+    tbl.overwrite(_df(spark, [(1, "a")]))
+    v = tbl.merge(_df(spark, [(1, "A")]), keys=("k",), mode="dv",
+                  txn=("job", 1))
+    assert v is not None
+    assert tbl.merge(_df(spark, [(1, "X")]), keys=("k",), mode="dv",
+                     txn=("job", 1)) is None
+    # a no-effect batch (nothing matched, inserts off) still advances
+    # the watermark via a watermark-only commit
+    noop = tbl.merge(
+        _df(spark, [(99, "zz")]), keys=("k",), mode="dv",
+        when_not_matched_insert=False, txn=("job", 2),
+    )
+    assert noop is not None
+    m = tbl.manifest(tbl.latest_version())
+    assert m["txn"]["job"] == 2
+    assert m["op"].get("noop") is True

@@ -761,6 +761,68 @@ def dv_delete_experiment(spark) -> dict:
             **results}
 
 
+def matview_experiment(spark) -> dict:
+    """Incremental-view refresh cost model, in the deployment shape
+    the O(changes) claim actually holds for: a DAY-PARTITIONED source
+    updated by partition-scoped merges.  Fold a FIXED-SIZE change
+    window (one merge updating ~2,000 rows of a single day) into a
+    COUNT/SUM view, on a 10-day source and a 100-day one (10x rows).
+    The CDF diffs only the replaced partition (manifest-level entry
+    diff) and the fold merges only touched groups, so refresh cost
+    must stay near-FLAT while the from-scratch recompute grows with
+    the source.  (An unpartitioned full-rewrite source degrades the
+    CDF to a whole-table keyed diff — that is the documented
+    copy-on-write caveat, not this probe's shape.)"""
+    import tempfile
+
+    from pixelspark.ops import matview as MV
+    from pixelspark.table import SnapshotTable
+
+    rows_per_day = 20_000
+    results = {}
+    for days in (10, 100):
+        n = days * rows_per_day
+        base = tempfile.mkdtemp(prefix=f"probe_mv_{days}d_")
+        src = SnapshotTable(spark, base + "/src")
+        view = SnapshotTable(spark, base + "/view")
+        df = spark.range(n).select(
+            (F.col("id") % days).cast("int").alias("day"),
+            F.col("id").alias("k"),
+            (F.col("id") % 500).cast("string").alias("g"),
+            (F.col("id") % 97).cast("long").alias("v"),
+        )
+        src.replace_partitions(df, "day")
+        MV.refresh_agg_view(src, view, group_by=("g",), sum_cols=("v",),
+                            src_keys=("day", "k"))
+        # the fixed change window: ~2,000 updated rows, all in day 3
+        upd = df.where(
+            (F.col("day") == 3) & (F.col("k") % (rows_per_day // 2_000) == 1)
+        ).withColumn("v", F.col("v") + 1_000)
+        src.merge(upd, keys=("day", "k"), validate_keys=False)
+        t0 = time.time()
+        MV.refresh_agg_view(src, view, group_by=("g",), sum_cols=("v",),
+                            src_keys=("day", "k"))
+        refresh_sec = time.time() - t0
+        t0 = time.time()
+        src.read().groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("v")
+        ).write.format("noop").mode("overwrite").save()
+        recompute_sec = time.time() - t0
+        results[f"{days}_days"] = {
+            "rows": n,
+            "incremental_refresh_sec": round(refresh_sec, 3),
+            "full_recompute_sec": round(recompute_sec, 3),
+        }
+    small, big = results["10_days"], results["100_days"]
+    results["refresh_ratio_at_10x_source"] = round(
+        big["incremental_refresh_sec"] / small["incremental_refresh_sec"], 2
+    )
+    results["recompute_ratio_at_10x_source"] = round(
+        big["full_recompute_sec"] / small["full_recompute_sec"], 2
+    )
+    return {"experiment": "matview_refresh", "change_rows": 2000, **results}
+
+
 def clone_experiment(spark) -> dict:
     """SHALLOW CLONE cost model: clone_to must be O(1) in table size
     (one manifest write), while a copy-fork (read + overwrite) pays
@@ -856,6 +918,7 @@ def main() -> None:
             "index_compaction": index_compaction_experiment,
             "clone": clone_experiment,
             "mix_scale": mix_scale_experiment,
+            "matview": matview_experiment,
         }[sys.argv[1]]
         print(json.dumps(fn(spark)))
         return
