@@ -794,9 +794,13 @@ def matview_experiment(spark) -> dict:
         src.replace_partitions(df, "day")
         MV.refresh_agg_view(src, view, group_by=("g",), sum_cols=("v",),
                             src_keys=("day", "k"))
-        # the fixed change window: ~2,000 updated rows, all in day 3
+        # the fixed change window: 2,000 updated rows, all in day 3
+        # (k div days enumerates a day's rows independently of `day`,
+        # so the selection size is identical at both scales)
         upd = df.where(
-            (F.col("day") == 3) & (F.col("k") % (rows_per_day // 2_000) == 1)
+            (F.col("day") == 3)
+            & ((F.col("k") / days).cast("long")
+               % (rows_per_day // 2_000) == 1)
         ).withColumn("v", F.col("v") + 1_000)
         src.merge(upd, keys=("day", "k"), validate_keys=False)
         t0 = time.time()
