@@ -168,6 +168,83 @@ def refresh_agg_view(
     )
 
 
+def refresh_minmax_view(
+    src: SnapshotTable,
+    view: SnapshotTable,
+    group_by: tuple[str, ...],
+    min_cols: tuple[str, ...] = (),
+    max_cols: tuple[str, ...] = (),
+    count_col: str = "n",
+    src_keys: tuple[str, ...] | None = None,
+) -> int | None:
+    """MIN/MAX companion to `refresh_agg_view` for the aggregates
+    retraction CANNOT maintain (deleting the current maximum needs the
+    runner-up, which the view never stored).  Instead of folding, the
+    refresh RECOMPUTES exactly the groups the CDF window touched:
+
+      1. touched groups = DISTINCT group keys of the change window —
+         sized by the changes, collected only group-key-wide;
+      2. their fresh aggregates = one groupBy over the source rows of
+         those groups.  When the source is PARTITIONED BY a group
+         column, the re-scan prunes at the MANIFEST level
+         (`read(partition_values=...)`) — a one-day change re-reads
+         one day, not 100 TB.  Otherwise the source scans once with a
+         semi-filter (documented fallback: O(table) read, O(touched
+         groups) shuffle);
+      3. one idempotent MERGE: recomputed groups update/insert,
+         groups whose rows all disappeared delete (count marker 0),
+         watermarked with (app_id, source_version) like the fold.
+
+    View schema: group_by + `count_col` + `min_<c>` / `max_<c>`.
+    Returns the view's new version, or None when already current."""
+    to_v = src.latest_version()
+    if to_v is None:
+        return None
+    from_v = last_folded_version(src, view)
+    if from_v >= to_v:
+        return None
+    # preimages are load-bearing here too: an update that MOVES a row
+    # across groups must touch BOTH its old and new group, or the old
+    # group's extremum goes stale
+    changes = src.read_changes(from_v, to_v, keys=src_keys, preimages=True)
+    touched = changes.select(*group_by).distinct()
+
+    pcol = src.manifest(to_v).get("partition_col")
+    if pcol in group_by and pcol is not None:
+        vals = [r[0] for r in touched.select(pcol).distinct().collect()]
+        if not vals:
+            return None
+        base = src.read(partition_values=vals)
+    else:
+        base = src.read()
+    fresh = (
+        base.join(F.broadcast(touched), list(group_by), "semi")
+        .groupBy(*group_by)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias(count_col),
+            *[F.min(c).alias(f"min_{c}") for c in min_cols],
+            *[F.max(c).alias(f"max_{c}") for c in max_cols],
+        )
+    )
+    gone = touched.join(fresh, list(group_by), "left_anti").select(
+        *group_by,
+        F.lit(0).cast("long").alias(count_col),
+        *[F.lit(None).cast(base.schema[c].dataType).alias(f"min_{c}")
+          for c in min_cols],
+        *[F.lit(None).cast(base.schema[c].dataType).alias(f"max_{c}")
+          for c in max_cols],
+    )
+    return view.merge(
+        fresh.unionByName(gone),
+        keys=group_by,
+        when_matched_delete=F.col(f"s.{count_col}") == 0,
+        when_matched_update="all",
+        when_not_matched_insert=F.col(f"s.{count_col}") > 0,
+        validate_keys=False,
+        txn=(_app_id(src, view), to_v),
+    )
+
+
 def with_avg(
     view_df: DataFrame,
     sum_cols: tuple[str, ...],

@@ -146,3 +146,97 @@ def test_with_avg_derives_from_exact_pairs(spark, pair):
     _refresh(src, view)
     row = MV.with_avg(view.read(), ("views",)).collect()[0]
     assert float(row["avg_views"]) == 20.0
+
+
+# -- MIN/MAX views: affected-group recompute --------------------------------
+
+
+def _recompute_minmax(src):
+    return src.read().groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("views").alias("min_views"),
+        F.max("views").alias("max_views"),
+    )
+
+
+def _refresh_mm(src, view):
+    return MV.refresh_minmax_view(
+        src, view, group_by=("status",),
+        min_cols=("views",), max_cols=("views",), src_keys=("k",),
+    )
+
+
+def _assert_mm_exact(src, view):
+    got = sorted(map(tuple, view.read().select(
+        "status", "n", "min_views", "max_views").collect()))
+    want = sorted(map(tuple, _recompute_minmax(src).collect()))
+    assert got == want
+
+
+def test_minmax_view_survives_extremum_deletion(spark, pair):
+    """The case folding cannot handle: deleting the current maximum
+    must surface the runner-up (affected-group recompute)."""
+    src, view = pair
+    src.overwrite(_rows(spark, [
+        (1, "a", 10, 0.0), (2, "a", 99, 0.0), (3, "b", 7, 0.0),
+    ]))
+    _refresh_mm(src, view)
+    _assert_mm_exact(src, view)
+    src.delete("k = 2")  # kills group a's max
+    _refresh_mm(src, view)
+    _assert_mm_exact(src, view)
+    row = {r["status"]: r["max_views"] for r in view.read().collect()}
+    assert row["a"] == 10  # runner-up surfaced
+
+
+def test_minmax_view_cross_group_move_touches_both(spark, pair):
+    """An update moving a row across groups must refresh the OLD
+    group's extrema too (pre-image group membership)."""
+    src, view = pair
+    src.overwrite(_rows(spark, [
+        (1, "a", 10, 0.0), (2, "a", 99, 0.0), (3, "b", 7, 0.0),
+    ]))
+    _refresh_mm(src, view)
+    src.upsert(_rows(spark, [(2, "b", 99, 0.0)]), keys=("k",))
+    _refresh_mm(src, view)
+    _assert_mm_exact(src, view)
+    row = {r["status"]: (r["min_views"], r["max_views"])
+           for r in view.read().collect()}
+    assert row["a"] == (10, 10) and row["b"] == (7, 99)
+
+
+def test_minmax_view_emptied_group_and_idempotence(spark, pair):
+    src, view = pair
+    src.overwrite(_rows(spark, [(1, "a", 1, 0.0), (2, "b", 2, 0.0)]))
+    _refresh_mm(src, view)
+    src.delete("status = 'a'")
+    _refresh_mm(src, view)
+    assert [r["status"] for r in view.read().collect()] == ["b"]
+    assert _refresh_mm(src, view) is None  # already current
+    _assert_mm_exact(src, view)
+
+
+def test_minmax_view_partition_pruned_rescan(spark, tmp_path):
+    """Source partitioned by a group column: the recompute re-reads
+    ONLY the touched partitions (manifest-level pruning), asserted
+    via the scan's input files."""
+    spark_df = spark.createDataFrame(
+        [("d1", 1, 10), ("d1", 2, 20), ("d2", 3, 30), ("d3", 4, 40)],
+        "day string, k long, views long",
+    )
+    src = SnapshotTable(spark, str(tmp_path / "psrc"))
+    view = SnapshotTable(spark, str(tmp_path / "pview"))
+    src.replace_partitions(spark_df, "day")
+    MV.refresh_minmax_view(src, view, group_by=("day",),
+                           max_cols=("views",), src_keys=("day", "k"))
+    # change only d1; the pruned re-scan must not list d2/d3 files
+    src.merge(
+        spark.createDataFrame([("d1", 2, 25)], "day string, k long, views long"),
+        keys=("day", "k"),
+    )
+    pruned = src.read(partition_values=["d1"])
+    assert all("day=d1" in f for f in pruned.inputFiles())
+    MV.refresh_minmax_view(src, view, group_by=("day",),
+                           max_cols=("views",), src_keys=("day", "k"))
+    got = {r["day"]: (r["n"], r["max_views"]) for r in view.read().collect()}
+    assert got == {"d1": (2, 25), "d2": (1, 30), "d3": (1, 40)}
