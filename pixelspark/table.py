@@ -2510,6 +2510,15 @@ class SnapshotTable:
             ]
         residual = None
         if predicates:
+            # manifest-level partition pruning FROM predicates: a
+            # predicate on the partition column itself, or on a source
+            # column the partition column is GENERATED from
+            # (day=CAST(ts AS DATE), the Delta generated-column
+            # pruning), narrows the part list before any file listing
+            # happens.  Conservative by construction — the residual
+            # WHERE below re-applies every predicate, so an unprunable
+            # shape just reads more, never returns wrong rows.
+            entries = self._prune_parts_by_predicates(entries, m, predicates)
             # stats/bloom metadata is keyed by PHYSICAL column names;
             # translate for pruning, keep the residual WHERE logical
             # (it runs after the scan's physical->logical projection)
@@ -2592,6 +2601,113 @@ class SnapshotTable:
             for d in dvs
         ]
         return self.spark.read.parquet(*paths).select("__dv_file", "__dv_row")
+
+    def _prune_parts_by_predicates(
+        self, entries: list[dict], m: dict,
+        predicates: list[tuple[str, str, object]],
+    ) -> list[dict]:
+        """Narrow `col=value` part lists using predicate bounds on the
+        partition column — stated directly, or DERIVED through a
+        generated-column expression of the `CAST(src AS DATE)` shape
+        (a `ts >= T` range prunes `day=` directories before listing,
+        Delta's generated-column partition pruning).  Only parts whose
+        layout IS the current partition column are filtered; foreign-
+        layout entries (partition evolution) pass through whole.
+        Sound for NULL parts too: a NULL partition value can never
+        satisfy a comparison predicate (its generation input was NULL,
+        so the residual WHERE rejects those rows anyway)."""
+        import datetime
+
+        pcol = m.get("partition_col")
+        if pcol is None:
+            return entries
+
+        def as_date(val):
+            if isinstance(val, datetime.datetime):
+                return val.date()
+            if isinstance(val, datetime.date):
+                return val
+            if isinstance(val, str):
+                try:
+                    return datetime.datetime.fromisoformat(val).date()
+                except ValueError:
+                    return None
+            return None
+
+        # the partition column is NOT in the stored schema (it lives
+        # in the directory layout and is restored by discovery), so
+        # each constraint compares in its own bound's domain: the
+        # `col=value` string is decoded to match the bound's type,
+        # and an undecodable pairing ADMITS the part (conservative)
+        gen_expr = (m.get("generated") or {}).get(pcol)
+        constraints: list[tuple[str, object]] = []
+        for c, op, val in predicates:
+            if c == pcol:
+                bound = val.date() if isinstance(val, datetime.datetime) else val
+                constraints.append((op, bound))
+            elif gen_expr and re.fullmatch(
+                rf"(?i)\s*CAST\s*\(\s*{re.escape(c)}\s+AS\s+DATE\s*\)\s*",
+                gen_expr,
+            ):
+                d = as_date(val)
+                if d is None:
+                    continue
+                if op in (">=", ">"):
+                    # ts > T admits day(T) itself (later that day)
+                    constraints.append((">=", d))
+                elif op in ("<=", "<"):
+                    # ts < midnight-of-T still conservatively admits
+                    # day T; the residual WHERE trims the edge
+                    constraints.append(("<=", d))
+                elif op == "=":
+                    constraints.append(("=", d))
+        if not constraints:
+            return entries
+
+        def decode_as(pval: str, bound):
+            if isinstance(bound, bool):
+                return pval.lower() == "true"
+            if isinstance(bound, datetime.date):
+                try:
+                    return datetime.date.fromisoformat(pval)
+                except ValueError:
+                    return Ellipsis
+            if isinstance(bound, int):
+                try:
+                    return int(pval)
+                except ValueError:
+                    return Ellipsis
+            if isinstance(bound, str):
+                # ISO dates compare correctly as strings too, so a
+                # string bound against a date layout stays sound
+                return pval
+            return Ellipsis
+
+        def admits(pval: str) -> bool:
+            if pval == "__HIVE_DEFAULT_PARTITION__":
+                return False  # NULL satisfies no comparison
+            for op, bound in constraints:
+                v = decode_as(pval, bound)
+                if v is Ellipsis:
+                    continue  # undecodable pairing: this bound can't prune
+                ok = {
+                    "=": v == bound, "<": v < bound, "<=": v <= bound,
+                    ">": v > bound, ">=": v >= bound,
+                }[op]
+                if not ok:
+                    return False
+            return True
+
+        out = []
+        for e in entries:
+            if e["parts"] is None or self._entry_layout(e) != pcol:
+                out.append(e)  # foreign layout / unpartitioned: keep whole
+                continue
+            kept = [p for p in e["parts"]
+                    if admits(p.split("=", 1)[1])]
+            if kept:
+                out.append({**e, "parts": kept})
+        return out
 
     def _prune_by_stats(
         self, entries: list[dict], predicates: list[tuple[str, str, object]]

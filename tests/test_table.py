@@ -1811,3 +1811,86 @@ def test_merge_txn_dv_mode_and_noop_watermark(spark, tbl):
     m = tbl.manifest(tbl.latest_version())
     assert m["txn"]["job"] == 2
     assert m["op"].get("noop") is True
+
+
+# -- predicate-derived partition pruning (incl. generated columns) ----------
+
+
+def _day_table(spark, tmp_path, name="gpp"):
+    root = str(tmp_path / name)
+    t = SnapshotTable(spark, root, generated_cols={"day": "CAST(ts AS DATE)"})
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{2 + i % 4:02d} 0{i % 9}:00:00") for i in range(40)],
+        "k long, ts_s string",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+    t.replace_partitions(df, "day")
+    return t, df
+
+
+def test_generated_column_partition_pruning(spark, tmp_path):
+    """Delta-style generated-column pruning: a predicate on ts prunes
+    day= directories at the MANIFEST level (no listing of excluded
+    days), exactly — the residual WHERE keeps values correct."""
+    import datetime
+
+    t, _df_in = _day_table(spark, tmp_path)
+    pruned = t.read(predicates=[
+        ("ts", ">=", datetime.datetime(2024, 1, 3, 0, 0)),
+        ("ts", "<", datetime.datetime(2024, 1, 5, 0, 0)),
+    ])
+    days = {f.split("day=")[1].split("/")[0] for f in pruned.inputFiles()}
+    # day 2024-01-05 is conservatively admitted by ts < midnight-of-05
+    # (the residual trims it); 2024-01-02 must be GONE from the listing
+    assert "2024-01-02" not in days
+    assert {"2024-01-03", "2024-01-04"} <= days
+    want = sorted(r["k"] for r in t.read().where(
+        (F.col("ts") >= "2024-01-03") & (F.col("ts") < "2024-01-05")
+    ).collect())
+    assert sorted(r["k"] for r in pruned.collect()) == want
+
+
+def test_direct_partition_predicate_pruning(spark, tmp_path):
+    import datetime
+
+    t, _ = _day_table(spark, tmp_path, "gpp2")
+    pruned = t.read(predicates=[("day", "=", datetime.date(2024, 1, 3))])
+    days = {f.split("day=")[1].split("/")[0] for f in pruned.inputFiles()}
+    assert days == {"2024-01-03"}
+    assert pruned.count() == t.read().where("day = '2024-01-03'").count()
+
+
+def test_predicate_pruning_keeps_foreign_layout_entries_whole(spark, tmp_path):
+    """Partition evolution in progress: entries with a DIFFERENT
+    layout pass through unpruned (conservative), and results stay
+    exact via the residual WHERE."""
+    root = str(tmp_path / "gpev")
+    t = SnapshotTable(spark, root)
+    t.replace_partitions(
+        spark.createDataFrame([("a", 1, 7), ("b", 2, 8)],
+                              "region string, k long, day int"),
+        "region",
+    )
+    t.evolve_partitioning("day")
+    t.replace_partitions(
+        spark.createDataFrame([("c", 3, 9)],
+                              "region string, k long, day int"),
+        "day",
+    )
+    got = t.read(predicates=[("day", "=", 9)])
+    assert [r["k"] for r in got.collect()] == [3]
+    # the old-layout entry was scanned (kept whole), the day=9 new-
+    # layout entry was kept, and no wrong rows leaked through
+    regions = {f for f in got.inputFiles() if "region=" in f}
+    assert regions  # foreign-layout files still listed (conservative)
+
+
+def test_predicate_pruning_excludes_null_partition(spark, tmp_path):
+    root = str(tmp_path / "gpnull")
+    t = SnapshotTable(spark, root)
+    t.replace_partitions(
+        spark.createDataFrame([(1, "d1"), (2, None)], "k long, day string"),
+        "day",
+    )
+    pruned = t.read(predicates=[("day", "=", "d1")])
+    assert [r["k"] for r in pruned.collect()] == [1]
+    assert all("__HIVE_DEFAULT" not in f for f in pruned.inputFiles())
