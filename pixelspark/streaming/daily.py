@@ -564,3 +564,50 @@ def run_curation_sink(
     )
     q.awaitTermination()
     return q
+
+
+def run_matview_sink(
+    rows: DataFrame,
+    src_root: str,
+    view_root: str,
+    group_by: tuple[str, ...],
+    sum_cols: tuple[str, ...] = (),
+    checkpoint: str = "",
+    app_id: str = "pixelspark-matview",
+):
+    """Streaming ingest with a continuously-maintained incremental
+    aggregate: each micro-batch (1) appends into the SOURCE snapshot
+    table via `append_once` and (2) folds the source's new CDF window
+    into the COUNT/SUM VIEW via `refresh_agg_view` — which reads only
+    the change feed, never the source table, and lands atomically
+    with its own (app_id, source_version) watermark through
+    `merge(txn=...)`.
+
+    Exactly-once END TO END under at-least-once delivery, by two
+    INDEPENDENT watermarks: a re-delivered batch is rejected by the
+    source's (app_id, batch_id) txn guard (appending nothing, so the
+    view fold sees an empty window and no-ops), and a crash BETWEEN
+    append and fold is healed by the next trigger's fold, which picks
+    up from the view's last folded source version — the fold window
+    is defined by source versions, not by batch ids, so nothing is
+    folded twice and nothing is skipped.  Append-only windows take
+    the CDF's keyless insert-only fast path: each fold is O(batch)."""
+    from pixelspark.ops.matview import refresh_agg_view
+    from pixelspark.table import SnapshotTable
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        src = SnapshotTable(spark, src_root)
+        view = SnapshotTable(spark, view_root)
+        src.append_once(batch_df, app_id, batch_id)
+        refresh_agg_view(src, view, group_by=group_by, sum_cols=sum_cols)
+
+    q = (
+        rows.writeStream.foreachBatch(commit)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -729,3 +729,50 @@ def test_streaming_curation_sink_end_to_end(spark, tmp_path):
     SD.run_curation_sink(stream3, table_root, index_root, str(tmp_path / "ck2"))
     assert {r["doc_id"] for r in t.read().collect()} == {1, 11}
     assert t.latest_version() == n_versions
+
+
+def test_matview_sink_exactly_once_end_to_end(spark, tmp_path):
+    """Streaming ingest + continuously-maintained incremental view:
+    two triggers land distinct batches (view == batch aggregate after
+    each), and a checkpoint-loss replay of the whole input commits
+    nothing anywhere — neither the source table nor the view moves."""
+    from pixelspark.streaming.daily import run_matview_sink
+    from pixelspark.table import SnapshotTable
+
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    schema = "k long, status string, views long"
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], schema
+    ).coalesce(1).write.json(src_dir + "/b1")
+
+    stream = lambda: (  # noqa: E731
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .json(src_dir + "/*")
+    )
+    roots = dict(src_root=str(tmp_path / "src"), view_root=str(tmp_path / "view"))
+    ckpt = str(tmp_path / "ck")
+    run_matview_sink(stream(), **roots, group_by=("status",),
+                     sum_cols=("views",), checkpoint=ckpt)
+    view = SnapshotTable(spark, roots["view_root"])
+    assert {r["status"]: (r["n"], r["views"]) for r in view.read().collect()} \
+        == {"a": (1, 10), "b": (1, 20)}
+
+    spark.createDataFrame([(3, "a", 5)], schema).coalesce(1).write.json(
+        src_dir + "/b2"
+    )
+    run_matview_sink(stream(), **roots, group_by=("status",),
+                     sum_cols=("views",), checkpoint=ckpt)
+    src = SnapshotTable(spark, roots["src_root"])
+    assert src.read().count() == 3
+    got = {r["status"]: (r["n"], r["views"]) for r in view.read().collect()}
+    assert got == {"a": (2, 15), "b": (1, 20)}
+
+    # checkpoint loss: every batch replays; both watermarks reject
+    src_v, view_v = src.latest_version(), view.latest_version()
+    run_matview_sink(stream(), **roots, group_by=("status",),
+                     sum_cols=("views",), checkpoint=str(tmp_path / "ck2"))
+    assert src.latest_version() == src_v
+    assert view.latest_version() == view_v
+    assert {r["status"]: (r["n"], r["views"]) for r in view.read().collect()} \
+        == got
