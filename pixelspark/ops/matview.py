@@ -49,7 +49,7 @@ from pyspark.sql.types import (
     ShortType,
 )
 
-from pixelspark.table import SnapshotTable
+from pixelspark.table import ConcurrentCommitError, SnapshotTable, StaleWatermark
 
 # exact decimal for floating-point sums: retraction must be exact
 # subtraction, not float-order-sensitive accumulation
@@ -141,30 +141,44 @@ def refresh_agg_view(
     per sum (BIGINT for integral inputs, DECIMAL(28,6) for floating).
     Groups whose count reaches zero are deleted — the view never
     carries ghost rows, so it equals the from-scratch aggregate after
-    every refresh (pytest-pinned)."""
-    to_v = src.latest_version()
-    if to_v is None:
-        return None  # source doesn't exist yet: nothing to fold
-    from_v = last_folded_version(src, view)
-    if from_v >= to_v:
-        return None  # already current
-    changes = src.read_changes(
-        from_v, to_v, keys=src_keys, preimages=True
-    )
-    delta = fold_delta(changes, group_by, sum_cols, count_col)
-    t_n, s_n = F.col(f"t.{count_col}"), F.col(f"s.{count_col}")
-    upd = {count_col: (t_n + s_n).cast("long")}
-    for c in sum_cols:
-        upd[c] = F.col(f"t.{c}") + F.col(f"s.{c}")
-    return view.merge(
-        delta,
-        keys=group_by,
-        when_matched_delete=(t_n + s_n) == 0,
-        when_matched_update=upd,
-        when_not_matched_insert=s_n > 0,
-        validate_keys=False,  # delta is a groupBy output: unique by construction
-        mode=merge_mode,
-        txn=(_app_id(src, view), to_v),
+    every refresh (pytest-pinned).
+
+    Concurrency: the fold commits with a COMPARE-AND-SET watermark
+    (app_id, to_v, expected from_v), so two refreshers racing on the
+    same view can never both apply overlapping change windows — the
+    loser sees StaleWatermark and recomputes from the advanced
+    watermark."""
+    for _ in range(view.max_retries):
+        to_v = src.latest_version()
+        if to_v is None:
+            return None  # source doesn't exist yet: nothing to fold
+        from_v = last_folded_version(src, view)
+        if from_v >= to_v:
+            return None  # already current
+        changes = src.read_changes(
+            from_v, to_v, keys=src_keys, preimages=True
+        )
+        delta = fold_delta(changes, group_by, sum_cols, count_col)
+        t_n, s_n = F.col(f"t.{count_col}"), F.col(f"s.{count_col}")
+        upd = {count_col: (t_n + s_n).cast("long")}
+        for c in sum_cols:
+            upd[c] = F.col(f"t.{c}") + F.col(f"s.{c}")
+        try:
+            return view.merge(
+                delta,
+                keys=group_by,
+                when_matched_delete=(t_n + s_n) == 0,
+                when_matched_update=upd,
+                when_not_matched_insert=s_n > 0,
+                validate_keys=False,  # groupBy output: unique by construction
+                mode=merge_mode,
+                txn=(_app_id(src, view), to_v, from_v),
+            )
+        except StaleWatermark:
+            continue  # a rival fold landed: recompute from its watermark
+    raise ConcurrentCommitError(
+        f"matview refresh lost the fold race {view.max_retries} times "
+        f"at {view.root}"
     )
 
 
@@ -196,52 +210,63 @@ def refresh_minmax_view(
          watermarked with (app_id, source_version) like the fold.
 
     View schema: group_by + `count_col` + `min_<c>` / `max_<c>`.
-    Returns the view's new version, or None when already current."""
-    to_v = src.latest_version()
-    if to_v is None:
-        return None
-    from_v = last_folded_version(src, view)
-    if from_v >= to_v:
-        return None
-    # preimages are load-bearing here too: an update that MOVES a row
-    # across groups must touch BOTH its old and new group, or the old
-    # group's extremum goes stale
-    changes = src.read_changes(from_v, to_v, keys=src_keys, preimages=True)
-    touched = changes.select(*group_by).distinct()
-
-    pcol = src.manifest(to_v).get("partition_col")
-    if pcol in group_by and pcol is not None:
-        vals = [r[0] for r in touched.select(pcol).distinct().collect()]
-        if not vals:
+    Returns the view's new version, or None when already current.
+    Same compare-and-set watermark discipline as `refresh_agg_view`
+    (here a lost race merely recomputes still-fresh aggregates, but
+    the CAS keeps the two refresh flavors interchangeable)."""
+    for _ in range(view.max_retries):
+        to_v = src.latest_version()
+        if to_v is None:
             return None
-        base = src.read(partition_values=vals)
-    else:
-        base = src.read()
-    fresh = (
-        base.join(F.broadcast(touched), list(group_by), "semi")
-        .groupBy(*group_by)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias(count_col),
-            *[F.min(c).alias(f"min_{c}") for c in min_cols],
-            *[F.max(c).alias(f"max_{c}") for c in max_cols],
+        from_v = last_folded_version(src, view)
+        if from_v >= to_v:
+            return None
+        # preimages are load-bearing here too: an update that MOVES a
+        # row across groups must touch BOTH its old and new group, or
+        # the old group's extremum goes stale
+        changes = src.read_changes(from_v, to_v, keys=src_keys, preimages=True)
+        touched = changes.select(*group_by).distinct()
+
+        pcol = src.manifest(to_v).get("partition_col")
+        if pcol in group_by and pcol is not None:
+            vals = [r[0] for r in touched.select(pcol).distinct().collect()]
+            if not vals:
+                return None
+            base = src.read(partition_values=vals)
+        else:
+            base = src.read()
+        fresh = (
+            base.join(F.broadcast(touched), list(group_by), "semi")
+            .groupBy(*group_by)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(count_col),
+                *[F.min(c).alias(f"min_{c}") for c in min_cols],
+                *[F.max(c).alias(f"max_{c}") for c in max_cols],
+            )
         )
-    )
-    gone = touched.join(fresh, list(group_by), "left_anti").select(
-        *group_by,
-        F.lit(0).cast("long").alias(count_col),
-        *[F.lit(None).cast(base.schema[c].dataType).alias(f"min_{c}")
-          for c in min_cols],
-        *[F.lit(None).cast(base.schema[c].dataType).alias(f"max_{c}")
-          for c in max_cols],
-    )
-    return view.merge(
-        fresh.unionByName(gone),
-        keys=group_by,
-        when_matched_delete=F.col(f"s.{count_col}") == 0,
-        when_matched_update="all",
-        when_not_matched_insert=F.col(f"s.{count_col}") > 0,
-        validate_keys=False,
-        txn=(_app_id(src, view), to_v),
+        gone = touched.join(fresh, list(group_by), "left_anti").select(
+            *group_by,
+            F.lit(0).cast("long").alias(count_col),
+            *[F.lit(None).cast(base.schema[c].dataType).alias(f"min_{c}")
+              for c in min_cols],
+            *[F.lit(None).cast(base.schema[c].dataType).alias(f"max_{c}")
+              for c in max_cols],
+        )
+        try:
+            return view.merge(
+                fresh.unionByName(gone),
+                keys=group_by,
+                when_matched_delete=F.col(f"s.{count_col}") == 0,
+                when_matched_update="all",
+                when_not_matched_insert=F.col(f"s.{count_col}") > 0,
+                validate_keys=False,
+                txn=(_app_id(src, view), to_v, from_v),
+            )
+        except StaleWatermark:
+            continue
+    raise ConcurrentCommitError(
+        f"minmax-view refresh lost the fold race {view.max_retries} "
+        f"times at {view.root}"
     )
 
 

@@ -235,6 +235,15 @@ class ConcurrentCommitError(RuntimeError):
     times in a row (livelock guard, not an expected state)."""
 
 
+class StaleWatermark(RuntimeError):
+    """A txn compare-and-set commit found a different predecessor
+    watermark than the caller folded from: a rival already advanced
+    the ledger past the caller's read.  Recompute from the current
+    watermark and retry — committing anyway would double-apply the
+    overlap.  Deliberately NOT a ConcurrentWriteConflict: internal
+    rebase loops must not retry it with the same stale payload."""
+
+
 class ConcurrentWriteConflict(RuntimeError):
     """Raised when a commit pinned to `expected_version` finds the
     table advanced past the snapshot its data was computed from.  A
@@ -981,6 +990,28 @@ class SnapshotTable:
             raise _Conflicted
 
     @staticmethod
+    def _txn_apply(tmap: dict, txn: tuple) -> None:
+        """Record a txn watermark into `tmap` (mutates).  `txn` is
+        (app_id, batch_id) or (app_id, batch_id, expected_last): the
+        3-form is a COMPARE-AND-SET — the commit only lands if the
+        app's current watermark equals `expected_last` (0 = none), the
+        guard incremental folds need so two concurrent refreshers can
+        never both apply overlapping change windows.  Replay (batch
+        already recorded) is checked FIRST, so a retried successful
+        commit skips cleanly instead of tripping the CAS."""
+        app, batch = txn[0], txn[1]
+        last = tmap.get(app)
+        if last is not None and last >= batch:
+            raise _SkipCommit  # replay / rival committed this batch
+        if len(txn) > 2 and (last or 0) != txn[2]:
+            raise StaleWatermark(
+                f"txn {app!r}: expected predecessor watermark {txn[2]} "
+                f"but found {last or 0} — a rival fold landed; recompute "
+                "from the current watermark"
+            )
+        tmap[app] = batch
+
+    @staticmethod
     def _txn_watermark_manifest(
         prev: dict | None, txn: tuple[str, int], op: dict
     ) -> dict:
@@ -991,10 +1022,7 @@ class SnapshotTable:
         if prev is None:
             raise FileNotFoundError("no snapshot to record a txn against")
         tmap = dict(prev.get("txn") or {})
-        last = tmap.get(txn[0])
-        if last is not None and last >= txn[1]:
-            raise _SkipCommit
-        tmap[txn[0]] = txn[1]
+        SnapshotTable._txn_apply(tmap, txn)
         return {
             "partition_col": prev.get("partition_col"),
             "entries": prev["entries"],
@@ -1046,10 +1074,7 @@ class SnapshotTable:
             }
             if txn is not None:
                 tmap = dict((prev or {}).get("txn") or {})
-                last = tmap.get(txn[0])
-                if last is not None and last >= txn[1]:
-                    raise _SkipCommit  # rival replay landed mid-rebase
-                tmap[txn[0]] = txn[1]
+                self._txn_apply(tmap, txn)
                 out["txn"] = tmap
             return out
 
@@ -1224,10 +1249,7 @@ class SnapshotTable:
                 )
             tmap = dict((prev or {}).get("txn") or {})
             if txn is not None:
-                last = tmap.get(txn[0])
-                if last is not None and last >= txn[1]:
-                    raise _SkipCommit  # rival committed this batch mid-race
-                tmap[txn[0]] = txn[1]
+                self._txn_apply(tmap, txn)
             entries = []
             for e in (prev or {"entries": []})["entries"]:
                 if e["parts"] is None or self._entry_layout(e) != partition_col:
@@ -1763,10 +1785,7 @@ class SnapshotTable:
                     out_m["dv_files"] = dvs
                 if txn is not None:
                     tmap = dict((prev or {}).get("txn") or {})
-                    last = tmap.get(txn[0])
-                    if last is not None and last >= txn[1]:
-                        raise _SkipCommit
-                    tmap[txn[0]] = txn[1]
+                    self._txn_apply(tmap, txn)
                     out_m["txn"] = tmap
                 return out_m
 

@@ -240,3 +240,35 @@ def test_minmax_view_partition_pruned_rescan(spark, tmp_path):
                            max_cols=("views",), src_keys=("day", "k"))
     got = {r["day"]: (r["n"], r["max_views"]) for r in view.read().collect()}
     assert got == {"d1": (2, 25), "d2": (1, 30), "d3": (1, 40)}
+
+
+def test_concurrent_fold_race_is_rejected_by_cas_watermark(spark, pair):
+    """The double-fold race: refresher B computed its delta from
+    watermark v_a but a rival fold advanced the ledger to v_b first.
+    B's commit must fail with StaleWatermark — landing it would apply
+    the (v_a, v_b] window twice — while a clean replay of an already-
+    landed fold still no-ops as None."""
+    from pixelspark.table import StaleWatermark
+
+    src, view = pair
+    src.overwrite(_rows(spark, [(1, "a", 1, 1.0)]))
+    _refresh(src, view)  # watermark -> v1
+    v1 = src.latest_version()
+    src.upsert(_rows(spark, [(2, "a", 2, 2.0)]), keys=("k",))
+    v2 = src.latest_version()
+    delta = spark.createDataFrame(
+        [("a", 1, 2, 2.0)], "status string, n long, views long, amt double"
+    )
+    app = MV._app_id(src, view)
+    upd = {c: F.col(f"t.{c}") + F.col(f"s.{c}") for c in ("n", "views", "amt")}
+    # B folded (0, v2] believing the watermark was still 0: stale
+    with pytest.raises(StaleWatermark):
+        view.merge(delta, keys=("status",), when_matched_update=upd,
+                   txn=(app, v2, 0))
+    # B folded (v1, v2] from the true watermark: lands
+    assert view.merge(delta, keys=("status",), when_matched_update=upd,
+                      txn=(app, v2, v1)) is not None
+    _assert_view_exact(src, view)
+    # replay of the landed fold: clean no-op, not a CAS trip
+    assert view.merge(delta, keys=("status",), when_matched_update=upd,
+                      txn=(app, v2, v1)) is None
