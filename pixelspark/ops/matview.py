@@ -29,9 +29,9 @@ are folded in DECIMAL(28,6) (cast once at fold time) so retraction
 is exact subtraction — the same discipline `ops/rollup.py` uses;
 float accumulation-order drift cannot leave ghost residue in the
 view.  Non-algebraic aggregates (MIN/MAX/DISTINCT) are NOT
-maintainable by retraction — they need the affected groups
-re-scanned; keep those in a rollup refreshed by
-`refresh_rollup_snapshot` or recompute-affected-partitions instead.
+maintainable by retraction — `refresh_minmax_view` maintains them by
+recomputing exactly the CDF-touched groups instead (manifest-pruned
+re-scan when the source is partitioned by a group column).
 
 AVG is derived at read time (`with_avg`) from the exact SUM/COUNT
 pair, the standard algebraic decomposition.
@@ -172,6 +172,7 @@ def refresh_agg_view(
                 when_not_matched_insert=s_n > 0,
                 validate_keys=False,  # groupBy output: unique by construction
                 mode=merge_mode,
+                null_safe_keys=True,  # a NULL group must UPDATE, not re-insert
                 txn=(_app_id(src, view), to_v, from_v),
             )
         except StaleWatermark:
@@ -260,6 +261,7 @@ def refresh_minmax_view(
                 when_matched_update="all",
                 when_not_matched_insert=F.col(f"s.{count_col}") > 0,
                 validate_keys=False,
+                null_safe_keys=True,
                 txn=(_app_id(src, view), to_v, from_v),
             )
         except StaleWatermark:

@@ -1342,11 +1342,16 @@ class SnapshotTable:
         mode: str = "rewrite",
         schema_evolution: bool = False,
         txn: tuple[str, int] | None = None,
+        null_safe_keys: bool = False,
     ) -> int | None:
         """Multi-clause MERGE (Delta `MERGE INTO` / the general form of
         the reference's keyed UPDATE+INSERT, src/services/bigquery.ts:
         168-190).  For each source row joined to the target on `keys`
-        (plain equality — NULL keys never match, as in SQL MERGE):
+        (plain equality — NULL keys never match, as in SQL MERGE;
+        `null_safe_keys=True` switches every key comparison to `<=>`
+        so NULL==NULL matches, the semantics a grouped fold needs
+        when a group column is nullable — without it a NULL group
+        re-inserts on every merge instead of updating):
 
           * matched and `when_matched_delete` (Column / SQL string over
             ``t.*``/``s.*``) is true -> target row removed;
@@ -1447,6 +1452,7 @@ class SnapshotTable:
             return self._merge_dv(
                 source, keys, when_matched_update,
                 del_cond, ins_cond, upd_cond, schema_evolution, txn,
+                null_safe_keys,
             )
         if mode != "rewrite":
             raise ValueError(f"merge mode must be 'rewrite' or 'dv', got {mode!r}")
@@ -1526,7 +1532,10 @@ class SnapshotTable:
                     s_m = F.broadcast(s_m)
                 on = reduce(
                     lambda a, b: a & b,
-                    [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
+                    [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+                     if null_safe_keys
+                     else F.col(f"t.{k}") == F.col(f"s.{k}")
+                     for k in keys],
                 )
                 j = t_m.join(s_m, on, "left")
                 is_match = F.col("s.__s").isNotNull()
@@ -1553,9 +1562,21 @@ class SnapshotTable:
                         return F.col(c).alias(c)
                     return F.lit(None).cast(target.schema[c].dataType).alias(c)
 
+                if null_safe_keys:
+                    anti_on = reduce(
+                        lambda a, b: a & b,
+                        [F.col(f"s.{k}").eqNullSafe(F.col(f"tk.{k}"))
+                         for k in keys],
+                    )
+                    unmatched = source.alias("s").join(
+                        target.select(*keys).alias("tk"), anti_on, "left_anti"
+                    )
+                else:
+                    unmatched = source.alias("s").join(
+                        target.select(*keys), list(keys), "left_anti"
+                    )
                 inserts = (
-                    source.alias("s")
-                    .join(target.select(*keys), list(keys), "left_anti")
+                    unmatched
                     .where(F.coalesce(ins_cond, F.lit(False)))
                     .select(*[ins(c) for c in out_cols])
                 )
@@ -1609,6 +1630,7 @@ class SnapshotTable:
         self, source: DataFrame, keys, when_matched_update,
         del_cond, ins_cond, upd_cond, schema_evolution: bool = False,
         txn: tuple[str, int] | None = None,
+        null_safe_keys: bool = False,
     ) -> int | None:
         """Merge-on-read MERGE: positions of deleted/updated target
         rows -> deletion vector; updated post-images + inserts -> one
@@ -1672,7 +1694,10 @@ class SnapshotTable:
             s_m = source.withColumn("__s", F.lit(True)).alias("s")
             on = reduce(
                 lambda a, b: a & b,
-                [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
+                [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+                 if null_safe_keys
+                 else F.col(f"t.{k}") == F.col(f"s.{k}")
+                 for k in keys],
             )
             j = t_m.join(s_m, on, "inner")  # only matched rows matter here
             deleted = F.coalesce(del_cond, F.lit(False))
@@ -1728,9 +1753,21 @@ class SnapshotTable:
                 )
                 widened_schema = ws.json()
 
+            if null_safe_keys:
+                anti_on = reduce(
+                    lambda a, b: a & b,
+                    [F.col(f"s.{k}").eqNullSafe(F.col(f"tk.{k}"))
+                     for k in keys],
+                )
+                unmatched = source.alias("s").join(
+                    df.select(*keys).alias("tk"), anti_on, "left_anti"
+                )
+            else:
+                unmatched = source.alias("s").join(
+                    df.select(*keys), list(keys), "left_anti"
+                )
             inserts = (
-                source.alias("s")
-                .join(df.select(*keys), list(keys), "left_anti")
+                unmatched
                 .where(F.coalesce(ins_cond, F.lit(False)))
                 .select(*[ins(c) for c in out_cols])
             )

@@ -272,3 +272,27 @@ def test_concurrent_fold_race_is_rejected_by_cas_watermark(spark, pair):
     # replay of the landed fold: clean no-op, not a CAS trip
     assert view.merge(delta, keys=("status",), when_matched_update=upd,
                       txn=(app, v2, v1)) is None
+
+
+def test_null_group_key_updates_instead_of_reinserting(spark, pair):
+    """NULL group values: SQL MERGE equality never matches NULL=NULL,
+    so without null-safe keys a NULL group would gain a fresh view
+    row on every refresh.  The fold merges with <=> semantics — one
+    NULL row, exact, updated in place."""
+    src, view = pair
+    src.overwrite(spark.createDataFrame(
+        [(1, None, 10, 1.0), (2, "a", 5, 0.5)],
+        "k long, status string, views long, amt double",
+    ))
+    _refresh(src, view)
+    src.upsert(spark.createDataFrame(
+        [(3, None, 7, 0.25)],
+        "k long, status string, views long, amt double",
+    ), keys=("k",))
+    _refresh(src, view)
+    rows = view.read().where(F.col("status").isNull()).collect()
+    assert len(rows) == 1  # updated, not re-inserted
+    assert (rows[0]["n"], rows[0]["views"]) == (2, 17)
+    got = {r["status"]: (r["n"], r["views"]) for r in view.read().collect()}
+    want = {r["status"]: (r["n"], r["views"]) for r in _recompute(src).collect()}
+    assert got == want
