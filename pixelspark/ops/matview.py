@@ -35,9 +35,21 @@ re-scan when the source is partitioned by a group column).
 
 AVG is derived at read time (`with_avg`) from the exact SUM/COUNT
 pair, the standard algebraic decomposition.
+
+JOIN views (`refresh_join_view`) maintain an aggregate over an
+inner equi-join L ⋈ R by the classic delta rule (DBToaster /
+Materialize): Δ(L⋈R) = ΔL ⋈ R@r_wm, then L@l_wm ⋈ ΔR — each side's
+change window joined against the OTHER side pinned at its folded
+version (time travel), so a refresh is O(Δ ⋈ other side) and never
+recomputes the join.  Each phase lands with its own per-source
+compare-and-set watermark; between phases the view equals the
+consistent snapshot pair (L@l_wm, R@r_wm), and a crash anywhere
+resumes exactly where it left off.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -117,6 +129,36 @@ def fold_delta(
     return changes.groupBy(*group_by).agg(*aggs)
 
 
+def _fold_merge(
+    view: SnapshotTable,
+    delta: DataFrame,
+    group_by: tuple[str, ...],
+    sum_cols: tuple[str, ...],
+    count_col: str,
+    merge_mode: str,
+    txn: tuple[str, int, int],
+) -> int | None:
+    """Land a signed fold delta in the view: existing groups add the
+    net change (delete when the count nets to zero — no ghost rows),
+    new groups insert, all atomically with the compare-and-set
+    (app_id, to_version, expected_from) watermark."""
+    t_n, s_n = F.col(f"t.{count_col}"), F.col(f"s.{count_col}")
+    upd = {count_col: (t_n + s_n).cast("long")}
+    for c in sum_cols:
+        upd[c] = F.col(f"t.{c}") + F.col(f"s.{c}")
+    return view.merge(
+        delta,
+        keys=group_by,
+        when_matched_delete=(t_n + s_n) == 0,
+        when_matched_update=upd,
+        when_not_matched_insert=s_n > 0,
+        validate_keys=False,  # groupBy output: unique by construction
+        mode=merge_mode,
+        null_safe_keys=True,  # a NULL group must UPDATE, not re-insert
+        txn=txn,
+    )
+
+
 def refresh_agg_view(
     src: SnapshotTable,
     view: SnapshotTable,
@@ -159,27 +201,149 @@ def refresh_agg_view(
             from_v, to_v, keys=src_keys, preimages=True
         )
         delta = fold_delta(changes, group_by, sum_cols, count_col)
-        t_n, s_n = F.col(f"t.{count_col}"), F.col(f"s.{count_col}")
-        upd = {count_col: (t_n + s_n).cast("long")}
-        for c in sum_cols:
-            upd[c] = F.col(f"t.{c}") + F.col(f"s.{c}")
         try:
-            return view.merge(
-                delta,
-                keys=group_by,
-                when_matched_delete=(t_n + s_n) == 0,
-                when_matched_update=upd,
-                when_not_matched_insert=s_n > 0,
-                validate_keys=False,  # groupBy output: unique by construction
-                mode=merge_mode,
-                null_safe_keys=True,  # a NULL group must UPDATE, not re-insert
-                txn=(_app_id(src, view), to_v, from_v),
+            return _fold_merge(
+                view, delta, group_by, sum_cols, count_col, merge_mode,
+                (_app_id(src, view), to_v, from_v),
             )
         except StaleWatermark:
             continue  # a rival fold landed: recompute from its watermark
     raise ConcurrentCommitError(
         f"matview refresh lost the fold race {view.max_retries} times "
         f"at {view.root}"
+    )
+
+
+def _delta_join(
+    delta: DataFrame, other: DataFrame, on: tuple[str, ...]
+) -> DataFrame:
+    """Inner equi-join of a signed change window against the other
+    side's pinned snapshot.  Output namespace: join keys (delta
+    side's values) + both sides' non-key columns + `change_type` —
+    each joined pair inherits the delta row's sign, which is exactly
+    the multiset-join delta (a change row matching k rows on the
+    other side contributes k signed join rows)."""
+    overlap = (set(delta.columns) & set(other.columns)) - set(on)
+    if overlap:
+        raise ValueError(
+            f"join sides share non-key columns {sorted(overlap)}; rename "
+            "them on the source tables (the view's namespace is flat)"
+        )
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"d.{k}") == F.col(f"o.{k}") for k in on],
+    )
+    keep = [F.col(f"d.{c}") for c in delta.columns] + [
+        F.col(f"o.{c}") for c in other.columns if c not in on
+    ]
+    return delta.alias("d").join(other.alias("o"), cond, "inner").select(*keep)
+
+
+def refresh_join_view(
+    left: SnapshotTable,
+    right: SnapshotTable,
+    view: SnapshotTable,
+    on: tuple[str, ...],
+    group_by: tuple[str, ...],
+    sum_cols: tuple[str, ...] = (),
+    count_col: str = "n",
+    left_keys: tuple[str, ...] | None = None,
+    right_keys: tuple[str, ...] | None = None,
+    derive: dict[str, object] | None = None,
+    merge_mode: str = "rewrite",
+) -> int | None:
+    """Incrementally maintain `SELECT group_by, COUNT(*), SUM(...)
+    FROM left JOIN right USING (on) GROUP BY group_by` — the
+    aggregate-over-join view, by the two-phase delta rule:
+
+      phase L:  ΔL(l_wm → to_l)  ⋈  R@r_wm   folds, advancing l_wm;
+      phase R:  L@l_wm           ⋈  ΔR(r_wm → to_r) folds, advancing r_wm.
+
+    Invariant: after any prefix of phases the view equals the exact
+    aggregate of L@l_wm ⋈ R@r_wm — each phase is one signed fold
+    landed atomically with ITS source's compare-and-set watermark, so
+    a crash between phases (or a replay of either) resumes/no-ops
+    cleanly, and concurrent refreshers serialize per phase exactly
+    like `refresh_agg_view` folds do.
+
+    Cost at 100 TB: a refresh never recomputes the join — it pays
+    Δ ⋈ other-side (AQE broadcasts the change window when small) plus
+    one fold-merge per phase.  The pinned-version reads require the
+    other side's manifest retention to cover the refresh cadence
+    (vacuum keep_versions / keep_hours — same discipline Delta CDF
+    consumers need).
+
+    `derive` — optional row-level computed columns (name → Column /
+    SQL string) applied to the joined rows BEFORE folding, so
+    sum_cols can aggregate join-crossing arithmetic (e.g. revenue =
+    qty * price).  Retraction stays exact because the pre-image row
+    derives the identical value it added.
+
+    `on` keys join by plain equality (NULL never matches — inner-join
+    SQL semantics, identical to the from-scratch aggregate).  Updates
+    that move rows across join keys or groups are handled by the
+    pre/post-image retraction, same as `refresh_agg_view`.
+
+    Returns the view's latest committed version, or None when both
+    sides were already folded (or the sides don't both exist yet —
+    an inner join with a missing side is empty, and watermarks only
+    start once there is something to pin)."""
+    app_l, app_r = _app_id(left, view), _app_id(right, view)
+    if app_l == app_r:
+        raise ValueError(
+            "refresh_join_view needs two distinct source tables (a "
+            "self-join view would share one watermark); clone the "
+            "source for the second side"
+        )
+    out: int | None = None
+    for _ in range(2 * view.max_retries):
+        to_l, to_r = left.latest_version(), right.latest_version()
+        if to_l is None or to_r is None:
+            return out  # inner join with a missing side is empty
+        from_l = last_folded_version(left, view)
+        from_r = last_folded_version(right, view)
+        if from_l >= to_l and from_r >= to_r:
+            return out  # both sides current
+        if from_l < to_l:
+            # left phase: the right side pins at ITS watermark — right
+            # changes past r_wm fold in the right phase against the
+            # advanced left, never twice
+            changes = left.read_changes(
+                from_l, to_l, keys=left_keys, preimages=True
+            )
+            other = (
+                right.read(version=from_r) if from_r
+                else right.read().limit(0)  # nothing folded yet: R@wm is empty
+            )
+            txn = (app_l, to_l, from_l)
+        else:
+            changes = right.read_changes(
+                from_r, to_r, keys=right_keys, preimages=True
+            )
+            # from_l >= to_l >= 1 here, so the pin always names a
+            # real manifest
+            other = left.read(version=from_l)
+            txn = (app_r, to_r, from_r)
+        joined = _delta_join(changes, other, on)
+        for name, expr in (derive or {}).items():
+            joined = joined.withColumn(
+                name, F.expr(expr) if isinstance(expr, str) else expr
+            )
+        delta = fold_delta(joined, group_by, sum_cols, count_col)
+        if view.latest_version() is None:
+            # an all-empty first phase still records its watermark,
+            # which needs a manifest to live in
+            view.overwrite(delta.limit(0))
+        try:
+            v = _fold_merge(
+                view, delta, group_by, sum_cols, count_col, merge_mode, txn
+            )
+            out = v if v is not None else out
+        except StaleWatermark:
+            continue  # a rival refresher advanced this side: re-derive
+    raise ConcurrentCommitError(
+        f"join-view refresh lost the fold race {2 * view.max_retries} "
+        f"times at {view.root}"
     )
 
 

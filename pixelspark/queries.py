@@ -1438,6 +1438,99 @@ def q_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_matview",
+    f"""
+    WITH pv AS (
+      SELECT user_id AS shop, COUNT(*) AS event_count
+      FROM events
+      WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '{TD}'
+      GROUP BY user_id
+    ), bill AS (
+      SELECT c.c_custkey AS shop,
+             COALESCE(pv.event_count, 0) AS views,
+             ROUND(COALESCE(pv.event_count, 0) / 1000000.0 * 10.0, 2) AS amt
+      FROM customer c LEFT JOIN pv ON c.c_custkey = pv.shop
+    ), left_end AS (
+      SELECT shop, views, amt FROM bill WHERE views > 0
+    ), segs AS (
+      SELECT c_custkey AS cust,
+             CASE WHEN c_custkey % 7 = 0 THEN 'vip'
+                  ELSE CAST(c_nationkey % 5 AS VARCHAR) END AS segment
+      FROM customer
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(views) AS BIGINT) AS views,
+           CAST(SUM(CAST(views * CAST(0.1 AS DOUBLE) + amt AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM left_end JOIN segs ON left_end.shop = segs.cust
+    GROUP BY segment
+    """,
+)
+def q_join_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained aggregate over an inner JOIN
+    (ops/matview.py refresh_join_view — the Materialize delta rule):
+    SUM/COUNT per customer segment over orders ⋈ customers, kept
+    current by folding ΔL ⋈ R@watermark then L@watermark ⋈ ΔR — the
+    join is NEVER recomputed.  The lifecycle exercises both phases:
+    initial load (left history folds against the pinned right), a
+    right-side MERGE that moves every 7th customer into a 'vip'
+    segment (join-crossing retraction: their order rows must leave
+    the old segment and land in the new one), a left-side DV delete
+    of the zero-view shops, and a final no-op refresh assert.  The
+    derived measure revenue = views * amt folds in DECIMAL(28,6) so
+    retraction is exact.  Each phase commits with its own per-source
+    compare-and-set watermark, so a crashed refresh resumes mid-pair.
+    The oracle states the end-state aggregate from the raw inputs."""
+    import tempfile
+
+    from pixelspark.ops import matview as MV
+    from pixelspark.table import SnapshotTable
+
+    base = tempfile.mkdtemp(prefix="pixelspark_jmv_")
+    orders = SnapshotTable(spark, base + "/orders")
+    custs = SnapshotTable(spark, base + "/custs")
+    view = SnapshotTable(spark, base + "/view")
+
+    bill = B.daily_billing(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "events"), TD
+    )
+    orders.overwrite(bill.select(
+        F.col("shop").alias("cust"),
+        F.col("page_views").cast("long").alias("views"),
+        F.col("billing_amount").alias("amt"),
+    ))
+    cust = _t(spark, sf_dir, "customer")
+    custs.overwrite(cust.select(
+        F.col("c_custkey").alias("cust"),
+        (F.col("c_nationkey") % 5).cast("string").alias("segment"),
+    ))
+
+    def refresh():
+        return MV.refresh_join_view(
+            orders, custs, view, on=("cust",), group_by=("segment",),
+            sum_cols=("views", "revenue"),
+            left_keys=("cust",), right_keys=("cust",),
+            derive={"revenue": "views * CAST(0.1 AS DOUBLE) + amt"},
+        )
+
+    assert refresh() is not None
+    custs.merge(
+        cust.where(F.col("c_custkey") % 7 == 0).select(
+            F.col("c_custkey").alias("cust"), F.lit("vip").alias("segment")
+        ),
+        keys=("cust",),
+    )
+    assert refresh() is not None
+    orders.delete("views = 0", mode="dv")
+    assert refresh() is not None
+    assert refresh() is None, "a current join view must refresh as a no-op"
+    return view.read().select(
+        "segment", "n", "views",
+        F.col("revenue").cast("double").alias("revenue"),
+    )
+
+
+@query(
     "q_table_dml",
     f"""
     WITH pv AS (
@@ -8691,7 +8784,12 @@ _WINDOW_QUERIES = [
     # q_regex_strip's slot (F1, in-window green r1-r5; stays
     # registered + sweep-checked)
     "q_incremental_matview",
-    "q_domain_fix",
+    # r6e rotation: the join-matview flagship (two-phase delta rule
+    # over orders ⋈ customers with per-source CAS watermarks,
+    # value-oracled end state + in-query no-op-refresh assert) takes
+    # q_domain_fix's slot (F7/F11, in-window green r1-r5; stays
+    # registered + sweep-checked)
+    "q_join_matview",
     "q_money_format",
     "q_json_extract",
     "q_target_date",

@@ -296,3 +296,131 @@ def test_null_group_key_updates_instead_of_reinserting(spark, pair):
     got = {r["status"]: (r["n"], r["views"]) for r in view.read().collect()}
     want = {r["status"]: (r["n"], r["views"]) for r in _recompute(src).collect()}
     assert got == want
+
+
+# -- join views ------------------------------------------------------------
+
+
+@pytest.fixture()
+def triple(spark, tmp_path):
+    left = SnapshotTable(spark, str(tmp_path / "orders"))
+    right = SnapshotTable(spark, str(tmp_path / "custs"))
+    view = SnapshotTable(spark, str(tmp_path / "jview"))
+    return left, right, view
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(rows, "o long, cust long, qty long, price double")
+
+
+def _custs(spark, rows):
+    return spark.createDataFrame(rows, "cust long, segment string")
+
+
+def _jrefresh(left, right, view):
+    return MV.refresh_join_view(
+        left, right, view, on=("cust",), group_by=("segment",),
+        sum_cols=("qty", "revenue"),
+        left_keys=("o",), right_keys=("cust",),
+        derive={"revenue": "qty * price"},
+    )
+
+
+def _jrecompute(left, right):
+    return (
+        left.read().join(right.read(), "cust")
+        .withColumn("revenue", F.expr("qty * price").cast(MV._SUM_T))
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("qty").cast("long").alias("qty"),
+             F.sum("revenue").alias("revenue"))
+    )
+
+
+def _assert_jview_exact(left, right, view):
+    got = sorted(map(tuple, view.read().select(
+        "segment", "n", "qty", "revenue").collect()))
+    want = sorted(map(tuple, _jrecompute(left, right).collect()))
+    assert got == want
+
+
+def test_join_view_tracks_both_sources(spark, triple):
+    """The two-phase delta rule keeps view == exact aggregate of the
+    inner join after every refresh: initial load, left appends, a
+    right-side UPDATE that moves a customer across segments (join-
+    crossing retraction), a left DV delete, and the final no-op."""
+    left, right, view = triple
+    left.overwrite(_orders(spark, [
+        (1, 10, 2, 1.5), (2, 10, 3, 2.0), (3, 20, 1, 10.0),
+        (4, 99, 5, 1.0),  # dangling: no such customer -> not in view
+    ]))
+    right.overwrite(_custs(spark, [(10, "retail"), (20, "b2b")]))
+    assert _jrefresh(left, right, view) is not None
+    _assert_jview_exact(left, right, view)
+
+    left.append(_orders(spark, [(5, 20, 4, 0.25), (6, 10, 1, 9.0)]))
+    assert _jrefresh(left, right, view) is not None
+    _assert_jview_exact(left, right, view)
+
+    # customer 10 moves retail -> b2b: every joined order row must
+    # retract from 'retail' and land in 'b2b'
+    right.merge(_custs(spark, [(10, "b2b"), (30, "new")]), keys=("cust",))
+    assert _jrefresh(left, right, view) is not None
+    _assert_jview_exact(left, right, view)
+
+    left.delete(F.col("o") == 2, mode="dv")
+    assert _jrefresh(left, right, view) is not None
+    _assert_jview_exact(left, right, view)
+
+    assert _jrefresh(left, right, view) is None  # both sides current
+
+
+def test_join_view_missing_side_then_arrival(spark, triple):
+    """Before both sides exist the refresh is a typed no-op; once the
+    right side arrives, the next refresh folds the LEFT's full history
+    (watermarks started at 0) against it."""
+    left, right, view = triple
+    left.overwrite(_orders(spark, [(1, 10, 2, 1.0)]))
+    assert _jrefresh(left, right, view) is None
+    right.overwrite(_custs(spark, [(10, "retail")]))
+    assert _jrefresh(left, right, view) is not None
+    _assert_jview_exact(left, right, view)
+
+
+def test_join_view_fanout_multiplicity(spark, triple):
+    """Duplicate join keys on the non-delta side: one changed left row
+    joined to k right rows must contribute k signed rows (multiset
+    join semantics), and retract all k on delete."""
+    left, right, view = triple
+    right.overwrite(spark.createDataFrame(
+        [(10, "a"), (10, "b")], "cust long, segment string"))
+    left.overwrite(_orders(spark, [(1, 10, 3, 2.0)]))
+    _jrefresh(left, right, view)
+    _assert_jview_exact(left, right, view)
+    got = {r["segment"]: r["n"] for r in view.read().collect()}
+    assert got == {"a": 1, "b": 1}
+    left.delete("o = 1")
+    _jrefresh(left, right, view)
+    assert view.read().count() == 0  # exact retraction of the fan-out
+
+
+def test_join_view_float_derive_retraction_exact(spark, triple):
+    """Derived revenue (qty * float price) folds in DECIMAL: insert
+    then delete the same orders nets exactly to zero — no float
+    residue ghost rows."""
+    left, right, view = triple
+    right.overwrite(_custs(spark, [(10, "x")]))
+    left.overwrite(_orders(spark, [(1, 10, 3, 0.1), (2, 10, 7, 0.1)]))
+    _jrefresh(left, right, view)
+    left.delete("cust = 10")
+    _jrefresh(left, right, view)
+    assert view.read().count() == 0
+
+
+def test_join_view_rejects_ambiguous_columns(spark, triple):
+    left, right, view = triple
+    left.overwrite(_orders(spark, [(1, 10, 2, 1.0)]))
+    right.overwrite(spark.createDataFrame(
+        [(10, "a", 9)], "cust long, segment string, qty long"))
+    with pytest.raises(ValueError, match="share non-key columns"):
+        _jrefresh(left, right, view)
