@@ -239,6 +239,35 @@ def _delta_join(
     return delta.alias("d").join(other.alias("o"), cond, "inner").select(*keep)
 
 
+def _pinned_side(
+    t: SnapshotTable,
+    wm: int,
+    changes: DataFrame,
+    on: tuple[str, ...],
+) -> DataFrame:
+    """The non-delta side of a join-view phase, pinned at its folded
+    version and PRUNED to the change window's join-key range.  An
+    inner join only keeps other-side rows whose key equals some delta
+    key, so restricting the pinned scan to [min, max] of the window's
+    keys is exact — and when the table records `stats_cols` on the
+    join key, `read(predicates=...)` skips whole files before Spark
+    plans the scan.  The production consequence: a clustered dim
+    update (new customer block, one tenant's rows) re-reads a key
+    range of the 100 TB fact side, not all of it; scattered keys
+    degrade to the full pinned scan, never to wrongness.  An all-NULL
+    or empty window short-circuits to an empty side (NULL keys never
+    join)."""
+    if not wm:
+        return t.read().limit(0)  # nothing folded yet: the pin is empty
+    if len(on) != 1:
+        return t.read(version=wm)
+    k = on[0]
+    lo, hi = changes.agg(F.min(k), F.max(k)).first()
+    if lo is None:
+        return t.read(version=wm).limit(0)
+    return t.read(version=wm, predicates=[(k, ">=", lo), (k, "<=", hi)])
+
+
 def refresh_join_view(
     left: SnapshotTable,
     right: SnapshotTable,
@@ -311,10 +340,7 @@ def refresh_join_view(
             changes = left.read_changes(
                 from_l, to_l, keys=left_keys, preimages=True
             )
-            other = (
-                right.read(version=from_r) if from_r
-                else right.read().limit(0)  # nothing folded yet: R@wm is empty
-            )
+            pin_t, pin_wm = right, from_r
             txn = (app_l, to_l, from_l)
         else:
             changes = right.read_changes(
@@ -322,25 +348,32 @@ def refresh_join_view(
             )
             # from_l >= to_l >= 1 here, so the pin always names a
             # real manifest
-            other = left.read(version=from_l)
+            pin_t, pin_wm = left, from_l
             txn = (app_r, to_r, from_r)
-        joined = _delta_join(changes, other, on)
-        for name, expr in (derive or {}).items():
-            joined = joined.withColumn(
-                name, F.expr(expr) if isinstance(expr, str) else expr
-            )
-        delta = fold_delta(joined, group_by, sum_cols, count_col)
-        if view.latest_version() is None:
-            # an all-empty first phase still records its watermark,
-            # which needs a manifest to live in
-            view.overwrite(delta.limit(0))
+        # the window is consumed twice (key-range probe, then the
+        # join): cache it so the CDF diff computes once
+        changes = changes.persist()
         try:
-            v = _fold_merge(
-                view, delta, group_by, sum_cols, count_col, merge_mode, txn
-            )
-            out = v if v is not None else out
-        except StaleWatermark:
-            continue  # a rival refresher advanced this side: re-derive
+            other = _pinned_side(pin_t, pin_wm, changes, on)
+            joined = _delta_join(changes, other, on)
+            for name, expr in (derive or {}).items():
+                joined = joined.withColumn(
+                    name, F.expr(expr) if isinstance(expr, str) else expr
+                )
+            delta = fold_delta(joined, group_by, sum_cols, count_col)
+            if view.latest_version() is None:
+                # an all-empty first phase still records its watermark,
+                # which needs a manifest to live in
+                view.overwrite(delta.limit(0))
+            try:
+                v = _fold_merge(
+                    view, delta, group_by, sum_cols, count_col, merge_mode, txn
+                )
+                out = v if v is not None else out
+            except StaleWatermark:
+                continue  # a rival refresher advanced this side: re-derive
+        finally:
+            changes.unpersist()
     raise ConcurrentCommitError(
         f"join-view refresh lost the fold race {2 * view.max_retries} "
         f"times at {view.root}"

@@ -611,3 +611,57 @@ def run_matview_sink(
     )
     q.awaitTermination()
     return q
+
+
+def run_join_matview_sink(
+    rows: DataFrame,
+    fact_root: str,
+    dim_root: str,
+    view_root: str,
+    on: tuple[str, ...],
+    group_by: tuple[str, ...],
+    sum_cols: tuple[str, ...] = (),
+    left_keys: tuple[str, ...] | None = None,
+    right_keys: tuple[str, ...] | None = None,
+    derive: dict | None = None,
+    checkpoint: str = "",
+    app_id: str = "pixelspark-join-matview",
+):
+    """Streaming fact ingest with a continuously-maintained aggregate
+    over fact ⋈ dim (`refresh_join_view`): each micro-batch appends
+    facts via `append_once`, then folds BOTH delta phases — the new
+    fact rows against the dim pinned at its folded version, and any
+    out-of-band dim commits (segment moves, new customers, landed by
+    whoever maintains the dim) against the fact at ITS watermark.
+    The dim side needs no stream of its own: its snapshot-table
+    history IS the change feed.
+
+    Exactly-once end to end by the same two-watermark argument as
+    `run_matview_sink`, extended per source: a replayed batch appends
+    nothing (txn guard), so both fold windows are empty and no-op;
+    a crash between append and fold is healed by the next trigger's
+    fold, whose windows are defined by source VERSIONS, not batch
+    ids."""
+    from pixelspark.ops.matview import refresh_join_view
+    from pixelspark.table import SnapshotTable
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fact = SnapshotTable(spark, fact_root)
+        dim = SnapshotTable(spark, dim_root)
+        view = SnapshotTable(spark, view_root)
+        fact.append_once(batch_df, app_id, batch_id)
+        refresh_join_view(
+            fact, dim, view, on=on, group_by=group_by, sum_cols=sum_cols,
+            left_keys=left_keys, right_keys=right_keys, derive=derive,
+        )
+
+    q = (
+        rows.writeStream.foreachBatch(commit)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

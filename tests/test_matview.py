@@ -424,3 +424,54 @@ def test_join_view_rejects_ambiguous_columns(spark, triple):
         [(10, "a", 9)], "cust long, segment string, qty long"))
     with pytest.raises(ValueError, match="share non-key columns"):
         _jrefresh(left, right, view)
+
+
+def test_join_view_right_phase_prunes_pinned_fact_scan(spark, tmp_path):
+    """A clustered dim change must NOT re-scan the whole fact side:
+    the right phase pins the fact table at its watermark and prunes it
+    to the change window's join-key [min, max] via stats-file
+    skipping.  Four appends stripe the fact by key range; a dim update
+    touching only keys 0-9 must read back a strict subset of fact
+    files — and the view still equals the from-scratch aggregate."""
+    fact = SnapshotTable(spark, str(tmp_path / "fact"), stats_cols=("cust",))
+    dim = SnapshotTable(spark, str(tmp_path / "dim"))
+    view = SnapshotTable(spark, str(tmp_path / "jv"))
+
+    def fact_rows(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("o"), (F.col("id") % 40).alias("cust"),
+            F.lit(1).cast("long").alias("qty"), F.lit(2.0).alias("price"),
+        ).coalesce(1)
+
+    # stripe the fact into 4 files with disjoint cust ranges
+    for i in range(4):
+        fact.append(fact_rows(0, 100).withColumn(
+            "cust", F.col("cust") % 10 + i * 10))
+    dim.overwrite(spark.createDataFrame(
+        [(c, "seg%d" % (c % 3)) for c in range(40)],
+        "cust long, segment string"))
+    refresh = lambda: MV.refresh_join_view(
+        fact, dim, view, on=("cust",), group_by=("segment",),
+        sum_cols=("qty",), left_keys=("o",), right_keys=("cust",))
+    refresh()
+
+    total_files = len(fact.read().inputFiles())
+    pruned = fact.read(
+        version=MV.last_folded_version(fact, view),
+        predicates=[("cust", ">=", 0), ("cust", "<=", 9)],
+    )
+    assert len(pruned.inputFiles()) < total_files  # skipping is live
+
+    # clustered dim move: keys 0..9 change segment -> right phase
+    dim.merge(spark.createDataFrame(
+        [(c, "moved") for c in range(10)], "cust long, segment string"),
+        keys=("cust",))
+    refresh()
+    got = sorted(map(tuple, view.read().collect()))
+    want = sorted(map(tuple, (
+        fact.read().join(dim.read(), "cust")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("qty").cast("long").alias("qty"))
+    ).collect()))
+    assert got == want

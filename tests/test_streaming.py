@@ -776,3 +776,54 @@ def test_matview_sink_exactly_once_end_to_end(spark, tmp_path):
     assert view.latest_version() == view_v
     assert {r["status"]: (r["n"], r["views"]) for r in view.read().collect()} \
         == got
+
+
+def test_join_matview_sink_folds_stream_and_dim_changes(spark, tmp_path):
+    """Streaming facts + out-of-band dim DML, one continuously-correct
+    join view: trigger 1 folds the first fact batch against the dim;
+    a dim segment-move lands BETWEEN triggers and trigger 2 folds both
+    the new facts AND the dim's change window; a checkpoint-loss
+    replay commits nothing anywhere."""
+    from pixelspark.streaming.daily import run_join_matview_sink
+    from pixelspark.table import SnapshotTable
+
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    schema = "o long, cust long, qty long"
+    spark.createDataFrame([(1, 10, 2), (2, 20, 3)], schema) \
+        .coalesce(1).write.json(src_dir + "/b1")
+
+    dim = SnapshotTable(spark, str(tmp_path / "dim"))
+    dim.overwrite(spark.createDataFrame(
+        [(10, "retail"), (20, "b2b")], "cust long, segment string"))
+
+    stream = lambda: (  # noqa: E731
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .json(src_dir + "/*")
+    )
+    kw = dict(
+        fact_root=str(tmp_path / "fact"), dim_root=str(tmp_path / "dim"),
+        view_root=str(tmp_path / "view"), on=("cust",),
+        group_by=("segment",), sum_cols=("qty",),
+        left_keys=("o",), right_keys=("cust",),
+    )
+    ckpt = str(tmp_path / "ck")
+    run_join_matview_sink(stream(), **kw, checkpoint=ckpt)
+    view = SnapshotTable(spark, kw["view_root"])
+    assert {r["segment"]: (r["n"], r["qty"]) for r in view.read().collect()} \
+        == {"retail": (1, 2), "b2b": (1, 3)}
+
+    # out-of-band dim change + a second fact batch: trigger 2 folds both
+    dim.merge(spark.createDataFrame([(10, "b2b")], "cust long, segment string"),
+              keys=("cust",))
+    spark.createDataFrame([(3, 10, 7)], schema).coalesce(1).write.json(
+        src_dir + "/b2")
+    run_join_matview_sink(stream(), **kw, checkpoint=ckpt)
+    got = {r["segment"]: (r["n"], r["qty"]) for r in view.read().collect()}
+    assert got == {"b2b": (3, 12)}  # retail emptied: no ghost row
+
+    fact = SnapshotTable(spark, kw["fact_root"])
+    fact_v, view_v = fact.latest_version(), view.latest_version()
+    run_join_matview_sink(stream(), **kw, checkpoint=str(tmp_path / "ck2"))
+    assert fact.latest_version() == fact_v
+    assert view.latest_version() == view_v

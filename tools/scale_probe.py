@@ -827,6 +827,98 @@ def matview_experiment(spark) -> dict:
     return {"experiment": "matview_refresh", "change_rows": 2000, **results}
 
 
+def join_matview_experiment(spark) -> dict:
+    """Join-view refresh cost model (ops/matview.py
+    refresh_join_view), both phases, at 10x fact size:
+
+      * FACT phase (the production-dominant shape: facts append,
+        dims crawl): a fixed 2,000-row fact append folds against the
+        pinned 10k-row dim — cost is O(delta ⋈ dim), must stay flat
+        while the fact grows 10x.
+      * DIM phase: a clustered 100-customer segment move folds
+        against the pinned FACT side.  The fact is appended in
+        cust-range stripes with stats_cols on the join key, so the
+        phase's [min, max] key-range predicates skip every stripe
+        but the touched one — pruned-scan cost tracks the key range,
+        not the fact size.  (A cust-scattered fact would degrade to a
+        full pinned scan — the documented caveat.)
+
+    The from-scratch join+agg recompute is timed for contrast (must
+    grow ~linearly)."""
+    import tempfile
+
+    from pixelspark.ops import matview as MV
+    from pixelspark.table import SnapshotTable
+
+    stripe_rows, custs = 20_000, 10_000
+    results = {}
+    for stripes in (10, 100):
+        n = stripes * stripe_rows
+        base = tempfile.mkdtemp(prefix=f"probe_jmv_{stripes}s_")
+        fact = SnapshotTable(spark, base + "/fact", stats_cols=("cust",))
+        dim = SnapshotTable(spark, base + "/dim")
+        view = SnapshotTable(spark, base + "/view")
+        per_stripe = custs // stripes
+        for s in range(stripes):
+            fact.append(
+                spark.range(s * stripe_rows, (s + 1) * stripe_rows)
+                .select(
+                    F.col("id").alias("o"),
+                    (s * per_stripe + F.col("id") % per_stripe).alias("cust"),
+                    (F.col("id") % 97).cast("long").alias("v"),
+                )
+                .coalesce(1)
+            )
+        dim.overwrite(spark.range(custs).select(
+            F.col("id").alias("cust"),
+            (F.col("id") % 50).cast("string").alias("segment"),
+        ))
+
+        def refresh():
+            return MV.refresh_join_view(
+                fact, dim, view, on=("cust",), group_by=("segment",),
+                sum_cols=("v",), left_keys=("o",), right_keys=("cust",),
+            )
+
+        refresh()  # initial fold, untimed
+        fact.append(spark.range(n, n + 2_000).select(
+            F.col("id").alias("o"),
+            (F.col("id") % custs).alias("cust"),
+            F.lit(5).cast("long").alias("v"),
+        ))
+        t0 = time.time()
+        refresh()
+        fact_phase_sec = time.time() - t0
+        dim.merge(
+            spark.range(100).select(
+                F.col("id").alias("cust"), F.lit("moved").alias("segment")
+            ),
+            keys=("cust",),
+        )
+        t0 = time.time()
+        refresh()
+        dim_phase_sec = time.time() - t0
+        t0 = time.time()
+        fact.read().join(dim.read(), "cust").groupBy("segment").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("v")
+        ).write.format("noop").mode("overwrite").save()
+        recompute_sec = time.time() - t0
+        results[f"{stripes}_stripes"] = {
+            "fact_rows": n + 2_000,
+            "fact_phase_refresh_sec": round(fact_phase_sec, 3),
+            "dim_phase_refresh_sec": round(dim_phase_sec, 3),
+            "full_recompute_sec": round(recompute_sec, 3),
+        }
+    small, big = results["10_stripes"], results["100_stripes"]
+    for k in ("fact_phase_refresh_sec", "dim_phase_refresh_sec",
+              "full_recompute_sec"):
+        results[k.replace("_sec", "_ratio_at_10x_fact")] = round(
+            big[k] / small[k], 2
+        )
+    return {"experiment": "join_matview_refresh",
+            "fact_change_rows": 2000, "dim_change_rows": 100, **results}
+
+
 def clone_experiment(spark) -> dict:
     """SHALLOW CLONE cost model: clone_to must be O(1) in table size
     (one manifest write), while a copy-fork (read + overwrite) pays
@@ -923,6 +1015,7 @@ def main() -> None:
             "clone": clone_experiment,
             "mix_scale": mix_scale_experiment,
             "matview": matview_experiment,
+            "join_matview": join_matview_experiment,
         }[sys.argv[1]]
         print(json.dumps(fn(spark)))
         return
