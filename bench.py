@@ -104,6 +104,11 @@ HEADLINE = [
     # commits) — measures the whole refresh loop, dominated by the
     # change-window fold, never a source re-read
     "q_incremental_matview",
+    # round-6e: the join-view lifecycle (two-phase delta rule over
+    # orders ⋈ customers: fact fold, join-crossing dim move, DV
+    # delete) — measures both phases end to end; the join is never
+    # recomputed, and the pinned side prunes to the window's key range
+    "q_join_matview",
 ]
 
 
