@@ -215,14 +215,17 @@ def refresh_agg_view(
 
 
 def _delta_join(
-    delta: DataFrame, other: DataFrame, on: tuple[str, ...]
+    delta: DataFrame, other: DataFrame, on: tuple[str, ...],
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner equi-join of a signed change window against the other
-    side's pinned snapshot.  Output namespace: join keys (delta
-    side's values) + both sides' non-key columns + `change_type` —
-    each joined pair inherits the delta row's sign, which is exactly
-    the multiset-join delta (a change row matching k rows on the
-    other side contributes k signed join rows)."""
+    """Equi-join of a signed change window against the other side's
+    pinned snapshot.  Output namespace: join keys (delta side's
+    values) + both sides' non-key columns + `change_type` — each
+    joined pair inherits the delta row's sign, which is exactly the
+    multiset-join delta (a change row matching k rows on the other
+    side contributes k signed join rows).  `how='left'` keeps
+    unmatched delta rows with NULL other-side columns (the
+    null-extended contribution of a LEFT-side change)."""
     overlap = (set(delta.columns) & set(other.columns)) - set(on)
     if overlap:
         raise ValueError(
@@ -236,7 +239,63 @@ def _delta_join(
     keep = [F.col(f"d.{c}") for c in delta.columns] + [
         F.col(f"o.{c}") for c in other.columns if c not in on
     ]
-    return delta.alias("d").join(other.alias("o"), cond, "inner").select(*keep)
+    return delta.alias("d").join(other.alias("o"), cond, how).select(*keep)
+
+
+def _flip_deltas(
+    changes: DataFrame,
+    right: SnapshotTable,
+    r_wm: int,
+    left: SnapshotTable,
+    l_wm: int,
+    on: tuple[str, ...],
+) -> DataFrame:
+    """LEFT-join right-phase correction: when a right-side change
+    window moves a join key's match count m0 → m1 ACROSS ZERO, the
+    left rows of that key swap between null-extended and joined form.
+    m0 = 0 → m1 > 0: their null-extended view rows must RETRACT (the
+    inner delta adds the joined ones); m0 > 0 → m1 = 0: null-extended
+    rows must APPEAR (the inner delta retracted every joined one).
+    Keys whose count stays on one side of zero need no correction.
+
+    Everything here is sized by the change window: per-key net counts
+    from the window, m0 from the pinned right PRUNED to the window's
+    key range, and the affected left rows from the pinned left PRUNED
+    to the (typically tiny) flipped-key range."""
+    sign = (
+        F.when(F.col("change_type").isin(*_ADDS), F.lit(1))
+        .when(F.col("change_type").isin(*_RETRACTS), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    nonnull = reduce(
+        lambda a, b: a & b, [F.col(k).isNotNull() for k in on]
+    )
+    net = (
+        changes.where(nonnull)  # NULL keys never match: no flip possible
+        .groupBy(*on).agg(F.sum(sign).alias("__net"))
+    )
+    m0 = (
+        _pinned_side(right, r_wm, changes, on)
+        .groupBy(*on).agg(F.count(F.lit(1)).alias("__m0"))
+    )
+    m0c = F.coalesce(F.col("__m0"), F.lit(0))
+    m1c = m0c + F.col("__net")
+    flips = (
+        net.join(m0, list(on), "left")
+        .where(((m0c == 0) & (m1c > 0)) | ((m0c > 0) & (m1c == 0)))
+        .select(
+            *on,
+            F.when(m0c == 0, F.lit("deleted"))
+            .otherwise(F.lit("inserted")).alias("change_type"),
+        )
+    )
+    affected = _delta_join(flips, _pinned_side(left, l_wm, flips, on), on)
+    r_schema = changes.schema
+    null_right = [
+        F.lit(None).cast(r_schema[c].dataType).alias(c)
+        for c in changes.columns if c not in on and c != "change_type"
+    ]
+    return affected.select(*affected.columns, *null_right)
 
 
 def _pinned_side(
@@ -280,6 +339,7 @@ def refresh_join_view(
     right_keys: tuple[str, ...] | None = None,
     derive: dict[str, object] | None = None,
     merge_mode: str = "rewrite",
+    how: str = "inner",
 ) -> int | None:
     """Incrementally maintain `SELECT group_by, COUNT(*), SUM(...)
     FROM left JOIN right USING (on) GROUP BY group_by` — the
@@ -308,15 +368,33 @@ def refresh_join_view(
     qty * price).  Retraction stays exact because the pre-image row
     derives the identical value it added.
 
-    `on` keys join by plain equality (NULL never matches — inner-join
-    SQL semantics, identical to the from-scratch aggregate).  Updates
+    `on` keys join by plain equality (NULL never matches — SQL join
+    semantics, identical to the from-scratch aggregate).  Updates
     that move rows across join keys or groups are handled by the
     pre/post-image retraction, same as `refresh_agg_view`.
 
+    `left_keys` / `right_keys` are each table's unique ROW key for
+    its CDF (needed whenever a window contains rewrites or deletion
+    vectors) — NOT the join key, which may be freely non-unique on
+    either side (fan-out folds as multiset multiplicity).
+
+    `how='left'` maintains the LEFT OUTER variant: unmatched left
+    rows contribute null-extended rows (right columns NULL — a
+    nullable group key folds in place via the null-safe MERGE keys).
+    The left phase is simply a signed left join against the pinned
+    right.  The right phase adds a FLIP correction on top of the
+    inner delta: when the window moves a key's right-side match
+    count across zero, that key's left rows swap between
+    null-extended and joined form (m0=0→m1>0 retracts their null
+    extensions; m0>0→m1=0 inserts them) — see `_flip_deltas`; the
+    correction is sized by the window's keys, never by either table.
+
     Returns the view's latest committed version, or None when both
     sides were already folded (or the sides don't both exist yet —
-    an inner join with a missing side is empty, and watermarks only
+    a join with a missing side folds nothing, and watermarks only
     start once there is something to pin)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     app_l, app_r = _app_id(left, view), _app_id(right, view)
     if app_l == app_r:
         raise ValueError(
@@ -342,6 +420,7 @@ def refresh_join_view(
             )
             pin_t, pin_wm = right, from_r
             txn = (app_l, to_l, from_l)
+            phase_left = True
         else:
             changes = right.read_changes(
                 from_r, to_r, keys=right_keys, preimages=True
@@ -350,12 +429,22 @@ def refresh_join_view(
             # real manifest
             pin_t, pin_wm = left, from_l
             txn = (app_r, to_r, from_r)
+            phase_left = False
         # the window is consumed twice (key-range probe, then the
         # join): cache it so the CDF diff computes once
         changes = changes.persist()
         try:
             other = _pinned_side(pin_t, pin_wm, changes, on)
-            joined = _delta_join(changes, other, on)
+            # a LEFT view's left phase is just a signed left join; its
+            # right phase is the inner delta plus the zero-crossing
+            # flip correction
+            joined = _delta_join(
+                changes, other, on, how if phase_left else "inner"
+            )
+            if how == "left" and not phase_left:
+                joined = joined.unionByName(
+                    _flip_deltas(changes, right, from_r, left, from_l, on)
+                )
             for name, expr in (derive or {}).items():
                 joined = joined.withColumn(
                     name, F.expr(expr) if isinstance(expr, str) else expr

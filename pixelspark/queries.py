@@ -1531,6 +1531,90 @@ def q_join_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_left_join_matview",
+    f"""
+    WITH pv AS (
+      SELECT user_id AS shop, COUNT(*) AS event_count
+      FROM events
+      WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '{TD}'
+      GROUP BY user_id
+    ), bill AS (
+      SELECT c.c_custkey AS shop, COALESCE(pv.event_count, 0) AS views
+      FROM customer c LEFT JOIN pv ON c.c_custkey = pv.shop
+    ), left_end AS (
+      SELECT shop, views FROM bill WHERE views > 0
+    ), segs AS (
+      SELECT c_custkey AS cust,
+             CASE WHEN c_custkey % 3 = 0 THEN 'late'
+                  ELSE CAST(c_nationkey % 5 AS VARCHAR) END AS segment
+      FROM customer
+      WHERE c_custkey % 3 = 0 OR c_nationkey % 5 <> 2
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(views) AS BIGINT) AS views
+    FROM left_end LEFT JOIN segs ON left_end.shop = segs.cust
+    GROUP BY segment
+    """,
+)
+def q_left_join_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER incrementally-maintained join view
+    (refresh_join_view(how='left')): unmatched orders live in the
+    NULL-segment group, and the lifecycle crosses the null-extension
+    boundary BOTH ways — the initial dim covers only 2/3 of the
+    customers (the rest fold as null-extended), then the missing
+    third arrives ('late' segment: the m0=0→m1>0 flip retracts their
+    null extensions), then a whole segment is deleted from the dim
+    (m0>0→m1=0: its customers' orders re-extend to NULL), then a
+    fact-side DV delete retracts zero-view rows from whatever form
+    they currently hold.  Every phase is the window-sized delta rule
+    — the join is never recomputed — and the NULL group folds in
+    place via null-safe MERGE keys.  Oracle: end-state LEFT JOIN
+    aggregate from the raw inputs."""
+    import tempfile
+
+    from pixelspark.ops import matview as MV
+    from pixelspark.table import SnapshotTable
+
+    base = tempfile.mkdtemp(prefix="pixelspark_ljmv_")
+    orders = SnapshotTable(spark, base + "/orders")
+    custs = SnapshotTable(spark, base + "/custs")
+    view = SnapshotTable(spark, base + "/view")
+
+    bill = B.daily_billing(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "events"), TD
+    )
+    orders.overwrite(bill.select(
+        F.col("shop").alias("cust"),
+        F.col("page_views").cast("long").alias("views"),
+    ))
+    cust = _t(spark, sf_dir, "customer")
+    custs.overwrite(cust.where(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_custkey").alias("cust"),
+        (F.col("c_nationkey") % 5).cast("string").alias("segment"),
+    ))
+
+    def refresh():
+        return MV.refresh_join_view(
+            orders, custs, view, on=("cust",), group_by=("segment",),
+            sum_cols=("views",), left_keys=("cust",), right_keys=("cust",),
+            how="left",
+        )
+
+    assert refresh() is not None
+    custs.append(cust.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("cust"), F.lit("late").alias("segment")
+    ))
+    assert refresh() is not None
+    custs.delete("segment = '2'")
+    assert refresh() is not None
+    orders.delete("views = 0", mode="dv")
+    assert refresh() is not None
+    assert refresh() is None, "a current left-join view must no-op"
+    return view.read().select("segment", "n", "views")
+
+
+@query(
     "q_table_dml",
     f"""
     WITH pv AS (
@@ -8790,7 +8874,11 @@ _WINDOW_QUERIES = [
     # q_domain_fix's slot (F7/F11, in-window green r1-r5; stays
     # registered + sweep-checked)
     "q_join_matview",
-    "q_money_format",
+    # r6e rotation: the LEFT-outer join-view flagship (null-extension
+    # flips both directions + NULL-group folds, value-oracled end
+    # state) takes q_money_format's slot (F6, in-window green r5;
+    # stays registered + sweep-checked)
+    "q_left_join_matview",
     "q_json_extract",
     "q_target_date",
     "q_unbilled_shops",

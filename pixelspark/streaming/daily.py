@@ -624,6 +624,7 @@ def run_join_matview_sink(
     left_keys: tuple[str, ...] | None = None,
     right_keys: tuple[str, ...] | None = None,
     derive: dict | None = None,
+    how: str = "inner",
     checkpoint: str = "",
     app_id: str = "pixelspark-join-matview",
 ):
@@ -654,6 +655,7 @@ def run_join_matview_sink(
         refresh_join_view(
             fact, dim, view, on=on, group_by=group_by, sum_cols=sum_cols,
             left_keys=left_keys, right_keys=right_keys, derive=derive,
+            how=how,
         )
 
     q = (

@@ -475,3 +475,109 @@ def test_join_view_right_phase_prunes_pinned_fact_scan(spark, tmp_path):
              F.sum("qty").cast("long").alias("qty"))
     ).collect()))
     assert got == want
+
+
+# -- LEFT OUTER join views ---------------------------------------------------
+
+
+def _lrefresh(left, right, view):
+    return MV.refresh_join_view(
+        left, right, view, on=("cust",), group_by=("segment",),
+        sum_cols=("qty",), left_keys=("o",), right_keys=("cust",),
+        how="left",
+    )
+
+
+def _lrecompute(left, right):
+    return (
+        left.read().join(right.read(), "cust", "left")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("qty").cast("long").alias("qty"))
+    )
+
+
+def _assert_lview_exact(left, right, view):
+    key = lambda r: (r[0] is None, r)  # noqa: E731  NULL group sorts first
+    got = sorted(((r["segment"], r["n"], r["qty"])
+                  for r in view.read().collect()), key=key)
+    want = sorted(map(tuple, _lrecompute(left, right).collect()), key=key)
+    assert got == want
+
+
+def test_left_join_view_null_extension_flips(spark, triple):
+    """LEFT view: unmatched left rows live in the NULL-segment group;
+    a right-side insert that matches them must retract the null
+    extensions (m0=0 -> m1>0 flip) and add joined rows; deleting the
+    key's last right row flips them back."""
+    left, right, view = triple
+    left.overwrite(_orders(spark, [
+        (1, 10, 2, 1.0), (2, 20, 3, 1.0), (3, 99, 5, 1.0),  # 99 dangling
+    ]))
+    right.overwrite(_custs(spark, [(10, "retail"), (20, "b2b")]))
+    assert _lrefresh(left, right, view) is not None
+    _assert_lview_exact(left, right, view)
+    null_row = view.read().where(F.col("segment").isNull()).collect()
+    assert [(r["n"], r["qty"]) for r in null_row] == [(1, 5)]
+
+    # customer 99 appears: flip m0=0 -> m1=1
+    right.append(_custs(spark, [(99, "late")]))
+    assert _lrefresh(left, right, view) is not None
+    _assert_lview_exact(left, right, view)
+    assert view.read().where(F.col("segment").isNull()).count() == 0
+
+    # and disappears again: flip m0=1 -> m1=0
+    right.delete("cust = 99")
+    assert _lrefresh(left, right, view) is not None
+    _assert_lview_exact(left, right, view)
+    assert view.read().where(
+        F.col("segment").isNull()).collect()[0]["qty"] == 5
+    assert _lrefresh(left, right, view) is None
+
+
+def test_left_join_view_fanout_no_flip_until_zero(spark, triple):
+    """A key with TWO right rows: deleting one is a plain inner-delta
+    retraction (m0=2 -> m1=1, no flip); deleting the second crosses
+    zero and the null extension appears.  The right side's CDF row
+    key is a surrogate id — the JOIN key is deliberately non-unique
+    on this side."""
+    left, right, view = triple
+    refresh = lambda: MV.refresh_join_view(  # noqa: E731
+        left, right, view, on=("cust",), group_by=("segment",),
+        sum_cols=("qty",), left_keys=("o",), right_keys=("rid",),
+        how="left",
+    )
+    left.overwrite(_orders(spark, [(1, 10, 4, 1.0)]))
+    right.overwrite(spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b")], "rid long, cust long, segment string"))
+    refresh()
+    _assert_lview_exact(left, right, view)
+    right.delete("segment = 'a'")
+    refresh()
+    _assert_lview_exact(left, right, view)
+    assert view.read().where(F.col("segment").isNull()).count() == 0
+    right.delete("segment = 'b'")
+    refresh()
+    _assert_lview_exact(left, right, view)
+    assert view.read().collect()[0]["segment"] is None
+
+
+def test_left_join_view_left_phase_and_moves(spark, triple):
+    """Left-phase null extensions (appending unmatched rows), a left
+    UPDATE moving a row from a matched key to an unmatched one, and a
+    NULL join key (never matches, permanently null-extended)."""
+    left, right, view = triple
+    right.overwrite(_custs(spark, [(10, "retail")]))
+    left.overwrite(_orders(spark, [(1, 10, 2, 1.0)]))
+    _lrefresh(left, right, view)
+    left.append(spark.createDataFrame(
+        [(2, None, 7, 1.0), (3, 55, 1, 1.0)],
+        "o long, cust long, qty long, price double"))
+    _lrefresh(left, right, view)
+    _assert_lview_exact(left, right, view)
+    # move order 1 from matched cust 10 to unmatched cust 56
+    left.update({"cust": F.lit(56)}, condition="o = 1")
+    _lrefresh(left, right, view)
+    _assert_lview_exact(left, right, view)
+    got = {r["segment"]: (r["n"], r["qty"]) for r in view.read().collect()}
+    assert got == {None: (3, 10)}
