@@ -167,6 +167,7 @@ def refresh_agg_view(
     count_col: str = "n",
     src_keys: tuple[str, ...] | None = None,
     merge_mode: str = "rewrite",
+    where: object | None = None,
 ) -> int | None:
     """Fold everything the source committed since the last refresh
     into the view, exactly once.  Returns the view's new version, or
@@ -178,6 +179,14 @@ def refresh_agg_view(
     (append-only windows need none).  `merge_mode="dv"` folds via
     merge-on-read (O(touched keys) write even on an unpartitioned
     view).
+
+    `where` — optional DETERMINISTIC row-level predicate (Column /
+    SQL string) applied to the change window before folding: the
+    view maintains the aggregate of the FILTERED source.  Retraction
+    stays exact because a row's pre- and post-images filter
+    identically unless the update moved it across the predicate — in
+    which case exactly one of the pair survives, which IS the
+    correct signed delta for a filtered view.
 
     The view's schema is group_by + `count_col` (BIGINT) + one column
     per sum (BIGINT for integral inputs, DECIMAL(28,6) for floating).
@@ -200,7 +209,15 @@ def refresh_agg_view(
         changes = src.read_changes(
             from_v, to_v, keys=src_keys, preimages=True
         )
+        if where is not None:
+            changes = changes.where(
+                F.expr(where) if isinstance(where, str) else where
+            )
         delta = fold_delta(changes, group_by, sum_cols, count_col)
+        if view.latest_version() is None:
+            # an all-filtered-out (or otherwise empty) first window
+            # still records its watermark, which needs a manifest
+            view.overwrite(delta.limit(0))
         try:
             return _fold_merge(
                 view, delta, group_by, sum_cols, count_col, merge_mode,
@@ -211,6 +228,63 @@ def refresh_agg_view(
     raise ConcurrentCommitError(
         f"matview refresh lost the fold race {view.max_retries} times "
         f"at {view.root}"
+    )
+
+
+def refresh_distinct_view(
+    src: SnapshotTable,
+    support: SnapshotTable,
+    view: SnapshotTable,
+    group_by: tuple[str, ...],
+    distinct_col: str,
+    count_col: str = "ndv",
+    src_keys: tuple[str, ...] | None = None,
+    where: object | None = None,
+) -> int | None:
+    """Exact incremental COUNT(DISTINCT distinct_col) per group — the
+    aggregate plain retraction cannot maintain directly (deleting one
+    occurrence of a value must only decrement the distinct count when
+    it was the LAST occurrence).  Solved by CHAINING two ordinary
+    folds, each exactly-once with its own watermark:
+
+      1. source CDF → SUPPORT table keyed by group_by + distinct_col,
+         counting occurrences per (group, value).  `refresh_agg_view`
+         already deletes a support row the moment its count nets to
+         zero and inserts on first occurrence — so support-row BIRTHS
+         and DEATHS are precisely distinct-value appearances and
+         disappearances;
+      2. support CDF → VIEW counting support ROWS per group: +1 per
+         inserted support row, -1 per deleted one; count-only updates
+         arrive as pre/post pairs that cancel in the row count.
+
+    The view's `count_col` therefore equals COUNT(DISTINCT ...) at
+    the source version the chain has folded to.  NULLs are excluded
+    (SQL COUNT(DISTINCT) semantics) via the step-1 `where` filter;
+    a caller `where` composes conjunctively (filtered distinct view).
+
+    Cost: step 1 is O(source changes) + O(touched (group, value)
+    pairs); step 2 is O(support changes) — bounded by the number of
+    distinct values that appeared or vanished, never by the source.
+    The support table is the O(NDV) state every exact streaming
+    distinct-count carries (the Materialize arrangement / the
+    classic distinct-agg auxiliary relation); if approximate is
+    acceptable at 100 TB, ops/sketches.py HLL is the cheaper path.
+
+    Crash between the folds: step 2's next run picks up the support
+    versions step 1 landed — the chain needs no cross-table
+    transaction.  Returns the view's new version (None when fully
+    current)."""
+    notnull = F.col(distinct_col).isNotNull()
+    if where is not None:
+        w = F.expr(where) if isinstance(where, str) else where
+        notnull = notnull & w
+    refresh_agg_view(
+        src, support, group_by=tuple(group_by) + (distinct_col,),
+        count_col="supp", src_keys=src_keys, where=notnull,
+    )
+    return refresh_agg_view(
+        support, view, group_by=tuple(group_by), count_col=count_col,
+        src_keys=tuple(group_by) + (distinct_col,),
     )
 
 

@@ -1615,6 +1615,89 @@ def q_left_join_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_distinct_matview",
+    f"""
+    WITH pv AS (
+      SELECT user_id AS shop, COUNT(*) AS event_count
+      FROM events
+      WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '{TD}'
+      GROUP BY user_id
+    ), bill AS (
+      SELECT c.c_custkey AS shop,
+             COALESCE(pv.event_count, 0) AS views,
+             CAST(c.c_nationkey % 10 AS VARCHAR) AS tag
+      FROM customer c LEFT JOIN pv ON c.c_custkey = pv.shop
+    ), rws AS (
+      SELECT shop,
+             CASE WHEN views >= 2 THEN 'vip'
+                  WHEN views = 1 THEN 'low' ELSE 'zero' END AS status,
+             tag
+      FROM bill
+    )
+    SELECT status, CAST(COUNT(DISTINCT tag) AS BIGINT) AS ndv
+    FROM rws WHERE status <> 'zero'
+    GROUP BY status
+    """,
+)
+def q_distinct_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact incremental COUNT(DISTINCT) view (ops/matview.py
+    refresh_distinct_view): two chained folds — source CDF into an
+    occurrence-count SUPPORT table keyed by (group, value), whose row
+    births/deaths ARE distinct-value appearances/disappearances, then
+    the support's own CDF into the per-group NDV view.  The lifecycle
+    exercises last-occurrence semantics end to end: initial load
+    (every shop 'low'/'zero'), a MERGE promoting multi-view shops to
+    'vip' (cross-group value moves — a nation tag leaves 'low' only
+    when its LAST shop there was promoted), then a merge-on-read DV
+    delete of the 'zero' group.  Each refresh is O(changes) +
+    O(touched (group,value) pairs); the view is never recomputed.
+    Oracle: end-state COUNT(DISTINCT) from the raw inputs."""
+    import tempfile
+
+    from pixelspark.ops import matview as MV
+    from pixelspark.table import SnapshotTable
+
+    base = tempfile.mkdtemp(prefix="pixelspark_ndv_")
+    src = SnapshotTable(spark, base + "/src")
+    supp = SnapshotTable(spark, base + "/supp")
+    view = SnapshotTable(spark, base + "/view")
+
+    bill = B.daily_billing(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "events"), TD
+    )
+    cust = _t(spark, sf_dir, "customer")
+    rows = (
+        bill.join(cust, bill["shop"] == cust["c_custkey"])
+        .select(
+            F.col("shop"),
+            F.when(F.col("page_views") == 1, "low")
+             .when(F.col("page_views") >= 2, "low")
+             .otherwise("zero").alias("status"),
+            (F.col("c_nationkey") % 10).cast("string").alias("tag"),
+            F.col("page_views").cast("long").alias("views"),
+        )
+    )
+
+    def refresh():
+        return MV.refresh_distinct_view(
+            src, supp, view, group_by=("status",), distinct_col="tag",
+            src_keys=("shop",),
+        )
+
+    src.overwrite(rows)
+    assert refresh() is not None
+    src.merge(
+        rows.where(F.col("views") >= 2).withColumn("status", F.lit("vip")),
+        keys=("shop",),
+    )
+    assert refresh() is not None
+    src.delete("status = 'zero'", mode="dv")
+    assert refresh() is not None
+    assert refresh() is None, "a current distinct view must no-op"
+    return view.read().select("status", "ndv")
+
+
+@query(
     "q_table_dml",
     f"""
     WITH pv AS (
@@ -8879,7 +8962,11 @@ _WINDOW_QUERIES = [
     # state) takes q_money_format's slot (F6, in-window green r5;
     # stays registered + sweep-checked)
     "q_left_join_matview",
-    "q_json_extract",
+    # r6e rotation: the exact COUNT(DISTINCT) view flagship (chained
+    # support/ndv folds, last-occurrence semantics value-oracled)
+    # takes q_json_extract's slot (F12, in-window green r1-r5; stays
+    # registered + sweep-checked)
+    "q_distinct_matview",
     "q_target_date",
     "q_unbilled_shops",
     "q_billed_shops_semi",

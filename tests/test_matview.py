@@ -581,3 +581,89 @@ def test_left_join_view_left_phase_and_moves(spark, triple):
     _assert_lview_exact(left, right, view)
     got = {r["segment"]: (r["n"], r["qty"]) for r in view.read().collect()}
     assert got == {None: (3, 10)}
+
+
+# -- COUNT(DISTINCT) views ---------------------------------------------------
+
+
+@pytest.fixture()
+def dtriple(spark, tmp_path):
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    supp = SnapshotTable(spark, str(tmp_path / "supp"))
+    view = SnapshotTable(spark, str(tmp_path / "dview"))
+    return src, supp, view
+
+
+def _drefresh(src, supp, view):
+    return MV.refresh_distinct_view(
+        src, supp, view, group_by=("status",), distinct_col="tag",
+        src_keys=("k",),
+    )
+
+
+def _assert_ndv_exact(spark, src, view):
+    got = {(r["status"], r["ndv"]) for r in view.read().collect()}
+    want = {
+        (r["status"], r["ndv"])
+        for r in src.read().groupBy("status")
+        .agg(F.count_distinct("tag").cast("long").alias("ndv"))
+        .where(F.col("ndv") > 0).collect()
+    }
+    assert got == want
+
+
+def test_distinct_view_counts_births_and_deaths(spark, dtriple):
+    """ndv must only move when a value's LAST occurrence dies or its
+    FIRST appears: deleting one of two copies holds, deleting the
+    last drops, re-inserting re-counts; NULLs never count."""
+    src, supp, view = dtriple
+    rows = lambda r: spark.createDataFrame(  # noqa: E731
+        r, "k long, status string, tag string")
+    src.overwrite(rows([
+        (1, "a", "x"), (2, "a", "x"), (3, "a", "y"),
+        (4, "b", "x"), (5, "b", None),
+    ]))
+    assert _drefresh(src, supp, view) is not None
+    _assert_ndv_exact(spark, src, view)
+    got = {r["status"]: r["ndv"] for r in view.read().collect()}
+    assert got == {"a": 2, "b": 1}  # NULL tag excluded
+
+    src.delete("k = 1")  # one of two 'x' in a: ndv holds
+    _drefresh(src, supp, view)
+    _assert_ndv_exact(spark, src, view)
+    assert {r["status"]: r["ndv"] for r in view.read().collect()} \
+        == {"a": 2, "b": 1}
+
+    src.delete("k = 2")  # last 'x' in a: ndv drops
+    _drefresh(src, supp, view)
+    _assert_ndv_exact(spark, src, view)
+    assert {r["status"]: r["ndv"] for r in view.read().collect()} \
+        == {"a": 1, "b": 1}
+
+    # update moves tag y from a to b; group a empties entirely
+    src.merge(rows([(3, "b", "y")]), keys=("k",))
+    _drefresh(src, supp, view)
+    _assert_ndv_exact(spark, src, view)
+    assert {r["status"]: r["ndv"] for r in view.read().collect()} \
+        == {"b": 2}  # no ghost 'a' row
+
+    assert _drefresh(src, supp, view) is None  # fully current
+
+
+def test_distinct_view_dv_deletes_and_value_churn(spark, dtriple):
+    """Merge-on-read deletes and an update that changes a row's VALUE
+    (retract old value occurrence, add new) keep ndv exact."""
+    src, supp, view = dtriple
+    rows = lambda r: spark.createDataFrame(  # noqa: E731
+        r, "k long, status string, tag string")
+    src.overwrite(rows([(i, "s", f"t{i % 3}") for i in range(9)]))
+    _drefresh(src, supp, view)
+    assert view.read().collect()[0]["ndv"] == 3
+    src.update({"tag": F.lit("t9")}, condition="k = 0")  # t0 still has k=3,6
+    _drefresh(src, supp, view)
+    _assert_ndv_exact(spark, src, view)
+    assert view.read().collect()[0]["ndv"] == 4
+    src.delete("tag = 't9'", mode="dv")
+    _drefresh(src, supp, view)
+    _assert_ndv_exact(spark, src, view)
+    assert view.read().collect()[0]["ndv"] == 3
