@@ -903,15 +903,36 @@ def join_matview_experiment(spark) -> dict:
             F.count(F.lit(1)).alias("n"), F.sum("v").alias("v")
         ).write.format("noop").mode("overwrite").save()
         recompute_sec = time.time() - t0
+
+        # LEFT view, flip-heavy dim change: deleting 100 clustered
+        # customers crosses m0=1 -> m1=0 for each, so the correction
+        # emits null-extension rows for exactly their fact rows —
+        # pruned to the flipped-key range, must stay flat at 10x fact
+        lview = SnapshotTable(spark, base + "/lview")
+        MV.refresh_join_view(
+            fact, dim, lview, on=("cust",), group_by=("segment",),
+            sum_cols=("v",), left_keys=("o",), right_keys=("cust",),
+            how="left",
+        )
+        dim.delete("cust >= 200 AND cust < 300")
+        t0 = time.time()
+        MV.refresh_join_view(
+            fact, dim, lview, on=("cust",), group_by=("segment",),
+            sum_cols=("v",), left_keys=("o",), right_keys=("cust",),
+            how="left",
+        )
+        left_flip_sec = time.time() - t0
+
         results[f"{stripes}_stripes"] = {
             "fact_rows": n + 2_000,
             "fact_phase_refresh_sec": round(fact_phase_sec, 3),
             "dim_phase_refresh_sec": round(dim_phase_sec, 3),
+            "left_flip_phase_refresh_sec": round(left_flip_sec, 3),
             "full_recompute_sec": round(recompute_sec, 3),
         }
     small, big = results["10_stripes"], results["100_stripes"]
     for k in ("fact_phase_refresh_sec", "dim_phase_refresh_sec",
-              "full_recompute_sec"):
+              "left_flip_phase_refresh_sec", "full_recompute_sec"):
         results[k.replace("_sec", "_ratio_at_10x_fact")] = round(
             big[k] / small[k], 2
         )
