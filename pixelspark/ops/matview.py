@@ -119,7 +119,10 @@ def fold_delta(
     aggs = [F.sum(sign).cast("long").alias(count_col)] + [
         # SUM skips NULLs on both add and retract, so a NULL value
         # nets to zero symmetrically; coalesce keeps the arithmetic
-        # in the merge total-able when a group's window is all-NULL
+        # in the merge total-able when a group's window is all-NULL.
+        # Consequence (documented view semantics): a sum column is
+        # COALESCE(SUM(x), 0) — a group with ONLY NULL values (e.g.
+        # outer-join null extensions) reads 0, not SQL's NULL
         F.coalesce(F.sum(sign * val(c)), F.lit(0).cast(
             _SUM_T if isinstance(changes.schema[c].dataType,
                                  (FloatType, DoubleType)) else "long"
@@ -324,18 +327,24 @@ def _flip_deltas(
     l_wm: int,
     on: tuple[str, ...],
 ) -> DataFrame:
-    """LEFT-join right-phase correction: when a right-side change
-    window moves a join key's match count m0 → m1 ACROSS ZERO, the
-    left rows of that key swap between null-extended and joined form.
+    """Outer-join zero-crossing correction: when a change window on
+    one side (`changes`, from the table pinned at `r_wm` before the
+    window) moves a join key's match count m0 → m1 ACROSS ZERO, the
+    OTHER side's rows of that key (`left` pinned at `l_wm`) swap
+    between null-extended and joined form.
     m0 = 0 → m1 > 0: their null-extended view rows must RETRACT (the
     inner delta adds the joined ones); m0 > 0 → m1 = 0: null-extended
     rows must APPEAR (the inner delta retracted every joined one).
     Keys whose count stays on one side of zero need no correction.
+    The roles are symmetric — the LEFT view's right phase and both
+    FULL view phases call this with the delta side as `right` and
+    the preserved side as `left`; the emitted rows null out the
+    DELTA side's columns.
 
     Everything here is sized by the change window: per-key net counts
-    from the window, m0 from the pinned right PRUNED to the window's
-    key range, and the affected left rows from the pinned left PRUNED
-    to the (typically tiny) flipped-key range."""
+    from the window, m0 from the pinned delta-side table PRUNED to
+    the window's key range, and the affected preserved-side rows
+    PRUNED to the (typically tiny) flipped-key range."""
     sign = (
         F.when(F.col("change_type").isin(*_ADDS), F.lit(1))
         .when(F.col("change_type").isin(*_RETRACTS), F.lit(-1))
@@ -463,12 +472,20 @@ def refresh_join_view(
     extensions; m0>0→m1=0 inserts them) — see `_flip_deltas`; the
     correction is sized by the window's keys, never by either table.
 
+    `how='full'` is the symmetric closure: BOTH phases use the
+    preserved (left-style) delta join — so a change row unmatched on
+    the pinned side folds null-extended — and BOTH carry the flip
+    correction, each nulling the DELTA side's columns.  For RIGHT
+    OUTER, swap the two sources and use 'left'.
+
     Returns the view's latest committed version, or None when both
     sides were already folded (or the sides don't both exist yet —
     a join with a missing side folds nothing, and watermarks only
     start once there is something to pin)."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "full"):
+        raise ValueError(
+            f"how must be 'inner', 'left' or 'full', got {how!r}"
+        )
     app_l, app_r = _app_id(left, view), _app_id(right, view)
     if app_l == app_r:
         raise ValueError(
@@ -509,15 +526,21 @@ def refresh_join_view(
         changes = changes.persist()
         try:
             other = _pinned_side(pin_t, pin_wm, changes, on)
-            # a LEFT view's left phase is just a signed left join; its
-            # right phase is the inner delta plus the zero-crossing
-            # flip correction
+            # which side does this phase PRESERVE (null-extend the
+            # delta rows that miss the pinned side)?  LEFT: only the
+            # left phase.  FULL: both.  And the zero-crossing flip
+            # correction runs wherever the OTHER side's rows are
+            # preserved: LEFT -> right phase only, FULL -> both.
+            preserve_delta = (how == "left" and phase_left) or how == "full"
+            flip = (how == "left" and not phase_left) or how == "full"
             joined = _delta_join(
-                changes, other, on, how if phase_left else "inner"
+                changes, other, on, "left" if preserve_delta else "inner"
             )
-            if how == "left" and not phase_left:
+            if flip:
                 joined = joined.unionByName(
-                    _flip_deltas(changes, right, from_r, left, from_l, on)
+                    _flip_deltas(changes, left, from_l, right, from_r, on)
+                    if phase_left
+                    else _flip_deltas(changes, right, from_r, left, from_l, on)
                 )
             for name, expr in (derive or {}).items():
                 joined = joined.withColumn(

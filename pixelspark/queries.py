@@ -1698,6 +1698,92 @@ def q_distinct_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_full_join_matview",
+    f"""
+    WITH pv AS (
+      SELECT user_id AS shop, COUNT(*) AS event_count
+      FROM events
+      WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '{TD}'
+      GROUP BY user_id
+    ), bill AS (
+      SELECT c.c_custkey AS shop, COALESCE(pv.event_count, 0) AS views
+      FROM customer c LEFT JOIN pv ON c.c_custkey = pv.shop
+    ), left_end AS (
+      SELECT shop, views FROM bill WHERE views >= 2
+    ), segs AS (
+      SELECT c_custkey AS cust,
+             CASE WHEN c_custkey % 3 = 0 THEN 'late'
+                  ELSE CAST(c_nationkey % 5 AS VARCHAR) END AS segment
+      FROM customer
+      WHERE c_custkey % 3 = 0 OR c_nationkey % 5 <> 3
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(views), 0) AS BIGINT) AS views
+    FROM left_end FULL JOIN segs ON left_end.shop = segs.cust
+    GROUP BY segment
+    """,
+)
+def q_full_join_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER incrementally-maintained join view
+    (refresh_join_view(how='full')): both sides preserve — dangling
+    orders fold into the NULL segment, customer-less-of-orders
+    segments fold with zero sums — and the zero-crossing flip
+    correction runs in BOTH phases.  Lifecycle: the initial dim
+    covers 2/3 of the customers (left rows for the rest fold
+    null-extended; dim rows for zero-view customers fold with no
+    order match), the missing third arrives (right-phase flip
+    retracts left null extensions), a fact DV delete of the
+    single-view shops re-extends segments whose last order died
+    (left-phase flip: their dim rows return to unmatched form), and
+    a dim segment delete re-extends its orders to NULL.  View sum
+    semantics: COALESCE(SUM(x), 0) — an all-null-extension group
+    reads 0 (documented in fold_delta).  Oracle: end-state FULL JOIN
+    aggregate from the raw inputs."""
+    import tempfile
+
+    from pixelspark.ops import matview as MV
+    from pixelspark.table import SnapshotTable
+
+    base = tempfile.mkdtemp(prefix="pixelspark_fjmv_")
+    orders = SnapshotTable(spark, base + "/orders")
+    custs = SnapshotTable(spark, base + "/custs")
+    view = SnapshotTable(spark, base + "/view")
+
+    bill = B.daily_billing(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "events"), TD
+    )
+    orders.overwrite(bill.where(F.col("page_views") > 0).select(
+        F.col("shop").alias("cust"),
+        F.col("page_views").cast("long").alias("views"),
+    ))
+    cust = _t(spark, sf_dir, "customer")
+    custs.overwrite(cust.where(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_custkey").alias("cust"),
+        (F.col("c_nationkey") % 5).cast("string").alias("segment"),
+    ))
+
+    def refresh():
+        return MV.refresh_join_view(
+            orders, custs, view, on=("cust",), group_by=("segment",),
+            sum_cols=("views",), left_keys=("cust",), right_keys=("cust",),
+            how="full",
+        )
+
+    assert refresh() is not None
+    custs.append(cust.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("cust"), F.lit("late").alias("segment")
+    ))
+    assert refresh() is not None
+    orders.delete("views = 1", mode="dv")
+    assert refresh() is not None
+    custs.delete("segment = '3'")
+    assert refresh() is not None
+    assert refresh() is None, "a current full-join view must no-op"
+    return view.read().select("segment", "n", "views")
+
+
+@query(
     "q_table_dml",
     f"""
     WITH pv AS (

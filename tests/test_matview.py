@@ -667,3 +667,99 @@ def test_distinct_view_dv_deletes_and_value_churn(spark, dtriple):
     _drefresh(src, supp, view)
     _assert_ndv_exact(spark, src, view)
     assert view.read().collect()[0]["ndv"] == 3
+
+
+# -- FULL OUTER join views ---------------------------------------------------
+
+
+def _frefresh(left, right, view):
+    return MV.refresh_join_view(
+        left, right, view, on=("cust",), group_by=("segment",),
+        sum_cols=("qty",), left_keys=("o",), right_keys=("cust",),
+        how="full",
+    )
+
+
+def _frecompute(left, right):
+    # group by segment; right-only rows have qty NULL — the view's
+    # documented sum semantics are COALESCE(SUM(x), 0) (exact nets:
+    # an all-NULL group folds to 0, not SQL's NULL)
+    return (
+        left.read().join(right.read(), "cust", "full")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.coalesce(F.sum("qty"), F.lit(0)).cast("long").alias("qty"))
+    )
+
+
+def _assert_fview_exact(left, right, view):
+    key = lambda r: tuple((x is None, x) for x in r)  # noqa: E731
+    got = sorted(((r["segment"], r["n"], r["qty"])
+                  for r in view.read().collect()), key=key)
+    want = sorted(map(tuple, _frecompute(left, right).collect()), key=key)
+    assert got == want
+
+
+def test_full_join_view_preserves_both_sides(spark, triple):
+    """FULL OUTER: dangling left orders fold into the NULL segment,
+    dangling right customers fold with NULL qty into their own
+    segment; matches on either side retract the opposite side's null
+    extension (flips run in BOTH phases)."""
+    left, right, view = triple
+    left.overwrite(_orders(spark, [
+        (1, 10, 2, 1.0), (2, 99, 5, 1.0),      # 99 dangling left
+    ]))
+    right.overwrite(_custs(spark, [
+        (10, "retail"), (77, "ghost"),          # 77 dangling right
+    ]))
+    assert _frefresh(left, right, view) is not None
+    _assert_fview_exact(left, right, view)
+    got = {r["segment"]: (r["n"], r["qty"]) for r in view.read().collect()}
+    assert got == {"retail": (1, 2), None: (1, 5), "ghost": (1, 0)}
+
+    # left rows arrive for the dangling right key: right's null
+    # extension must retract (left-phase flip)
+    left.append(_orders(spark, [(3, 77, 4, 1.0), (4, 77, 6, 1.0)]))
+    assert _frefresh(left, right, view) is not None
+    _assert_fview_exact(left, right, view)
+    got = {r["segment"]: (r["n"], r["qty"]) for r in view.read().collect()}
+    assert got == {"retail": (1, 2), None: (1, 5), "ghost": (2, 10)}
+
+    # right row arrives for the dangling left key: left's null
+    # extension retracts (right-phase flip)
+    right.append(_custs(spark, [(99, "late")]))
+    assert _frefresh(left, right, view) is not None
+    _assert_fview_exact(left, right, view)
+    assert view.read().where(F.col("segment").isNull()).count() == 0
+
+    # delete ALL left rows of key 77: its right row re-extends
+    left.delete("cust = 77")
+    assert _frefresh(left, right, view) is not None
+    _assert_fview_exact(left, right, view)
+    got = {r["segment"]: (r["n"], r["qty"]) for r in view.read().collect()}
+    assert got == {"retail": (1, 2), "late": (1, 5), "ghost": (1, 0)}
+    assert _frefresh(left, right, view) is None
+
+
+def test_full_join_view_mixed_dml_equals_recompute(spark, triple):
+    """Randomized-ish churn on both sides (appends, cross-key update,
+    DV delete, right segment move) stays exact after every refresh."""
+    left, right, view = triple
+    left.overwrite(_orders(spark, [
+        (i, 10 + i % 4, i, 1.0) for i in range(8)
+    ]))
+    right.overwrite(_custs(spark, [(10, "a"), (11, "b"), (50, "empty")]))
+    _frefresh(left, right, view)
+    _assert_fview_exact(left, right, view)
+    left.update({"cust": F.lit(50)}, condition="o = 0")
+    _frefresh(left, right, view)
+    _assert_fview_exact(left, right, view)
+    right.merge(_custs(spark, [(12, "c"), (11, "a")]), keys=("cust",))
+    _frefresh(left, right, view)
+    _assert_fview_exact(left, right, view)
+    left.delete("cust = 13", mode="dv")
+    _frefresh(left, right, view)
+    _assert_fview_exact(left, right, view)
+    right.delete("segment = 'a'")
+    _frefresh(left, right, view)
+    _assert_fview_exact(left, right, view)
