@@ -71,6 +71,26 @@ _ADDS = ("inserted", "update_postimage")
 _RETRACTS = ("deleted", "update_preimage")
 
 
+class SourceRewound(RuntimeError):
+    """The view's folded watermark names a source version that no
+    longer leads the source's history — the source was restore()d (or
+    dropped and recreated) behind the view.  Change windows cannot be
+    defined backwards; rebuild the view (truncate it and refresh from
+    scratch) or restore the source forward."""
+
+
+def _check_rewind(src: SnapshotTable, view: SnapshotTable,
+                  from_v: int, to_v: int) -> None:
+    if from_v > to_v:
+        raise SourceRewound(
+            f"view {view.root} has folded {src.root} up to version "
+            f"{from_v}, but the source's head is {to_v} — the source "
+            "was restored/recreated behind the view; truncate the view "
+            "and refresh from scratch (a silent no-op here would freeze "
+            "the view at a future state of the source)"
+        )
+
+
 def _app_id(src: SnapshotTable, view: SnapshotTable) -> str:
     # one watermark per (source, view) pair: several views may fold
     # the same source, and a view could (rarely) fold several sources
@@ -207,7 +227,8 @@ def refresh_agg_view(
         if to_v is None:
             return None  # source doesn't exist yet: nothing to fold
         from_v = last_folded_version(src, view)
-        if from_v >= to_v:
+        _check_rewind(src, view, from_v, to_v)
+        if from_v == to_v:
             return None  # already current
         changes = src.read_changes(
             from_v, to_v, keys=src_keys, preimages=True
@@ -500,7 +521,9 @@ def refresh_join_view(
             return out  # inner join with a missing side is empty
         from_l = last_folded_version(left, view)
         from_r = last_folded_version(right, view)
-        if from_l >= to_l and from_r >= to_r:
+        _check_rewind(left, view, from_l, to_l)
+        _check_rewind(right, view, from_r, to_r)
+        if from_l == to_l and from_r == to_r:
             return out  # both sides current
         if from_l < to_l:
             # left phase: the right side pins at ITS watermark — right
@@ -603,7 +626,8 @@ def refresh_minmax_view(
         if to_v is None:
             return None
         from_v = last_folded_version(src, view)
-        if from_v >= to_v:
+        _check_rewind(src, view, from_v, to_v)
+        if from_v == to_v:
             return None
         # preimages are load-bearing here too: an update that MOVES a
         # row across groups must touch BOTH its old and new group, or

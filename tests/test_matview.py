@@ -763,3 +763,48 @@ def test_full_join_view_mixed_dml_equals_recompute(spark, triple):
     right.delete("segment = 'a'")
     _frefresh(left, right, view)
     _assert_fview_exact(left, right, view)
+
+
+# -- history events: compact, restore, recreate ------------------------------
+
+
+def test_refresh_across_source_compact_and_restore(spark, pair):
+    """Maintenance and rollback commits keep the fold exact: a
+    compact's rewritten-but-identical rows classify 'unchanged' (the
+    fold nets nothing, the watermark still advances), and a RESTORE
+    is a forward commit whose CDF window retracts the rolled-back
+    rows — the view follows the source back in time."""
+    src, view = pair
+    src.overwrite(_rows(spark, [(1, "a", 1, 1.0), (2, "b", 2, 2.0)]))
+    src.append(_rows(spark, [(3, "a", 4, 0.5)]))
+    _refresh(src, view)
+    v_folded = src.latest_version()
+
+    src.compact()
+    assert _refresh(src, view) is not None  # watermark-advancing fold
+    assert MV.last_folded_version(src, view) == src.latest_version()
+    _assert_view_exact(src, view)
+
+    src.restore(v_folded - 1)  # roll back the append, forward commit
+    _refresh(src, view)
+    _assert_view_exact(src, view)
+    got = {r["status"]: r["views"] for r in view.read().collect()}
+    assert got == {"a": 1, "b": 2}  # row 3's contribution retracted
+
+
+def test_recreated_source_behind_view_refuses(spark, pair):
+    """A source dropped and recreated (head version < the view's
+    folded watermark) must refuse loudly — a silent no-op would
+    freeze the view at a future state of a table that no longer
+    exists."""
+    import shutil
+
+    src, view = pair
+    src.overwrite(_rows(spark, [(1, "a", 1, 1.0)]))
+    src.append(_rows(spark, [(2, "b", 2, 2.0)]))
+    src.append(_rows(spark, [(3, "c", 3, 3.0)]))
+    _refresh(src, view)
+    shutil.rmtree(src.root)
+    src.overwrite(_rows(spark, [(9, "z", 9, 9.0)]))  # fresh v1 < wm 3
+    with pytest.raises(MV.SourceRewound, match="restored/recreated"):
+        _refresh(src, view)
