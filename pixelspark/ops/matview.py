@@ -73,10 +73,11 @@ _RETRACTS = ("deleted", "update_preimage")
 
 class SourceRewound(RuntimeError):
     """The view's folded watermark names a source version that no
-    longer leads the source's history — the source was restore()d (or
-    dropped and recreated) behind the view.  Change windows cannot be
-    defined backwards; rebuild the view (truncate it and refresh from
-    scratch) or restore the source forward."""
+    longer leads the source's history — the source was dropped and
+    recreated behind the view (a restore() is a FORWARD commit and
+    never trips this).  Change windows cannot be defined backwards;
+    run `rebuild_view(view, src, ...)` to truncate the view and reset
+    its watermarks in one commit, then refresh from scratch."""
 
 
 def _check_rewind(src: SnapshotTable, view: SnapshotTable,
@@ -85,9 +86,9 @@ def _check_rewind(src: SnapshotTable, view: SnapshotTable,
         raise SourceRewound(
             f"view {view.root} has folded {src.root} up to version "
             f"{from_v}, but the source's head is {to_v} — the source "
-            "was restored/recreated behind the view; truncate the view "
-            "and refresh from scratch (a silent no-op here would freeze "
-            "the view at a future state of the source)"
+            "was recreated behind the view; rebuild_view(view, src) "
+            "then refresh from scratch (a silent no-op here would "
+            "freeze the view at a future state of the source)"
         )
 
 
@@ -95,6 +96,28 @@ def _app_id(src: SnapshotTable, view: SnapshotTable) -> str:
     # one watermark per (source, view) pair: several views may fold
     # the same source, and a view could (rarely) fold several sources
     return f"matview::{src.root}"
+
+
+def rebuild_view(view: SnapshotTable, *sources: SnapshotTable) -> int | None:
+    """The `SourceRewound` remedy, and the general start-over switch:
+    truncate the view AND reset its per-source fold watermarks in ONE
+    atomic commit (`overwrite(clear_txn=...)`), so the next refresh
+    folds the sources' full current history from scratch.  Two
+    commits would be unsafe in the truncate-then-clear order's dual —
+    clear-then-truncate leaves a window where a refresh folds fresh
+    changes onto the STALE rows; the single commit has no such
+    window, and a crash before it changes nothing.  Returns the
+    view's new version (None when the view doesn't exist — nothing
+    to rebuild)."""
+    v = view.latest_version()
+    if v is None:
+        return None
+    return view.overwrite(
+        view.read().limit(0),
+        partition_col=view.manifest(v).get("partition_col"),
+        clear_txn=tuple(_app_id(s, view) for s in sources),
+        op={"name": "rebuild_view"},
+    )
 
 
 def last_folded_version(src: SnapshotTable, view: SnapshotTable) -> int:

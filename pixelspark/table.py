@@ -1040,6 +1040,7 @@ class SnapshotTable:
         expected_version=_ANY_VERSION,
         op: dict | None = None,
         txn: tuple[str, int] | None = None,
+        clear_txn: tuple[str, ...] | None = None,
     ) -> int | None:
         """Full snapshot replacement.  An empty `df` is a truncate: the
         manifest commits with zero entries but keeps the schema, so
@@ -1047,7 +1048,13 @@ class SnapshotTable:
 
         `txn=(app_id, batch_id)` gives the replacement the
         `append_once` exactly-once guard: a replayed batch commits
-        nothing and returns None."""
+        nothing and returns None.
+
+        `clear_txn` — app ids whose streaming/fold watermarks this
+        replacement RESETS, in the same atomic commit (the txn map
+        normally survives every commit so replay guards cannot be
+        lost by accident; a rebuild-from-scratch is the one operation
+        that must drop them deliberately — matview.rebuild_view)."""
         if txn is not None:
             v = self.latest_version()
             if v is not None:
@@ -1072,9 +1079,12 @@ class SnapshotTable:
                 "dv_files": [],
                 "op": op or {"name": "overwrite"},
             }
-            if txn is not None:
+            if txn is not None or clear_txn:
                 tmap = dict((prev or {}).get("txn") or {})
-                self._txn_apply(tmap, txn)
+                for app in clear_txn or ():
+                    tmap.pop(app, None)
+                if txn is not None:
+                    self._txn_apply(tmap, txn)
                 out["txn"] = tmap
             return out
 

@@ -806,5 +806,14 @@ def test_recreated_source_behind_view_refuses(spark, pair):
     _refresh(src, view)
     shutil.rmtree(src.root)
     src.overwrite(_rows(spark, [(9, "z", 9, 9.0)]))  # fresh v1 < wm 3
-    with pytest.raises(MV.SourceRewound, match="restored/recreated"):
+    with pytest.raises(MV.SourceRewound, match="recreated behind"):
         _refresh(src, view)
+
+    # the documented remedy: one commit truncates AND resets the
+    # watermark, then a fresh refresh folds the new source's history
+    MV.rebuild_view(view, src)
+    assert MV.last_folded_version(src, view) == 0
+    assert view.read().isEmpty()
+    _refresh(src, view)
+    _assert_view_exact(src, view)
+    assert {r["status"] for r in view.read().collect()} == {"z"}
