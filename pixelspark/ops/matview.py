@@ -61,7 +61,12 @@ from pyspark.sql.types import (
     ShortType,
 )
 
-from pixelspark.table import ConcurrentCommitError, SnapshotTable, StaleWatermark
+from pixelspark.table import (
+    ConcurrentCommitError,
+    ConcurrentWriteConflict,
+    SnapshotTable,
+    StaleWatermark,
+)
 
 # exact decimal for floating-point sums: retraction must be exact
 # subtraction, not float-order-sensitive accumulation
@@ -93,9 +98,39 @@ def _check_rewind(src: SnapshotTable, view: SnapshotTable,
 
 
 def _app_id(src: SnapshotTable, view: SnapshotTable) -> str:
-    # one watermark per (source, view) pair: several views may fold
-    # the same source, and a view could (rarely) fold several sources
-    return f"matview::{src.root}"
+    """One watermark per (source, view) pair, keyed by the source's
+    ROOT + INCARNATION id: `matview::<root>::<table_id>`.  The id is
+    what catches the case version ordering cannot — a source dropped
+    and recreated that has already advanced PAST the view's watermark
+    by the next refresh (same version numbers, different table):
+    the view's watermark sits under the old incarnation's key, the new
+    incarnation resolves to a different key, and finding a non-empty
+    stale sibling raises `SourceRewound` instead of silently folding
+    a stranger's manifest diff onto the view.
+
+    Views that recorded watermarks before the identity stamp keep
+    their legacy `matview::<root>` key (sticky — no migration
+    rewrite), retaining the version-ordering guard only."""
+    legacy = f"matview::{src.root}"
+    v = view.latest_version()
+    tmap = (view.manifest(v).get("txn") or {}) if v is not None else {}
+    if legacy in tmap:
+        return legacy  # pre-identity view: keep its key
+    tid = src.table_id()
+    if not tid:
+        return legacy
+    ident = f"{legacy}::{tid}"
+    if ident not in tmap:
+        prefix = legacy + "::"
+        stale = [k for k in tmap if k.startswith(prefix) and tmap.get(k)]
+        if stale:
+            raise SourceRewound(
+                f"view {view.root} holds a fold watermark for a "
+                f"different incarnation of {src.root} ({stale[0]}) — "
+                "the source was dropped and recreated; "
+                "rebuild_view(view, src) to start over"
+            )
+    return ident
 
 
 def rebuild_view(view: SnapshotTable, *sources: SnapshotTable) -> int | None:
@@ -112,10 +147,18 @@ def rebuild_view(view: SnapshotTable, *sources: SnapshotTable) -> int | None:
     v = view.latest_version()
     if v is None:
         return None
+    # clear by PREFIX, not by _app_id resolution: the stale-
+    # incarnation watermark this remedy exists to remove is exactly
+    # what _app_id refuses to resolve past
+    tmap = view.manifest(v).get("txn") or {}
+    clear = tuple(
+        k for s in sources for k in tmap
+        if k == f"matview::{s.root}" or k.startswith(f"matview::{s.root}::")
+    )
     return view.overwrite(
         view.read().limit(0),
         partition_col=view.manifest(v).get("partition_col"),
-        clear_txn=tuple(_app_id(s, view) for s in sources),
+        clear_txn=clear,
         op={"name": "rebuild_view"},
     )
 
@@ -173,6 +216,23 @@ def fold_delta(
         for c in sum_cols
     ]
     return changes.groupBy(*group_by).agg(*aggs)
+
+
+def _ensure_view(view: SnapshotTable, delta: DataFrame) -> None:
+    """Create the view (empty, fold-schema) iff it does not exist —
+    CREATE-ONLY CAS (`expected_version=None`).  An unconditional
+    overwrite here would let a refresher that read latest_version() as
+    None TRUNCATE a rival's already-folded view; the rival's txn
+    watermark would survive the truncate, leaving the view
+    empty-but-marked-current forever.  Losing the create race is
+    fine: the winner's contents (and watermarks) stand, and the
+    caller's fold CAS takes it from there."""
+    if view.latest_version() is not None:
+        return
+    try:
+        view.overwrite(delta.limit(0), expected_version=None)
+    except ConcurrentWriteConflict:
+        pass  # a rival created it first — their state is the truth
 
 
 def _fold_merge(
@@ -261,10 +321,9 @@ def refresh_agg_view(
                 F.expr(where) if isinstance(where, str) else where
             )
         delta = fold_delta(changes, group_by, sum_cols, count_col)
-        if view.latest_version() is None:
-            # an all-filtered-out (or otherwise empty) first window
-            # still records its watermark, which needs a manifest
-            view.overwrite(delta.limit(0))
+        # an all-filtered-out (or otherwise empty) first window still
+        # records its watermark, which needs a manifest to live in
+        _ensure_view(view, delta)
         try:
             return _fold_merge(
                 view, delta, group_by, sum_cols, count_col, merge_mode,
@@ -370,6 +429,7 @@ def _flip_deltas(
     left: SnapshotTable,
     l_wm: int,
     on: tuple[str, ...],
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Outer-join zero-crossing correction: when a change window on
     one side (`changes`, from the table pinned at `r_wm` before the
@@ -416,6 +476,13 @@ def _flip_deltas(
             .otherwise(F.lit("inserted")).alias("change_type"),
         )
     )
+    # consumed twice (key-range probe inside _pinned_side, then the
+    # join); its plan includes the m0 pinned scan — cache it so that
+    # scan runs once.  The caller unpersists via `cleanup` after the
+    # fold merge has consumed the correction
+    flips = flips.persist()
+    if cleanup is not None:
+        cleanup.append(flips)
     affected = _delta_join(flips, _pinned_side(left, l_wm, flips, on), on)
     r_schema = changes.schema
     null_right = [
@@ -537,39 +604,50 @@ def refresh_join_view(
             "self-join view would share one watermark); clone the "
             "source for the second side"
         )
+    # fold targets are PINNED at call start: a hot source committing
+    # during the refresh does not extend this call's work (its new
+    # commits wait for the next refresh), and successful phase folds
+    # never consume the race budget — only lost CAS attempts do,
+    # else a busy fact table could exhaust the loop while every fold
+    # was landing correctly
+    to_l0, to_r0 = left.latest_version(), right.latest_version()
+    if to_l0 is None or to_r0 is None:
+        return None  # a join with a missing side folds nothing
     out: int | None = None
-    for _ in range(2 * view.max_retries):
-        to_l, to_r = left.latest_version(), right.latest_version()
-        if to_l is None or to_r is None:
-            return out  # inner join with a missing side is empty
+    races = 0
+    while True:
         from_l = last_folded_version(left, view)
         from_r = last_folded_version(right, view)
-        _check_rewind(left, view, from_l, to_l)
-        _check_rewind(right, view, from_r, to_r)
-        if from_l == to_l and from_r == to_r:
-            return out  # both sides current
-        if from_l < to_l:
+        # rewind checks compare against the CURRENT heads (a rival
+        # refresher may legitimately have folded past this call's
+        # pinned targets; a head BELOW the watermark is the anomaly)
+        _check_rewind(left, view, from_l, left.latest_version() or 0)
+        _check_rewind(right, view, from_r, right.latest_version() or 0)
+        if from_l >= to_l0 and from_r >= to_r0:
+            return out  # both sides at (or past) this call's targets
+        if from_l < to_l0:
             # left phase: the right side pins at ITS watermark — right
             # changes past r_wm fold in the right phase against the
             # advanced left, never twice
             changes = left.read_changes(
-                from_l, to_l, keys=left_keys, preimages=True
+                from_l, to_l0, keys=left_keys, preimages=True
             )
             pin_t, pin_wm = right, from_r
-            txn = (app_l, to_l, from_l)
+            txn = (app_l, to_l0, from_l)
             phase_left = True
         else:
             changes = right.read_changes(
-                from_r, to_r, keys=right_keys, preimages=True
+                from_r, to_r0, keys=right_keys, preimages=True
             )
-            # from_l >= to_l >= 1 here, so the pin always names a
+            # from_l >= to_l0 >= 1 here, so the pin always names a
             # real manifest
             pin_t, pin_wm = left, from_l
-            txn = (app_r, to_r, from_r)
+            txn = (app_r, to_r0, from_r)
             phase_left = False
         # the window is consumed twice (key-range probe, then the
         # join): cache it so the CDF diff computes once
         changes = changes.persist()
+        pinned: list = [changes]
         try:
             other = _pinned_side(pin_t, pin_wm, changes, on)
             # which side does this phase PRESERVE (null-extend the
@@ -584,32 +662,37 @@ def refresh_join_view(
             )
             if flip:
                 joined = joined.unionByName(
-                    _flip_deltas(changes, left, from_l, right, from_r, on)
+                    _flip_deltas(changes, left, from_l, right, from_r, on,
+                                 cleanup=pinned)
                     if phase_left
-                    else _flip_deltas(changes, right, from_r, left, from_l, on)
+                    else _flip_deltas(changes, right, from_r, left, from_l,
+                                      on, cleanup=pinned)
                 )
             for name, expr in (derive or {}).items():
                 joined = joined.withColumn(
                     name, F.expr(expr) if isinstance(expr, str) else expr
                 )
             delta = fold_delta(joined, group_by, sum_cols, count_col)
-            if view.latest_version() is None:
-                # an all-empty first phase still records its watermark,
-                # which needs a manifest to live in
-                view.overwrite(delta.limit(0))
+            # an all-empty first phase still records its watermark,
+            # which needs a manifest to live in
+            _ensure_view(view, delta)
             try:
                 v = _fold_merge(
                     view, delta, group_by, sum_cols, count_col, merge_mode, txn
                 )
                 out = v if v is not None else out
             except StaleWatermark:
-                continue  # a rival refresher advanced this side: re-derive
+                # a rival refresher advanced this side: re-derive.
+                # Only LOST races consume the budget
+                races += 1
+                if races >= 2 * view.max_retries:
+                    raise ConcurrentCommitError(
+                        f"join-view refresh lost the fold race {races} "
+                        f"times at {view.root}"
+                    ) from None
+                continue
         finally:
             changes.unpersist()
-    raise ConcurrentCommitError(
-        f"join-view refresh lost the fold race {2 * view.max_retries} "
-        f"times at {view.root}"
-    )
 
 
 def refresh_minmax_view(
@@ -661,13 +744,32 @@ def refresh_minmax_view(
         pcol = src.manifest(to_v).get("partition_col")
         if pcol in group_by and pcol is not None:
             vals = [r[0] for r in touched.select(pcol).distinct().collect()]
-            if not vals:
-                return None
-            base = src.read(partition_values=vals)
+            if any(v is None for v in vals):
+                # a NULL partition value cannot be addressed by
+                # manifest pruning — full-scan fallback (same caveat
+                # as the not-partitioned-by-a-group-column case)
+                base = src.read()
+            elif vals:
+                base = src.read(partition_values=vals)
+            else:
+                # empty change window (e.g. a compact classified all
+                # rows 'unchanged'): nothing to recompute, but the
+                # watermark must still advance — fall through to an
+                # empty merge instead of returning un-current
+                base = src.read().limit(0)
         else:
             base = src.read()
+        # null-safe group joins: a NULL group value is a real group
+        # (GROUP BY collates NULLs together) — plain equality would
+        # drop its rows from `fresh` and route it to `gone`, deleting
+        # a live group from the view on every refresh
+        on_bt = reduce(
+            lambda a, b: a & b,
+            [F.col(f"b.{k}").eqNullSafe(F.col(f"t.{k}")) for k in group_by],
+        )
         fresh = (
-            base.join(F.broadcast(touched), list(group_by), "semi")
+            base.alias("b")
+            .join(F.broadcast(touched.alias("t")), on_bt, "semi")
             .groupBy(*group_by)
             .agg(
                 F.count(F.lit(1)).cast("long").alias(count_col),
@@ -675,7 +777,13 @@ def refresh_minmax_view(
                 *[F.max(c).alias(f"max_{c}") for c in max_cols],
             )
         )
-        gone = touched.join(fresh, list(group_by), "left_anti").select(
+        on_tf = reduce(
+            lambda a, b: a & b,
+            [F.col(f"t.{k}").eqNullSafe(F.col(f"f.{k}")) for k in group_by],
+        )
+        gone = touched.alias("t").join(
+            fresh.alias("f"), on_tf, "left_anti"
+        ).select(
             *group_by,
             F.lit(0).cast("long").alias(count_col),
             *[F.lit(None).cast(base.schema[c].dataType).alias(f"min_{c}")
@@ -683,6 +791,7 @@ def refresh_minmax_view(
             *[F.lit(None).cast(base.schema[c].dataType).alias(f"max_{c}")
               for c in max_cols],
         )
+        _ensure_view(view, fresh.unionByName(gone))
         try:
             return view.merge(
                 fresh.unionByName(gone),

@@ -252,7 +252,23 @@ class ConcurrentWriteConflict(RuntimeError):
     compact / refresh_rollup_snapshot do that internally."""
 
 
+def _key_on(keys, left_alias: str, right_alias: str, null_safe: bool):
+    """Equi-join condition over `keys` between two aliased sides —
+    `<=>` when null_safe (NULL keys match NULL, the grouped-fold
+    semantics) else plain `=` (SQL MERGE semantics).  The one place
+    key-matching semantics live: merge()'s match join and insert
+    anti-join, in both rewrite and merge-on-read modes."""
+    return reduce(
+        lambda a, b: a & b,
+        [F.col(f"{left_alias}.{k}").eqNullSafe(F.col(f"{right_alias}.{k}"))
+         if null_safe
+         else F.col(f"{left_alias}.{k}") == F.col(f"{right_alias}.{k}")
+         for k in keys],
+    )
+
+
 class _SkipCommit(Exception):
+
     """Internal: a build callback aborts the commit (e.g. a replayed
     streaming batch detected inside the rebase loop)."""
 
@@ -408,6 +424,16 @@ class SnapshotTable:
                     continue
         return sorted(out)
 
+    def table_id(self) -> str | None:
+        """The table's incarnation id: minted at its first commit and
+        carried through every manifest.  Two tables at the same path
+        separated by a drop-and-recreate have DIFFERENT ids — the
+        check matview watermarks use to refuse folding a stranger's
+        history.  None for tables whose whole history predates the
+        identity stamp (they gain one at their next commit)."""
+        v = self.latest_version()
+        return self.manifest(v).get("table_id") if v is not None else None
+
     def latest_version(self) -> int | None:
         vs = self.versions()
         return vs[-1] if vs else None
@@ -464,6 +490,13 @@ class SnapshotTable:
             # column mapping (rename/drop without rewrite) survives every
             # commit; ops that change it (rename_column, drop_column,
             # add_columns, restore) set the key explicitly
+            # table identity: minted once (first commit under this
+            # code, normally v1) and carried through every commit —
+            # the stable incarnation stamp that lets downstream state
+            # (matview watermarks) distinguish "the same table,
+            # advanced" from "a different table at the same path"
+            if "table_id" not in new:
+                new["table_id"] = (prev or {}).get("table_id") or uuid.uuid4().hex
             if "column_mapping" not in new and prev and prev.get("column_mapping"):
                 new["column_mapping"] = prev["column_mapping"]
             if not new.get("column_mapping"):
@@ -1494,13 +1527,24 @@ class SnapshotTable:
                             )
                         )
                     if any(v is None for v in touched):
-                        raise ValueError(
-                            "partition-scoped merge cannot address a NULL "
-                            f"partition value in source column {pcol!r}"
-                        )
-                    target = self.read(
-                        version=read_v, partition_values=touched
-                    ).where(F.col(pcol).isin(touched))
+                        if null_safe_keys:
+                            # NULL is a real key under <=> (a NULL
+                            # group in a fold delta), but no `col=...`
+                            # subdirectory can address it — fall back
+                            # to the whole-table rewrite for THIS
+                            # merge rather than refusing
+                            target = self.read(version=read_v)
+                            partition_scoped = False
+                        else:
+                            raise ValueError(
+                                "partition-scoped merge cannot address a "
+                                "NULL partition value in source column "
+                                f"{pcol!r}"
+                            )
+                    else:
+                        target = self.read(
+                            version=read_v, partition_values=touched
+                        ).where(F.col(pcol).isin(touched))
                 else:
                     target = self.read(version=read_v)
 
@@ -1540,13 +1584,7 @@ class SnapshotTable:
                     # source has size stats; AQE converts at runtime
                     # otherwise — this forces it at plan time)
                     s_m = F.broadcast(s_m)
-                on = reduce(
-                    lambda a, b: a & b,
-                    [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
-                     if null_safe_keys
-                     else F.col(f"t.{k}") == F.col(f"s.{k}")
-                     for k in keys],
-                )
+                on = _key_on(keys, "t", "s", null_safe_keys)
                 j = t_m.join(s_m, on, "left")
                 is_match = F.col("s.__s").isNotNull()
                 deleted = is_match & F.coalesce(del_cond, F.lit(False))
@@ -1572,19 +1610,10 @@ class SnapshotTable:
                         return F.col(c).alias(c)
                     return F.lit(None).cast(target.schema[c].dataType).alias(c)
 
-                if null_safe_keys:
-                    anti_on = reduce(
-                        lambda a, b: a & b,
-                        [F.col(f"s.{k}").eqNullSafe(F.col(f"tk.{k}"))
-                         for k in keys],
-                    )
-                    unmatched = source.alias("s").join(
-                        target.select(*keys).alias("tk"), anti_on, "left_anti"
-                    )
-                else:
-                    unmatched = source.alias("s").join(
-                        target.select(*keys), list(keys), "left_anti"
-                    )
+                unmatched = source.alias("s").join(
+                    target.select(*keys).alias("tk"),
+                    _key_on(keys, "s", "tk", null_safe_keys), "left_anti",
+                )
                 inserts = (
                     unmatched
                     .where(F.coalesce(ins_cond, F.lit(False)))
@@ -1702,13 +1731,7 @@ class SnapshotTable:
 
             t_m = df.alias("t")
             s_m = source.withColumn("__s", F.lit(True)).alias("s")
-            on = reduce(
-                lambda a, b: a & b,
-                [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
-                 if null_safe_keys
-                 else F.col(f"t.{k}") == F.col(f"s.{k}")
-                 for k in keys],
-            )
+            on = _key_on(keys, "t", "s", null_safe_keys)
             j = t_m.join(s_m, on, "inner")  # only matched rows matter here
             deleted = F.coalesce(del_cond, F.lit(False))
             updated = ~deleted & F.coalesce(upd_cond, F.lit(False))
@@ -1763,19 +1786,10 @@ class SnapshotTable:
                 )
                 widened_schema = ws.json()
 
-            if null_safe_keys:
-                anti_on = reduce(
-                    lambda a, b: a & b,
-                    [F.col(f"s.{k}").eqNullSafe(F.col(f"tk.{k}"))
-                     for k in keys],
-                )
-                unmatched = source.alias("s").join(
-                    df.select(*keys).alias("tk"), anti_on, "left_anti"
-                )
-            else:
-                unmatched = source.alias("s").join(
-                    df.select(*keys), list(keys), "left_anti"
-                )
+            unmatched = source.alias("s").join(
+                df.select(*keys).alias("tk"),
+                _key_on(keys, "s", "tk", null_safe_keys), "left_anti",
+            )
             inserts = (
                 unmatched
                 .where(F.coalesce(ins_cond, F.lit(False)))

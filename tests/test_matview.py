@@ -34,9 +34,10 @@ def _recompute(src):
 
 
 def _assert_view_exact(src, view):
+    key = lambda r: tuple((x is None, x) for x in r)  # noqa: E731
     got = sorted(map(tuple, view.read().select(
-        "status", "n", "views", "amt").collect()))
-    want = sorted(map(tuple, _recompute(src).collect()))
+        "status", "n", "views", "amt").collect()), key=key)
+    want = sorted(map(tuple, _recompute(src).collect()), key=key)
     assert got == want
 
 
@@ -167,9 +168,10 @@ def _refresh_mm(src, view):
 
 
 def _assert_mm_exact(src, view):
+    key = lambda r: tuple((x is None, x) for x in r)  # noqa: E731
     got = sorted(map(tuple, view.read().select(
-        "status", "n", "min_views", "max_views").collect()))
-    want = sorted(map(tuple, _recompute_minmax(src).collect()))
+        "status", "n", "min_views", "max_views").collect()), key=key)
+    want = sorted(map(tuple, _recompute_minmax(src).collect()), key=key)
     assert got == want
 
 
@@ -806,7 +808,7 @@ def test_recreated_source_behind_view_refuses(spark, pair):
     _refresh(src, view)
     shutil.rmtree(src.root)
     src.overwrite(_rows(spark, [(9, "z", 9, 9.0)]))  # fresh v1 < wm 3
-    with pytest.raises(MV.SourceRewound, match="recreated behind"):
+    with pytest.raises(MV.SourceRewound, match="recreated"):
         _refresh(src, view)
 
     # the documented remedy: one commit truncates AND resets the
@@ -817,3 +819,101 @@ def test_recreated_source_behind_view_refuses(spark, pair):
     _refresh(src, view)
     _assert_view_exact(src, view)
     assert {r["status"] for r in view.read().collect()} == {"z"}
+
+
+# -- review-hardening: NULL groups in minmax, partitioned edge cases ---------
+
+
+def test_minmax_view_null_group_is_a_real_group(spark, pair):
+    """GROUP BY collates NULLs: the minmax recompute's semi/anti
+    joins must be null-safe, or the NULL group's rows are dropped
+    from `fresh` and the group is deleted from the view on every
+    refresh."""
+    src, view = pair
+    src.overwrite(_rows(spark, [
+        (1, None, 10, 0.0), (2, None, 99, 0.0), (3, "b", 7, 0.0),
+    ]))
+    _refresh_mm(src, view)
+    _assert_mm_exact(src, view)
+    nul = view.read().where(F.col("status").isNull()).collect()
+    assert [(r["n"], r["min_views"], r["max_views"]) for r in nul] \
+        == [(2, 10, 99)]
+    src.delete("k = 2")  # NULL group's max dies: runner-up surfaces
+    _refresh_mm(src, view)
+    _assert_mm_exact(src, view)
+    src.delete("views = 10")  # NULL group empties: row must vanish
+    _refresh_mm(src, view)
+    assert view.read().where(F.col("status").isNull()).count() == 0
+    _assert_mm_exact(src, view)
+
+
+def test_minmax_empty_window_advances_watermark(spark, tmp_path):
+    """A partition-col-grouped minmax view folding a compact (all
+    rows 'unchanged', empty window) must still advance its watermark
+    — returning un-current forever would re-diff the same window on
+    every refresh."""
+    src = SnapshotTable(spark, str(tmp_path / "psrc"))
+    view = SnapshotTable(spark, str(tmp_path / "pview"))
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 9)], "k long, day string, v long")
+    src.replace_partitions(df, "day")
+    MV.refresh_minmax_view(src, view, group_by=("day",),
+                           max_cols=("v",), src_keys=("k",))
+    src.compact()
+    assert MV.refresh_minmax_view(src, view, group_by=("day",),
+                                  max_cols=("v",), src_keys=("k",)) is not None
+    assert MV.last_folded_version(src, view) == src.latest_version()
+    assert MV.refresh_minmax_view(src, view, group_by=("day",),
+                                  max_cols=("v",), src_keys=("k",)) is None
+
+
+def test_fold_into_partitioned_view_with_null_group(spark, tmp_path):
+    """A view PARTITIONED BY the group column receives a NULL-group
+    fold delta: the null-safe merge falls back to the whole-table
+    rewrite for that merge instead of refusing the NULL partition
+    value."""
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    view = SnapshotTable(spark, str(tmp_path / "view"))
+    # pre-create the view partitioned by the group key (the
+    # partition-scoped O(touched-groups) merge shape)
+    view.overwrite(spark.createDataFrame(
+        [], "status string, n long, views long, amt long"
+    ).withColumn("amt", F.col("amt").cast(MV._SUM_T)), partition_col="status")
+    src.overwrite(_rows(spark, [
+        (1, "a", 1, 1.0), (2, None, 2, 2.0),
+    ]))
+    MV.refresh_agg_view(src, view, group_by=("status",),
+                        sum_cols=("views", "amt"), src_keys=("k",))
+    _assert_view_exact(src, view)
+    src.upsert(_rows(spark, [(3, None, 5, 0.5)]), keys=("k",))
+    MV.refresh_agg_view(src, view, group_by=("status",),
+                        sum_cols=("views", "amt"), src_keys=("k",))
+    _assert_view_exact(src, view)
+    nul = view.read().where(F.col("status").isNull()).collect()
+    assert [(r["n"], r["views"]) for r in nul] == [(2, 7)]
+
+
+def test_recreated_source_caught_even_after_catching_up(spark, pair):
+    """The case version ordering cannot catch: the recreated source
+    has already advanced PAST the view's watermark when the next
+    refresh runs.  The incarnation id in the watermark key refuses
+    the fold — without it, read_changes would silently diff the NEW
+    table's manifests and fold a stranger's delta onto the view."""
+    import shutil
+
+    src, view = pair
+    src.overwrite(_rows(spark, [(1, "a", 1, 1.0)]))
+    src.append(_rows(spark, [(2, "b", 2, 2.0)]))
+    _refresh(src, view)  # folded to v2 under incarnation T1
+
+    shutil.rmtree(src.root)
+    src.overwrite(_rows(spark, [(9, "z", 9, 9.0)]))   # T2 v1
+    src.append(_rows(spark, [(10, "z", 1, 1.0)]))     # T2 v2
+    src.append(_rows(spark, [(11, "y", 2, 2.0)]))     # T2 v3 > wm 2
+    with pytest.raises(MV.SourceRewound, match="incarnation"):
+        _refresh(src, view)
+
+    MV.rebuild_view(view, src)
+    _refresh(src, view)
+    _assert_view_exact(src, view)
+    assert MV.last_folded_version(src, view) == src.latest_version()
