@@ -97,6 +97,33 @@ def _check_rewind(src: SnapshotTable, view: SnapshotTable,
         )
 
 
+def _folded_any(src_root: str, view: SnapshotTable) -> bool:
+    """Does the view hold ANY fold watermark for a source at this
+    root (legacy or any incarnation key)?  Used to tell "source not
+    created yet" (fold nothing, quietly) from "source GONE from under
+    a view that folded it" (refuse loudly)."""
+    v = view.latest_version()
+    if v is None:
+        return False
+    tmap = view.manifest(v).get("txn") or {}
+    pre = f"matview::{src_root}"
+    return any(
+        (k == pre or k.startswith(pre + "::")) and tmap.get(k)
+        for k in tmap
+    )
+
+
+def _check_missing(src: SnapshotTable, view: SnapshotTable) -> None:
+    if _folded_any(src.root, view):
+        raise SourceRewound(
+            f"source {src.root} no longer exists, but view {view.root} "
+            "holds its fold watermark — the source was dropped from "
+            "under the view; rebuild_view(view, src) to start over "
+            "(a silent no-op would freeze the view at the state of a "
+            "vanished table)"
+        )
+
+
 def _app_id(src: SnapshotTable, view: SnapshotTable) -> str:
     """One watermark per (source, view) pair, keyed by the source's
     ROOT + INCARNATION id: `matview::<root>::<table_id>`.  The id is
@@ -308,6 +335,7 @@ def refresh_agg_view(
     for _ in range(view.max_retries):
         to_v = src.latest_version()
         if to_v is None:
+            _check_missing(src, view)
             return None  # source doesn't exist yet: nothing to fold
         from_v = last_folded_version(src, view)
         _check_rewind(src, view, from_v, to_v)
@@ -612,7 +640,13 @@ def refresh_join_view(
     # was landing correctly
     to_l0, to_r0 = left.latest_version(), right.latest_version()
     if to_l0 is None or to_r0 is None:
-        return None  # a join with a missing side folds nothing
+        # a side that never existed folds nothing; a side that
+        # VANISHED from under the view refuses
+        if to_l0 is None:
+            _check_missing(left, view)
+        if to_r0 is None:
+            _check_missing(right, view)
+        return None
     out: int | None = None
     races = 0
     while True:
@@ -730,6 +764,7 @@ def refresh_minmax_view(
     for _ in range(view.max_retries):
         to_v = src.latest_version()
         if to_v is None:
+            _check_missing(src, view)
             return None
         from_v = last_folded_version(src, view)
         _check_rewind(src, view, from_v, to_v)

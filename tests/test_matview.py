@@ -917,3 +917,23 @@ def test_recreated_source_caught_even_after_catching_up(spark, pair):
     _refresh(src, view)
     _assert_view_exact(src, view)
     assert MV.last_folded_version(src, view) == src.latest_version()
+
+
+def test_vanished_source_refuses_instead_of_silent_noop(spark, pair):
+    """A source DROPPED (not recreated) from under a view that folded
+    it: refresh must refuse, not return None as if merely waiting for
+    the source to appear."""
+    import shutil
+
+    src, view = pair
+    src.overwrite(_rows(spark, [(1, "a", 1, 1.0)]))
+    _refresh(src, view)
+    shutil.rmtree(src.root)
+    with pytest.raises(MV.SourceRewound, match="no longer exists"):
+        _refresh(src, view)
+    # join views refuse the same way when a folded side vanishes
+    dim = SnapshotTable(spark, str(src.root) + "_dim")
+    with pytest.raises(MV.SourceRewound, match="no longer exists"):
+        MV.refresh_join_view(
+            src, dim, view, on=("k",), group_by=("status",),
+        )
