@@ -827,3 +827,45 @@ def test_join_matview_sink_folds_stream_and_dim_changes(spark, tmp_path):
     run_join_matview_sink(stream(), **kw, checkpoint=str(tmp_path / "ck2"))
     assert fact.latest_version() == fact_v
     assert view.latest_version() == view_v
+
+
+def test_join_matview_sink_left_outer_flips_between_triggers(spark, tmp_path):
+    """LEFT view through the streaming sink: trigger 1 folds facts
+    with a dangling customer (null-extended); a dim row for that
+    customer lands between triggers, and trigger 2's dim phase flips
+    the null extension while folding the new facts."""
+    from pixelspark.streaming.daily import run_join_matview_sink
+    from pixelspark.table import SnapshotTable
+
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    schema = "o long, cust long, qty long"
+    spark.createDataFrame([(1, 10, 2), (2, 99, 5)], schema) \
+        .coalesce(1).write.json(src_dir + "/b1")
+    dim = SnapshotTable(spark, str(tmp_path / "dim"))
+    dim.overwrite(spark.createDataFrame(
+        [(10, "retail")], "cust long, segment string"))
+
+    stream = lambda: (  # noqa: E731
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .json(src_dir + "/*")
+    )
+    kw = dict(
+        fact_root=str(tmp_path / "fact"), dim_root=str(tmp_path / "dim"),
+        view_root=str(tmp_path / "view"), on=("cust",),
+        group_by=("segment",), sum_cols=("qty",),
+        left_keys=("o",), right_keys=("cust",), how="left",
+    )
+    ckpt = str(tmp_path / "ck")
+    run_join_matview_sink(stream(), **kw, checkpoint=ckpt)
+    view = SnapshotTable(spark, kw["view_root"])
+    got = {r["segment"]: (r["n"], r["qty"]) for r in view.read().collect()}
+    assert got == {"retail": (1, 2), None: (1, 5)}
+
+    dim.append(spark.createDataFrame([(99, "late")],
+                                     "cust long, segment string"))
+    spark.createDataFrame([(3, 99, 1)], schema).coalesce(1).write.json(
+        src_dir + "/b2")
+    run_join_matview_sink(stream(), **kw, checkpoint=ckpt)
+    got = {r["segment"]: (r["n"], r["qty"]) for r in view.read().collect()}
+    assert got == {"retail": (1, 2), "late": (2, 6)}  # extension flipped
