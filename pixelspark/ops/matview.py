@@ -262,6 +262,20 @@ def _ensure_view(view: SnapshotTable, delta: DataFrame) -> None:
         pass  # a rival created it first — their state is the truth
 
 
+def _fold_or_create(fold, view: SnapshotTable, delta: DataFrame):
+    """Run a fold merge, creating the view REACTIVELY if its no-op
+    path finds no manifest to record the watermark in (an all-empty
+    first window on a not-yet-existing view).  A merge with actual
+    rows creates the table itself, so the common first fold pays no
+    extra commit; only the empty-window edge takes the create-only
+    CAS and retries."""
+    try:
+        return fold()
+    except FileNotFoundError:
+        _ensure_view(view, delta)
+        return fold()
+
+
 def _fold_merge(
     view: SnapshotTable,
     delta: DataFrame,
@@ -349,13 +363,13 @@ def refresh_agg_view(
                 F.expr(where) if isinstance(where, str) else where
             )
         delta = fold_delta(changes, group_by, sum_cols, count_col)
-        # an all-filtered-out (or otherwise empty) first window still
-        # records its watermark, which needs a manifest to live in
-        _ensure_view(view, delta)
         try:
-            return _fold_merge(
-                view, delta, group_by, sum_cols, count_col, merge_mode,
-                (_app_id(src, view), to_v, from_v),
+            return _fold_or_create(
+                lambda: _fold_merge(
+                    view, delta, group_by, sum_cols, count_col, merge_mode,
+                    (_app_id(src, view), to_v, from_v),
+                ),
+                view, delta,
             )
         except StaleWatermark:
             continue  # a rival fold landed: recompute from its watermark
@@ -707,12 +721,13 @@ def refresh_join_view(
                     name, F.expr(expr) if isinstance(expr, str) else expr
                 )
             delta = fold_delta(joined, group_by, sum_cols, count_col)
-            # an all-empty first phase still records its watermark,
-            # which needs a manifest to live in
-            _ensure_view(view, delta)
             try:
-                v = _fold_merge(
-                    view, delta, group_by, sum_cols, count_col, merge_mode, txn
+                v = _fold_or_create(
+                    lambda: _fold_merge(
+                        view, delta, group_by, sum_cols, count_col,
+                        merge_mode, txn,
+                    ),
+                    view, delta,
                 )
                 out = v if v is not None else out
             except StaleWatermark:
@@ -826,17 +841,20 @@ def refresh_minmax_view(
             *[F.lit(None).cast(base.schema[c].dataType).alias(f"max_{c}")
               for c in max_cols],
         )
-        _ensure_view(view, fresh.unionByName(gone))
+        mm_delta = fresh.unionByName(gone)
         try:
-            return view.merge(
-                fresh.unionByName(gone),
-                keys=group_by,
-                when_matched_delete=F.col(f"s.{count_col}") == 0,
-                when_matched_update="all",
-                when_not_matched_insert=F.col(f"s.{count_col}") > 0,
-                validate_keys=False,
-                null_safe_keys=True,
-                txn=(_app_id(src, view), to_v, from_v),
+            return _fold_or_create(
+                lambda: view.merge(
+                    mm_delta,
+                    keys=group_by,
+                    when_matched_delete=F.col(f"s.{count_col}") == 0,
+                    when_matched_update="all",
+                    when_not_matched_insert=F.col(f"s.{count_col}") > 0,
+                    validate_keys=False,
+                    null_safe_keys=True,
+                    txn=(_app_id(src, view), to_v, from_v),
+                ),
+                view, mm_delta,
             )
         except StaleWatermark:
             continue
