@@ -53,6 +53,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import (
     ByteType,
     DoubleType,
@@ -628,16 +629,25 @@ def refresh_join_view(
     `how='full'` is the symmetric closure: BOTH phases use the
     preserved (left-style) delta join — so a change row unmatched on
     the pinned side folds null-extended — and BOTH carry the flip
-    correction, each nulling the DELTA side's columns.  For RIGHT
-    OUTER, swap the two sources and use 'left'.
+    correction, each nulling the DELTA side's columns.  `how='right'`
+    is exactly LEFT with the sources swapped and is handled that way
+    internally (watermarks are keyed per source root, so the swap is
+    invisible to the fold state).
 
     Returns the view's latest committed version, or None when both
     sides were already folded (or the sides don't both exist yet —
     a join with a missing side folds nothing, and watermarks only
     start once there is something to pin)."""
+    if how == "right":
+        return refresh_join_view(
+            right, left, view, on=on, group_by=group_by,
+            sum_cols=sum_cols, count_col=count_col,
+            left_keys=right_keys, right_keys=left_keys,
+            derive=derive, merge_mode=merge_mode, how="left",
+        )
     if how not in ("inner", "left", "full"):
         raise ValueError(
-            f"how must be 'inner', 'left' or 'full', got {how!r}"
+            f"how must be 'inner', 'left', 'right' or 'full', got {how!r}"
         )
     app_l, app_r = _app_id(left, view), _app_id(right, view)
     if app_l == app_r:
@@ -860,6 +870,149 @@ def refresh_minmax_view(
             continue
     raise ConcurrentCommitError(
         f"minmax-view refresh lost the fold race {view.max_retries} "
+        f"times at {view.root}"
+    )
+
+
+def refresh_topn_view(
+    src: SnapshotTable,
+    view: SnapshotTable,
+    group_by: tuple[str, ...],
+    order_by: tuple[str, ...],
+    n: int = 10,
+    descending: bool | tuple[bool, ...] = True,
+    payload: tuple[str, ...] = (),
+    rank_col: str = "rank",
+    src_keys: tuple[str, ...] | None = None,
+) -> int | None:
+    """Per-group TOP-N materialized view:
+
+        SELECT group_by, rank, order_by, payload FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY group_by ORDER BY order_by ...) AS rank
+          FROM src) WHERE rank <= n
+
+    Top-N is the classic view retraction CANNOT maintain: deleting
+    the current #3 must pull #N+1 into the board, and the view never
+    stored it.  Like `refresh_minmax_view`, the refresh RECOMPUTES
+    exactly the groups the CDF window touched (pre/post images catch
+    group-crossing updates on both their old and new boards):
+
+      1. touched groups = DISTINCT group keys of the change window;
+      2. their fresh boards = one semi-filtered scan of the source
+         (manifest-pruned via `read(partition_values=...)` when the
+         source is partitioned by a group column) + a row_number
+         window PARTITIONED by the group — never a global sort;
+      3. one idempotent MERGE keyed on (group_by..., rank): live
+         slots update/insert, VACATED slots delete — a board that
+         shrank from N to k rows keeps exactly k.  The slot frame is
+         touched x n rows, so the merge is sized by the change
+         window, never by the view.
+
+    `order_by` must be a TOTAL order (end it with a unique key) or
+    rank ties break nondeterministically across refreshes.  NULL
+    ordering is Spark's default (ASC = nulls first, DESC = nulls
+    last).  `n`, `order_by` and `group_by` are view constants: a
+    LARGER n on an existing view back-fills lazily (only touched
+    groups re-board), a smaller one strands stale tail slots — use
+    `rebuild_view` to change the shape.
+
+    View schema: group_by + rank_col + order_by + payload columns.
+    Same compare-and-set (app_id, source_version) watermark
+    discipline as every other refresher in this module."""
+    if not group_by:
+        raise ValueError(
+            "refresh_topn_view needs at least one group column — a "
+            "GLOBAL top-n would plan a single-partition window; use "
+            "orderBy(...).limit(n) (TakeOrderedAndProject) for that"
+        )
+    if isinstance(descending, bool):
+        descending = (descending,) * len(order_by)
+    if len(descending) != len(order_by):
+        raise ValueError("descending must match order_by in length")
+    overlap = set(group_by) & set(order_by)
+    if overlap:
+        raise ValueError(f"order_by columns {sorted(overlap)} are group "
+                         "keys — constant within a board, order on a "
+                         "non-key column")
+    val_cols = list(order_by) + [c for c in payload if c not in order_by]
+    for _ in range(view.max_retries):
+        to_v = src.latest_version()
+        if to_v is None:
+            _check_missing(src, view)
+            return None
+        from_v = last_folded_version(src, view)
+        _check_rewind(src, view, from_v, to_v)
+        if from_v == to_v:
+            return None
+        changes = src.read_changes(from_v, to_v, keys=src_keys, preimages=True)
+        touched = changes.select(*group_by).distinct()
+
+        pcol = src.manifest(to_v).get("partition_col")
+        if pcol in group_by and pcol is not None:
+            vals = [r[0] for r in touched.select(pcol).distinct().collect()]
+            if any(v is None for v in vals):
+                base = src.read()  # NULL partition: unpruned fallback
+            elif vals:
+                base = src.read(partition_values=vals)
+            else:
+                base = src.read().limit(0)  # all-'unchanged' window
+        else:
+            base = src.read()
+        on_bt = reduce(
+            lambda a, b: a & b,
+            [F.col(f"b.{k}").eqNullSafe(F.col(f"t.{k}")) for k in group_by],
+        )
+        w = Window.partitionBy(*group_by).orderBy(*[
+            F.col(c).desc() if d else F.col(c).asc()
+            for c, d in zip(order_by, descending)
+        ])
+        fresh = (
+            base.alias("b")
+            .join(F.broadcast(touched.alias("t")), on_bt, "semi")
+            .withColumn(rank_col, F.row_number().over(w))
+            .where(F.col(rank_col) <= n)
+            .select(*group_by, rank_col, *val_cols)
+            .withColumn("__live", F.lit(1))
+        )
+        slots = touched.select(
+            *group_by,
+            F.explode(F.sequence(F.lit(1), F.lit(n))).alias(rank_col),
+        )
+        on_sf = reduce(
+            lambda a, b: a & b,
+            [F.col(f"s.{k}").eqNullSafe(F.col(f"f.{k}")) for k in group_by]
+            + [F.col(f"s.{rank_col}") == F.col(f"f.{rank_col}")],
+        )
+        delta = (
+            slots.alias("s")
+            .join(fresh.alias("f"), on_sf, "left")
+            .select(
+                *[F.col(f"s.{k}").alias(k) for k in group_by],
+                F.col(f"s.{rank_col}").alias(rank_col),
+                *[F.col(f"f.{c}").alias(c) for c in val_cols],
+                F.coalesce(F.col("f.__live"), F.lit(0)).alias("__live"),
+            )
+        )
+        # the view is created WITHOUT the __live marker (merge would
+        # otherwise bake it into the schema on the first insert) —
+        # eager creation here, unlike _fold_or_create's reactive path
+        _ensure_view(view, delta.drop("__live"))
+        try:
+            return view.merge(
+                delta,
+                keys=tuple(group_by) + (rank_col,),
+                when_matched_delete=F.col("s.__live") == 0,
+                when_matched_update={c: F.col(f"s.{c}") for c in val_cols},
+                when_not_matched_insert=F.col("s.__live") == 1,
+                validate_keys=False,  # (group, rank) unique by window
+                null_safe_keys=True,
+                txn=(_app_id(src, view), to_v, from_v),
+            )
+        except StaleWatermark:
+            continue
+    raise ConcurrentCommitError(
+        f"topn-view refresh lost the fold race {view.max_retries} "
         f"times at {view.root}"
     )
 

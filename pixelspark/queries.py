@@ -1784,6 +1784,88 @@ def q_full_join_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_topn_matview",
+    f"""
+    WITH pv AS (
+      SELECT user_id AS shop, COUNT(*) AS event_count
+      FROM events
+      WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '{TD}'
+      GROUP BY user_id
+    ), bill AS (
+      SELECT c.c_custkey AS shop, COALESCE(pv.event_count, 0) AS views
+      FROM customer c LEFT JOIN pv ON c.c_custkey = pv.shop
+    ), tagged AS (
+      SELECT shop,
+             CASE WHEN views >= 2 THEN 'multi'
+                  WHEN views = 1 THEN 'single'
+                  ELSE 'zero' END AS status,
+             views
+      FROM bill
+    ), final AS (
+      SELECT shop, status,
+             CASE WHEN shop % 3 = 0 THEN views + 5 ELSE views END AS views
+      FROM tagged WHERE shop % 4 <> 0
+    ), ranked AS (
+      SELECT status, shop, views,
+             row_number() OVER (
+               PARTITION BY status ORDER BY views DESC, shop ASC) AS rank
+      FROM final
+    )
+    SELECT status, CAST(rank AS BIGINT) AS rank,
+           CAST(shop AS BIGINT) AS shop, CAST(views AS BIGINT) AS views
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_topn_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained per-group TOP-N view (ops/matview.py
+    refresh_topn_view) — the leaderboard shape retraction cannot
+    maintain (evicting #1 needs the runner-up the view never
+    stored), kept exact by affected-group recompute + a (group,
+    rank)-keyed MERGE.  Lifecycle: initial overwrite, a MERGE that
+    reorders boards (views += 5 for a third of the shops), then a
+    merge-on-read DV delete that evicts board members so the boards
+    must refill from below.  Each refresh is O(touched groups); the
+    fourth asserts the no-op.  The oracle states the end-state top-3
+    per status from the raw inputs."""
+    import tempfile
+
+    from pixelspark.ops import matview as MV
+    from pixelspark.table import SnapshotTable
+
+    base = tempfile.mkdtemp(prefix="pixelspark_topn_")
+    src = SnapshotTable(spark, base + "/src")
+    view = SnapshotTable(spark, base + "/view")
+    bill = B.daily_billing(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "events"), TD)
+    rows = bill.select(
+        F.col("shop"),
+        F.when(F.col("page_views") >= 2, "multi")
+         .when(F.col("page_views") == 1, "single")
+         .otherwise("zero").alias("status"),
+        F.col("page_views").cast("long").alias("views"),
+    )
+
+    def refresh():
+        return MV.refresh_topn_view(
+            src, view, group_by=("status",), order_by=("views", "shop"),
+            descending=(True, False), n=3, src_keys=("shop",),
+        )
+
+    src.overwrite(rows)
+    refresh()
+    bump = rows.where(F.col("shop") % 3 == 0).withColumn(
+        "views", F.col("views") + 5)
+    src.merge(bump, keys=("shop",))
+    refresh()
+    src.delete("shop % 4 = 0", mode="dv")
+    refresh()
+    assert refresh() is None, "a current top-n view must no-op"
+    assert MV.last_folded_version(src, view) == src.latest_version()
+    return view.read().select(
+        "status", F.col("rank").cast("long").alias("rank"), "shop", "views")
+
+
+@query(
     "q_table_dml",
     f"""
     WITH pv AS (

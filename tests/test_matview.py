@@ -937,3 +937,161 @@ def test_vanished_source_refuses_instead_of_silent_noop(spark, pair):
         MV.refresh_join_view(
             src, dim, view, on=("k",), group_by=("status",),
         )
+
+
+# -- top-N views --------------------------------------------------------
+
+
+def _topn_refresh(src, view, n=2):
+    return MV.refresh_topn_view(
+        src, view, group_by=("status",), order_by=("views", "k"),
+        descending=(True, False), n=n, payload=("amt",), src_keys=("k",),
+    )
+
+
+def _topn_recompute(spark, src, n=2):
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("status").orderBy(
+        F.col("views").desc(), F.col("k").asc())
+    return (
+        src.read().withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n)
+        .select("status", "rank", "views", "k", "amt")
+    )
+
+
+def _assert_topn_exact(spark, src, view, n=2):
+    cols = ["status", "rank", "views", "k", "amt"]
+    key = lambda r: tuple((x is None, x) for x in r)  # noqa: E731
+    got = sorted(map(tuple, view.read().select(*cols).collect()), key=key)
+    want = sorted(map(tuple, _topn_recompute(spark, src, n).collect()),
+                  key=key)
+    assert got == want
+
+
+def test_topn_view_tracks_source_through_mixed_history(spark, pair):
+    src, view = pair
+    src.overwrite(_rows(spark, [
+        (1, "a", 10, 1.0), (2, "a", 20, 2.0), (3, "a", 5, 3.0),
+        (4, "b", 7, 4.0),
+    ]))
+    assert _topn_refresh(src, view) is not None
+    _assert_topn_exact(spark, src, view)
+    assert view.read().count() == 3  # a: 2 slots, b: 1 (no phantom slots)
+
+    # a new row displaces a's #2
+    src.append(_rows(spark, [(5, "a", 15, 5.0)]))
+    assert _topn_refresh(src, view) is not None
+    _assert_topn_exact(spark, src, view)
+
+    # THE retraction-impossible case: delete the current #1 — the
+    # board must refill from below (row 1, views=10, re-enters)
+    src.delete("k = 2")
+    assert _topn_refresh(src, view) is not None
+    _assert_topn_exact(spark, src, view)
+    a_ranks = {r["k"]: r["rank"] for r in
+               view.read().where("status = 'a'").collect()}
+    assert a_ranks == {5: 1, 1: 2}
+
+    # group-crossing update touches BOTH boards via pre/post images
+    src.merge(_rows(spark, [(4, "a", 7, 4.0)]), keys=("k",))
+    assert _topn_refresh(src, view) is not None
+    _assert_topn_exact(spark, src, view)
+    assert view.read().where("status = 'b'").count() == 0  # b emptied
+
+    # DV delete folds the same way
+    src.delete(F.col("k") == 5, mode="dv")
+    assert _topn_refresh(src, view) is not None
+    _assert_topn_exact(spark, src, view)
+
+    # up to date: no-op, watermark current
+    assert _topn_refresh(src, view) is None
+    assert MV.last_folded_version(src, view) == src.latest_version()
+
+
+def test_topn_shrinking_board_deletes_vacated_slots(spark, pair):
+    src, view = pair
+    src.overwrite(_rows(spark, [
+        (1, "a", 1, 0.1), (2, "a", 2, 0.2), (3, "a", 3, 0.3),
+    ]))
+    _topn_refresh(src, view, n=3)
+    assert view.read().where("status = 'a'").count() == 3
+    src.delete("k in (1, 3)")
+    _topn_refresh(src, view, n=3)
+    _assert_topn_exact(spark, src, view, n=3)
+    rows = view.read().collect()
+    assert [(r["rank"], r["k"]) for r in rows] == [(1, 2)]
+
+
+def test_topn_null_group_and_null_order_values(spark, pair):
+    src, view = pair
+    src.overwrite(_rows(spark, [
+        (1, None, 10, 1.0), (2, None, None, 2.0), (3, "a", 1, 3.0),
+    ]))
+    _topn_refresh(src, view)
+    _assert_topn_exact(spark, src, view)
+    # NULL group is a live board; NULL views sorts last under DESC
+    null_board = {r["k"]: r["rank"] for r in view.read()
+                  .where(F.col("status").isNull()).collect()}
+    assert null_board == {1: 1, 2: 2}
+    src.delete("k = 1")
+    _topn_refresh(src, view)
+    _assert_topn_exact(spark, src, view)
+
+
+def test_topn_replay_and_global_shape_refusals(spark, pair):
+    src, view = pair
+    src.overwrite(_rows(spark, [(1, "a", 1, 1.0)]))
+    _topn_refresh(src, view)
+    with pytest.raises(ValueError, match="GLOBAL top-n"):
+        MV.refresh_topn_view(src, view, group_by=(),
+                             order_by=("views",), n=2)
+    with pytest.raises(ValueError, match="group keys"):
+        MV.refresh_topn_view(src, view, group_by=("status",),
+                             order_by=("status", "k"), n=2)
+
+
+def test_right_join_view_equals_swapped_left(spark, triple):
+    """how='right' is LEFT with the sources swapped — maintain one
+    incrementally and compare against the from-scratch RIGHT OUTER
+    aggregate after every refresh."""
+    left, right, view = triple
+    refresh = lambda: MV.refresh_join_view(  # noqa: E731
+        left, right, view, on=("cust",), group_by=("segment",),
+        sum_cols=("qty",), left_keys=("o",), right_keys=("cust",),
+        how="right",
+    )
+    recompute = lambda: (  # noqa: E731
+        left.read().join(right.read(), "cust", "right")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             # documented view semantics: sum = COALESCE(SUM(x), 0),
+             # so an all-null-extended group reads 0, not SQL's NULL
+             F.coalesce(F.sum("qty"), F.lit(0)).cast("long").alias("qty"))
+    )
+
+    def check():
+        key = lambda r: (r[0] is None, r)  # noqa: E731
+        got = sorted(((r["segment"], r["n"], r["qty"])
+                      for r in view.read().collect()), key=key)
+        want = sorted(map(tuple, recompute().collect()), key=key)
+        assert got == want
+
+    left.overwrite(_orders(spark, [(1, 10, 2, 1.0), (2, 20, 3, 1.0)]))
+    # customer 30 has NO orders: right-preserved, qty sums NULL-as-0
+    right.overwrite(_custs(spark, [(10, "retail"), (30, "empty")]))
+    assert refresh() is not None
+    check()
+
+    # order for 30 arrives: its null extension flips to a joined row
+    left.append(_orders(spark, [(3, 30, 9, 1.0)]))
+    assert refresh() is not None
+    check()
+
+    # deleting 20's only order does NOT drop the segment (right rows
+    # are preserved) — it flips back to the null-extended form
+    left.delete("cust = 20")
+    assert refresh() is not None
+    check()
+    assert refresh() is None
