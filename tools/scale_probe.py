@@ -827,6 +827,69 @@ def matview_experiment(spark) -> dict:
     return {"experiment": "matview_refresh", "change_rows": 2000, **results}
 
 
+def topn_matview_experiment(spark) -> dict:
+    """TOP-N view refresh cost model (ops/matview.py
+    refresh_topn_view): a DAY-partitioned source whose boards are
+    per-day top-10s.  A fixed-size change window (one merge touching
+    ~2,000 rows of day 3) must re-board ONE day via the manifest-
+    pruned partition read — so refresh stays near-FLAT at 10x days
+    while the from-scratch all-boards window grows with the source."""
+    import tempfile
+
+    from pixelspark.ops import matview as MV
+    from pixelspark.table import SnapshotTable
+    from pyspark.sql.window import Window
+
+    rows_per_day = 20_000
+    results = {}
+    for days in (10, 100):
+        n = days * rows_per_day
+        base = tempfile.mkdtemp(prefix=f"probe_topn_{days}d_")
+        src = SnapshotTable(spark, base + "/src")
+        view = SnapshotTable(spark, base + "/view")
+        df = spark.range(n).select(
+            (F.col("id") % days).cast("int").alias("day"),
+            F.col("id").alias("k"),
+            (F.col("id") % 9973).cast("long").alias("v"),
+        )
+        src.replace_partitions(df, "day")
+        refresh = lambda: MV.refresh_topn_view(  # noqa: E731
+            src, view, group_by=("day",), order_by=("v", "k"),
+            descending=(True, False), n=10, src_keys=("day", "k"),
+        )
+        refresh()
+        upd = df.where(
+            (F.col("day") == 3)
+            & ((F.col("k") / days).cast("long")
+               % (rows_per_day // 2_000) == 1)
+        ).withColumn("v", F.col("v") + 1_000_000)
+        src.merge(upd, keys=("day", "k"), validate_keys=False)
+        t0 = time.time()
+        refresh()
+        refresh_sec = time.time() - t0
+        w = Window.partitionBy("day").orderBy(
+            F.col("v").desc(), F.col("k").asc())
+        t0 = time.time()
+        src.read().withColumn("r", F.row_number().over(w)).where(
+            F.col("r") <= 10
+        ).write.format("noop").mode("overwrite").save()
+        recompute_sec = time.time() - t0
+        results[f"{days}_days"] = {
+            "rows": n,
+            "incremental_refresh_sec": round(refresh_sec, 3),
+            "full_recompute_sec": round(recompute_sec, 3),
+        }
+    small, big = results["10_days"], results["100_days"]
+    results["refresh_ratio_at_10x_source"] = round(
+        big["incremental_refresh_sec"] / small["incremental_refresh_sec"], 2
+    )
+    results["recompute_ratio_at_10x_source"] = round(
+        big["full_recompute_sec"] / small["full_recompute_sec"], 2
+    )
+    return {"experiment": "topn_matview_refresh", "change_rows": 2000,
+            **results}
+
+
 def join_matview_experiment(spark) -> dict:
     """Join-view refresh cost model (ops/matview.py
     refresh_join_view), both phases, at 10x fact size:
@@ -1037,6 +1100,7 @@ def main() -> None:
             "mix_scale": mix_scale_experiment,
             "matview": matview_experiment,
             "join_matview": join_matview_experiment,
+            "topn_matview": topn_matview_experiment,
         }[sys.argv[1]]
         print(json.dumps(fn(spark)))
         return
