@@ -109,6 +109,11 @@ HEADLINE = [
     # delete) — measures both phases end to end; the join is never
     # recomputed, and the pinned side prunes to the window's key range
     "q_join_matview",
+    # round-6f: the top-N-view lifecycle (affected-group re-board +
+    # (group, rank)-keyed merge through a board-reordering merge and
+    # a DV-delete eviction) — measures the leaderboard refresh loop;
+    # per-refresh scaling is pinned flat by the topn_matview probe
+    "q_topn_matview",
 ]
 
 

@@ -667,3 +667,52 @@ def run_join_matview_sink(
     )
     q.awaitTermination()
     return q
+
+
+def run_topn_matview_sink(
+    rows: DataFrame,
+    src_root: str,
+    view_root: str,
+    group_by: tuple[str, ...],
+    order_by: tuple[str, ...],
+    n: int = 10,
+    descending: bool | tuple[bool, ...] = True,
+    payload: tuple[str, ...] = (),
+    src_keys: tuple[str, ...] | None = None,
+    checkpoint: str = "",
+    app_id: str = "pixelspark-topn-matview",
+):
+    """Streaming ingest with a continuously-maintained per-group
+    TOP-N leaderboard (`refresh_topn_view`): each micro-batch appends
+    into the source via `append_once`, then re-boards exactly the
+    groups the batch touched.  Out-of-band source DML (DV deletes,
+    merges landed by other writers) folds at the next trigger — the
+    view's change window is defined by source VERSIONS, so the stream
+    and ad-hoc DML compose on one watermark.
+
+    Exactly-once end to end by the same two-watermark argument as
+    `run_matview_sink`: a replayed batch appends nothing (txn guard),
+    so the refresh window is empty and no-ops; a crash between append
+    and refresh heals at the next trigger."""
+    from pixelspark.ops.matview import refresh_topn_view
+    from pixelspark.table import SnapshotTable
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        src = SnapshotTable(spark, src_root)
+        view = SnapshotTable(spark, view_root)
+        src.append_once(batch_df, app_id, batch_id)
+        refresh_topn_view(
+            src, view, group_by=group_by, order_by=order_by, n=n,
+            descending=descending, payload=payload, src_keys=src_keys,
+        )
+
+    q = (
+        rows.writeStream.foreachBatch(commit)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -869,3 +869,50 @@ def test_join_matview_sink_left_outer_flips_between_triggers(spark, tmp_path):
     run_join_matview_sink(stream(), **kw, checkpoint=ckpt)
     got = {r["segment"]: (r["n"], r["qty"]) for r in view.read().collect()}
     assert got == {"retail": (1, 2), "late": (2, 6)}  # extension flipped
+
+
+def test_topn_matview_sink_reboards_and_replays_exactly_once(spark, tmp_path):
+    """Streaming top-N sink: trigger 1 builds the boards; an
+    out-of-band DV delete evicts a board member between triggers;
+    trigger 2 ingests a displacing row AND folds the ad-hoc delete on
+    the same watermark.  A checkpoint-loss replay of the whole input
+    moves neither the source nor the view."""
+    from pixelspark.streaming.daily import run_topn_matview_sink
+    from pixelspark.table import SnapshotTable
+
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    schema = "k long, g string, v long"
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 5), (4, "b", 7)], schema
+    ).coalesce(1).write.json(src_dir + "/b1")
+
+    stream = lambda: (  # noqa: E731
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .json(src_dir + "/*")
+    )
+    kw = dict(
+        src_root=str(tmp_path / "src"), view_root=str(tmp_path / "view"),
+        group_by=("g",), order_by=("v", "k"), descending=(True, False),
+        n=2, src_keys=("k",),
+    )
+    ckpt = str(tmp_path / "ck")
+    run_topn_matview_sink(stream(), **kw, checkpoint=ckpt)
+    view = SnapshotTable(spark, kw["view_root"])
+    boards = {(r["g"], r["rank"]): r["k"] for r in view.read().collect()}
+    assert boards == {("a", 1): 2, ("a", 2): 1, ("b", 1): 4}
+
+    # out-of-band DML: evict a's #1 between triggers
+    src = SnapshotTable(spark, kw["src_root"])
+    src.delete("k = 2", mode="dv")
+    spark.createDataFrame([(5, "a", 15)], schema).coalesce(1).write.json(
+        src_dir + "/b2")
+    run_topn_matview_sink(stream(), **kw, checkpoint=ckpt)
+    boards = {(r["g"], r["rank"]): r["k"] for r in view.read().collect()}
+    assert boards == {("a", 1): 5, ("a", 2): 1, ("b", 1): 4}
+
+    # checkpoint loss: full replay appends nothing, view unmoved
+    src_v, view_v = src.latest_version(), view.latest_version()
+    run_topn_matview_sink(stream(), **kw, checkpoint=str(tmp_path / "ck2"))
+    assert src.latest_version() == src_v
+    assert view.latest_version() == view_v
