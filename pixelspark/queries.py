@@ -9194,7 +9194,12 @@ _WINDOW_QUERIES = [
     # green r1-r5; stays registered + sweep-checked)
     "q_repetition_signals",
     "q_minhash_pairs",
-    "q_simhash",
+    # r6f rotation: the top-N materialized-view flagship (affected-
+    # group re-board + (group, rank)-keyed merge, value-oracled end
+    # state with no-op + watermark asserts in-query) takes
+    # q_simhash's slot (in-window green r1-r5; stays registered +
+    # sweep-checked; the dedup family keeps four in-window seats)
+    "q_topn_matview",
     # r6b rotation: the round-6 flagships — column-mapping schema
     # evolution (metadata-only rename/drop lifecycle), target-mixture
     # domain reweighting, and the distilled dense quality scorer (all
