@@ -36,6 +36,15 @@ re-scan when the source is partitioned by a group column).
 AVG is derived at read time (`with_avg`) from the exact SUM/COUNT
 pair, the standard algebraic decomposition.
 
+Views COMPOSE: a view is itself a snapshot table, so its CDF feeds
+the next refresher — source -> agg view -> top-N view chains (the
+Delta Live Tables / Materialize dataflow-DAG shape) need no new
+machinery, and each level refreshes O(its own changes).  Watermarks
+are keyed per (source root, incarnation), so ONE view may fold
+SEVERAL sources — a view over UNION ALL — each source advancing its
+own watermark independently.  Both shapes are pytest-pinned in
+tests/test_matview.py.
+
 JOIN views (`refresh_join_view`) maintain an aggregate over an
 inner equi-join L ⋈ R by the classic delta rule (DBToaster /
 Materialize): Δ(L⋈R) = ΔL ⋈ R@r_wm, then L@l_wm ⋈ ΔR — each side's

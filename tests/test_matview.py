@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pixelspark.ops import matview as MV
 from pixelspark.table import SnapshotTable
@@ -950,7 +951,6 @@ def _topn_refresh(src, view, n=2):
 
 
 def _topn_recompute(spark, src, n=2):
-    from pyspark.sql.window import Window
 
     w = Window.partitionBy("status").orderBy(
         F.col("views").desc(), F.col("k").asc())
@@ -1095,3 +1095,103 @@ def test_right_join_view_equals_swapped_left(spark, triple):
     assert refresh() is not None
     check()
     assert refresh() is None
+
+
+def test_chained_views_source_to_agg_to_topn(spark, tmp_path):
+    """Views are snapshot tables, so a view's own CDF feeds the NEXT
+    view: source -> per-(status, k%2) COUNT/SUM view -> top-1
+    leaderboard of those groups per status.  Each refresh is
+    O(changes) at ITS level — the dataflow-DAG shape (Delta Live
+    Tables / Materialize) with no new machinery."""
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    agg = SnapshotTable(spark, str(tmp_path / "agg"))
+    top = SnapshotTable(spark, str(tmp_path / "top"))
+
+    def refresh_all():
+        MV.refresh_agg_view(
+            src, agg, group_by=("status", "parity"), sum_cols=("views",),
+            src_keys=("k",),
+        )
+        MV.refresh_topn_view(
+            agg, top, group_by=("status",), order_by=("views", "parity"),
+            descending=(True, False), n=1, src_keys=("status", "parity"),
+        )
+
+    def check():
+        want = sorted(map(tuple, (
+            src.read()
+            .groupBy("status", (F.col("k") % 2).alias("parity"))
+            .agg(F.sum("views").cast("long").alias("views"))
+            .withColumn("rank", F.row_number().over(
+                Window.partitionBy("status")
+                .orderBy(F.col("views").desc(), F.col("parity").asc())))
+            .where("rank = 1").select("status", "parity", "views")
+        ).collect()))
+        got = sorted(map(tuple, top.read().select(
+            "status", "parity", "views").collect()))
+        assert got == want
+
+    with_parity = lambda df: df.withColumn(  # noqa: E731
+        "parity", (F.col("k") % 2).cast("long"))
+    src.overwrite(with_parity(_rows(spark, [
+        (1, "a", 10, 0.0), (2, "a", 20, 0.0), (3, "a", 7, 0.0),
+        (4, "b", 1, 0.0),
+    ])))
+    refresh_all()
+    check()
+
+    # a delete that flips which (status, parity) group leads board 'a'
+    src.delete("k = 2")
+    refresh_all()
+    check()
+
+    # group-crossing merge ripples through both levels
+    src.merge(with_parity(_rows(spark, [(4, "a", 50, 0.0)])), keys=("k",))
+    refresh_all()
+    check()
+    # both levels settle: refreshing again moves nothing
+    assert MV.refresh_agg_view(
+        src, agg, group_by=("status", "parity"), sum_cols=("views",),
+        src_keys=("k",)) is None
+    assert MV.refresh_topn_view(
+        agg, top, group_by=("status",), order_by=("views", "parity"),
+        descending=(True, False), n=1,
+        src_keys=("status", "parity")) is None
+
+
+def test_multi_source_union_all_view(spark, tmp_path):
+    """One view folds TWO sources (a view over UNION ALL): watermarks
+    are keyed per (source root, incarnation), so each source's CDF
+    folds independently into the shared COUNT/SUM state."""
+    a = SnapshotTable(spark, str(tmp_path / "src_a"))
+    b = SnapshotTable(spark, str(tmp_path / "src_b"))
+    view = SnapshotTable(spark, str(tmp_path / "view"))
+
+    def refresh_all():
+        MV.refresh_agg_view(a, view, group_by=("status",),
+                            sum_cols=("views",), src_keys=("k",))
+        MV.refresh_agg_view(b, view, group_by=("status",),
+                            sum_cols=("views",), src_keys=("k",))
+
+    def check():
+        want = sorted(map(tuple, (
+            a.read().unionByName(b.read()).groupBy("status")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("views").cast("long").alias("views"))
+        ).collect()))
+        got = sorted(map(tuple, view.read().select(
+            "status", "n", "views").collect()))
+        assert got == want
+
+    cols = lambda df: df.select("k", "status", "views")  # noqa: E731
+    a.overwrite(cols(_rows(spark, [(1, "x", 10, 0.0), (2, "y", 5, 0.0)])))
+    b.overwrite(cols(_rows(spark, [(7, "x", 3, 0.0)])))
+    refresh_all()
+    check()
+
+    b.append(cols(_rows(spark, [(8, "z", 9, 0.0)])))
+    a.delete("k = 2")
+    refresh_all()
+    check()
+    refresh_all()  # replay: both watermarks current, no double-fold
+    check()
