@@ -1866,6 +1866,53 @@ def q_topn_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_identity",
+    """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM customer),
+    ids AS (
+      SELECT unnest(range(1, (SELECT total FROM n) + 1)) AS rid
+    ), live AS (SELECT rid FROM ids WHERE rid % 7 <> 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT rid) AS BIGINT) AS n_ids,
+           CAST(MIN(rid) AS BIGINT) AS min_id,
+           CAST(MAX(rid) AS BIGINT) AS max_id,
+           CAST(SUM(rid) AS BIGINT) AS sum_id
+    FROM live
+    """,
+)
+def q_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity columns (pixelspark/table.py — Delta GENERATED BY
+    DEFAULT AS IDENTITY): the manifest carries the spec and a
+    high-watermark advanced atomically with every assigning commit;
+    two appends of disjoint customer halves get ids assigned fully in
+    parallel (per-partition offsets from one tiny count aggregate —
+    no global sort), yielding the contiguous range 1..|customer|; a
+    merge-on-read DV delete then removes every 7th id.  Which ROW got
+    which id is partitioning-dependent (Delta semantics), so the
+    oracle pins the exactly-deterministic part: the surviving id SET,
+    reconstructed arithmetically."""
+    import tempfile
+
+    from pixelspark.table import SnapshotTable
+
+    base = tempfile.mkdtemp(prefix="pixelspark_idn_")
+    t = SnapshotTable(spark, base + "/t",
+                      identity={"col": "rid", "start": 1, "step": 1})
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("name"))
+    t.append(cust.where(F.col("k") % 2 == 0))
+    t.append(cust.where(F.col("k") % 2 == 1))
+    t.delete("rid % 7 = 0", mode="dv")
+    return t.read().agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("rid").cast("long").alias("n_ids"),
+        F.min("rid").cast("long").alias("min_id"),
+        F.max("rid").cast("long").alias("max_id"),
+        F.sum("rid").cast("long").alias("sum_id"),
+    )
+
+
+@query(
     "q_table_dml",
     f"""
     WITH pv AS (

@@ -174,6 +174,10 @@ WRITER_FEATURES = READER_FEATURES | {
     # rows carry values computed from recorded expressions; a writer
     # ignorant of them would commit divergent data
     "generated-columns",
+    # the manifest carries an identity high-watermark a writer must
+    # advance when it assigns ids — an ignorant writer would reuse
+    # already-handed-out values
+    "identity-columns",
 }
 
 
@@ -181,6 +185,8 @@ def writer_features(m: dict) -> list[str]:
     feats = set(reader_features(m))
     if m.get("generated"):
         feats.add("generated-columns")
+    if m.get("identity"):
+        feats.add("identity-columns")
     return sorted(feats)
 
 
@@ -293,6 +299,7 @@ class SnapshotTable:
         bloom_hashes: int = 5,
         expectations: list[tuple[str, object, str]] | None = None,
         generated_cols: dict[str, str] | None = None,
+        identity: dict | None = None,
     ):
         """`constraints` declares write-side CHECK rules (Delta
         constraint shape): a list of (name, predicate) with the
@@ -374,6 +381,32 @@ class SnapshotTable:
         # is a derived partition column (day = CAST(ts AS DATE)) that
         # ingest never has to remember to add.
         self.generated_cols = dict(generated_cols or {})
+        # Identity column (Delta GENERATED BY DEFAULT AS IDENTITY):
+        # {"col": name, "start": s, "step": k}.  The spec PERSISTS in
+        # the manifest with a HIGH-WATERMARK (the next unassigned
+        # value) that every assigning commit advances atomically —
+        # append/append_once/overwrite batches missing the column get
+        # ids assigned [high, high + n·step) fully in parallel (per-
+        # partition offsets from one tiny count aggregate — no global
+        # sort, no single-partition stage); batches PROVIDING the
+        # column are accepted as-is ("by default" semantics; NULLs
+        # refused, uniqueness of explicit values not audited — run
+        # sync_identity() afterwards, Delta's ALTER ... SYNC IDENTITY).
+        # Ids are unique and step-directed monotone per assignment,
+        # never reused (overwrite/restore keep the watermark monotone
+        # even though they discard rows); gaps appear after explicit-
+        # id writes + sync, exactly as in Delta.
+        self.identity_seed = None
+        if identity:
+            step = int(identity.get("step", 1))
+            if step == 0:
+                raise ValueError("identity step must be non-zero")
+            self.identity_seed = {
+                "col": identity["col"],
+                "start": int(identity.get("start", 1)),
+                "step": step,
+                "high": int(identity.get("start", 1)),
+            }
         self.expectations = [
             (name, F.expr(p) if isinstance(p, str) else p, mode)
             for name, p, mode in (expectations or [])
@@ -487,6 +520,13 @@ class SnapshotTable:
                 gen = (prev or {}).get("generated") or self.generated_cols
                 if gen:
                     new["generated"] = gen
+            # identity spec + high-watermark survive every commit;
+            # assigning builds set the key explicitly (with their CAS
+            # against the watermark they staged from)
+            if "identity" not in new:
+                idn = (prev or {}).get("identity") or self.identity_seed
+                if idn:
+                    new["identity"] = idn
             # column mapping (rename/drop without rewrite) survives every
             # commit; ops that change it (rename_column, drop_column,
             # add_columns, restore) set the key explicitly
@@ -557,7 +597,8 @@ class SnapshotTable:
         return df.select(*sel)
 
     def _write_snap(
-        self, df: DataFrame, partition_col: str | None
+        self, df: DataFrame, partition_col: str | None,
+        audit_identity: bool = True,
     ) -> tuple[str, list[str], bool, dict | None]:
         """Write one immutable data dir; returns (relative dir, list of
         `col=value` subdirectory names — empty for unpartitioned,
@@ -571,6 +612,28 @@ class SnapshotTable:
         entry would give read() zero scannable paths, so callers
         short-circuit on `has_data=False`."""
         df = self._apply_generated(df)
+        idn = self._identity_spec()
+        if idn:
+            if idn["col"] not in df.columns:
+                raise ValueError(
+                    f"write to {self.root} is missing identity column "
+                    f"{idn['col']!r} — append/append_once/overwrite assign "
+                    "it automatically; other write paths must carry "
+                    "explicit non-null values"
+                )
+            if audit_identity:
+                # engine-assigned batches skip this (non-null by
+                # construction); explicit batches pay one O(batch)
+                # single-column aggregate — a NULL id is corruption
+                # (merge-insert legs whose source forgot the column)
+                nulls = df.agg(F.count_if(
+                    F.col(idn["col"]).isNull()).alias("n")).collect()[0]["n"]
+                if nulls:
+                    raise ConstraintViolation(
+                        f"write to {self.root}: {nulls} rows carry NULL in "
+                        f"identity column {idn['col']!r} — provide values "
+                        "(or use append/overwrite, which assign them)"
+                    )
         if self.constraints:
             self._enforce_constraints(df)
         metrics = None
@@ -612,6 +675,97 @@ class SnapshotTable:
             if stored:
                 return stored
         return self.generated_cols
+
+    def _identity_spec(self) -> dict | None:
+        """The table's persisted identity spec (manifest wins over the
+        constructor seed — the spec and its high-watermark are table
+        state, fixed at creation like generation expressions)."""
+        v = self.latest_version()
+        if v is not None:
+            stored = self.manifest(v).get("identity")
+            if stored:
+                return stored
+        return self.identity_seed
+
+    @staticmethod
+    def _assign_identity(df: DataFrame, spec: dict) -> tuple[DataFrame, int]:
+        """Assign ids [high, high + n·step) to a batch missing the
+        identity column, fully distributed: one tiny per-partition
+        count aggregate → driver-side exclusive prefix offsets
+        (broadcast back as a literal CASE chain) → a row_number window
+        PARTITIONED by the Spark partition id (every partition ranks
+        in parallel; no global sort, no Exchange SinglePartition).
+        Returns (batch with ids, the advanced high-watermark).
+
+        Contract: the batch must evaluate deterministically (the count
+        pass and the write pass see the same partitioning) — the same
+        deterministic-replay contract append_once already assumes."""
+        col, step, high = spec["col"], spec["step"], spec["high"]
+        tagged = df.withColumn("__pid", F.spark_partition_id())
+        counts = {
+            r["__pid"]: r["c"]
+            for r in tagged.groupBy("__pid").agg(
+                F.count(F.lit(1)).alias("c")).collect()
+        }
+        offs, acc = {}, 0
+        for p in sorted(counts):
+            offs[p] = acc
+            acc += counts[p]
+        off = F.lit(0).cast("long")
+        for p, o in offs.items():
+            off = F.when(F.col("__pid") == p,
+                         F.lit(o).cast("long")).otherwise(off)
+        from pyspark.sql.window import Window
+
+        rn = F.row_number().over(
+            Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
+        )
+        out = tagged.withColumn(
+            col,
+            (F.lit(high).cast("long")
+             + (off + rn - 1) * F.lit(step).cast("long")),
+        ).drop("__pid").select(col, *df.columns)
+        return out, high + acc * step
+
+    @staticmethod
+    def _identity_ahead(a: int, b: int, step: int) -> int:
+        """The further-along of two watermarks in the step direction."""
+        return max(a, b) if step > 0 else min(a, b)
+
+    def sync_identity(self) -> int | None:
+        """Advance the identity high-watermark past every EXPLICITLY
+        written id (Delta ALTER TABLE ... SYNC IDENTITY): one extremum
+        aggregate over the live rows, one metadata commit.  Returns
+        the new version, or None when already ahead."""
+        spec = self._identity_spec()
+        if not spec:
+            raise ValueError(f"table at {self.root} has no identity column")
+        col, step = spec["col"], spec["step"]
+        ext = self.read().agg(
+            (F.max(col) if step > 0 else F.min(col)).alias("e")
+        ).collect()[0]["e"]
+        if ext is None:
+            return None
+        new_high = self._identity_ahead(spec["high"], int(ext) + step, step)
+        if new_high == spec["high"]:
+            return None
+
+        def build(prev: dict | None) -> dict:
+            if prev is None:
+                raise FileNotFoundError("no snapshot to sync identity on")
+            cur = prev.get("identity") or spec
+            return {
+                "partition_col": prev.get("partition_col"),
+                "entries": prev["entries"],
+                "schema": prev.get("schema"),
+                "identity": {
+                    **cur,
+                    "high": self._identity_ahead(cur["high"], new_high, step),
+                },
+                "op": {"name": "sync_identity"},
+            }
+
+        return self._commit(build)
 
     def _apply_generated(self, df: DataFrame) -> DataFrame:
         """Generated-column write discipline: columns missing from the
@@ -1094,9 +1248,14 @@ class SnapshotTable:
                 last = self.manifest(v).get("txn", {}).get(txn[0])
                 if last is not None and last >= txn[1]:
                     return None  # replay detected before paying the write
-        rel, parts, has_data, wmap = self._write_snap(df, partition_col)
-        entry = self._entry_for(rel, parts, has_data, df.schema, wmap)
-        schema = df.schema.json()
+        spec = self._identity_spec()
+        out_df, new_high = df, None
+        if spec and spec["col"] not in df.columns:
+            out_df, new_high = self._assign_identity(df, spec)
+        rel, parts, has_data, wmap = self._write_snap(
+            out_df, partition_col, audit_identity=new_high is None)
+        entry = self._entry_for(rel, parts, has_data, out_df.schema, wmap)
+        schema = out_df.schema.json()
 
         def build(prev: dict | None) -> dict:
             self._check_expected(prev, expected_version)
@@ -1112,6 +1271,13 @@ class SnapshotTable:
                 "dv_files": [],
                 "op": op or {"name": "overwrite"},
             }
+            if new_high is not None:
+                # replaced rows die with their ids, so a racing
+                # assignment cannot produce a LIVE collision — the
+                # watermark just stays monotone (ids are never reused)
+                cur = (prev or {}).get("identity") or spec
+                out["identity"] = {**cur, "high": self._identity_ahead(
+                    cur["high"], new_high, spec["step"])}
             if txn is not None or clear_txn:
                 tmap = dict((prev or {}).get("txn") or {})
                 for app in clear_txn or ():
@@ -1129,10 +1295,17 @@ class SnapshotTable:
         empty DataFrame to an existing table is a no-op (returns the
         current version); to a missing table it creates an empty one
         so the schema is established."""
-        schema = df.schema.json()
         for _ in range(self.max_retries):
-            rel, _, has_data, wmap = self._write_snap(df, None)
-            entry = self._entry_for(rel, [], has_data, df.schema, wmap)
+            spec = self._identity_spec()
+            out_df, new_high = df, None
+            if spec and spec["col"] not in df.columns:
+                out_df, new_high = self._assign_identity(df, spec)
+                if new_high == spec["high"]:
+                    new_high = None  # empty batch assigned nothing
+            rel, _, has_data, wmap = self._write_snap(
+                out_df, None, audit_identity=new_high is None)
+            entry = self._entry_for(rel, [], has_data, out_df.schema, wmap)
+            schema = out_df.schema.json()
             if not has_data:
                 v = self.latest_version()
                 if v is not None:
@@ -1149,8 +1322,16 @@ class SnapshotTable:
                     )
                 if has_data:
                     entries = entries + [entry]
-                return {"partition_col": None, "entries": entries,
-                        "schema": schema, "op": {"name": "append"}}
+                out = {"partition_col": None, "entries": entries,
+                       "schema": schema, "op": {"name": "append"}}
+                if new_high is not None:
+                    cur = (prev or {}).get("identity") or spec
+                    if cur["high"] != spec["high"]:
+                        # a rival assigned from the range we staged —
+                        # our written ids would collide; re-stage
+                        raise _Conflicted
+                    out["identity"] = {**cur, "high": new_high}
+                return out
 
             try:
                 return self._commit(build)
@@ -1187,12 +1368,20 @@ class SnapshotTable:
             if last is not None and last >= batch_id:
                 return None  # replay detected before paying the write
         for _ in range(self.max_retries):
-            rel, _, has_data, wmap = self._write_snap(df, None)
-            entry = self._entry_for(rel, [], has_data, df.schema, wmap)
-            schema = df.schema.json()
+            spec = self._identity_spec()
+            out_df, new_high = df, None
+            if spec and spec["col"] not in df.columns:
+                out_df, new_high = self._assign_identity(df, spec)
+                if new_high == spec["high"]:
+                    new_high = None
+            rel, _, has_data, wmap = self._write_snap(
+                out_df, None, audit_identity=new_high is None)
+            entry = self._entry_for(rel, [], has_data, out_df.schema, wmap)
+            schema = out_df.schema.json()
             try:
                 return self._append_once_commit(
-                    df, app_id, batch_id, rel, entry, has_data, wmap, schema
+                    out_df, app_id, batch_id, rel, entry, has_data, wmap,
+                    schema, idn=(spec, new_high),
                 )
             except ConcurrentWriteConflict:
                 # mapping DDL raced the write (see append): re-stage
@@ -1207,8 +1396,11 @@ class SnapshotTable:
         )
 
     def _append_once_commit(
-        self, df, app_id, batch_id, rel, entry, has_data, wmap, schema
+        self, df, app_id, batch_id, rel, entry, has_data, wmap, schema,
+        idn: tuple[dict | None, int | None] = (None, None),
     ) -> int | None:
+        spec, new_high = idn
+
         def build(prev: dict | None) -> dict:
             if (prev or {}).get("column_mapping") != wmap:
                 raise _Conflicted
@@ -1225,10 +1417,16 @@ class SnapshotTable:
             # just without a dataless entry
             if has_data:
                 entries = entries + [entry]
-            return {"partition_col": None, "entries": entries,
-                    "txn": txn, "schema": schema,
-                    "op": {"name": "append_once", "app_id": app_id,
-                           "batch_id": batch_id}}
+            out = {"partition_col": None, "entries": entries,
+                   "txn": txn, "schema": schema,
+                   "op": {"name": "append_once", "app_id": app_id,
+                          "batch_id": batch_id}}
+            if new_high is not None:
+                cur = (prev or {}).get("identity") or spec
+                if cur["high"] != spec["high"]:
+                    raise _Conflicted  # rival assigned our staged range
+                out["identity"] = {**cur, "high": new_high}
+            return out
 
         return self._commit(build)
 
@@ -3300,6 +3498,11 @@ class SnapshotTable:
                 out["column_mapping"] = m["column_mapping"]
             if m.get("generated"):
                 out["generated"] = m["generated"]
+            if m.get("identity"):
+                # the fork continues the source's numbering from the
+                # cloned watermark (two forks may then hand out the
+                # same ids to DIFFERENT tables — forks are forks)
+                out["identity"] = m["identity"]
             return out
 
         dest._commit(build)

@@ -360,8 +360,8 @@ def test_upsert_retries_instead_of_losing_rival_append(spark, tmp_path):
     real_write_snap = t._write_snap
     fired = {"done": False}
 
-    def interloping(df, pcol):
-        out = real_write_snap(df, pcol)
+    def interloping(df, pcol, **kw):
+        out = real_write_snap(df, pcol, **kw)
         if not fired["done"]:  # rival lands AFTER our merge was computed
             fired["done"] = True
             rival.append(_df(spark, [(99, "rival")]))
@@ -399,8 +399,8 @@ def test_rollup_refresh_retries_instead_of_losing_rival_merge(spark, tmp_path):
     real_write_snap = SnapshotTable._write_snap
     fired = {"done": False}
 
-    def interloping(self, df, pcol):
-        out = real_write_snap(self, df, pcol)
+    def interloping(self, df, pcol, **kw):
+        out = real_write_snap(self, df, pcol, **kw)
         if not fired["done"] and self.root == t.root:
             fired["done"] = True  # rival refresh lands mid-merge
             refresh_rollup_snapshot(spark, root, batch(5))
@@ -784,8 +784,8 @@ def test_merge_retries_instead_of_losing_rival_append(spark, tmp_path):
     real_write_snap = t._write_snap
     fired = {"done": False}
 
-    def interloping(df, pcol):
-        out = real_write_snap(df, pcol)
+    def interloping(df, pcol, **kw):
+        out = real_write_snap(df, pcol, **kw)
         if not fired["done"]:
             fired["done"] = True
             rival.append(_df(spark, [(99, "rival")]))
