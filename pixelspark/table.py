@@ -273,6 +273,9 @@ def _key_on(keys, left_alias: str, right_alias: str, null_safe: bool):
     )
 
 
+_IDENTITY_NULL_MARK = "PIXELSPARK_IDENTITY_NULL"
+
+
 class _SkipCommit(Exception):
 
     """Internal: a build callback aborts the commit (e.g. a replayed
@@ -621,24 +624,26 @@ class SnapshotTable:
                     "it automatically; other write paths must carry "
                     "explicit non-null values"
                 )
-            if audit_identity:
-                # engine-assigned batches skip this (non-null by
-                # construction); explicit batches pay one O(batch)
-                # single-column aggregate — a NULL id is corruption
-                # (merge-insert legs whose source forgot the column)
-                nulls = df.agg(F.count_if(
-                    F.col(idn["col"]).isNull()).alias("n")).collect()[0]["n"]
-                if nulls:
-                    raise ConstraintViolation(
-                        f"write to {self.root}: {nulls} rows carry NULL in "
-                        f"identity column {idn['col']!r} — provide values "
-                        "(or use append/overwrite, which assign them)"
-                    )
         if self.constraints:
             self._enforce_constraints(df)
         metrics = None
         if self.expectations:
             df, metrics = self._apply_expectations(df)
+        if idn and audit_identity:
+            # engine-assigned batches skip this (non-null by
+            # construction).  The guard is INLINE in the write plan
+            # (Delta CHECK style: raise_error poisons the job on the
+            # first NULL) so rewrite-path DML never pays a second
+            # execution of its whole plan just to audit one column —
+            # a NULL id is corruption (merge-insert legs whose source
+            # forgot the column).  Applied AFTER constraint /
+            # expectation aggregates so those evaluate unguarded.
+            c = F.col(idn["col"])
+            df = df.withColumn(
+                idn["col"],
+                F.when(c.isNull(), F.raise_error(F.lit(
+                    _IDENTITY_NULL_MARK))).otherwise(c),
+            )
         cmap = self._current_mapping()
         if cmap:
             cols = cmap["cols"]
@@ -653,13 +658,27 @@ class SnapshotTable:
             df = df.select(*[F.col(c).alias(cols[c]) for c in df.columns])
         rel = self._new_snap()
         full = f"{self.root}/{rel}"
+
+        def write(w):
+            try:
+                w()
+            except Exception as e:  # translate the inline identity guard
+                if _IDENTITY_NULL_MARK in str(e):
+                    raise ConstraintViolation(
+                        f"write to {self.root}: rows carry NULL in "
+                        f"identity column {idn['col']!r} — provide values "
+                        "(or use append/overwrite, which assign them)"
+                    ) from None
+                raise
+
         if partition_col is None:
-            df.write.mode("errorifexists").parquet(full)
+            write(lambda: df.write.mode("errorifexists").parquet(full))
             has = self.st.has_parquet(full)
             if metrics is not None and has:
                 self._write_expectation_metrics(full, metrics)
             return rel, [], has, cmap
-        df.write.mode("errorifexists").partitionBy(partition_col).parquet(full)
+        write(lambda: df.write.mode("errorifexists")
+              .partitionBy(partition_col).parquet(full))
         parts = [p for p in self.st.list(full) if p.startswith(f"{partition_col}=")]
         if metrics is not None and parts:
             self._write_expectation_metrics(full, metrics)
@@ -2493,6 +2512,13 @@ class SnapshotTable:
                     f"column {target!r} ({expr!r}) — drop the generation "
                     "first"
                 )
+        idn = prev.get("identity")
+        if idn and idn.get("col") == logical:
+            raise ValueError(
+                f"{logical!r} is the identity column — the manifest's "
+                "identity spec addresses it by logical name; identity "
+                "columns cannot be renamed or dropped"
+            )
 
     def enable_column_mapping(self) -> int:
         """Turn on name-based column mapping (Delta column-mapping
