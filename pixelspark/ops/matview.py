@@ -763,19 +763,22 @@ def refresh_join_view(
             changes.unpersist()
 
 
-def refresh_minmax_view(
+def refresh_recompute_view(
     src: SnapshotTable,
     view: SnapshotTable,
     group_by: tuple[str, ...],
-    min_cols: tuple[str, ...] = (),
-    max_cols: tuple[str, ...] = (),
+    aggs: dict[str, object],
     count_col: str = "n",
     src_keys: tuple[str, ...] | None = None,
 ) -> int | None:
-    """MIN/MAX companion to `refresh_agg_view` for the aggregates
-    retraction CANNOT maintain (deleting the current maximum needs the
-    runner-up, which the view never stored).  Instead of folding, the
-    refresh RECOMPUTES exactly the groups the CDF window touched:
+    """ARBITRARY-aggregate materialized view: maintain
+    `SELECT group_by, COUNT(*), <aggs> FROM src GROUP BY group_by`
+    for aggregates retraction cannot fold — MIN/MAX (deleting the
+    extremum needs the runner-up), percentiles, stddev, mode,
+    collect-style aggregates.  `aggs` maps output column name to an
+    aggregate expression (Column or SQL string) evaluated over the
+    source rows of a group.  Instead of folding, the refresh
+    RECOMPUTES exactly the groups the CDF window touched:
 
       1. touched groups = DISTINCT group keys of the change window —
          sized by the changes, collected only group-key-wide;
@@ -790,11 +793,26 @@ def refresh_minmax_view(
          groups whose rows all disappeared delete (count marker 0),
          watermarked with (app_id, source_version) like the fold.
 
-    View schema: group_by + `count_col` + `min_<c>` / `max_<c>`.
+    View schema: group_by + `count_col` + the `aggs` keys.  The agg
+    expressions are VIEW CONSTANTS (like group_by): changing them
+    leaves untouched groups stale — rebuild_view to change shape.
     Returns the view's new version, or None when already current.
     Same compare-and-set watermark discipline as `refresh_agg_view`
     (here a lost race merely recomputes still-fresh aggregates, but
-    the CAS keeps the two refresh flavors interchangeable)."""
+    the CAS keeps the refresh flavors interchangeable).
+
+    Cost note vs `refresh_agg_view`: prefer the FOLD for COUNT/SUM
+    (O(changes), never re-reads the source); pay this recompute shape
+    only for the aggregates folding cannot express."""
+    bad = set(aggs) & (set(group_by) | {count_col})
+    if bad:
+        raise ValueError(
+            f"agg columns {sorted(bad)} collide with group/count columns"
+        )
+    agg_exprs = {
+        name: (F.expr(e) if isinstance(e, str) else e)
+        for name, e in aggs.items()
+    }
     for _ in range(view.max_retries):
         to_v = src.latest_version()
         if to_v is None:
@@ -806,7 +824,7 @@ def refresh_minmax_view(
             return None
         # preimages are load-bearing here too: an update that MOVES a
         # row across groups must touch BOTH its old and new group, or
-        # the old group's extremum goes stale
+        # the old group's aggregate goes stale
         changes = src.read_changes(from_v, to_v, keys=src_keys, preimages=True)
         touched = changes.select(*group_by).distinct()
 
@@ -842,8 +860,7 @@ def refresh_minmax_view(
             .groupBy(*group_by)
             .agg(
                 F.count(F.lit(1)).cast("long").alias(count_col),
-                *[F.min(c).alias(f"min_{c}") for c in min_cols],
-                *[F.max(c).alias(f"max_{c}") for c in max_cols],
+                *[c.alias(name) for name, c in agg_exprs.items()],
             )
         )
         on_tf = reduce(
@@ -855,16 +872,14 @@ def refresh_minmax_view(
         ).select(
             *group_by,
             F.lit(0).cast("long").alias(count_col),
-            *[F.lit(None).cast(base.schema[c].dataType).alias(f"min_{c}")
-              for c in min_cols],
-            *[F.lit(None).cast(base.schema[c].dataType).alias(f"max_{c}")
-              for c in max_cols],
+            *[F.lit(None).cast(fresh.schema[name].dataType).alias(name)
+              for name in agg_exprs],
         )
-        mm_delta = fresh.unionByName(gone)
+        delta = fresh.unionByName(gone)
         try:
             return _fold_or_create(
                 lambda: view.merge(
-                    mm_delta,
+                    delta,
                     keys=group_by,
                     when_matched_delete=F.col(f"s.{count_col}") == 0,
                     when_matched_update="all",
@@ -873,13 +888,36 @@ def refresh_minmax_view(
                     null_safe_keys=True,
                     txn=(_app_id(src, view), to_v, from_v),
                 ),
-                view, mm_delta,
+                view, delta,
             )
         except StaleWatermark:
             continue
     raise ConcurrentCommitError(
-        f"minmax-view refresh lost the fold race {view.max_retries} "
+        f"recompute-view refresh lost the fold race {view.max_retries} "
         f"times at {view.root}"
+    )
+
+
+def refresh_minmax_view(
+    src: SnapshotTable,
+    view: SnapshotTable,
+    group_by: tuple[str, ...],
+    min_cols: tuple[str, ...] = (),
+    max_cols: tuple[str, ...] = (),
+    count_col: str = "n",
+    src_keys: tuple[str, ...] | None = None,
+) -> int | None:
+    """MIN/MAX companion to `refresh_agg_view` — the named special
+    case of `refresh_recompute_view` (affected-group recompute; see
+    there for the mechanics and the 100-TB pruning story).  View
+    schema: group_by + `count_col` + `min_<c>` / `max_<c>`."""
+    aggs: dict[str, object] = {}
+    for c in min_cols:
+        aggs[f"min_{c}"] = F.min(c)
+    for c in max_cols:
+        aggs[f"max_{c}"] = F.max(c)
+    return refresh_recompute_view(
+        src, view, group_by, aggs, count_col=count_col, src_keys=src_keys,
     )
 
 

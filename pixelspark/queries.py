@@ -1866,6 +1866,80 @@ def q_topn_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_percentile_matview",
+    f"""
+    WITH pv AS (
+      SELECT user_id AS shop, COUNT(*) AS event_count
+      FROM events
+      WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '{TD}'
+      GROUP BY user_id
+    ), bill AS (
+      SELECT c.c_custkey AS shop, COALESCE(pv.event_count, 0) AS views
+      FROM customer c LEFT JOIN pv ON c.c_custkey = pv.shop
+    ), tagged AS (
+      SELECT shop,
+             CASE WHEN views >= 2 THEN 'multi'
+                  WHEN views = 1 THEN 'single'
+                  ELSE 'zero' END AS status,
+             views
+      FROM bill
+    ), final AS (
+      SELECT shop, status,
+             CASE WHEN shop % 3 = 0 THEN views + 5 ELSE views END AS views
+      FROM tagged WHERE shop % 5 <> 0
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(views, 0.5), 6) AS med_views
+    FROM final GROUP BY status
+    """,
+)
+def q_percentile_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained HOLISTIC-aggregate view (ops/matview.py
+    refresh_recompute_view): an exact per-status MEDIAN — an aggregate
+    no retraction fold can maintain — kept current by affected-group
+    recompute through a board-shifting MERGE and a merge-on-read DV
+    delete.  Each refresh recomputes only the CDF-touched groups; the
+    fourth call asserts the no-op.  The oracle states the end-state
+    median from the raw inputs (Spark exact `percentile` == DuckDB
+    `quantile_cont`, both linear-interpolated)."""
+    import tempfile
+
+    from pixelspark.ops import matview as MV
+    from pixelspark.table import SnapshotTable
+
+    base = tempfile.mkdtemp(prefix="pixelspark_pctv_")
+    src = SnapshotTable(spark, base + "/src")
+    view = SnapshotTable(spark, base + "/view")
+    bill = B.daily_billing(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "events"), TD)
+    rows = bill.select(
+        F.col("shop"),
+        F.when(F.col("page_views") >= 2, "multi")
+         .when(F.col("page_views") == 1, "single")
+         .otherwise("zero").alias("status"),
+        F.col("page_views").cast("long").alias("views"),
+    )
+
+    def refresh():
+        return MV.refresh_recompute_view(
+            src, view, group_by=("status",),
+            aggs={"med_views": F.expr("round(percentile(views, 0.5), 6)")},
+            src_keys=("shop",),
+        )
+
+    src.overwrite(rows)
+    refresh()
+    bump = rows.where(F.col("shop") % 3 == 0).withColumn(
+        "views", F.col("views") + 5)
+    src.merge(bump, keys=("shop",))
+    refresh()
+    src.delete("shop % 5 = 0", mode="dv")
+    refresh()
+    assert refresh() is None, "a current recompute view must no-op"
+    return view.read().select("status", "n", "med_views")
+
+
+@query(
     "q_identity",
     """
     WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM customer),

@@ -1195,3 +1195,49 @@ def test_multi_source_union_all_view(spark, tmp_path):
     check()
     refresh_all()  # replay: both watermarks current, no double-fold
     check()
+
+
+def test_recompute_view_maintains_holistic_aggregates(spark, pair):
+    """The generic recompute refresher handles aggregates no fold
+    could: exact median and stddev per group, kept current through
+    deletes (which shift the median) and cross-group moves."""
+    src, view = pair
+    aggs = {
+        "med_views": F.expr("percentile(views, 0.5)"),
+        "sd_amt": F.expr("round(stddev_samp(amt), 6)"),
+    }
+    refresh = lambda: MV.refresh_recompute_view(  # noqa: E731
+        src, view, group_by=("status",), aggs=aggs, src_keys=("k",))
+
+    def check():
+        want = sorted(map(tuple, (
+            src.read().groupBy("status").agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.expr("percentile(views, 0.5)").alias("med_views"),
+                F.expr("round(stddev_samp(amt), 6)").alias("sd_amt"),
+            )).collect()))
+        got = sorted(map(tuple, view.read().select(
+            "status", "n", "med_views", "sd_amt").collect()))
+        assert got == want
+
+    src.overwrite(_rows(spark, [
+        (1, "a", 10, 1.0), (2, "a", 20, 2.0), (3, "a", 99, 7.0),
+        (4, "b", 5, 1.0),
+    ]))
+    assert refresh() is not None
+    check()
+
+    src.delete("k = 3")  # median of 'a' shifts from 20 to 15
+    assert refresh() is not None
+    check()
+    assert view.read().where("status = 'a'").collect()[0]["med_views"] == 15.0
+
+    src.merge(_rows(spark, [(4, "a", 5, 1.0)]), keys=("k",))  # b empties
+    assert refresh() is not None
+    check()
+    assert view.read().where("status = 'b'").count() == 0
+    assert refresh() is None
+
+    with pytest.raises(ValueError, match="collide"):
+        MV.refresh_recompute_view(
+            src, view, group_by=("status",), aggs={"n": F.min("views")})
