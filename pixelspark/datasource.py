@@ -321,16 +321,38 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             self.starting = vs[-1] if vs else 0
         else:
             self.starting = int(sv)
+        # admission control (Delta maxFilesPerTrigger analog): bound
+        # how many table VERSIONS one micro-batch may consume, so a
+        # deep backlog (or a from-scratch start on a long history)
+        # drains as many small exactly-once batches instead of one
+        # giant one.  The cursor ratchets in partitions() — after a
+        # checkpoint restart the first trigger may plan empty while
+        # the cursor catches up to the checkpoint offset (one wasted
+        # micro-batch, then normal pacing).  Caveat: Trigger.
+        # AvailableNow fixes its end offset ONCE per run, so there
+        # the limit bounds the RUN, not each micro-batch — pace with
+        # a processingTime trigger (pytest pins both behaviors).
+        mv = options.get("maxversionspertrigger")
+        self.max_versions = int(mv) if mv is not None else None
+        if self.max_versions is not None and self.max_versions < 1:
+            raise ValueError("maxVersionsPerTrigger must be >= 1")
+        self._cursor: int | None = None
 
     def initialOffset(self) -> dict:
         return {"version": self.starting}
 
     def latestOffset(self) -> dict:
         vs = _versions(self.root)
-        return {"version": vs[-1] if vs else 0}
+        head = vs[-1] if vs else 0
+        if self.max_versions is None:
+            return {"version": head}
+        cur = self._cursor if self._cursor is not None else self.starting
+        return {"version": min(head, cur + self.max_versions)}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         v0, v1 = start["version"], end["version"]
+        if self.max_versions is not None:
+            self._cursor = max(self._cursor or 0, v0, v1)
         if v1 <= v0:
             return []
         m1 = _manifest(self.root, v1)

@@ -359,3 +359,53 @@ def test_unknown_reader_feature_is_refused(reg, spark, tmp_path):
         spark.read.format("snapshot_table").load(root).collect()
     with pytest.raises(ValueError, match="row-tracking-v9"):
         t.read()
+
+
+def test_stream_max_versions_per_trigger_paces_backlog(reg, spark, tmp_path):
+    """Admission control: a 4-commit backlog with
+    maxVersionsPerTrigger=1 drains one commit per micro-batch under a
+    continuous trigger (availableNow fixes its end offset once per
+    run, so there it bounds the RUN, not each batch — documented)."""
+    import time as _time
+
+    root, ckpt = (str(tmp_path / p) for p in ("t", "ck"))
+    t = SnapshotTable(spark, root)
+    for i in range(4):
+        t.append(_df(spark, [(i, f"v{i}")]))
+
+    batches = []
+
+    def sink(df, bid):
+        rows = sorted((r["k"], r["v"]) for r in df.collect())
+        if rows:
+            batches.append(rows)
+
+    def drain(expect_rows):
+        q = (
+            spark.readStream.format("snapshot_table")
+            .option("maxVersionsPerTrigger", "1")
+            .load(root)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        deadline = _time.time() + 120
+        while (sum(len(b) for b in batches) < expect_rows
+               and _time.time() < deadline):
+            _time.sleep(0.2)
+        q.stop()
+        q.awaitTermination(60)
+
+    drain(4)
+    assert [r for b in batches for r in b] == [
+        (0, "v0"), (1, "v1"), (2, "v2"), (3, "v3")]
+    assert len(batches) == 4  # one commit per micro-batch
+
+    t.append(_df(spark, [(9, "v9"), (10, "vA")]))
+    t.append(_df(spark, [(11, "vB")]))
+    batches.clear()
+    drain(3)  # restart from checkpoint: pacing holds, no re-delivery
+    assert [r for b in batches for r in b] == [
+        (9, "v9"), (10, "vA"), (11, "vB")]
+    assert len(batches) == 2
