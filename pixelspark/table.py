@@ -1481,13 +1481,19 @@ class SnapshotTable:
                 last = self.manifest(v).get("txn", {}).get(txn[0])
                 if last is not None and last >= txn[1]:
                     return None  # replay: skip before paying the write
-        rel, parts, has_data, wmap = self._write_snap(df, partition_col)
-        entry = self._entry_for(rel, sorted(parts), has_data, df.schema, wmap)
+        spec = self._identity_spec()
+        out_df, new_high = df, None
+        if spec and spec["col"] not in df.columns:
+            out_df, new_high = self._assign_identity(df, spec)
+        rel, parts, has_data, wmap = self._write_snap(
+            out_df, partition_col, audit_identity=new_high is None)
+        entry = self._entry_for(rel, sorted(parts), has_data, out_df.schema,
+                                wmap)
         new_parts = set(parts)  # subdirs that actually exist in the new snap
         replaced = set(new_parts)  # values retired from previous entries
         if replace_values is not None:
             replaced |= {f"{partition_col}={v}" for v in map(str, replace_values)}
-        schema = df.schema.json()
+        schema = out_df.schema.json()
         if not has_data and txn is None and not replace_values:
             # empty batch replaces nothing: skip the useless version
             # (with a txn the watermark still has to be recorded below)
@@ -1549,6 +1555,15 @@ class SnapshotTable:
                                 "n_values": len(replaced)}}
             if tmap:
                 out["txn"] = tmap
+            if new_high is not None:
+                # a replaced-away rival range cannot collide, but a
+                # KEPT partition's rival rows can — CAS like append;
+                # the conflict propagates (replace_partitions has no
+                # re-stage loop; callers retry like the mapping race)
+                cur = (prev or {}).get("identity") or spec
+                if cur["high"] != spec["high"]:
+                    raise _Conflicted
+                out["identity"] = {**cur, "high": new_high}
             return out
 
         return self._commit(build)
