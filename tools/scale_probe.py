@@ -827,6 +827,39 @@ def matview_experiment(spark) -> dict:
     return {"experiment": "matview_refresh", "change_rows": 2000, **results}
 
 
+def identity_experiment(spark) -> dict:
+    """Identity-assignment cost model (table.py _assign_identity): a
+    fixed 20k-row append onto a 200k-row vs 2M-row identity table.
+    Assignment is two batch-local jobs (per-partition count agg +
+    the pid-partitioned rank window) and the commit is one manifest
+    write, so append cost must be FLAT in table size — O(batch),
+    never O(table)."""
+    import tempfile
+
+    from pixelspark.table import SnapshotTable
+
+    results = {}
+    for n in (200_000, 2_000_000):
+        base = tempfile.mkdtemp(prefix=f"probe_idn_{n}_")
+        t = SnapshotTable(spark, base + "/t",
+                          identity={"col": "rid", "start": 1, "step": 1})
+        t.append(spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v")))
+        batch = spark.range(n, n + 20_000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v"))
+        t0 = time.time()
+        t.append(batch)
+        sec = time.time() - t0
+        hi = t.manifest(t.latest_version())["identity"]["high"]
+        assert hi == n + 20_000 + 1, hi
+        results[f"{n}_rows"] = {"append_20k_sec": round(sec, 3)}
+    results["append_ratio_at_10x_table"] = round(
+        results["2000000_rows"]["append_20k_sec"]
+        / results["200000_rows"]["append_20k_sec"], 2)
+    return {"experiment": "identity_append", "batch_rows": 20_000,
+            **results}
+
+
 def topn_matview_experiment(spark) -> dict:
     """TOP-N view refresh cost model (ops/matview.py
     refresh_topn_view): a DAY-partitioned source whose boards are
@@ -1101,6 +1134,7 @@ def main() -> None:
             "matview": matview_experiment,
             "join_matview": join_matview_experiment,
             "topn_matview": topn_matview_experiment,
+            "identity": identity_experiment,
         }[sys.argv[1]]
         print(json.dumps(fn(spark)))
         return
