@@ -3438,6 +3438,42 @@ class SnapshotTable:
             })
         return out
 
+    def detail(self) -> dict:
+        """One-call table summary (Delta DESCRIBE DETAIL): current
+        version, layout, feature lists, configured invariants, file
+        statistics — everything from the manifest, zero data read
+        (num_rows uses the manifest's per-partition row counts where
+        recorded; None means at least one entry predates them)."""
+        v = self.latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no snapshot at {self.root}")
+        m = self.manifest(v)
+        counts = [
+            sum((e.get("rows") or {}).values()) if e.get("rows") else None
+            for e in m["entries"]
+        ]
+        if m.get("dv_files"):
+            # DV masks make manifest arithmetic an overcount — report
+            # unknown rather than wrong (row_count() pays the scan)
+            counts = [None]
+        return {
+            "root": self.root,
+            "version": v,
+            "table_id": m.get("table_id"),
+            "committed_at": m.get("committed_at"),
+            "partition_col": m.get("partition_col"),
+            "n_entries": len(m["entries"]),
+            "num_rows": (None if any(c is None for c in counts)
+                         else sum(counts)),
+            "reader_features": m.get("reader_features") or [],
+            "writer_features": m.get("writer_features") or [],
+            "generated": m.get("generated") or {},
+            "identity": m.get("identity"),
+            "column_mapping": bool(m.get("column_mapping")),
+            "deletion_vectors": len(m.get("dv_files") or []),
+            "last_op": m.get("op") or {"name": "unknown"},
+        }
+
     def restore(self, version: int) -> int:
         """Roll the table back to `version` AS A NEW COMMIT (Delta
         RESTORE): the new manifest points at the old snapshot's data

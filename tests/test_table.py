@@ -1894,3 +1894,19 @@ def test_predicate_pruning_excludes_null_partition(spark, tmp_path):
     pruned = t.read(predicates=[("day", "=", "d1")])
     assert [r["k"] for r in pruned.collect()] == [1]
     assert all("__HIVE_DEFAULT" not in f for f in pruned.inputFiles())
+
+
+def test_detail_summarizes_from_manifest_alone(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "d"),
+                      identity={"col": "rid", "start": 1, "step": 1})
+    t.append(spark.range(5).select(F.col("id").alias("k")))
+    d = t.detail()
+    assert d["version"] == 1 and d["n_entries"] == 1
+    assert d["num_rows"] == 5
+    assert d["identity"]["high"] == 6
+    assert "identity-columns" in d["writer_features"]
+    assert d["last_op"]["name"] == "append"
+    t.delete("k = 0", mode="dv")
+    d = t.detail()
+    assert d["deletion_vectors"] == 1
+    assert d["num_rows"] is None  # DV masks: unknown beats wrong
