@@ -1077,3 +1077,40 @@ def with_avg(
             f"avg_{c}", F.col(c) / F.col(count_col)
         )
     return out
+
+
+def refresh_dag(
+    steps: dict[str, tuple],
+) -> dict[str, int | None]:
+    """Refresh a DAG of views in dependency order — the Delta Live
+    Tables / Materialize "pipeline" shape over this module's
+    refreshers.  `steps` maps a step name to (refresh_callable,
+    dependency_names); each callable is a zero-arg closure over one
+    of the refresh_* functions.  Upstream views refresh first, so a
+    downstream view folding an upstream view's CDF sees this round's
+    changes in the same pass; one pass settles the whole DAG (every
+    refresher is exact per call, no fixpoint iteration needed).
+
+    Returns {name: version-or-None} (None = that view was already
+    current).  Raises on unknown dependencies or cycles — a cyclic
+    view graph has no consistent refresh order."""
+    order: list[str] = []
+    state: dict[str, int] = {}  # 0 in-progress, 1 done
+
+    def visit(name: str, chain: tuple[str, ...]) -> None:
+        if state.get(name) == 1:
+            return
+        if state.get(name) == 0:
+            cyc = chain[chain.index(name):] + (name,)
+            raise ValueError(f"view DAG has a cycle: {' -> '.join(cyc)}")
+        if name not in steps:
+            raise ValueError(f"unknown view dependency: {name!r}")
+        state[name] = 0
+        for dep in steps[name][1]:
+            visit(dep, chain + (name,))
+        state[name] = 1
+        order.append(name)
+
+    for name in steps:
+        visit(name, ())
+    return {name: steps[name][0]() for name in order}

@@ -1241,3 +1241,46 @@ def test_recompute_view_maintains_holistic_aggregates(spark, pair):
     with pytest.raises(ValueError, match="collide"):
         MV.refresh_recompute_view(
             src, view, group_by=("status",), aggs={"n": F.min("views")})
+
+
+def test_refresh_dag_settles_a_view_chain_in_one_pass(spark, tmp_path):
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    agg = SnapshotTable(spark, str(tmp_path / "agg"))
+    top = SnapshotTable(spark, str(tmp_path / "top"))
+    with_parity = lambda df: df.withColumn(  # noqa: E731
+        "parity", (F.col("k") % 2).cast("long"))
+    steps = {
+        "agg": (lambda: MV.refresh_agg_view(
+            src, agg, group_by=("status", "parity"), sum_cols=("views",),
+            src_keys=("k",)), ()),
+        "top": (lambda: MV.refresh_topn_view(
+            agg, top, group_by=("status",), order_by=("views", "parity"),
+            descending=(True, False), n=1, src_keys=("status", "parity")),
+            ("agg",)),
+    }
+
+    src.overwrite(with_parity(_rows(spark, [
+        (1, "a", 10, 0.0), (2, "a", 20, 0.0), (3, "b", 7, 0.0),
+    ])))
+    out = MV.refresh_dag(steps)
+    assert out["agg"] is not None and out["top"] is not None
+    # ONE pass carried the source change through both levels
+    got = {(r["status"], r["parity"]): r["views"]
+           for r in top.read().collect()}
+    assert got == {("a", 0): 20, ("b", 1): 7}
+
+    src.delete("k = 2")
+    out = MV.refresh_dag(steps)
+    assert out["agg"] is not None and out["top"] is not None
+    got = {(r["status"], r["parity"]): r["views"]
+           for r in top.read().collect()}
+    assert got == {("a", 1): 10, ("b", 1): 7}
+
+    # settled: the whole DAG no-ops
+    assert MV.refresh_dag(steps) == {"agg": None, "top": None}
+
+    with pytest.raises(ValueError, match="cycle"):
+        MV.refresh_dag({
+            "x": (lambda: None, ("y",)), "y": (lambda: None, ("x",))})
+    with pytest.raises(ValueError, match="unknown view dependency"):
+        MV.refresh_dag({"x": (lambda: None, ("ghost",))})
