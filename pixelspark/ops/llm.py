@@ -2508,6 +2508,21 @@ class DedupIndex:
             self.shingles.append(sh_new)
         return pairs
 
+    def forget(self, ids, mode: str = "dv") -> None:
+        """Erase documents from the index (retention expiry, takedown,
+        GDPR): deletion-vector commits on BOTH artifact tables mask
+        the ids' bucket rows and shingle sets in O(matched) bytes, so
+        the next ingest can no longer pair against them — without
+        rewriting artifacts computed for the rest of the corpus.
+        Version pinning keeps replay honest: a re-delivered (app_id,
+        batch_id) still reads its pre-batch versions, which predate
+        the forget, so it reproduces its ORIGINAL pairs — exactly-once
+        means the answer cannot change under replay.  Physical
+        erasure = compact() + vacuum, as with any DV delete."""
+        doomed = F.col(self.id_col).isin(list(ids))
+        self.buckets.delete(doomed, mode=mode)
+        self.shingles.delete(doomed, mode=mode)
+
     def compact(
         self, num_files: int = 8, recap_hot_buckets: bool = False
     ) -> None:

@@ -654,6 +654,24 @@ class VectorIndex:
         protection survives compaction."""
         return self.codes.compact(cluster_by=("cluster",), num_files=num_files)
 
+    def delete(self, ids: list[int], mode: str = "dv") -> int:
+        """Retire vectors from the index — the document-takedown /
+        GDPR-erasure path a production vector store needs alongside
+        ingest.  Default is a deletion-vector commit on the codes
+        table: the ids' (file, row) positions land in a tiny mask
+        file, O(matched) bytes at ANY index size — no code file is
+        rewritten — and every subsequent query fills its shortlist
+        and top-k from the survivors only, because the codes scan
+        applies the mask before ADC scoring.  Pre-delete states stay
+        time-travelable via query(version=...) until vacuum;
+        PHYSICAL erasure happens when compact() materializes the
+        mask into rewritten files and the codes table is vacuumed.
+        `mode="rewrite"` trades the O(matched) write for immediate
+        physical removal."""
+        return self.codes.delete(
+            F.col(self.id_col).isin([int(i) for i in ids]), mode=mode
+        )
+
     def query(
         self,
         emb_source: DataFrame,

@@ -1075,3 +1075,41 @@ def test_sequence_pack_string_ids_need_shard_col(spark):
     for i in range(9):
         assert got[f"doc-{i:03d}"] == (i + 1, acc)
         acc += i + 1
+
+
+def test_dedup_index_forget_erases_docs_but_not_replay_history(spark, tmp_path):
+    """forget() masks a doc's buckets+shingles so future ingests can't
+    pair against it, while a replayed batch (version-pinned pre-batch)
+    still reproduces its ORIGINAL pairs from before the forget."""
+    idx = L.DedupIndex(spark, str(tmp_path / "didx_f"), threshold=0.4)
+    idx.ingest(_didx_docs(spark, [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "totally different text about snapshot manifests here"),
+    ]), app_id="job", batch_id=1)
+    first = idx.ingest(
+        _didx_docs(spark, [(10, "alpha beta gamma delta epsilon eta")]),
+        app_id="job", batch_id=2)
+    assert {(r["id_a"], r["id_b"]) for r in first.collect()} == {(1, 10)}
+
+    idx.forget([1, 10])
+    # future ingest: the near-dup family is gone from the index
+    fresh = idx.ingest(
+        _didx_docs(spark, [(20, "alpha beta gamma delta epsilon theta")]),
+        app_id="job", batch_id=3)
+    assert fresh.collect() == []
+    # an unrelated doc still pairs normally
+    other = idx.ingest(
+        _didx_docs(spark, [(21, "totally different text about snapshot manifests too")]),
+        app_id="job", batch_id=4)
+    assert {(r["id_a"], r["id_b"]) for r in other.collect()} == {(2, 21)}
+
+    # replay of batch 2 reads its pinned pre-batch version: original answer
+    replay = idx.ingest(
+        _didx_docs(spark, [(10, "alpha beta gamma delta epsilon eta")]),
+        app_id="job", batch_id=2)
+    assert {(r["id_a"], r["id_b"]) for r in replay.collect()} == {(1, 10)}
+
+    # compact materializes the erasure
+    idx.compact()
+    assert idx.shingles.read().where("doc_id in (1, 10)").count() == 0
+    assert idx.buckets.read().where("doc_id in (1, 10)").count() == 0

@@ -351,3 +351,43 @@ def test_vector_index_build_race_serializes_on_codes(spark, sf_dir, tmp_path, mo
     idx2.build(emb, n_clusters=4, m=4, ksub=8, n_iter=1)
     got = idx2.query(emb, [0, 1], k=3, n_probe=4, shortlist=50).collect()
     assert len(got) == 6
+
+
+def test_vector_index_delete_retires_vectors(spark, sf_dir, tmp_path):
+    """delete() is the takedown path: a DV commit on the codes table
+    masks the ids (no code file rewritten), queries refill top-k from
+    survivors, the pre-delete state stays time-travelable, and
+    compact() materializes the erasure without changing answers."""
+    from pixelspark.ops.pq import VectorIndex
+    from pixelspark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where("vec_id < 400")
+    idx = VectorIndex(spark, str(tmp_path / "vidx_del"))
+    idx.build(base, n_clusters=8, m=8, ksub=16, n_iter=2)
+
+    before = idx.query(emb, [7], k=5).collect()
+    victim = before[0]["neighbor_id"]
+    pre_v = idx.codes.latest_version()
+    dirs_before = {e["base"] for e in idx.codes.manifest(pre_v)["entries"]}
+
+    idx.delete([victim])
+    # mask, not rewrite: every pre-delete data dir is still referenced
+    m_after = idx.codes.manifest(idx.codes.latest_version())
+    assert dirs_before <= {e["base"] for e in m_after["entries"]}
+
+    after = idx.query(emb, [7], k=5).collect()
+    survivors = {r["neighbor_id"] for r in after}
+    assert victim not in survivors
+    assert len(after) == 5  # k refilled from the remaining vectors
+
+    # time travel still sees the victim
+    back = idx.query(emb, [7], k=5, version=pre_v).collect()
+    assert ({r["neighbor_id"] for r in back}
+            == {r["neighbor_id"] for r in before})
+
+    # compact materializes the mask; answers unchanged, row physically gone
+    idx.compact(num_files=4)
+    assert ({r["neighbor_id"] for r in idx.query(emb, [7], k=5).collect()}
+            == survivors)
+    assert idx.codes.read().where(F.col("vec_id") == victim).count() == 0
