@@ -1,0 +1,233 @@
+"""Name-based table catalog over the snapshot table format — the
+layer between "a table is a path plus constructor options" and "a
+table is a NAME" (the role Hive Metastore / Unity / an Iceberg REST
+catalog plays for those formats; the reference addresses BigQuery
+tables by dataset.name the same way).
+
+Design: the catalog is itself a tiny versioned log of immutable JSON
+documents (`_catalog/<version>.json`) published with the same atomic
+no-overwrite `write_text_atomic` discipline as table manifests, so
+every catalog edit is an optimistic-concurrency CAS commit: rival
+edits serialize on the version file, the loser re-reads the winner's
+state and retries its edit against it (and a `create_table` whose
+name got taken in the meantime fails honestly).  Each version holds
+the ENTIRE name→entry map — catalogs are small (names and options,
+not data), so one read resolves any name with no log replay, and the
+full map doubles as a point-in-time snapshot of the namespace.
+
+What an entry persists, beyond the location: the table's WRITE-SIDE
+OPTIONS (stats_cols, bloom_cols, constraints, expectations, ...).
+Generated/identity columns already live in the table's own manifest,
+but the rest are constructor-only — without a catalog every writer
+must remember to re-pass them, and one forgetful writer silently
+skips CHECK enforcement or stops recording skip stats.  `table(name)`
+reconstructs the handle with the persisted options, so policy follows
+the name, not the call site.  Options must be JSON-serializable:
+constraints/expectations go in as SQL strings (which SnapshotTable
+accepts), never as Column objects.
+
+At 100 TB the catalog is also what makes table RENAME O(1): data
+stays at its immutable location, only the name→root binding moves —
+the operation object stores cannot do cheaply (a prefix copy of the
+table) becomes one metadata commit.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pixelspark.storage import Storage, storage_for
+from pixelspark.table import SnapshotTable
+
+
+class TableNotFound(KeyError):
+    pass
+
+
+class TableAlreadyExists(ValueError):
+    pass
+
+
+class CatalogCommitError(RuntimeError):
+    pass
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, root: str, max_retries: int = 5):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.st: Storage = storage_for(self.root, spark)
+        self.max_retries = max_retries
+
+    # -- the versioned-log plumbing (same shape as SnapshotTable) --------
+
+    @property
+    def _dir(self) -> str:
+        return f"{self.root}/_catalog"
+
+    def versions(self) -> list[int]:
+        out = []
+        for name in self.st.list(self._dir):
+            if name.endswith(".json"):
+                try:
+                    out.append(int(name[: -len(".json")]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _path(self, version: int) -> str:
+        return f"{self._dir}/{version:010d}.json"
+
+    def _state(self, version: int | None = None) -> dict:
+        """{"version": n, "tables": {name: entry}} — the empty catalog
+        when no version exists yet."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return {"version": None, "tables": {}}
+        return json.loads(self.st.read_text(self._path(v)))
+
+    def _commit(self, edit: Callable[[dict], dict]) -> int:
+        """CAS loop: read latest state, let `edit` transform the
+        name→entry map (raising is the abort path), publish as the
+        next version.  A lost race re-reads and re-validates — an
+        edit that no longer applies (name taken, name gone) raises
+        out of the retry loop with the true current state in view."""
+        for _ in range(self.max_retries):
+            state = self._state()
+            tables = edit(dict(state["tables"]))
+            next_v = 0 if state["version"] is None else state["version"] + 1
+            self.st.mkdirs(self._dir)
+            if self.st.write_text_atomic(
+                self._path(next_v),
+                json.dumps({"version": next_v, "tables": tables},
+                           sort_keys=True),
+            ):
+                return next_v
+        raise CatalogCommitError(
+            f"catalog edit lost the commit race {self.max_retries} times "
+            f"at {self.root}"
+        )
+
+    # -- the user surface -------------------------------------------------
+
+    def create_table(
+        self, name: str, location: str | None = None, **options
+    ) -> SnapshotTable:
+        """Bind `name` to a table location (default
+        `<catalog root>/tables/<name>`) with its write-side options
+        persisted; refuses an existing name.  The binding is the only
+        thing created — the table itself materializes at first write,
+        like any SnapshotTable."""
+        if not name or "/" in name or name.startswith("_"):
+            raise ValueError(f"invalid table name {name!r}")
+        try:
+            opts_json = json.loads(json.dumps(options))
+        except TypeError:
+            raise TypeError(
+                "catalog table options must be JSON-serializable — pass "
+                "constraints/expectations as SQL strings, not Column objects"
+            ) from None
+        loc = (location or f"{self.root}/tables/{name}").rstrip("/")
+
+        def edit(tables: dict) -> dict:
+            if name in tables:
+                raise TableAlreadyExists(
+                    f"table {name!r} already exists at {tables[name]['root']}"
+                )
+            tables[name] = {"root": loc, "options": opts_json}
+            return tables
+
+        self._commit(edit)
+        return self.table(name)
+
+    def describe(self, name: str) -> dict:
+        entry = self._state()["tables"].get(name)
+        if entry is None:
+            raise TableNotFound(name)
+        return json.loads(json.dumps(entry))  # defensive copy
+
+    def table(self, name: str) -> SnapshotTable:
+        """Open `name` with its PERSISTED options — the point of the
+        catalog: CHECK constraints, expectations, stats/bloom policy
+        follow the name to every caller."""
+        entry = self.describe(name)
+        return SnapshotTable(self.spark, entry["root"], **entry["options"])
+
+    def list_tables(self) -> list[str]:
+        return sorted(self._state()["tables"])
+
+    def rename_table(self, old: str, new: str) -> None:
+        """O(1) at any table size: the data never moves, one catalog
+        commit rebinds the name (the rename object stores cannot do
+        cheaply on raw paths)."""
+        if not new or "/" in new or new.startswith("_"):
+            raise ValueError(f"invalid table name {new!r}")
+
+        def edit(tables: dict) -> dict:
+            if old not in tables:
+                raise TableNotFound(old)
+            if new in tables:
+                raise TableAlreadyExists(
+                    f"table {new!r} already exists at {tables[new]['root']}"
+                )
+            tables[new] = tables.pop(old)
+            return tables
+
+        self._commit(edit)
+
+    def alter_table(self, name: str, **options) -> None:
+        """Replace the persisted write-side options (the catalog's
+        ALTER TABLE).  Takes effect for handles opened AFTER the
+        commit — live handles keep the options they were built with."""
+        opts_json = json.loads(json.dumps(options))
+
+        def edit(tables: dict) -> dict:
+            if name not in tables:
+                raise TableNotFound(name)
+            tables[name] = {**tables[name], "options": opts_json}
+            return tables
+
+        self._commit(edit)
+
+    def drop_table(self, name: str, purge: bool = False) -> None:
+        """Unbind the name; `purge=True` also deletes the table's data
+        tree (irreversible — the default drop leaves data in place so
+        a mistaken drop is repaired by re-creating the binding at the
+        same location)."""
+        root_holder: list[str] = []
+
+        def edit(tables: dict) -> dict:
+            if name not in tables:
+                raise TableNotFound(name)
+            root_holder.append(tables.pop(name)["root"])
+            return tables
+
+        self._commit(edit)
+        if purge:
+            self.st.delete(root_holder[0])
+
+    def register_views(self, version: int | None = None) -> list[str]:
+        """Register every cataloged table that has data as a Spark
+        temp view under its catalog name (latest table version), so
+        `spark.sql` resolves the namespace.  Returns the registered
+        names; bindings whose table has no commits yet are skipped."""
+        registered = []
+        for name, entry in sorted(self._state(version)["tables"].items()):
+            t = SnapshotTable(self.spark, entry["root"], **entry["options"])
+            if t.exists():
+                t.register_view(name)
+                registered.append(name)
+        return registered
+
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL with every cataloged table registered by name —
+        the `SELECT ... FROM <name>` front door."""
+        self.register_views()
+        return self.spark.sql(query)

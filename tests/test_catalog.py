@@ -1,0 +1,142 @@
+"""Catalog tests: name→table bindings with persisted write-side
+options, the CAS commit discipline, O(1) rename, drop vs purge, and
+the SQL front door."""
+
+from __future__ import annotations
+
+import pytest
+
+from pixelspark.catalog import (
+    Catalog,
+    CatalogCommitError,
+    TableAlreadyExists,
+    TableNotFound,
+)
+from pixelspark.table import ConstraintViolation
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, status string, views long")
+
+
+def test_create_table_persists_options_across_reopen(spark, tmp_path):
+    """The point of the catalog: write-side policy follows the NAME.
+    A CHECK constraint declared at create time binds every later
+    handle opened by name — including from a fresh Catalog object —
+    without the caller re-passing it."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    t = cat.create_table(
+        "events", constraints=[["views_nonneg", "views >= 0"]],
+        stats_cols=["k"],
+    )
+    t.append(_df(spark, [(1, "a", 10), (2, "b", 20)]))
+
+    reopened = Catalog(spark, str(tmp_path / "cat")).table("events")
+    assert reopened.stats_cols == ("k",)
+    with pytest.raises(ConstraintViolation):
+        reopened.append(_df(spark, [(3, "c", -5)]))
+    assert reopened.read().count() == 2
+    assert cat.list_tables() == ["events"]
+    assert cat.describe("events")["root"].endswith("/tables/events")
+
+
+def test_create_rejects_duplicates_and_bad_names(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table("t1")
+    with pytest.raises(TableAlreadyExists):
+        cat.create_table("t1")
+    for bad in ("", "a/b", "_hidden"):
+        with pytest.raises(ValueError):
+            cat.create_table(bad)
+    with pytest.raises(TypeError, match="JSON-serializable"):
+        cat.create_table("t2", constraints=[("c", object())])
+    with pytest.raises(TableNotFound):
+        cat.table("ghost")
+
+
+def test_rename_is_metadata_only(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table("old").append(_df(spark, [(1, "a", 10)]))
+    root_before = cat.describe("old")["root"]
+
+    cat.rename_table("old", "new")
+    assert cat.list_tables() == ["new"]
+    assert cat.describe("new")["root"] == root_before  # data never moved
+    assert cat.table("new").read().count() == 1
+    with pytest.raises(TableNotFound):
+        cat.table("old")
+    cat.create_table("blocker")
+    with pytest.raises(TableAlreadyExists):
+        cat.rename_table("new", "blocker")
+
+
+def test_drop_keeps_data_unless_purged(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table("t").append(_df(spark, [(1, "a", 10)]))
+    loc = cat.describe("t")["root"]
+
+    cat.drop_table("t")  # unbind only
+    with pytest.raises(TableNotFound):
+        cat.table("t")
+    # a mistaken drop is repaired by re-binding the same location
+    cat.create_table("t", location=loc)
+    assert cat.table("t").read().count() == 1
+
+    cat.drop_table("t", purge=True)
+    assert not cat.st.exists(loc)
+    with pytest.raises(TableNotFound):
+        cat.drop_table("t")
+
+
+def test_commit_retries_cas_race_and_gives_up_honestly(spark, tmp_path):
+    """A lost write_text_atomic race re-reads and retries; permanent
+    loss raises CatalogCommitError instead of silently dropping the
+    edit.  A rival's interleaved commit is never overwritten."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    rival = Catalog(spark, str(tmp_path / "cat"))
+    orig = cat.st.write_text_atomic
+    calls = {"n": 0}
+
+    def racy(path, text):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            rival.create_table("rival_won")  # lands first at this version
+        return orig(path, text)
+
+    cat.st.write_text_atomic = racy
+    cat.create_table("mine")
+    cat.st.write_text_atomic = orig
+    assert cat.list_tables() == ["mine", "rival_won"]  # both edits kept
+
+    cat.st.write_text_atomic = lambda path, text: False
+    with pytest.raises(CatalogCommitError):
+        cat.create_table("never")
+    cat.st.write_text_atomic = orig
+
+
+def test_alter_table_applies_to_new_handles(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table("t").append(_df(spark, [(1, "a", 10)]))
+    cat.alter_table("t", constraints=[["cap", "views < 100"]])
+    with pytest.raises(ConstraintViolation):
+        cat.table("t").append(_df(spark, [(2, "b", 500)]))
+    with pytest.raises(TableNotFound):
+        cat.alter_table("ghost", stats_cols=["k"])
+
+
+def test_sql_front_door_resolves_names(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table("facts").append(_df(spark, [(1, "a", 10), (2, "b", 20)]))
+    cat.create_table("dims").append(
+        spark.createDataFrame([("a", "alpha"), ("b", "beta")],
+                              "status string, label string"))
+    cat.create_table("empty_binding")  # no data yet: skipped, not fatal
+
+    got = {
+        (r["label"], r["total"])
+        for r in cat.sql(
+            "SELECT d.label, SUM(f.views) AS total FROM facts f "
+            "JOIN dims d USING (status) GROUP BY d.label"
+        ).collect()
+    }
+    assert got == {("alpha", 10), ("beta", 20)}
