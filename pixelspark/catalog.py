@@ -200,12 +200,25 @@ class Catalog:
         """Unbind the name; `purge=True` also deletes the table's data
         tree (irreversible — the default drop leaves data in place so
         a mistaken drop is repaired by re-creating the binding at the
-        same location)."""
+        same location).  Purge refuses while any OTHER name still
+        binds the same location (explicit-location bindings can
+        alias) — the check rides the CAS commit, so it sees the
+        state the drop actually applies to."""
         root_holder: list[str] = []
 
         def edit(tables: dict) -> dict:
             if name not in tables:
                 raise TableNotFound(name)
+            doomed = tables[name]["root"]
+            if purge:
+                aliases = [n for n, e in tables.items()
+                           if n != name and e["root"] == doomed]
+                if aliases:
+                    raise ValueError(
+                        f"cannot purge {name!r}: {aliases} still bind the "
+                        f"same location {doomed} (drop without purge, or "
+                        "drop the aliases first)"
+                    )
             root_holder.append(tables.pop(name)["root"])
             return tables
 

@@ -82,6 +82,12 @@ def test_drop_keeps_data_unless_purged(spark, tmp_path):
     cat.create_table("t", location=loc)
     assert cat.table("t").read().count() == 1
 
+    # purge refuses while an alias still binds the same location
+    cat.create_table("alias_t", location=loc)
+    with pytest.raises(ValueError, match="still bind the same location"):
+        cat.drop_table("t", purge=True)
+    cat.drop_table("alias_t")
+
     cat.drop_table("t", purge=True)
     assert not cat.st.exists(loc)
     with pytest.raises(TableNotFound):
