@@ -35,6 +35,8 @@ table) becomes one metadata commit.
 from __future__ import annotations
 
 import json
+import posixpath
+import re
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,6 +55,37 @@ class TableAlreadyExists(ValueError):
 
 class CatalogCommitError(RuntimeError):
     pass
+
+
+# Lowercase identifiers only: valid Spark view names (no hyphens,
+# dots, spaces), no `..`/`.` path traversal out of <root>/tables/,
+# and no two bindings that Spark's case-insensitive view namespace
+# would silently collapse into one.
+_NAME_RE = re.compile(r"^[a-z][a-z0-9_]*$")
+
+
+def _check_name(name: str) -> None:
+    if not isinstance(name, str) or not _NAME_RE.fullmatch(name):
+        raise ValueError(
+            f"invalid table name {name!r}: must match [a-z][a-z0-9_]* "
+            "(a lowercase identifier — what Spark's case-insensitive "
+            "view namespace and the default location layout both need)"
+        )
+
+
+def _norm_loc(loc: str) -> str:
+    """Normalize a location so the purge alias check compares
+    LOCATIONS, not spellings: `file:///x//y/` and `/x/y` are the same
+    directory.  Scheme'd non-file paths keep their scheme; their path
+    part is normalized the same way."""
+    loc = loc.rstrip("/")
+    if loc.startswith("file://"):
+        loc = loc[len("file://"):]
+    m = re.match(r"^([a-z][a-z0-9+.-]*://)(.*)$", loc)
+    if m:
+        scheme, rest = m.groups()
+        return scheme + posixpath.normpath(rest)
+    return posixpath.normpath(loc)
 
 
 class Catalog:
@@ -96,9 +129,11 @@ class Catalog:
     def _commit(self, edit: Callable[[dict], dict]) -> int:
         """CAS loop: read latest state, let `edit` transform the
         name→entry map (raising is the abort path), publish as the
-        next version.  A lost race re-reads and re-validates — an
-        edit that no longer applies (name taken, name gone) raises
-        out of the retry loop with the true current state in view."""
+        next version.  A lost race re-reads and RE-RUNS the edit from
+        scratch against the winner's state — edits must be
+        re-entrant and re-validate (name taken, name gone) every
+        attempt, so decisions always ride the state that actually
+        commits."""
         for _ in range(self.max_retries):
             state = self._state()
             tables = edit(dict(state["tables"]))
@@ -125,8 +160,7 @@ class Catalog:
         persisted; refuses an existing name.  The binding is the only
         thing created — the table itself materializes at first write,
         like any SnapshotTable."""
-        if not name or "/" in name or name.startswith("_"):
-            raise ValueError(f"invalid table name {name!r}")
+        _check_name(name)
         try:
             opts_json = json.loads(json.dumps(options))
         except TypeError:
@@ -134,7 +168,7 @@ class Catalog:
                 "catalog table options must be JSON-serializable — pass "
                 "constraints/expectations as SQL strings, not Column objects"
             ) from None
-        loc = (location or f"{self.root}/tables/{name}").rstrip("/")
+        loc = _norm_loc(location or f"{self.root}/tables/{name}")
 
         def edit(tables: dict) -> dict:
             if name in tables:
@@ -166,9 +200,9 @@ class Catalog:
     def rename_table(self, old: str, new: str) -> None:
         """O(1) at any table size: the data never moves, one catalog
         commit rebinds the name (the rename object stores cannot do
-        cheaply on raw paths)."""
-        if not new or "/" in new or new.startswith("_"):
-            raise ValueError(f"invalid table name {new!r}")
+        cheaply on raw paths).  A temp view registered under the old
+        name is dropped so SQL stops resolving the dead name."""
+        _check_name(new)
 
         def edit(tables: dict) -> dict:
             if old not in tables:
@@ -181,6 +215,7 @@ class Catalog:
             return tables
 
         self._commit(edit)
+        self.spark.catalog.dropTempView(old)
 
     def alter_table(self, name: str, **options) -> None:
         """Replace the persisted write-side options (the catalog's
@@ -201,18 +236,21 @@ class Catalog:
         tree (irreversible — the default drop leaves data in place so
         a mistaken drop is repaired by re-creating the binding at the
         same location).  Purge refuses while any OTHER name still
-        binds the same location (explicit-location bindings can
-        alias) — the check rides the CAS commit, so it sees the
-        state the drop actually applies to."""
+        binds the same normalized location (explicit-location
+        bindings can alias) — the check and the root-to-delete both
+        come from the edit attempt that actually commits, never a
+        lost earlier attempt.  A temp view registered under the name
+        is dropped so SQL stops resolving it."""
         root_holder: list[str] = []
 
         def edit(tables: dict) -> dict:
+            del root_holder[:]  # only the COMMITTED attempt's root counts
             if name not in tables:
                 raise TableNotFound(name)
-            doomed = tables[name]["root"]
+            doomed = _norm_loc(tables[name]["root"])
             if purge:
                 aliases = [n for n, e in tables.items()
-                           if n != name and e["root"] == doomed]
+                           if n != name and _norm_loc(e["root"]) == doomed]
                 if aliases:
                     raise ValueError(
                         f"cannot purge {name!r}: {aliases} still bind the "
@@ -223,6 +261,7 @@ class Catalog:
             return tables
 
         self._commit(edit)
+        self.spark.catalog.dropTempView(name)
         if purge:
             self.st.delete(root_holder[0])
 
@@ -230,7 +269,10 @@ class Catalog:
         """Register every cataloged table that has data as a Spark
         temp view under its catalog name (latest table version), so
         `spark.sql` resolves the namespace.  Returns the registered
-        names; bindings whose table has no commits yet are skipped."""
+        names; bindings whose table has no commits yet are skipped.
+        Temp views are session-global: two catalogs at different
+        roots sharing one SparkSession clobber each other's
+        same-named views — last registration wins."""
         registered = []
         for name, entry in sorted(self._state(version)["tables"].items()):
             t = SnapshotTable(self.spark, entry["root"], **entry["options"])
@@ -239,8 +281,16 @@ class Catalog:
                 registered.append(name)
         return registered
 
-    def sql(self, query: str) -> DataFrame:
-        """Run SQL with every cataloged table registered by name —
-        the `SELECT ... FROM <name>` front door."""
-        self.register_views()
+    def sql(self, query: str, tables: list[str] | None = None) -> DataFrame:
+        """Run SQL with cataloged tables registered by name — the
+        `SELECT ... FROM <name>` front door.  Each call re-registers
+        so queries always see the LATEST table snapshots (views pin
+        manifests at registration); on a large catalog that costs one
+        manifest read per binding, so pass `tables=[...]` to register
+        only what the query touches."""
+        if tables is None:
+            self.register_views()
+        else:
+            for name in tables:
+                self.table(name).register_view(name)
         return self.spark.sql(query)

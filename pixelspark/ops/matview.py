@@ -1094,23 +1094,23 @@ def refresh_dag(
     Returns {name: version-or-None} (None = that view was already
     current).  Raises on unknown dependencies or cycles — a cyclic
     view graph has no consistent refresh order."""
-    order: list[str] = []
-    state: dict[str, int] = {}  # 0 in-progress, 1 done
+    import graphlib
 
-    def visit(name: str, chain: tuple[str, ...]) -> None:
-        if state.get(name) == 1:
-            return
-        if state.get(name) == 0:
-            cyc = chain[chain.index(name):] + (name,)
-            raise ValueError(f"view DAG has a cycle: {' -> '.join(cyc)}")
-        if name not in steps:
-            raise ValueError(f"unknown view dependency: {name!r}")
-        state[name] = 0
-        for dep in steps[name][1]:
-            visit(dep, chain + (name,))
-        state[name] = 1
-        order.append(name)
-
-    for name in steps:
-        visit(name, ())
+    for name, (_, deps) in steps.items():
+        if isinstance(deps, str):
+            raise TypeError(
+                f"dependencies of {name!r} must be a tuple of names, "
+                f"not the string {deps!r} (write ('{deps}',))"
+            )
+        for dep in deps:
+            if dep not in steps:
+                raise ValueError(f"unknown view dependency: {dep!r}")
+    try:
+        order = list(graphlib.TopologicalSorter(
+            {name: deps for name, (_, deps) in steps.items()}
+        ).static_order())
+    except graphlib.CycleError as e:
+        raise ValueError(
+            f"view DAG has a cycle: {' -> '.join(map(str, e.args[1]))}"
+        ) from None
     return {name: steps[name][0]() for name in order}

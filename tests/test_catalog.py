@@ -45,7 +45,8 @@ def test_create_rejects_duplicates_and_bad_names(spark, tmp_path):
     cat.create_table("t1")
     with pytest.raises(TableAlreadyExists):
         cat.create_table("t1")
-    for bad in ("", "a/b", "_hidden"):
+    for bad in ("", "a/b", "_hidden", "..", ".", "my-table",
+                "Events", "a b"):
         with pytest.raises(ValueError):
             cat.create_table(bad)
     with pytest.raises(TypeError, match="JSON-serializable"):
@@ -92,6 +93,39 @@ def test_drop_keeps_data_unless_purged(spark, tmp_path):
     assert not cat.st.exists(loc)
     with pytest.raises(TableNotFound):
         cat.drop_table("t")
+
+
+def test_purge_alias_check_normalizes_locations(spark, tmp_path):
+    """file:// scheme, doubled slashes, and dot segments spell the
+    same directory — the alias guard must see through all of them."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    loc = str(tmp_path / "shared")
+    cat.create_table("a", location=loc).append(_df(spark, [(1, "a", 1)]))
+    cat.create_table("b", location=f"file://{tmp_path}//shared/./")
+    with pytest.raises(ValueError, match="still bind the same location"):
+        cat.drop_table("a", purge=True)
+    cat.drop_table("b")
+    cat.drop_table("a", purge=True)
+    assert not cat.st.exists(loc)
+
+
+def test_drop_and_rename_retire_stale_temp_views(spark, tmp_path):
+    """SQL must stop resolving a dropped or renamed name — a stale
+    snapshot-pinned temp view would silently serve dead data."""
+    from pyspark.sql.utils import AnalysisException
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table("ev").append(_df(spark, [(1, "a", 10)]))
+    assert cat.sql("SELECT COUNT(*) AS n FROM ev").collect()[0]["n"] == 1
+
+    cat.rename_table("ev", "ev2")
+    with pytest.raises(AnalysisException):
+        spark.sql("SELECT * FROM ev")
+    assert cat.sql("SELECT COUNT(*) AS n FROM ev2").collect()[0]["n"] == 1
+
+    cat.drop_table("ev2")
+    with pytest.raises(AnalysisException):
+        spark.sql("SELECT * FROM ev2")
 
 
 def test_commit_retries_cas_race_and_gives_up_honestly(spark, tmp_path):

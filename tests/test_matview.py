@@ -1284,3 +1284,6 @@ def test_refresh_dag_settles_a_view_chain_in_one_pass(spark, tmp_path):
             "x": (lambda: None, ("y",)), "y": (lambda: None, ("x",))})
     with pytest.raises(ValueError, match="unknown view dependency"):
         MV.refresh_dag({"x": (lambda: None, ("ghost",))})
+    with pytest.raises(TypeError, match="tuple of names"):
+        MV.refresh_dag({"x": (lambda: None, ()),
+                        "y": (lambda: None, "x")})  # bare string dep
