@@ -265,6 +265,100 @@ class Catalog:
         if purge:
             self.st.delete(root_holder[0])
 
+    # -- snapshot pins + multi-table transactions -------------------------
+
+    def pin_table(self, name: str, version: int | None = None) -> int:
+        """Make `name` a SNAPSHOT-PINNED binding: catalog-mediated
+        reads (`read()`, `sql()`, `register_views()`) serve the
+        pinned table version, not whatever the table's own log says
+        is latest — the catalog becomes the publication point, the
+        way an Iceberg REST catalog resolves snapshots.  Defaults to
+        the table's current latest.  Direct-path readers holding the
+        root are unaffected (documented trade).  Returns the pinned
+        version."""
+        t = self.table(name)
+        v = t.latest_version() if version is None else version
+        if v is None or v not in t.versions():
+            raise ValueError(f"cannot pin {name!r} to version {version!r}")
+
+        def edit(tables: dict) -> dict:
+            if name not in tables:
+                raise TableNotFound(name)
+            tables[name] = {**tables[name], "pin": v}
+            return tables
+
+        self._commit(edit)
+        return v
+
+    def unpin_table(self, name: str) -> None:
+        def edit(tables: dict) -> dict:
+            if name not in tables:
+                raise TableNotFound(name)
+            tables[name] = {k: x for k, x in tables[name].items()
+                            if k != "pin"}
+            return tables
+
+        self._commit(edit)
+
+    def read(self, name: str) -> DataFrame:
+        """The catalog-mediated read: pinned bindings serve their
+        published snapshot, unpinned ones the table's latest."""
+        entry = self.describe(name)
+        return SnapshotTable(
+            self.spark, entry["root"], **entry["options"]
+        ).read(version=entry.get("pin"))
+
+    def commit_multi(
+        self, writes: dict[str, Callable[[SnapshotTable], int | None]]
+    ) -> dict[str, int]:
+        """Multi-table transaction (the capability single-table
+        manifest logs famously lack): run each table's write, then
+        advance ALL the participants' pins in ONE CAS catalog commit
+        — catalog-mediated readers see the old consistent set of
+        snapshots or the new one, never a mixture.  The classic use
+        is moving rows between tables without a window where both or
+        neither hold them.
+
+        Participants must already be snapshot-pinned (`pin_table`) —
+        on an unpinned binding readers follow the table's own log, so
+        the mid-transaction state would leak before publication and
+        the atomicity claim would be a lie; this refuses instead.
+
+        Each write callable receives the table handle and commits
+        durably on the spot; the PUBLICATION is what's atomic.  A
+        crash after some table commits but before the catalog commit
+        leaves readers on the old pins — re-running the transaction
+        heals IF the writes are replay-safe, so use the engine's
+        exactly-once forms inside (`append_once`, `merge(txn=...)`)
+        exactly as a foreachBatch sink would.  Returns
+        {name: published version}."""
+        state = self._state()["tables"]
+        for name in writes:
+            if name not in state:
+                raise TableNotFound(name)
+            if "pin" not in state[name]:
+                raise ValueError(
+                    f"commit_multi participant {name!r} is not snapshot-"
+                    "pinned; pin_table() it first so publication is the "
+                    "only way readers advance"
+                )
+        new_versions: dict[str, int] = {}
+        for name, fn in writes.items():
+            t = self.table(name)
+            v = fn(t)
+            latest = t.latest_version()
+            new_versions[name] = latest if v is None else v
+
+        def edit(tables: dict) -> dict:
+            for name, v in new_versions.items():
+                if name not in tables:
+                    raise TableNotFound(name)
+                tables[name] = {**tables[name], "pin": v}
+            return tables
+
+        self._commit(edit)
+        return new_versions
+
     def register_views(self, version: int | None = None) -> list[str]:
         """Register every cataloged table that has data as a Spark
         temp view under its catalog name (latest table version), so
@@ -277,7 +371,7 @@ class Catalog:
         for name, entry in sorted(self._state(version)["tables"].items()):
             t = SnapshotTable(self.spark, entry["root"], **entry["options"])
             if t.exists():
-                t.register_view(name)
+                t.register_view(name, version=entry.get("pin"))
                 registered.append(name)
         return registered
 
@@ -292,5 +386,8 @@ class Catalog:
             self.register_views()
         else:
             for name in tables:
-                self.table(name).register_view(name)
+                entry = self.describe(name)
+                SnapshotTable(
+                    self.spark, entry["root"], **entry["options"]
+                ).register_view(name, version=entry.get("pin"))
         return self.spark.sql(query)

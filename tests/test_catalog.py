@@ -180,3 +180,69 @@ def test_sql_front_door_resolves_names(spark, tmp_path):
         ).collect()
     }
     assert got == {("alpha", 10), ("beta", 20)}
+
+
+def test_pinned_bindings_publish_snapshots(spark, tmp_path):
+    """A pinned binding makes the catalog the publication point:
+    direct table commits stay invisible to catalog-mediated readers
+    until the pin advances."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    t = cat.create_table("t")
+    t.append(_df(spark, [(1, "a", 10)]))
+    cat.pin_table("t")
+
+    t.append(_df(spark, [(2, "b", 20)]))  # durable but unpublished
+    assert t.read().count() == 2          # direct path sees it
+    assert cat.read("t").count() == 1     # catalog readers don't
+    assert cat.sql("SELECT COUNT(*) AS n FROM t",
+                   tables=["t"]).collect()[0]["n"] == 1
+
+    cat.pin_table("t")  # re-pin to latest = publish
+    assert cat.read("t").count() == 2
+
+    cat.unpin_table("t")
+    t.append(_df(spark, [(3, "c", 30)]))
+    assert cat.read("t").count() == 3  # unpinned follows the table log
+
+    with pytest.raises(ValueError, match="cannot pin"):
+        cat.pin_table("t", version=99)
+
+
+def test_commit_multi_publishes_atomically_and_heals_after_crash(
+    spark, tmp_path
+):
+    """Moving a row between tables: catalog readers see the old
+    consistent pair right up to the single catalog commit — even
+    after the table writes landed (simulated crash) — and re-running
+    the transaction with the engine's replay-safe write forms heals
+    without double-applying."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    staging = cat.create_table("staging")
+    staging.append(_df(spark, [(1, "a", 10), (2, "b", 20)]))
+    pub = cat.create_table("published")
+    pub.overwrite(_df(spark, []))
+    cat.pin_table("staging")
+    cat.pin_table("published")
+
+    cat.create_table("loose")  # unpinned: not a valid participant
+    with pytest.raises(ValueError, match="not snapshot-pinned"):
+        cat.commit_multi({"loose": lambda t: t.append(_df(spark, []))})
+
+    moved = _df(spark, [(1, "a", 10)])
+
+    # simulated crash: both table writes land, publication never runs
+    cat.table("published").append_once(moved, "mover", 1)
+    cat.table("staging").delete("k = 1")
+    assert cat.read("staging").count() == 2   # old pair, still consistent
+    assert cat.read("published").count() == 0
+
+    # heal: re-run the WHOLE transaction; append_once replays to a
+    # no-op, the delete matches nothing, publication finally lands
+    cat.commit_multi({
+        "published": lambda t: t.append_once(moved, "mover", 1),
+        "staging": lambda t: t.delete("k = 1"),
+    })
+    assert {r["k"] for r in cat.read("staging").collect()} == {2}
+    assert {r["k"] for r in cat.read("published").collect()} == {1}
+    # no double-apply anywhere
+    assert cat.read("published").count() == 1
