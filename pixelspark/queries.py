@@ -1008,6 +1008,76 @@ def q_clone_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_catalog_txn",
+    """
+    SELECT 'published' AS tbl, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey <= 2000 AND o_orderstatus = 'F'
+    UNION ALL
+    SELECT 'staging', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey <= 2000 AND o_orderstatus <> 'F'
+    """,
+)
+def q_catalog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog multi-table transaction end-to-end (catalog.py
+    commit_multi): move the finished orders from a pinned `staging`
+    binding to a pinned `published` binding — the table-level writes
+    (exactly-once append + delete) land first, and catalog-mediated
+    readers still see the OLD consistent pair (in-query assert: the
+    crash window between table commits and publication leaks
+    nothing); then the re-run transaction replays the writes to
+    no-ops and publishes both pins in ONE CAS catalog commit.  A
+    direct unpublished append afterwards stays invisible (pin
+    gating).  End state: per-binding row counts + key sums through
+    `Catalog.read`, plain SQL over the orders input."""
+    import tempfile
+
+    from pixelspark.catalog import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="pixelspark_cattxn_"))
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    rows = orders.select("o_orderkey", "o_orderstatus")
+
+    staging = cat.create_table("staging")
+    staging.overwrite(rows)
+    published = cat.create_table("published")
+    published.overwrite(rows.limit(0))
+    cat.pin_table("staging")
+    cat.pin_table("published")
+
+    moved = rows.where(F.col("o_orderstatus") == "F")
+    n_all = rows.count()
+
+    # crash simulation: table writes land, publication does not —
+    # catalog readers keep the old consistent pair
+    cat.table("published").append_once(moved, "mover", 1)
+    cat.table("staging").delete("o_orderstatus = 'F'")
+    assert cat.read("published").count() == 0, (
+        "unpublished table commits must stay invisible behind the pin"
+    )
+    assert cat.read("staging").count() == n_all
+
+    # the healing re-run: replay-safe writes no-op, pins publish
+    cat.commit_multi({
+        "published": lambda t: t.append_once(moved, "mover", 1),
+        "staging": lambda t: t.delete("o_orderstatus = 'F'"),
+    })
+
+    # a direct append WITHOUT publication stays invisible
+    cat.table("staging").append(moved.limit(5))
+
+    def side(name: str) -> DataFrame:
+        return cat.read(name).agg(
+            F.lit(name).alias("tbl"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+
+    return side("published").unionAll(side("staging"))
+
+
+@query(
     "q_csv_roundtrip",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
