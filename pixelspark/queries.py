@@ -9374,7 +9374,13 @@ _WINDOW_QUERIES = [
     # (q_lang_stats stays registered + sweep-checked; it is the
     # aggregate of q_lang_id, which remains in-window)
     "q_substr",
-    "q_lang_id",
+    # r6g rotation: the catalog multi-table-transaction flagship
+    # (pinned-binding publication + commit_multi, value-oracled with
+    # crash-window invisibility and pin-gating asserts in-query)
+    # takes q_lang_id's slot (in-window green r1-r5; stays registered
+    # + sweep-checked; the text-analysis family keeps in-window seats
+    # via q_repetition_signals / q_quality_logreg)
+    "q_catalog_txn",
     "q_recent_records",
     # r5c rotation: DSIR importance weights (the round-5c data-selection
     # flagship, value-oracled incl. the fit pass) takes q_token_count's
