@@ -21,6 +21,9 @@ Layout:
   table.py          snapshot-commit table format: manifest-logged parquet,
                     atomic on object stores, single-scan reads, time
                     travel, exactly-once streaming txn guard
+  catalog.py        name-based table catalog: CAS-versioned bindings w/
+                    persisted write-side options, O(1) rename, snapshot
+                    pins + multi-table transactions (commit_multi)
   streaming/        Structured Streaming variant of the daily pipeline
 """
 

@@ -300,6 +300,37 @@ class Catalog:
 
         self._commit(edit)
 
+    def publish(self, *names: str) -> dict[str, int]:
+        """Advance — or ESTABLISH — the snapshot pins of `names` to
+        their tables' current latest versions in ONE CAS catalog
+        commit: the publication primitive `commit_multi` composes
+        with its write phase, exposed standalone for callers that
+        commit through their own machinery (streaming sinks) and
+        only need the atomic multi-name visibility switch at the
+        end.  Unlike `commit_multi` this accepts unpinned bindings
+        (the first publish is what creates the pin — before it,
+        reads follow the table log, so bootstrap consistency holds
+        only from the first publication onward).  Returns
+        {name: published version}."""
+        vers: dict[str, int] = {}
+        for name in names:
+            v = self.table(name).latest_version()
+            if v is None:
+                raise ValueError(
+                    f"cannot publish {name!r}: the table has no commits"
+                )
+            vers[name] = v
+
+        def edit(tables: dict) -> dict:
+            for name, v in vers.items():
+                if name not in tables:
+                    raise TableNotFound(name)
+                tables[name] = {**tables[name], "pin": v}
+            return tables
+
+        self._commit(edit)
+        return vers
+
     def read(self, name: str) -> DataFrame:
         """The catalog-mediated read: pinned bindings serve their
         published snapshot, unpinned ones the table's latest."""

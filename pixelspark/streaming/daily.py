@@ -613,6 +613,62 @@ def run_matview_sink(
     return q
 
 
+def run_published_matview_sink(
+    rows: DataFrame,
+    catalog_root: str,
+    src_name: str,
+    view_name: str,
+    group_by: tuple[str, ...],
+    sum_cols: tuple[str, ...] = (),
+    checkpoint: str = "",
+    app_id: str = "pixelspark-pub-matview",
+):
+    """`run_matview_sink` behind a CATALOG PUBLICATION POINT: each
+    micro-batch appends into the cataloged source, folds the
+    incremental view, then advances BOTH names' snapshot pins in one
+    CAS catalog commit (`Catalog.publish`) — catalog-mediated readers
+    see every trigger's facts and their aggregate land TOGETHER,
+    never facts without their rollup, the read-consistency gap an
+    unpinned two-table sink always has between its two commits.
+
+    Exactly-once end to end by the same two-watermark argument as
+    run_matview_sink (txn-guarded append, source-version-windowed
+    fold), plus: pin advancement is idempotent, so a replayed batch
+    re-publishes pins that are already current and readers never
+    regress.  A crash after the table commits but before publication
+    leaves catalog readers exactly one trigger behind — consistent —
+    and the next trigger (or the replay) publishes both.  Bootstrap:
+    bindings are created on first use; until the FIRST publication
+    there are no pins, so pre-publication readers follow the table
+    logs (documented trade in Catalog.publish)."""
+    from pixelspark.catalog import Catalog, TableAlreadyExists
+    from pixelspark.ops.matview import refresh_agg_view
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cat = Catalog(spark, catalog_root)
+        for n in (src_name, view_name):
+            try:
+                cat.create_table(n)
+            except TableAlreadyExists:
+                pass
+        src = cat.table(src_name)
+        view = cat.table(view_name)
+        src.append_once(batch_df, app_id, batch_id)
+        refresh_agg_view(src, view, group_by=group_by, sum_cols=sum_cols)
+        cat.publish(src_name, view_name)
+
+    q = (
+        rows.writeStream.foreachBatch(commit)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_join_matview_sink(
     rows: DataFrame,
     fact_root: str,
