@@ -126,7 +126,7 @@ class Catalog:
             return {"version": None, "tables": {}}
         return json.loads(self.st.read_text(self._path(v)))
 
-    def _commit(self, edit: Callable[[dict], dict]) -> int:
+    def _commit(self, edit: Callable[[dict], dict]) -> int | None:
         """CAS loop: read latest state, let `edit` transform the
         name→entry map (raising is the abort path), publish as the
         next version.  A lost race re-reads and RE-RUNS the edit from
@@ -137,6 +137,10 @@ class Catalog:
         for _ in range(self.max_retries):
             state = self._state()
             tables = edit(dict(state["tables"]))
+            if tables == state["tables"]:
+                # no-op edit (e.g. a replayed publish of already-current
+                # pins): don't grow the log with an identical version
+                return state["version"]
             next_v = 0 if state["version"] is None else state["version"] + 1
             self.st.mkdirs(self._dir)
             if self.st.write_text_atomic(
@@ -187,12 +191,14 @@ class Catalog:
             raise TableNotFound(name)
         return json.loads(json.dumps(entry))  # defensive copy
 
+    def _open(self, entry: dict) -> SnapshotTable:
+        return SnapshotTable(self.spark, entry["root"], **entry["options"])
+
     def table(self, name: str) -> SnapshotTable:
         """Open `name` with its PERSISTED options — the point of the
         catalog: CHECK constraints, expectations, stats/bloom policy
         follow the name to every caller."""
-        entry = self.describe(name)
-        return SnapshotTable(self.spark, entry["root"], **entry["options"])
+        return self._open(self.describe(name))
 
     def list_tables(self) -> list[str]:
         return sorted(self._state()["tables"])
@@ -300,21 +306,44 @@ class Catalog:
 
         self._commit(edit)
 
-    def publish(self, *names: str) -> dict[str, int]:
-        """Advance — or ESTABLISH — the snapshot pins of `names` to
-        their tables' current latest versions in ONE CAS catalog
-        commit: the publication primitive `commit_multi` composes
-        with its write phase, exposed standalone for callers that
-        commit through their own machinery (streaming sinks) and
-        only need the atomic multi-name visibility switch at the
-        end.  Unlike `commit_multi` this accepts unpinned bindings
-        (the first publish is what creates the pin — before it,
-        reads follow the table log, so bootstrap consistency holds
-        only from the first publication onward).  Returns
-        {name: published version}."""
+    def publish(
+        self, *names: str, at: dict[str, int] | None = None
+    ) -> dict[str, int]:
+        """Advance — or ESTABLISH — the snapshot pins of `names` in
+        ONE CAS catalog commit: the publication primitive
+        `commit_multi` composes with its write phase, exposed
+        standalone for callers that commit through their own
+        machinery (streaming sinks) and only need the atomic
+        multi-name visibility switch at the end.
+
+        `at` pins a name to an EXPLICIT version (the version a fold
+        actually covered, say) instead of whatever is latest when
+        publish runs — without it, a rival commit landing between
+        the caller's last write and this publish would be swept into
+        the published snapshot ahead of its own derived state.
+
+        Publication is MONOTONE: a pin never moves backward — each
+        name lands at max(current pin, requested), so a CAS retry or
+        a slower rival publisher can never regress readers behind a
+        publication that already happened (`pin_table` is the
+        explicit override for deliberate rollback).  Accepts
+        unpinned bindings (the first publish creates the pin;
+        before it, reads follow the table log, so bootstrap
+        consistency holds only from the first publication onward).
+        Returns {name: requested version} (the committed pin may be
+        higher if a rival published past it)."""
+        at = at or {}
         vers: dict[str, int] = {}
         for name in names:
-            v = self.table(name).latest_version()
+            t = self.table(name)
+            v = at.get(name)
+            if v is None:
+                v = t.latest_version()
+            elif v not in t.versions():
+                raise ValueError(
+                    f"cannot publish {name!r} at version {v!r}: no such "
+                    "table version"
+                )
             if v is None:
                 raise ValueError(
                     f"cannot publish {name!r}: the table has no commits"
@@ -325,7 +354,11 @@ class Catalog:
             for name, v in vers.items():
                 if name not in tables:
                     raise TableNotFound(name)
-                tables[name] = {**tables[name], "pin": v}
+                cur = tables[name].get("pin")
+                tables[name] = {
+                    **tables[name],
+                    "pin": v if cur is None else max(cur, v),
+                }
             return tables
 
         self._commit(edit)
@@ -335,9 +368,7 @@ class Catalog:
         """The catalog-mediated read: pinned bindings serve their
         published snapshot, unpinned ones the table's latest."""
         entry = self.describe(name)
-        return SnapshotTable(
-            self.spark, entry["root"], **entry["options"]
-        ).read(version=entry.get("pin"))
+        return self._open(entry).read(version=entry.get("pin"))
 
     def commit_multi(
         self, writes: dict[str, Callable[[SnapshotTable], int | None]]
@@ -361,18 +392,33 @@ class Catalog:
         leaves readers on the old pins — re-running the transaction
         heals IF the writes are replay-safe, so use the engine's
         exactly-once forms inside (`append_once`, `merge(txn=...)`)
-        exactly as a foreachBatch sink would.  Returns
+        exactly as a foreachBatch sink would.
+
+        Isolation, stated honestly: the guarantee is atomicity of
+        THIS transaction's publication relative to readers.  Two
+        CONCURRENT commit_multi calls over overlapping table sets
+        are not serialized against each other — their table commits
+        interleave in each table's own log, so either publication
+        alone can expose the other's half-landed writes; publication
+        is monotone (pins only advance), so the two publications
+        compose to the union, but overlapping transactions should be
+        serialized by the caller (one committer per table set — the
+        same single-writer stance as the streaming sinks).  Returns
         {name: published version}."""
         state = self._state()["tables"]
-        for name in writes:
-            if name not in state:
-                raise TableNotFound(name)
-            if "pin" not in state[name]:
-                raise ValueError(
-                    f"commit_multi participant {name!r} is not snapshot-"
-                    "pinned; pin_table() it first so publication is the "
-                    "only way readers advance"
-                )
+
+        def check_pinned(tables: dict) -> None:
+            for name in writes:
+                if name not in tables:
+                    raise TableNotFound(name)
+                if "pin" not in tables[name]:
+                    raise ValueError(
+                        f"commit_multi participant {name!r} is not snapshot-"
+                        "pinned; pin_table() it first so publication is the "
+                        "only way readers advance"
+                    )
+
+        check_pinned(state)
         new_versions: dict[str, int] = {}
         for name, fn in writes.items():
             t = self.table(name)
@@ -381,10 +427,16 @@ class Catalog:
             new_versions[name] = latest if v is None else v
 
         def edit(tables: dict) -> dict:
+            # re-verify at publication time: a rival unpin during the
+            # write phase must fail the transaction, not be silently
+            # re-pinned over
+            check_pinned(tables)
             for name, v in new_versions.items():
-                if name not in tables:
-                    raise TableNotFound(name)
-                tables[name] = {**tables[name], "pin": v}
+                cur = tables[name].get("pin")
+                tables[name] = {
+                    **tables[name],
+                    "pin": v if cur is None else max(cur, v),
+                }
             return tables
 
         self._commit(edit)
@@ -392,15 +444,17 @@ class Catalog:
 
     def register_views(self, version: int | None = None) -> list[str]:
         """Register every cataloged table that has data as a Spark
-        temp view under its catalog name (latest table version), so
-        `spark.sql` resolves the namespace.  Returns the registered
-        names; bindings whose table has no commits yet are skipped.
-        Temp views are session-global: two catalogs at different
-        roots sharing one SparkSession clobber each other's
-        same-named views — last registration wins."""
+        temp view under its catalog name — at the binding's PIN for
+        snapshot-pinned bindings, at the table's latest otherwise —
+        so `spark.sql` resolves the namespace with the same
+        visibility rules as `read()`.  Returns the registered names;
+        bindings whose table has no commits yet are skipped.  Temp
+        views are session-global: two catalogs at different roots
+        sharing one SparkSession clobber each other's same-named
+        views — last registration wins."""
         registered = []
         for name, entry in sorted(self._state(version)["tables"].items()):
-            t = SnapshotTable(self.spark, entry["root"], **entry["options"])
+            t = self._open(entry)
             if t.exists():
                 t.register_view(name, version=entry.get("pin"))
                 registered.append(name)
@@ -408,17 +462,19 @@ class Catalog:
 
     def sql(self, query: str, tables: list[str] | None = None) -> DataFrame:
         """Run SQL with cataloged tables registered by name — the
-        `SELECT ... FROM <name>` front door.  Each call re-registers
-        so queries always see the LATEST table snapshots (views pin
-        manifests at registration); on a large catalog that costs one
-        manifest read per binding, so pass `tables=[...]` to register
-        only what the query touches."""
+        `SELECT ... FROM <name>` front door, with `read()`'s
+        visibility rules: pinned bindings serve their published
+        snapshot, unpinned ones the table's current latest.  Each
+        call re-registers so unpinned names track their table logs
+        and pinned names track publications; on a large catalog that
+        costs one manifest read per binding, so pass `tables=[...]`
+        to register only what the query touches."""
         if tables is None:
             self.register_views()
         else:
             for name in tables:
                 entry = self.describe(name)
-                SnapshotTable(
-                    self.spark, entry["root"], **entry["options"]
-                ).register_view(name, version=entry.get("pin"))
+                self._open(entry).register_view(
+                    name, version=entry.get("pin")
+                )
         return self.spark.sql(query)

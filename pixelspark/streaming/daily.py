@@ -638,25 +638,36 @@ def run_published_matview_sink(
     regress.  A crash after the table commits but before publication
     leaves catalog readers exactly one trigger behind — consistent —
     and the next trigger (or the replay) publishes both.  Bootstrap:
-    bindings are created on first use; until the FIRST publication
-    there are no pins, so pre-publication readers follow the table
-    logs (documented trade in Catalog.publish)."""
+    bindings are created once before the stream starts; until the
+    FIRST publication there are no pins, so pre-publication readers
+    follow the table logs (documented trade in Catalog.publish).
+
+    The published PAIR is exact, not approximate: the source pin is
+    `last_folded_version` — the version the view fold actually
+    covered — so an out-of-band source commit racing the publication
+    can never surface ahead of its own rollup (it publishes at the
+    NEXT trigger, after its fold)."""
     from pixelspark.catalog import Catalog, TableAlreadyExists
-    from pixelspark.ops.matview import refresh_agg_view
+    from pixelspark.ops.matview import last_folded_version, refresh_agg_view
+
+    setup = Catalog(rows.sparkSession, catalog_root)
+    for n in (src_name, view_name):
+        try:
+            setup.create_table(n)
+        except TableAlreadyExists:
+            pass
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         cat = Catalog(spark, catalog_root)
-        for n in (src_name, view_name):
-            try:
-                cat.create_table(n)
-            except TableAlreadyExists:
-                pass
         src = cat.table(src_name)
         view = cat.table(view_name)
         src.append_once(batch_df, app_id, batch_id)
         refresh_agg_view(src, view, group_by=group_by, sum_cols=sum_cols)
-        cat.publish(src_name, view_name)
+        cat.publish(
+            src_name, view_name,
+            at={src_name: last_folded_version(src, view)},
+        )
 
     q = (
         rows.writeStream.foreachBatch(commit)

@@ -246,3 +246,54 @@ def test_commit_multi_publishes_atomically_and_heals_after_crash(
     assert {r["k"] for r in cat.read("published").collect()} == {1}
     # no double-apply anywhere
     assert cat.read("published").count() == 1
+
+
+def test_publish_is_monotone_and_skips_noop_log_growth(spark, tmp_path):
+    """Publication never regresses readers (a stale publisher or CAS
+    retry cannot un-publish), replayed identical publishes don't grow
+    the catalog log, explicit `at=` validates, and pin_table stays
+    the deliberate-rollback override."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    t = cat.create_table("t")
+    t.append(_df(spark, [(1, "a", 10)]))
+    v_first = t.latest_version()
+    cat.publish("t")
+    assert cat.describe("t")["pin"] == v_first
+
+    cat_v = cat.latest_version()
+    cat.publish("t")  # identical pins: no new catalog version
+    assert cat.latest_version() == cat_v
+
+    t.append(_df(spark, [(2, "b", 20)]))
+    v_second = t.latest_version()
+    cat.publish("t")
+    # a slow rival publishing the OLD version cannot regress the pin
+    cat.publish("t", at={"t": v_first})
+    assert cat.describe("t")["pin"] == v_second
+    assert cat.read("t").count() == 2
+
+    with pytest.raises(ValueError, match="no such table version"):
+        cat.publish("t", at={"t": 999})
+
+    # deliberate rollback goes through pin_table, which CAN go back
+    cat.pin_table("t", version=v_first)
+    assert cat.read("t").count() == 1
+
+
+def test_commit_multi_refuses_rival_unpin_during_writes(spark, tmp_path):
+    """The pinned-participant check re-runs inside the publication
+    edit: an unpin landing during the write phase fails the
+    transaction instead of being silently re-pinned over."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    t = cat.create_table("t")
+    t.append(_df(spark, [(1, "a", 10)]))
+    cat.pin_table("t")
+
+    def write(table):
+        cat.unpin_table("t")  # rival interleaves mid-transaction
+        return table.append(_df(spark, [(2, "b", 20)]))
+
+    with pytest.raises(ValueError, match="not snapshot-pinned"):
+        cat.commit_multi({"t": write})
+    # the table write landed (durable), but nothing was published
+    assert "pin" not in cat.describe("t")
