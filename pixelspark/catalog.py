@@ -88,6 +88,12 @@ def _norm_loc(loc: str) -> str:
     return posixpath.normpath(loc)
 
 
+def _overlaps(a: str, b: str) -> bool:
+    """Do two NORMALIZED locations name the same tree or nest one
+    inside the other?  The relation a recursive delete cares about."""
+    return a == b or a.startswith(b + "/") or b.startswith(a + "/")
+
+
 class Catalog:
     def __init__(self, spark: SparkSession, root: str, max_retries: int = 5):
         self.spark = spark
@@ -242,11 +248,18 @@ class Catalog:
         tree (irreversible — the default drop leaves data in place so
         a mistaken drop is repaired by re-creating the binding at the
         same location).  Purge refuses while any OTHER name still
-        binds the same normalized location (explicit-location
-        bindings can alias) — the check and the root-to-delete both
-        come from the edit attempt that actually commits, never a
-        lost earlier attempt.  A temp view registered under the name
-        is dropped so SQL stops resolving it."""
+        binds a location that OVERLAPS the doomed tree (equal, nested
+        under it, or containing it — explicit-location bindings can
+        alias and nest), and refuses outright when the doomed tree
+        overlaps the catalog root (a recursive delete there would
+        destroy the `_catalog` log or sibling default-location
+        tables).  The check and the root-to-delete both come from
+        the edit attempt that actually commits, never a lost earlier
+        attempt; the delete runs through the DOOMED PATH's own
+        storage backend, so a different-scheme location really is
+        removed rather than silently skipped.  A temp view
+        registered under the name is dropped so SQL stops resolving
+        it."""
         root_holder: list[str] = []
 
         def edit(tables: dict) -> dict:
@@ -255,13 +268,25 @@ class Catalog:
                 raise TableNotFound(name)
             doomed = _norm_loc(tables[name]["root"])
             if purge:
+                croot = _norm_loc(self.root)
+                # default-location tables nest under the root by
+                # design; the protected trees are the root itself
+                # (and anything containing it) and the _catalog log
+                if (doomed == croot or croot.startswith(doomed + "/")
+                        or _overlaps(doomed, f"{croot}/_catalog")):
+                    raise ValueError(
+                        f"cannot purge {name!r}: its location {doomed} "
+                        f"covers the catalog root or its _catalog log — "
+                        "purging would destroy the catalog itself"
+                    )
                 aliases = [n for n, e in tables.items()
-                           if n != name and _norm_loc(e["root"]) == doomed]
+                           if n != name and _overlaps(_norm_loc(e["root"]),
+                                                      doomed)]
                 if aliases:
                     raise ValueError(
                         f"cannot purge {name!r}: {aliases} still bind the "
-                        f"same location {doomed} (drop without purge, or "
-                        "drop the aliases first)"
+                        f"same location {doomed} or a tree overlapping it "
+                        "(drop without purge, or drop the aliases first)"
                     )
             root_holder.append(tables.pop(name)["root"])
             return tables
@@ -269,7 +294,7 @@ class Catalog:
         self._commit(edit)
         self.spark.catalog.dropTempView(name)
         if purge:
-            self.st.delete(root_holder[0])
+            storage_for(root_holder[0], self.spark).delete(root_holder[0])
 
     # -- snapshot pins + multi-table transactions -------------------------
 
@@ -333,9 +358,12 @@ class Catalog:
         Returns {name: requested version} (the committed pin may be
         higher if a rival published past it)."""
         at = at or {}
+        state = self._state()["tables"]  # ONE read resolves all names
         vers: dict[str, int] = {}
         for name in names:
-            t = self.table(name)
+            if name not in state:
+                raise TableNotFound(name)
+            t = self._open(state[name])
             v = at.get(name)
             if v is None:
                 v = t.latest_version()
@@ -421,10 +449,18 @@ class Catalog:
         check_pinned(state)
         new_versions: dict[str, int] = {}
         for name, fn in writes.items():
-            t = self.table(name)
+            t = self._open(state[name])
             v = fn(t)
-            latest = t.latest_version()
-            new_versions[name] = latest if v is None else v
+            if v is None:  # replay-safe forms return None on a no-op
+                v = t.latest_version()
+            elif v not in t.versions():
+                raise ValueError(
+                    f"write callable for {name!r} returned {v!r}, which is "
+                    "not a version of the table — callables must return the "
+                    "committed version (or None for a replayed no-op), not "
+                    "a row count or other value"
+                )
+            new_versions[name] = v
 
         def edit(tables: dict) -> dict:
             # re-verify at publication time: a rival unpin during the
@@ -468,13 +504,24 @@ class Catalog:
         call re-registers so unpinned names track their table logs
         and pinned names track publications; on a large catalog that
         costs one manifest read per binding, so pass `tables=[...]`
-        to register only what the query touches."""
+        to register only what the query touches.  With `tables=`,
+        the CALLER owns completeness: a name the query references
+        but the list omits resolves from whatever temp view an
+        earlier call registered (possibly a superseded pin) or fails
+        — list every name the query touches.  A listed binding whose
+        table has no commits yet gets its temp view dropped so the
+        query fails with table-not-found instead of silently reading
+        a stale registration."""
         if tables is None:
             self.register_views()
         else:
+            state = self._state()["tables"]
             for name in tables:
-                entry = self.describe(name)
-                self._open(entry).register_view(
-                    name, version=entry.get("pin")
-                )
+                if name not in state:
+                    raise TableNotFound(name)
+                t = self._open(state[name])
+                if t.exists():
+                    t.register_view(name, version=state[name].get("pin"))
+                else:
+                    self.spark.catalog.dropTempView(name)
         return self.spark.sql(query)

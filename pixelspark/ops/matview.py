@@ -200,9 +200,15 @@ def rebuild_view(view: SnapshotTable, *sources: SnapshotTable) -> int | None:
     )
 
 
-def last_folded_version(src: SnapshotTable, view: SnapshotTable) -> int:
-    """The source version the view has folded up to (0 = nothing)."""
-    v = view.latest_version()
+def last_folded_version(
+    src: SnapshotTable, view: SnapshotTable, version: int | None = None
+) -> int:
+    """The source version the view has folded up to (0 = nothing).
+    `version` reads the watermark AS OF that view version instead of
+    latest — what a publisher needs to pair a SPECIFIC view state
+    with exactly the source state it covers (reading latest would
+    pick up a rival's later fold)."""
+    v = view.latest_version() if version is None else version
     if v is None:
         return 0
     return int(view.manifest(v).get("txn", {}).get(_app_id(src, view), 0))

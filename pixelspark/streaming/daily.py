@@ -663,10 +663,19 @@ def run_published_matview_sink(
         src = cat.table(src_name)
         view = cat.table(view_name)
         src.append_once(batch_df, app_id, batch_id)
-        refresh_agg_view(src, view, group_by=group_by, sum_cols=sum_cols)
+        view_v = refresh_agg_view(
+            src, view, group_by=group_by, sum_cols=sum_cols
+        )
+        if view_v is None:  # nothing new folded: publish current state
+            view_v = view.latest_version()
+        # the EXACT pair: this view version and the source version
+        # ITS manifest says it folded through — reading the latest
+        # watermark instead could pick up a rival's later fold and
+        # publish an aggregate ahead of its facts
         cat.publish(
             src_name, view_name,
-            at={src_name: last_folded_version(src, view)},
+            at={src_name: last_folded_version(src, view, version=view_v),
+                view_name: view_v},
         )
 
     q = (

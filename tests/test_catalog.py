@@ -297,3 +297,52 @@ def test_commit_multi_refuses_rival_unpin_during_writes(spark, tmp_path):
         cat.commit_multi({"t": write})
     # the table write landed (durable), but nothing was published
     assert "pin" not in cat.describe("t")
+
+
+def test_purge_refuses_overlapping_and_catalog_covering_locations(
+    spark, tmp_path
+):
+    """A recursive purge must not take down a binding NESTED inside
+    (or containing) the doomed tree, and must never cover the catalog
+    root or its _catalog log."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table("outer", location=str(tmp_path / "d" / "x")).append(
+        _df(spark, [(1, "a", 1)]))
+    cat.create_table("inner", location=str(tmp_path / "d" / "x" / "sub"))
+    with pytest.raises(ValueError, match="overlapping"):
+        cat.drop_table("outer", purge=True)
+    cat.drop_table("inner")
+    cat.drop_table("outer", purge=True)
+    assert not cat.st.exists(str(tmp_path / "d" / "x"))
+
+    for n, loc in (
+        ("oops_root", str(tmp_path / "cat")),      # the root itself
+        ("oops_above", str(tmp_path)),             # contains the root
+        ("oops_log", str(tmp_path / "cat" / "_catalog")),  # the log
+    ):
+        cat.create_table(n, location=loc)
+        with pytest.raises(ValueError, match="catalog root|_catalog"):
+            cat.drop_table(n, purge=True)
+        cat.drop_table(n)  # unbind-only is always fine
+
+    # a default-location table nests under the root BY DESIGN and
+    # must remain purgeable
+    cat.create_table("normal").append(_df(spark, [(1, "a", 1)]))
+    loc = cat.describe("normal")["root"]
+    cat.drop_table("normal", purge=True)
+    assert not cat.st.exists(loc)
+    assert cat.latest_version() is not None  # the log survived
+
+
+def test_commit_multi_rejects_non_version_returns(spark, tmp_path):
+    """A write callable returning a row count (or any non-version)
+    must fail publication instead of pinning a nonexistent or stale
+    version."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    t = cat.create_table("t")
+    t.append(_df(spark, [(1, "a", 10)]))
+    cat.pin_table("t")
+    pin_before = cat.describe("t")["pin"]
+    with pytest.raises(ValueError, match="not a version"):
+        cat.commit_multi({"t": lambda tbl: 999})
+    assert cat.describe("t")["pin"] == pin_before
