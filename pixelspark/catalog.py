@@ -478,6 +478,31 @@ class Catalog:
         self._commit(edit)
         return new_versions
 
+    def detail(self) -> dict:
+        """DESCRIBE CATALOG: one catalog-state read plus one manifest
+        listing per binding — no data jobs.  Per binding: location,
+        pin, the table's latest version, and `published_lag` (latest
+        minus pin: how many table commits readers have not seen; 0 =
+        current, None = unpinned or no commits — unknown beats
+        wrong, same stance as table.detail())."""
+        state = self._state()
+        out = {"version": state["version"], "tables": {}}
+        for name, entry in sorted(state["tables"].items()):
+            t = self._open(entry)
+            latest = t.latest_version() if t.exists() else None
+            pin = entry.get("pin")
+            out["tables"][name] = {
+                "root": entry["root"],
+                "options": dict(entry["options"]),
+                "pin": pin,
+                "latest_version": latest,
+                "published_lag": (
+                    latest - pin
+                    if pin is not None and latest is not None else None
+                ),
+            }
+        return out
+
     def register_views(self, version: int | None = None) -> list[str]:
         """Register every cataloged table that has data as a Spark
         temp view under its catalog name — at the binding's PIN for

@@ -346,3 +346,21 @@ def test_commit_multi_rejects_non_version_returns(spark, tmp_path):
     with pytest.raises(ValueError, match="not a version"):
         cat.commit_multi({"t": lambda tbl: 999})
     assert cat.describe("t")["pin"] == pin_before
+
+
+def test_detail_reports_bindings_pins_and_lag(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    t = cat.create_table("t", stats_cols=["k"])
+    t.append(_df(spark, [(1, "a", 10)]))
+    cat.pin_table("t")
+    t.append(_df(spark, [(2, "b", 20)]))  # unpublished commit
+    cat.create_table("fresh")  # binding without data
+
+    d = cat.detail()
+    te = d["tables"]["t"]
+    assert te["published_lag"] == 1 and te["pin"] is not None
+    assert te["latest_version"] == te["pin"] + 1
+    assert te["options"] == {"stats_cols": ["k"]}
+    fe = d["tables"]["fresh"]
+    assert fe["latest_version"] is None and fe["published_lag"] is None
+    assert d["version"] == cat.latest_version()
