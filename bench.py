@@ -114,6 +114,13 @@ HEADLINE = [
     # a DV-delete eviction) — measures the leaderboard refresh loop;
     # per-refresh scaling is pinned flat by the topn_matview probe
     "q_topn_matview",
+    # round-6g: the catalog multi-table-transaction lifecycle (two
+    # snapshot tables through overwrite/append_once/delete plus four
+    # metadata-only catalog commits) — commit-cost dominated like the
+    # other storage-lifecycle rows; the catalog's own contribution is
+    # small-JSON CAS writes, so a jump here means a table write path
+    # regressed, not the catalog
+    "q_catalog_txn",
 ]
 
 

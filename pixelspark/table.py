@@ -2141,6 +2141,13 @@ class SnapshotTable:
             op = {"name": "delete"}
             try:
                 if pcol is None:
+                    # no-match fast path (Delta semantics): one
+                    # LocalLimit probe instead of a full-table rewrite
+                    # — the case replay-safe flows hit on every heal
+                    if not self.read(version=read_v).where(
+                        doomed_cond
+                    ).limit(1).collect():
+                        return read_v
                     return self.overwrite(
                         self.read(version=read_v).where(~doomed_cond),
                         expected_version=read_v, op=op,

@@ -1054,6 +1054,17 @@ def test_delete_rows_unpartitioned(spark, tbl):
     assert tbl.history()[0]["op"]["name"] == "delete"
 
 
+def test_delete_no_match_is_a_noop_on_unpartitioned_tables(spark, tbl):
+    """Delta semantics: a DELETE matching nothing commits nothing —
+    one LocalLimit probe, not a full-table rewrite (the case every
+    replay-safe heal re-runs)."""
+    tbl.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    v = tbl.latest_version()
+    assert tbl.delete("v = 'ghost'") == v
+    assert tbl.latest_version() == v  # no new manifest
+    assert sorted(r["k"] for r in tbl.read().collect()) == [1, 2]
+
+
 def test_delete_partition_scoped_touches_only_matching_days(spark, tbl):
     pdf = spark.createDataFrame(
         [("d1", 1, 10), ("d2", 2, 0), ("d2", 3, 30), ("d3", 4, 0)],
