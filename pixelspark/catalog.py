@@ -37,6 +37,7 @@ from __future__ import annotations
 import json
 import posixpath
 import re
+import uuid
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -477,6 +478,41 @@ class Catalog:
 
         self._commit(edit)
         return new_versions
+
+    def poll_published_changes(
+        self,
+        name: str,
+        cursor_path: str,
+        keys: tuple[str, ...] | None = None,
+    ):
+        """The PUBLICATION change feed: `SnapshotTable.poll_changes`
+        gated on the binding's snapshot pin — consumers receive only
+        changes publication has made visible, in whole published
+        units (the cursor moves pin-to-pin, never into the middle of
+        a multi-table transaction's table commits).  Same
+        at-least-once (changes, ack) contract: ack persists the
+        cursor AT THE POLLED PIN only after the caller durably
+        processed the window; a crash before ack re-delivers.
+        Returns (None, no-op ack) while the binding is unpinned
+        (nothing is published yet) or the pin hasn't advanced past
+        the cursor."""
+        entry = self.describe(name)
+        pin = entry.get("pin")
+        st = storage_for(cursor_path, self.spark)
+        last = 0
+        if st.exists(cursor_path):
+            last = json.loads(st.read_text(cursor_path))["version"]
+        if pin is None or pin <= last:
+            return None, (lambda: None)
+
+        def ack() -> None:
+            tmp = f"{cursor_path}.tmp-{uuid.uuid4().hex[:8]}"
+            st.write_text_atomic(tmp, json.dumps({"version": pin}))
+            if st.exists(cursor_path):
+                st.delete(cursor_path)
+            st.rename(tmp, cursor_path)
+
+        return self._open(entry).read_changes(last, pin, keys=keys), ack
 
     def detail(self) -> dict:
         """DESCRIBE CATALOG: one catalog-state read plus one manifest

@@ -364,3 +364,41 @@ def test_detail_reports_bindings_pins_and_lag(spark, tmp_path):
     fe = d["tables"]["fresh"]
     assert fe["latest_version"] is None and fe["published_lag"] is None
     assert d["version"] == cat.latest_version()
+
+
+def test_poll_published_changes_delivers_whole_published_units(
+    spark, tmp_path
+):
+    """Consumers tail PUBLICATIONS, not raw commits: an unpinned
+    binding and an unpublished direct commit both deliver nothing;
+    re-polling before ack re-delivers the same window (at-least-once);
+    after publish the next poll delivers exactly the newly published
+    window."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    t = cat.create_table("t")
+    t.append(_df(spark, [(1, "a", 10), (2, "b", 20)]))
+    cur = str(tmp_path / "consumer.json")
+
+    ch, _ = cat.poll_published_changes("t", cur)
+    assert ch is None  # unpinned: nothing is published yet
+
+    cat.publish("t")
+    ch, ack = cat.poll_published_changes("t", cur)
+    assert {r["k"] for r in ch.collect()} == {1, 2}
+    assert {r["change_type"] for r in ch.collect()} == {"inserted"}
+
+    # crash before ack: the SAME window re-delivers
+    ch_again, ack = cat.poll_published_changes("t", cur)
+    assert {r["k"] for r in ch_again.collect()} == {1, 2}
+    ack()
+
+    t.append(_df(spark, [(3, "c", 30)]))  # durable but unpublished
+    ch, _ = cat.poll_published_changes("t", cur)
+    assert ch is None  # the feed never leaks past the pin
+
+    cat.publish("t")
+    ch, ack = cat.poll_published_changes("t", cur)
+    assert {r["k"] for r in ch.collect()} == {3}
+    ack()
+    ch, _ = cat.poll_published_changes("t", cur)
+    assert ch is None  # drained
