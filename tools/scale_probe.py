@@ -1072,6 +1072,41 @@ def clone_experiment(spark) -> dict:
     return out
 
 
+def catalog_experiment(spark) -> dict:
+    """Catalog publication cost model: publish() / pin advancement
+    must be O(names), never O(table) — a publication is one
+    small-JSON CAS write plus a manifest listing, regardless of how
+    much data the pinned version references.  Receipt: best-of-3
+    publish time flat from a small table to a 10x one (each publish
+    preceded by an untimed 1-row append so the pin genuinely moves)."""
+    from pixelspark.catalog import Catalog
+
+    root = os.path.join(BASE, "catalog_probe")
+    shutil.rmtree(root, ignore_errors=True)
+    out: dict = {"experiment": "catalog_publication_cost"}
+    for label, frac in [("small", 0.1), ("10x", 1.0)]:
+        src_df = spark.read.parquet(f"{SF01}/lineitem.parquet")
+        if frac < 1.0:
+            src_df = src_df.where(F.col("l_orderkey") % 10 == 0)
+        cat = Catalog(spark, f"{root}/{label}")
+        t = cat.create_table("t")
+        t.overwrite(src_df)
+        n = t.row_count()
+        times = []
+        for _ in range(3):
+            t.append(src_df.limit(1))  # untimed: make the pin move
+            t0 = time.time()
+            cat.publish("t")
+            times.append(time.time() - t0)
+        out[label] = {"rows": n, "publish_sec": round(min(times), 4)}
+    out["ratio_at_10x_data"] = (
+        round(out["10x"]["publish_sec"] / out["small"]["publish_sec"], 2)
+        if out["small"]["publish_sec"] else None
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 # round-6b: the data-mixing + quality-scoring + repetition pack at 10x
 # documents — all are one-or-two partial-agg shuffles keyed by doc or
 # domain; expect ~linear (ratio well under 10 from fixed overheads)
@@ -1130,6 +1165,7 @@ def main() -> None:
             "ann_scale": ann_scale_experiment,
             "index_compaction": index_compaction_experiment,
             "clone": clone_experiment,
+            "catalog": catalog_experiment,
             "mix_scale": mix_scale_experiment,
             "matview": matview_experiment,
             "join_matview": join_matview_experiment,
