@@ -393,10 +393,21 @@ class Catalog:
         self._commit(edit)
         return vers
 
-    def read(self, name: str) -> DataFrame:
+    def read(
+        self, name: str, catalog_version: int | None = None
+    ) -> DataFrame:
         """The catalog-mediated read: pinned bindings serve their
-        published snapshot, unpinned ones the table's latest."""
-        entry = self.describe(name)
+        published snapshot, unpinned ones the table's latest.
+        `catalog_version` time-travels the NAMESPACE — the binding
+        and pin as of that catalog commit — so a pinned name reads
+        exactly what was published then (the whole-map-per-version
+        log makes this one file read); an unpinned-at-the-time
+        binding still follows the table's CURRENT log, since the
+        catalog never recorded a version for it."""
+        state = self._state(catalog_version)["tables"]
+        if name not in state:
+            raise TableNotFound(name)
+        entry = state[name]
         return self._open(entry).read(version=entry.get("pin"))
 
     def commit_multi(

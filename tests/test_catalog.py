@@ -402,3 +402,23 @@ def test_poll_published_changes_delivers_whole_published_units(
     ack()
     ch, _ = cat.poll_published_changes("t", cur)
     assert ch is None  # drained
+
+
+def test_read_time_travels_the_namespace(spark, tmp_path):
+    """catalog_version reads the binding AND pin as of that catalog
+    commit: what was published then, renamed-away names included."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    t = cat.create_table("t")
+    t.append(_df(spark, [(1, "a", 10)]))
+    cat.pin_table("t")
+    v_then = cat.latest_version()
+
+    t.append(_df(spark, [(2, "b", 20)]))
+    cat.publish("t")
+    assert cat.read("t").count() == 2
+    assert cat.read("t", catalog_version=v_then).count() == 1
+
+    cat.rename_table("t", "t2")
+    with pytest.raises(TableNotFound):
+        cat.read("t")  # gone now...
+    assert cat.read("t", catalog_version=v_then).count() == 1  # ...not then
