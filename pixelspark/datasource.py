@@ -105,6 +105,30 @@ def _versions(root: str) -> list[int]:
     return sorted(out)
 
 
+def _catalog_entry(cat_root: str, name: str) -> dict:
+    """Resolve a catalog binding driver-side (no SparkSession): the
+    latest `_catalog/<v>.json` holds the whole name→entry map, so one
+    listing + one read answers both the location and the pin."""
+    cat_root = cat_root.rstrip("/")
+    st = storage_for(cat_root)
+    vs = []
+    for f in st.list(f"{cat_root}/_catalog"):
+        if f.endswith(".json"):
+            try:
+                vs.append(int(f[: -len(".json")]))
+            except ValueError:
+                continue
+    if not vs:
+        raise FileNotFoundError(f"no catalog at {cat_root}")
+    state = json.loads(
+        st.read_text(f"{cat_root}/_catalog/{max(vs):010d}.json")
+    )
+    entry = state["tables"].get(name)
+    if entry is None:
+        raise KeyError(f"table {name!r} not in catalog at {cat_root}")
+    return entry
+
+
 def _manifest(root: str, version: int) -> dict:
     st = storage_for(root)
     m = json.loads(st.read_text(f"{root}/{MANIFEST_DIR}/v{version:08d}.json"))
@@ -307,9 +331,19 @@ class _SnapshotBatchReader(DataSourceReader):
 
 
 class _SnapshotStreamReader(DataSourceStreamReader):
-    def __init__(self, root: str, schema: StructType, options):
+    def __init__(
+        self,
+        root: str,
+        schema: StructType,
+        options,
+        pin_source: tuple[str, str] | None = None,
+    ):
         self.root = root
         self._schema = schema
+        # (catalog root, binding name) when the stream is
+        # publication-gated: latestOffset re-resolves the pin each
+        # poll and never plans past it
+        self.pin_source = pin_source
         self.on_change = (options.get("onchange") or "fail").lower()
         if self.on_change not in ("fail", "ignore"):
             raise ValueError("onchange must be 'fail' or 'ignore'")
@@ -344,6 +378,9 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         vs = _versions(self.root)
         head = vs[-1] if vs else 0
+        if self.pin_source is not None:
+            pin = _catalog_entry(*self.pin_source).get("pin")
+            head = min(head, pin if pin is not None else 0)
         if self.max_versions is None:
             return {"version": head}
         cur = self._cursor if self._cursor is not None else self.starting
@@ -419,13 +456,50 @@ class SnapshotTableDataSource(DataSource):
     API.  Options: `path` (table root, or pass to `.load()`),
     `version` (batch time travel), `startingVersion` (stream: int or
     'latest'; default 0 = replay the whole table), `onchange`
-    ('fail' | 'ignore', default fail)."""
+    ('fail' | 'ignore', default fail).
+
+    Catalog addressing: `.option("catalog", <catalog root>)
+    .option("name", <binding>)` resolves the table root by NAME
+    through `pixelspark.catalog.Catalog`'s log instead of `path`.
+    Add `.option("published", "true")` to gate on the binding's
+    snapshot pin: batch reads serve the pinned version, and the
+    STREAM's latestOffset is capped at the pin re-resolved on every
+    poll — the source tails PUBLICATIONS, so a multi-table
+    transaction's half-landed table commits are never delivered,
+    and each trigger advances in whole published units."""
 
     @classmethod
     def name(cls) -> str:
         return FORMAT_NAME
 
+    def _binding(self) -> tuple[str, str] | None:
+        cat, name = self.options.get("catalog"), self.options.get("name")
+        if (cat is None) != (name is None):
+            raise ValueError(
+                "catalog addressing needs BOTH .option('catalog', root) "
+                "and .option('name', binding)"
+            )
+        return (cat.rstrip("/"), name) if cat else None
+
+    def _published(self) -> bool:
+        flag = (self.options.get("published") or "false").lower()
+        if flag not in ("true", "false"):
+            raise ValueError("published must be 'true' or 'false'")
+        if flag == "true" and self._binding() is None:
+            raise ValueError(
+                "published=true requires catalog addressing "
+                "(.option('catalog', ...).option('name', ...))"
+            )
+        return flag == "true"
+
     def _root(self) -> str:
+        binding = self._binding()
+        if binding is not None:
+            if self.options.get("path"):
+                raise ValueError(
+                    "pass either a path or catalog+name, not both"
+                )
+            return _catalog_entry(*binding)["root"].rstrip("/")
         root = self.options.get("path")
         if not root:
             raise ValueError("snapshot_table needs a path: .load(<table root>)")
@@ -443,12 +517,24 @@ class SnapshotTableDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         v = self.options.get("version")
+        if v is None and self._published():
+            pin = _catalog_entry(*self._binding()).get("pin")
+            if pin is None:
+                raise ValueError(
+                    "published=true batch read of an UNPINNED binding — "
+                    "nothing has been published; pin_table()/publish() "
+                    "first, or drop published"
+                )
+            v = pin
         return _SnapshotBatchReader(
             self._root(), schema, int(v) if v is not None else None
         )
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
-        return _SnapshotStreamReader(self._root(), schema, self.options)
+        return _SnapshotStreamReader(
+            self._root(), schema, self.options,
+            pin_source=self._binding() if self._published() else None,
+        )
 
 
 def register(spark) -> None:

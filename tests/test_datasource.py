@@ -409,3 +409,82 @@ def test_stream_max_versions_per_trigger_paces_backlog(reg, spark, tmp_path):
     assert [r for b in batches for r in b] == [
         (9, "v9"), (10, "vA"), (11, "vB")]
     assert len(batches) == 2
+
+
+def test_catalog_addressing_and_published_batch_gate(reg, spark, tmp_path):
+    """catalog+name resolves the root by NAME; published=true serves
+    the PIN (refusing an unpinned binding) so batch readers through
+    the format see only published state."""
+    from pixelspark.catalog import Catalog
+
+    cat_root = str(tmp_path / "cat")
+    cat = Catalog(spark, cat_root)
+    t = cat.create_table("facts")
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+
+    by_name = (
+        spark.read.format("snapshot_table")
+        .option("catalog", cat_root).option("name", "facts").load()
+    )
+    assert sorted(r["k"] for r in by_name.collect()) == [1, 2]
+
+    with pytest.raises(Exception, match="published"):
+        (
+            spark.read.format("snapshot_table")
+            .option("catalog", cat_root).option("name", "facts")
+            .option("published", "true").load()
+        ).collect()
+
+    cat.publish("facts")
+    t.append(_df(spark, [(3, "c")]))  # durable but unpublished
+    pub = (
+        spark.read.format("snapshot_table")
+        .option("catalog", cat_root).option("name", "facts")
+        .option("published", "true").load()
+    )
+    assert sorted(r["k"] for r in pub.collect()) == [1, 2]
+    # without the gate, the same addressing reads the table log
+    raw = (
+        spark.read.format("snapshot_table")
+        .option("catalog", cat_root).option("name", "facts").load()
+    )
+    assert sorted(r["k"] for r in raw.collect()) == [1, 2, 3]
+
+
+def test_published_stream_tails_publications_only(reg, spark, tmp_path):
+    """The publication-gated stream: latestOffset is capped at the
+    pin re-resolved per poll, so triggers deliver whole published
+    units and an unpublished commit delivers nothing."""
+    from pixelspark.catalog import Catalog
+
+    cat_root, ckpt, out = (str(tmp_path / p) for p in ("cat", "ck", "out"))
+    cat = Catalog(spark, cat_root)
+    t = cat.create_table("facts")
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    cat.publish("facts")
+
+    def tail():
+        q = (
+            spark.readStream.format("snapshot_table")
+            .option("catalog", cat_root).option("name", "facts")
+            .option("published", "true").load()
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    tail()
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == [1, 2]
+
+    t.append(_df(spark, [(3, "c")]))  # unpublished
+    tail()
+    assert sorted(
+        r["k"] for r in spark.read.parquet(out).collect()
+    ) == [1, 2]  # the gate held
+
+    cat.publish("facts")
+    tail()
+    assert sorted(
+        r["k"] for r in spark.read.parquet(out).collect()
+    ) == [1, 2, 3]  # exactly the newly published unit
