@@ -37,7 +37,7 @@ from __future__ import annotations
 import json
 import posixpath
 import re
-import uuid
+import time
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,6 +56,10 @@ class TableAlreadyExists(ValueError):
 
 class CatalogCommitError(RuntimeError):
     pass
+
+
+class CatalogVersionVacuumed(FileNotFoundError):
+    """A requested catalog version predates vacuum() retention."""
 
 
 # Lowercase identifiers only: valid Spark view names (no hyphens,
@@ -127,11 +131,24 @@ class Catalog:
 
     def _state(self, version: int | None = None) -> dict:
         """{"version": n, "tables": {name: entry}} — the empty catalog
-        when no version exists yet."""
+        when no version exists yet.  Asking for a version `vacuum()`
+        has pruned raises CatalogVersionVacuumed (not a bare missing-
+        file error), so time-travel callers can tell retention from
+        corruption."""
         v = self.latest_version() if version is None else version
         if v is None:
             return {"version": None, "tables": {}}
-        return json.loads(self.st.read_text(self._path(v)))
+        try:
+            return json.loads(self.st.read_text(self._path(v)))
+        except (OSError, FileNotFoundError):
+            vs = self.versions()
+            if version is not None and vs and version < vs[0]:
+                raise CatalogVersionVacuumed(
+                    f"catalog version {version} at {self.root} predates "
+                    f"retention (oldest kept: {vs[0]}) — it was pruned by "
+                    "vacuum(); read a retained version or the latest state"
+                ) from None
+            raise
 
     def _commit(self, edit: Callable[[dict], dict]) -> int | None:
         """CAS loop: read latest state, let `edit` transform the
@@ -152,7 +169,8 @@ class Catalog:
             self.st.mkdirs(self._dir)
             if self.st.write_text_atomic(
                 self._path(next_v),
-                json.dumps({"version": next_v, "tables": tables},
+                json.dumps({"version": next_v, "tables": tables,
+                            "committed_at": time.time()},
                            sort_keys=True),
             ):
                 return next_v
@@ -506,24 +524,75 @@ class Catalog:
         processed the window; a crash before ack re-delivers.
         Returns (None, no-op ack) while the binding is unpinned
         (nothing is published yet) or the pin hasn't advanced past
-        the cursor."""
+        the cursor.
+
+        Cursor durability: ack writes a NEW versioned file
+        `<cursor_path>.v<pin>` (put-if-absent, so it lands whole or
+        not at all) and only then garbage-collects superseded ones —
+        readers take the max, so a crash at ANY point leaves either
+        the old cursor (one window re-delivered) or the new one,
+        never a missing cursor that would reset to version 0 and
+        re-deliver the whole published history.  A plain legacy
+        `<cursor_path>` file from older acks is still honored."""
         entry = self.describe(name)
         pin = entry.get("pin")
         st = storage_for(cursor_path, self.spark)
-        last = 0
-        if st.exists(cursor_path):
-            last = json.loads(st.read_text(cursor_path))["version"]
+        last = max(
+            (v for _, v in self._cursor_files(st, cursor_path)), default=0
+        )
+        if st.exists(cursor_path):  # legacy single-file cursor
+            last = max(last, json.loads(st.read_text(cursor_path))["version"])
         if pin is None or pin <= last:
             return None, (lambda: None)
+        t = self._open(entry)
+        if last and last not in t.versions():
+            # the cursor names a TABLE version the table's own
+            # vacuum() has retired — the in-between changes are gone,
+            # so an incremental window would silently lie.  Refuse
+            # with the catch-up path (Delta CDF retention stance).
+            raise FileNotFoundError(
+                f"publication cursor at {cursor_path} points at table "
+                f"version {last} of {name!r}, which predates the table's "
+                "vacuum retention — incremental changes are no longer "
+                "reconstructable.  Catch up by reprocessing a full read "
+                "at the current pin, then delete the cursor files so the "
+                "next poll restarts from it"
+            )
 
         def ack() -> None:
-            tmp = f"{cursor_path}.tmp-{uuid.uuid4().hex[:8]}"
-            st.write_text_atomic(tmp, json.dumps({"version": pin}))
+            # put-if-absent at a version-unique name: the commit
+            # point is this single creation, nothing to rename or
+            # delete first (re-acking the same pin is a no-op)
+            st.write_text_atomic(
+                f"{cursor_path}.v{pin}", json.dumps({"version": pin})
+            )
+            for path, v in self._cursor_files(st, cursor_path):
+                if v < pin:
+                    try:
+                        st.delete(path)
+                    except OSError:
+                        pass  # GC is best-effort; max() ignores strays
             if st.exists(cursor_path):
-                st.delete(cursor_path)
-            st.rename(tmp, cursor_path)
+                try:
+                    st.delete(cursor_path)  # retire the legacy file
+                except OSError:
+                    pass
 
-        return self._open(entry).read_changes(last, pin, keys=keys), ack
+        return t.read_changes(last, pin, keys=keys), ack
+
+    @staticmethod
+    def _cursor_files(st, cursor_path: str) -> list[tuple[str, int]]:
+        """(path, version) of every `<cursor_path>.v<N>` ack file."""
+        parent, base = posixpath.split(cursor_path.rstrip("/"))
+        out = []
+        for fname in st.list(parent or "."):
+            if fname.startswith(f"{base}.v"):
+                try:
+                    out.append((f"{parent}/{fname}" if parent else fname,
+                                int(fname[len(base) + 2:])))
+                except ValueError:
+                    continue
+        return out
 
     def detail(self) -> dict:
         """DESCRIBE CATALOG: one catalog-state read plus one manifest
@@ -549,6 +618,58 @@ class Catalog:
                 ),
             }
         return out
+
+    def vacuum(
+        self,
+        keep_versions: int = 1,
+        keep_hours: float | None = None,
+        dry_run: bool = False,
+        now: float | None = None,
+    ) -> list[int]:
+        """Prune old `_catalog/<v>.json` version files — the catalog
+        counterpart of `SnapshotTable.vacuum` (Delta's checkpoint +
+        log-retention discipline).  Without it a publication-gated
+        streaming deployment, which commits a catalog edit per
+        micro-batch, accrues an unbounded version log: each file is
+        O(names), so a slow leak, but a leak.
+
+        Retention is the UNION of two windows (either alone is a
+        floor, never a ceiling), mirroring the table rule:
+          * `keep_versions` — the N newest versions, always >= 1
+            (every version file is a FULL name→entry map, so the
+            newest one alone reconstructs current state — there is
+            no log replay to preserve);
+          * `keep_hours` — every version whose `committed_at` is in
+            the trailing window; versions predating the field count
+            as out-of-window (still protected by keep_versions).
+
+        Returns the pruned version numbers (`dry_run=True` reports
+        without deleting).  Time-travel reads of a pruned version
+        raise `CatalogVersionVacuumed`.  `poll_published_changes` is
+        UNAFFECTED at any catalog retention: its cursor stores TABLE
+        versions (pins), and polls resolve against the LATEST catalog
+        state only — the cursor's lifetime is bounded by the TABLE's
+        CDF retention (`SnapshotTable.vacuum` on the bound table),
+        not by this log.  `now` injects the clock for tests."""
+        vs = self.versions()
+        if not vs:
+            return []
+        keep = set(vs[-max(1, keep_versions):])
+        if keep_hours is not None:
+            cutoff = (time.time() if now is None else now) - keep_hours * 3600.0
+            keep |= {
+                v for v in vs
+                if (self._state(v).get("committed_at") or 0) >= cutoff
+            }
+        removed = [v for v in vs if v not in keep]
+        if not dry_run:
+            for v in removed:
+                self.st.delete(self._path(v))
+            # publication tmp files orphaned by a committer crash
+            for name in self.st.list(self._dir):
+                if ".tmp-" in name:
+                    self.st.delete(f"{self._dir}/{name}")
+        return removed
 
     def register_views(self, version: int | None = None) -> list[str]:
         """Register every cataloged table that has data as a Spark

@@ -67,6 +67,7 @@ container doesn't ship).
 from __future__ import annotations
 
 import json
+import os
 from bisect import bisect_left, bisect_right
 from typing import Iterator, Sequence
 
@@ -359,10 +360,22 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         # how many table VERSIONS one micro-batch may consume, so a
         # deep backlog (or a from-scratch start on a long history)
         # drains as many small exactly-once batches instead of one
-        # giant one.  The cursor ratchets in partitions() — after a
-        # checkpoint restart the first trigger may plan empty while
-        # the cursor catches up to the checkpoint offset (one wasted
-        # micro-batch, then normal pacing).  Caveat: Trigger.
+        # giant one.  Pacing needs a cursor.  On a FRESH start the
+        # first latestOffset() precedes even initialOffset() (probed
+        # on Spark 4.1), so `starting` is its seed.  After a
+        # checkpoint restart `starting` is stale (with
+        # startingVersion='latest' it re-resolves to the CURRENT
+        # head), but Spark replays the last logged batch via
+        # partitions(C, C) BEFORE the first latestOffset (probed),
+        # which ratchets the cursor to the checkpointed offset — so
+        # restart pacing holds without extra state.  Belt for any
+        # ordering where that recovery call disappears: set
+        # .option('pacingStateDir', dir) (use a per-query dir, e.g.
+        # next to the checkpoint) and latestOffset persists each
+        # planned end there (atomic replace) BEFORE returning it — the
+        # sidecar is therefore >= every offset Spark ever logged, so
+        # re-seeding the cursor from it at construction can never
+        # regress the offset log into re-delivery.  Caveat: Trigger.
         # AvailableNow fixes its end offset ONCE per run, so there
         # the limit bounds the RUN, not each micro-batch — pace with
         # a processingTime trigger (pytest pins both behaviors).
@@ -371,9 +384,31 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         if self.max_versions is not None and self.max_versions < 1:
             raise ValueError("maxVersionsPerTrigger must be >= 1")
         self._cursor: int | None = None
+        self._pace_file: str | None = None
+        psd = options.get("pacingstatedir")
+        if psd is not None:
+            self._pace_file = os.path.join(psd, "pixelspark-pace.json")
+            try:
+                with open(self._pace_file, "r", encoding="utf-8") as f:
+                    self._cursor = int(json.load(f)["version"])
+            except (OSError, ValueError, KeyError, json.JSONDecodeError):
+                pass  # no sidecar yet: fresh start, or dir was wiped
 
     def initialOffset(self) -> dict:
+        # fresh query starts only — restarts recover the cursor from
+        # the sidecar (constructor) or the recovery partitions() call
+        if self._cursor is None:
+            self._cursor = self.starting
         return {"version": self.starting}
+
+    def _persist_pace(self, end: int) -> None:
+        if self._pace_file is None:
+            return
+        os.makedirs(os.path.dirname(self._pace_file), exist_ok=True)
+        tmp = f"{self._pace_file}.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"version": end}, f)
+        os.replace(tmp, self._pace_file)  # atomic: never half-written
 
     def latestOffset(self) -> dict:
         vs = _versions(self.root)
@@ -384,7 +419,13 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         if self.max_versions is None:
             return {"version": head}
         cur = self._cursor if self._cursor is not None else self.starting
-        return {"version": min(head, cur + self.max_versions)}
+        end = min(head, cur + self.max_versions)
+        # never hand Spark an offset below one it may already hold —
+        # max() keeps a stale `starting` (or sidecar) from shrinking
+        # the plan below the cursor the recovery call established
+        end = max(end, cur)
+        self._persist_pace(end)
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         v0, v1 = start["version"], end["version"]

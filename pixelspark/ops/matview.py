@@ -766,7 +766,11 @@ def refresh_join_view(
                     ) from None
                 continue
         finally:
-            changes.unpersist()
+            # `pinned` starts as [changes] and _flip_deltas appends
+            # its persisted flips — unpersist ALL of them, else every
+            # left/full phase leaks one cached plan per refresh
+            for df in pinned:
+                df.unpersist()
 
 
 def refresh_recompute_view(

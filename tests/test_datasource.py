@@ -488,3 +488,73 @@ def test_published_stream_tails_publications_only(reg, spark, tmp_path):
     assert sorted(
         r["k"] for r in spark.read.parquet(out).collect()
     ) == [1, 2, 3]  # exactly the newly published unit
+
+
+def test_pacing_survives_restart_via_sidecar_and_recovery_call(
+    reg, spark, tmp_path
+):
+    """ADVICE r6: unit-pin the pacing contract at the reader level,
+    in the call orders Spark actually uses (probed on 4.1):
+
+      fresh start:  latestOffset -> initialOffset -> partitions
+      restart:      partitions(C, C) [WAL recovery] -> latestOffset
+
+    (a) fresh start paces from startingVersion even though the first
+        latestOffset precedes initialOffset; (b) a restarted reader
+        with startingVersion='latest' — whose `starting` re-resolves
+        to the CURRENT head — must NOT span the backlog once either
+        the recovery call or the pacingStateDir sidecar has seeded
+        the cursor, and must NEVER return an offset below the
+        cursor (offset-log regression = re-delivery)."""
+    import json as _json
+    import os as _os
+
+    from pixelspark.datasource import _SnapshotStreamReader
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    for i in range(8):
+        t.append(_df(spark, [(i, f"v{i}")]))
+    schema = t.read().schema
+
+    # (a) fresh start, numeric starting: latestOffset BEFORE
+    # initialOffset still paces from `starting`
+    r = _SnapshotStreamReader(root, schema,
+                              {"maxversionspertrigger": "2"})
+    assert r.latestOffset() == {"version": 2}
+    assert r.initialOffset() == {"version": 0}
+    r.partitions({"version": 0}, {"version": 2})
+    assert r.latestOffset() == {"version": 4}  # ratchet advanced
+
+    # (b) restart shape: 'latest' resolves starting to head=8, but
+    # the WAL recovery partitions(3,3) seeds the cursor first
+    r2 = _SnapshotStreamReader(root, schema,
+                               {"startingversion": "latest",
+                                "maxversionspertrigger": "2"})
+    r2.partitions({"version": 3}, {"version": 3})  # recovery call
+    off = r2.latestOffset()
+    assert off == {"version": 5}  # paced from checkpoint, not head
+    # and never below the cursor even if starting were stale-low
+    r3 = _SnapshotStreamReader(root, schema,
+                               {"startingversion": "0",
+                                "maxversionspertrigger": "1"})
+    r3.partitions({"version": 6}, {"version": 6})
+    assert r3.latestOffset()["version"] >= 6  # no offset regression
+
+    # (c) sidecar: latestOffset persists the planned end BEFORE
+    # returning; a fresh reader over the same dir re-seeds from it
+    psd = str(tmp_path / "pace")
+    r4 = _SnapshotStreamReader(root, schema,
+                               {"maxversionspertrigger": "3",
+                                "pacingstatedir": psd})
+    r4.initialOffset()
+    assert r4.latestOffset() == {"version": 3}
+    with open(_os.path.join(psd, "pixelspark-pace.json")) as fh:
+        assert _json.load(fh)["version"] == 3
+    # "restarted" reader: no initialOffset, no recovery call, stale
+    # 'latest' starting — the sidecar alone restores pacing
+    r5 = _SnapshotStreamReader(root, schema,
+                               {"startingversion": "latest",
+                                "maxversionspertrigger": "3",
+                                "pacingstatedir": psd})
+    assert r5.latestOffset() == {"version": 6}  # 3 + 3, not head 8
