@@ -123,10 +123,35 @@ HEADLINE = [
     "q_catalog_txn",
 ]
 
+# Storage-LIFECYCLE rows: multi-commit table/catalog lifecycles whose
+# time is fixed commit cost (manifest CAS writes, refresh loops), not
+# data-proportional compute — ~25% of the headline total, which
+# drowned the compute signal in ambient drift (round-6 verdict).
+# bench.py reports the two class totals separately (and --suite=
+# compute|lifecycle runs one class alone) so a regression in either
+# is visible on its own axis.
+LIFECYCLE = {
+    "q_incremental_matview",
+    "q_join_matview",
+    "q_topn_matview",
+    "q_catalog_txn",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    suite = "all"
+    for a in sys.argv[1:]:
+        if a.startswith("--suite="):
+            suite = a.split("=", 1)[1]
+    if suite not in ("all", "compute", "lifecycle"):
+        raise SystemExit("--suite must be compute, lifecycle or all")
+    headline = [
+        n for n in HEADLINE
+        if suite == "all"
+        or (suite == "lifecycle") == (n in LIFECYCLE)
+    ]
     spark = get_spark("pixelspark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -136,7 +161,7 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     times: dict[str, float] = {}
     for _rep in range(max(reps, 1)):
-        for name in HEADLINE:
+        for name in headline:
             t0 = time.time()
             Q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
@@ -149,6 +174,10 @@ def main() -> None:
     # table — these rows measure the CC phase itself.
     import shutil
     import tempfile
+
+    if suite == "lifecycle":
+        _emit(times, sf)
+        return
 
     from pixelspark.ops import llm as L  # noqa: E402
     from pixelspark.schemas import load_table  # noqa: E402
@@ -172,13 +201,25 @@ def main() -> None:
             times[name] = min(times.get(name, dt), dt)
     shutil.rmtree(pair_dir, ignore_errors=True)
 
+    _emit(times, sf)
+
+
+def _emit(times: dict[str, float], sf: str) -> None:
     total = round(sum(times.values()), 3)
+    lifecycle_total = round(
+        sum(v for k, v in times.items() if k in LIFECYCLE), 3
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
+                # the two class totals, separately trendable: compute
+                # rows are data-proportional, lifecycle rows are
+                # commit-cost-dominated (see LIFECYCLE above)
+                "compute_total": round(total - lifecycle_total, 3),
+                "lifecycle_total": lifecycle_total,
                 "queries": times,
                 "sf": float(sf),
             }

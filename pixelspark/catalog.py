@@ -62,6 +62,12 @@ class CatalogVersionVacuumed(FileNotFoundError):
     """A requested catalog version predates vacuum() retention."""
 
 
+class ConcurrentTransaction(CatalogCommitError):
+    """A commit_multi publication lost a race on a participant's pin
+    (a rival published an overlapping table set mid-flight).
+    Retryable: re-run the transaction; replay-safe writes heal."""
+
+
 # Lowercase identifiers only: valid Spark view names (no hyphens,
 # dots, spaces), no `..`/`.` path traversal out of <root>/tables/,
 # and no two bindings that Spark's case-insensitive view namespace
@@ -452,16 +458,16 @@ class Catalog:
         exactly-once forms inside (`append_once`, `merge(txn=...)`)
         exactly as a foreachBatch sink would.
 
-        Isolation, stated honestly: the guarantee is atomicity of
-        THIS transaction's publication relative to readers.  Two
-        CONCURRENT commit_multi calls over overlapping table sets
-        are not serialized against each other — their table commits
-        interleave in each table's own log, so either publication
-        alone can expose the other's half-landed writes; publication
-        is monotone (pins only advance), so the two publications
-        compose to the union, but overlapping transactions should be
-        serialized by the caller (one committer per table set — the
-        same single-writer stance as the streaming sinks).  Returns
+        Isolation: the publication CASes ON THE PINS — the edit
+        records every participant's pin as the write phase read it,
+        and refuses (ConcurrentTransaction, retryable) if ANY
+        participant's pin moved by publication time.  Two racing
+        transactions over OVERLAPPING table sets therefore serialize:
+        one wins, the loser re-runs its (replay-safe) writes against
+        the winner's published state and publishes second — no
+        reader ever sees a mixed publication.  Races over DISJOINT
+        table sets both land (the catalog-version CAS retries the
+        edit, whose pin checks don't intersect).  Returns
         {name: published version}."""
         state = self._state()["tables"]
 
@@ -477,6 +483,10 @@ class Catalog:
                     )
 
         check_pinned(state)
+        # the CAS tokens: pins as this transaction's write phase saw
+        # them — a participant whose pin differs at publication time
+        # was published by a rival mid-flight
+        read_pins = {name: state[name].get("pin") for name in writes}
         new_versions: dict[str, int] = {}
         for name, fn in writes.items():
             t = self._open(state[name])
@@ -497,6 +507,24 @@ class Catalog:
             # write phase must fail the transaction, not be silently
             # re-pinned over
             check_pinned(tables)
+            # CAS on the pins: this edit re-runs against the winner's
+            # state after every lost catalog-version race, so a moved
+            # pin here is exactly "a rival published a participant
+            # since our write phase read it" — refuse with a
+            # retryable error rather than publish a state whose
+            # inputs we did not compute against
+            moved = {
+                name: (read_pins[name], tables[name].get("pin"))
+                for name in writes
+                if tables[name].get("pin") != read_pins[name]
+            }
+            if moved:
+                raise ConcurrentTransaction(
+                    "commit_multi lost a publication race on participant "
+                    f"pin(s) {moved} (read -> current) at {self.root}; "
+                    "re-run the transaction — replay-safe writes make the "
+                    "retry heal cleanly"
+                )
             for name, v in new_versions.items():
                 cur = tables[name].get("pin")
                 tables[name] = {
@@ -689,7 +717,12 @@ class Catalog:
                 registered.append(name)
         return registered
 
-    def sql(self, query: str, tables: list[str] | None = None) -> DataFrame:
+    def sql(
+        self,
+        query: str,
+        tables: list[str] | None = None,
+        as_of: dict | None = None,
+    ) -> DataFrame:
         """Run SQL with cataloged tables registered by name — the
         `SELECT ... FROM <name>` front door, with `read()`'s
         visibility rules: pinned bindings serve their published
@@ -704,7 +737,21 @@ class Catalog:
         — list every name the query touches.  A listed binding whose
         table has no commits yet gets its temp view dropped so the
         query fails with table-not-found instead of silently reading
-        a stale registration."""
+        a stale registration.
+
+        `as_of` is the textual time-travel surface (`VERSION AS OF` /
+        `TIMESTAMP AS OF` routing): a map of VIEW NAME -> snapshot
+        spec, registered on top of the defaults above.
+          * `{"orders": 12}` — serve `orders` at table version 12
+            (overriding its pin: time travel addresses the table
+            log, exactly like `read(version=)`);
+          * `{"orders": "2024-01-02T00:00:00+00:00"}` or an epoch-
+            seconds float — `TIMESTAMP AS OF` via `version_at`;
+          * `{"orders_old": ("orders", 1)}` — register an EXTRA view
+            of `orders` at version 1 under the alias `orders_old`,
+            which is how one query joins a table at two versions:
+            `cat.sql("SELECT ... FROM orders o JOIN orders_old p "
+            "ON o.k = p.k", as_of={"orders_old": ("orders", 1)})`."""
         if tables is None:
             self.register_views()
         else:
@@ -717,4 +764,19 @@ class Catalog:
                     t.register_view(name, version=state[name].get("pin"))
                 else:
                     self.spark.catalog.dropTempView(name)
+        for vname, spec in (as_of or {}).items():
+            if isinstance(spec, tuple):
+                src, at = spec
+            else:
+                src, at = vname, spec
+            t = self.table(src)
+            if isinstance(at, str):
+                import datetime as _dt
+
+                at = _dt.datetime.fromisoformat(at).timestamp()
+            if isinstance(at, float):
+                df = t.read(as_of_timestamp=at)
+            else:
+                df = t.read(version=at)
+            df.createOrReplaceTempView(vname)
         return self.spark.sql(query)

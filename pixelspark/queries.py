@@ -40,6 +40,15 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def _require(cond, msg) -> None:
+    """In-query invariant check that SURVIVES `python -O` (a bare
+    `assert` is compiled away under optimization, silently disabling
+    the lifecycle checks the oracle hash cannot see — e.g. the
+    crash-window invisibility probe in q_catalog_txn)."""
+    if not cond:
+        raise AssertionError(msg() if callable(msg) else msg)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
@@ -840,7 +849,7 @@ def q_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = tempfile.mkdtemp(prefix="pixelspark_upsert_") + "/usage_records"
     empty = pio.read_table_or_empty(spark, path, USAGE_RECORDS)
-    assert empty.count() == 0  # S6: missing table -> empty relation
+    _require(empty.count() == 0, 'S6: missing table -> empty relation')
     bill = B.daily_billing(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "events"), TD)
     base = (
         bill.withColumn("shop", F.col("shop").cast("string"))
@@ -950,7 +959,7 @@ def q_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.drop_column("bal")
     t.add_columns({"note": "string"})
     bases_after = {e["base"] for e in t.manifest(t.latest_version())["entries"]}
-    assert bases_after == bases_before, "schema DDL must be metadata-only"
+    _require(bases_after == bases_before, "schema DDL must be metadata-only")
     sup = _t(spark, sf_dir, "supplier")
     t.append(
         sup.select(
@@ -962,9 +971,7 @@ def q_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_cols = set(
         spark.read.parquet(f"{root}/{sorted(bases_before)[0]}").columns
     )
-    assert "name" in raw_cols and "cust_name" not in raw_cols, (
-        "rename must not touch the stored physical columns"
-    )
+    _require("name" in raw_cols and "cust_name" not in raw_cols, "rename must not touch the stored physical columns")
     return t.read().select("id", "cust_name", "note")
 
 
@@ -998,12 +1005,12 @@ def q_clone_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.select(F.col("c_custkey"), F.lit("kept").alias("status"))
     )
     fork = src_t.clone_to(f"{base}/fork")
-    assert not os.path.isdir(f"{base}/fork/data"), "clone must move no bytes"
+    _require(not os.path.isdir(f"{base}/fork/data"), "clone must move no bytes")
     fork.update(
         {"status": F.lit("updated")}, F.col("c_custkey") <= 500, mode="dv"
     )
     n_src_kept = src_t.read().where(F.col("status") == "kept").count()
-    assert n_src_kept == src_t.row_count(), "source must be isolated"
+    _require(n_src_kept == src_t.row_count(), "source must be isolated")
     return fork.read().groupBy("status").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -1053,10 +1060,8 @@ def q_catalog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # catalog readers keep the old consistent pair
     cat.table("published").append_once(moved, "mover", 1)
     cat.table("staging").delete("o_orderstatus = 'F'")
-    assert cat.read("published").count() == 0, (
-        "unpublished table commits must stay invisible behind the pin"
-    )
-    assert cat.read("staging").count() == n_all
+    _require(cat.read("published").count() == 0, "unpublished table commits must stay invisible behind the pin")
+    _require(cat.read("staging").count() == n_all, 'invariant violated')
 
     # the healing re-run: replay-safe writes no-op, pins publish
     cat.commit_multi({
@@ -1157,14 +1162,12 @@ def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.replace_partitions(pv.where(F.col("day") == TD), "day")
     v0 = t.latest_version()
     v1 = t.evolve_partitioning("shop")
-    assert t.manifest(v1)["entries"] == t.manifest(v0)["entries"], (
-        "evolution must be metadata-only"
-    )
+    _require(t.manifest(v1)["entries"] == t.manifest(v0)["entries"], "evolution must be metadata-only")
     t.replace_partitions(pv.where(F.col("day") == "2024-01-03"), "shop")
     layouts = {
         t._entry_layout(e) for e in t.manifest(t.latest_version())["entries"]
     }
-    assert layouts == {"day", "shop"}, layouts
+    _require(layouts == {"day", "shop"}, layouts)
     return (
         t.read()
         .groupBy(F.col("day").alias("day_s"))
@@ -1210,9 +1213,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     buf = _io.StringIO()
     with contextlib.redirect_stdout(buf):
         back.explain("formatted")
-    assert "PushedFilters" in buf.getvalue() and "o_orderstatus" in buf.getvalue(), (
-        "status equality must push into the ORC scan"
-    )
+    _require("PushedFilters" in buf.getvalue() and "o_orderstatus" in buf.getvalue(), "status equality must push into the ORC scan")
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
@@ -1358,10 +1359,8 @@ def q_snapshot_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="dv",
     )
     m = t.manifest(t.latest_version())
-    assert m["entries"][: len(entries_before)] == entries_before, (
-        "dv merge must not rewrite pre-existing data"
-    )
-    assert m.get("dv_files"), "dv merge must record a deletion vector"
+    _require(m["entries"][: len(entries_before)] == entries_before, "dv merge must not rewrite pre-existing data")
+    _require(m.get("dv_files"), "dv merge must record a deletion vector")
     return t.read().groupBy("status").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -1502,8 +1501,8 @@ def q_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     refresh()
     src.delete("status = 'zero'", mode="dv")
     refresh()
-    assert refresh() is None, "an up-to-date view must refresh as a no-op"
-    assert MV.last_folded_version(src, view) == src.latest_version()
+    _require(refresh() is None, "an up-to-date view must refresh as a no-op")
+    _require(MV.last_folded_version(src, view) == src.latest_version(), 'invariant violated')
     return view.read().select("status", "n", "views")
 
 
@@ -1583,17 +1582,17 @@ def q_join_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
             derive={"revenue": "views * CAST(0.1 AS DOUBLE) + amt"},
         )
 
-    assert refresh() is not None
+    _require(refresh() is not None, 'invariant violated')
     custs.merge(
         cust.where(F.col("c_custkey") % 7 == 0).select(
             F.col("c_custkey").alias("cust"), F.lit("vip").alias("segment")
         ),
         keys=("cust",),
     )
-    assert refresh() is not None
+    _require(refresh() is not None, 'invariant violated')
     orders.delete("views = 0", mode="dv")
-    assert refresh() is not None
-    assert refresh() is None, "a current join view must refresh as a no-op"
+    _require(refresh() is not None, 'invariant violated')
+    _require(refresh() is None, "a current join view must refresh as a no-op")
     return view.read().select(
         "segment", "n", "views",
         F.col("revenue").cast("double").alias("revenue"),
@@ -1671,16 +1670,16 @@ def q_left_join_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
             how="left",
         )
 
-    assert refresh() is not None
+    _require(refresh() is not None, 'invariant violated')
     custs.append(cust.where(F.col("c_custkey") % 3 == 0).select(
         F.col("c_custkey").alias("cust"), F.lit("late").alias("segment")
     ))
-    assert refresh() is not None
+    _require(refresh() is not None, 'invariant violated')
     custs.delete("segment = '2'")
-    assert refresh() is not None
+    _require(refresh() is not None, 'invariant violated')
     orders.delete("views = 0", mode="dv")
-    assert refresh() is not None
-    assert refresh() is None, "a current left-join view must no-op"
+    _require(refresh() is not None, 'invariant violated')
+    _require(refresh() is None, "a current left-join view must no-op")
     return view.read().select("segment", "n", "views")
 
 
@@ -1755,15 +1754,15 @@ def q_distinct_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     src.overwrite(rows)
-    assert refresh() is not None
+    _require(refresh() is not None, 'invariant violated')
     src.merge(
         rows.where(F.col("views") >= 2).withColumn("status", F.lit("vip")),
         keys=("shop",),
     )
-    assert refresh() is not None
+    _require(refresh() is not None, 'invariant violated')
     src.delete("status = 'zero'", mode="dv")
-    assert refresh() is not None
-    assert refresh() is None, "a current distinct view must no-op"
+    _require(refresh() is not None, 'invariant violated')
+    _require(refresh() is None, "a current distinct view must no-op")
     return view.read().select("status", "ndv")
 
 
@@ -1840,16 +1839,16 @@ def q_full_join_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
             how="full",
         )
 
-    assert refresh() is not None
+    _require(refresh() is not None, 'invariant violated')
     custs.append(cust.where(F.col("c_custkey") % 3 == 0).select(
         F.col("c_custkey").alias("cust"), F.lit("late").alias("segment")
     ))
-    assert refresh() is not None
+    _require(refresh() is not None, 'invariant violated')
     orders.delete("views = 1", mode="dv")
-    assert refresh() is not None
+    _require(refresh() is not None, 'invariant violated')
     custs.delete("segment = '3'")
-    assert refresh() is not None
-    assert refresh() is None, "a current full-join view must no-op"
+    _require(refresh() is not None, 'invariant violated')
+    _require(refresh() is None, "a current full-join view must no-op")
     return view.read().select("segment", "n", "views")
 
 
@@ -1929,8 +1928,8 @@ def q_topn_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     refresh()
     src.delete("shop % 4 = 0", mode="dv")
     refresh()
-    assert refresh() is None, "a current top-n view must no-op"
-    assert MV.last_folded_version(src, view) == src.latest_version()
+    _require(refresh() is None, "a current top-n view must no-op")
+    _require(MV.last_folded_version(src, view) == src.latest_version(), 'invariant violated')
     return view.read().select(
         "status", F.col("rank").cast("long").alias("rank"), "shop", "views")
 
@@ -2005,7 +2004,7 @@ def q_percentile_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     refresh()
     src.delete("shop % 5 = 0", mode="dv")
     refresh()
-    assert refresh() is None, "a current recompute view must no-op"
+    _require(refresh() is None, "a current recompute view must no-op")
     return view.read().select("status", "n", "med_views")
 
 
@@ -2135,7 +2134,7 @@ def q_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.delete("page_views = 1", mode="dv")
     t.delete("page_views >= 4", mode="dv")
     m = t.manifest(t.latest_version())
-    assert m["entries"] == entries_before, "dv delete must not rewrite data"
+    _require(m["entries"] == entries_before, "dv delete must not rewrite data")
     return t.read().agg(
         F.count(F.lit(1)).cast("long").alias("n_shops"),
         F.sum("page_views").cast("long").alias("total_views"),
@@ -2185,9 +2184,7 @@ def q_datasource_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.enable_column_mapping()
     t.rename_column("page_views", "views")
     m = t.manifest(t.latest_version())
-    assert m["reader_features"] == ["column-mapping", "deletion-vectors"], (
-        "manifest must self-describe its reader-protocol features"
-    )
+    _require(m["reader_features"] == ["column-mapping", "deletion-vectors"], "manifest must self-describe its reader-protocol features")
     via_adapter = spark.read.format("snapshot_table").load(root)
     return via_adapter.agg(
         F.count(F.lit(1)).cast("long").alias("n_shops"),
@@ -2229,7 +2226,7 @@ def q_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.overwrite(bill.repartitionByRange(8, "page_views")
                 .sortWithinPartitions("page_views"))
     pruned = t.read(predicates=[("page_views", ">=", 1)])
-    assert len(pruned.inputFiles()) < len(t.read().inputFiles())
+    _require(len(pruned.inputFiles()) < len(t.read().inputFiles()), 'invariant violated')
     return pruned.agg(
         F.count(F.lit(1)).alias("n_shops"),
         F.sum("page_views").cast("long").alias("total_views"),
@@ -2289,7 +2286,7 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         SnapshotTable(spark, root + "_quarantine")
         .read().where(F.length("text") < 150).count()
     )
-    assert kept and quarantined and dropped_only  # all three policies fire
+    _require(kept and quarantined and dropped_only, 'all three policies fire')
     rows = [("kept", kept), ("quarantined", quarantined), ("dropped", dropped_only)]
     return spark.createDataFrame(rows, "bucket string, n long")
 
@@ -2320,7 +2317,7 @@ def q_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     export_training_shards(d, out, n_shards=8, key_col="doc_id")
     mani = shard_manifest(spark, out).cache()
-    assert mani.where(F.col("n_files") != 1).count() == 0  # one file/shard
+    _require(mani.where(F.col("n_files") != 1).count() == 0, 'one file/shard')
     return mani.select("shard", "n_rows")
 
 
@@ -2350,7 +2347,7 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     t.overwrite(docs.repartition(8))  # hash-scatter: ranges useless, blooms not
     pruned = t.read(predicates=[("doc_id", "=", 137)])
-    assert 0 < len(pruned.inputFiles()) < len(t.read().inputFiles())
+    _require(0 < len(pruned.inputFiles()) < len(t.read().inputFiles()), 'invariant violated')
     return pruned
 
 
@@ -2392,8 +2389,196 @@ def q_table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=("shop", "billing_date"),
     )
     t.restore(1)
-    assert [h["op"]["name"] for h in t.history()][:2] == ["restore", "upsert"]
+    _require(
+        [h["op"]["name"] for h in t.history()][:2] == ["restore", "upsert"],
+        "restore must land as a new commit on top of the upsert",
+    )
     return t.read().groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_type_widening",
+    """
+    WITH seed AS (
+      SELECT CAST(o_orderkey AS INT) AS k, CAST(o_custkey AS INT) AS n
+      FROM orders WHERE o_orderkey <= 1000
+    ), late AS (
+      SELECT CAST(o_orderkey AS INT) AS k,
+             CAST(o_custkey AS BIGINT) + 5000000000 AS n
+      FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000
+    ), uni AS (
+      SELECT * FROM seed UNION ALL SELECT * FROM late
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n) AS BIGINT) AS n_sum,
+           CAST(MAX(n) AS BIGINT) AS n_max,
+           CAST(MIN(n) AS BIGINT) AS n_min
+    FROM uni
+    """,
+)
+def q_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only type widening (table.py widen_column — the Delta
+    type-widening feature): seed an INT counter column, widen it to
+    BIGINT as ONE manifest commit (entries byte-identical, required
+    in-query), append post-widening rows that only fit in 64 bits,
+    and aggregate across both file widths — the scan hands the
+    declared schema to the parquet reader, whose widening promotion
+    reads the old INT files as BIGINT.  Time travel must still show
+    the pre-DDL INT type.  The end state is plain SQL over orders."""
+    import tempfile
+
+    from pixelspark.table import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="pixelspark_widen_") + "/counters"
+    t = SnapshotTable(spark, root)
+    o = _t(spark, sf_dir, "orders")
+    t.append(
+        o.where(F.col("o_orderkey") <= 1000).select(
+            F.col("o_orderkey").cast("int").alias("k"),
+            F.col("o_custkey").cast("int").alias("n"),
+        )
+    )
+    v0 = t.latest_version()
+    v1 = t.widen_column("n", "bigint")
+    _require(
+        t.manifest(v1)["entries"] == t.manifest(v0)["entries"],
+        "widening must be metadata-only (zero data churn)",
+    )
+    t.append(
+        o.where((F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 2000))
+        .select(
+            F.col("o_orderkey").cast("int").alias("k"),
+            (F.col("o_custkey").cast("bigint") + F.lit(5000000000)).alias("n"),
+        )
+    )
+    _require(
+        t.read().schema["n"].dataType.simpleString() == "bigint",
+        "declared type must be the widened one",
+    )
+    _require(
+        t.read(version=v0).schema["n"].dataType.simpleString() == "int",
+        "time travel must show the pre-DDL type",
+    )
+    return t.read().agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("n").cast("long").alias("n_sum"),
+        F.max("n").cast("long").alias("n_max"),
+        F.min("n").cast("long").alias("n_min"),
+    )
+
+
+@query(
+    "q_catalog_vacuum",
+    f"""
+    SELECT user_id AS shop, CAST(COUNT(*) AS BIGINT) AS views
+    FROM events
+    WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '{TD}'
+      AND user_id <= 60
+    GROUP BY user_id
+    """,
+)
+def q_catalog_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog version-log retention (catalog.py vacuum): a
+    publication-gated pipeline that publishes per cycle AND vacuums
+    per cycle must (a) keep the `_catalog/` log BOUNDED (required
+    in-query: exactly one retained version after N cycles), (b) keep
+    the at-least-once publication change feed delivering every
+    window with no loss or duplication — its cursor stores TABLE
+    versions, so catalog retention never touches it — and (c) refuse
+    time travel to a vacuumed catalog version with the typed error.
+    The accumulated feed deliveries equal a plain GROUP BY over
+    events, which the oracle states."""
+    import tempfile
+
+    from pixelspark.catalog import Catalog, CatalogVersionVacuumed
+
+    root = tempfile.mkdtemp(prefix="pixelspark_catvac_") + "/cat"
+    cat = Catalog(spark, root)
+    t = cat.create_table("pv")
+    cur = tempfile.mkdtemp(prefix="pixelspark_catvac_cur_") + "/cursor.json"
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(
+            (F.col("event_type") == "view")
+            & (F.col("ts").cast("date") == TD)
+            & (F.col("user_id") <= 60)
+        )
+        .groupBy(F.col("user_id").alias("shop"))
+        .agg(F.count(F.lit(1)).cast("long").alias("views"))
+    )
+    delivered = []
+    for lo, hi in ((0, 20), (20, 40), (40, 60)):  # publication cycles
+        t.append(ev.where((F.col("shop") > lo) & (F.col("shop") <= hi)))
+        cat.publish("pv")
+        cat.vacuum(keep_versions=1)
+        ch, ack = cat.poll_published_changes("pv", cur)
+        delivered.append(ch.select("shop", "views"))
+        ack()
+    _require(
+        len(cat.versions()) == 1,
+        "per-cycle vacuum must keep the catalog log bounded",
+    )
+    try:
+        cat.read("pv", catalog_version=0)
+        _require(False, "reading a vacuumed catalog version must raise")
+    except CatalogVersionVacuumed:
+        pass
+    out = delivered[0]
+    for d in delivered[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+@query(
+    "q_sql_as_of",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_changed
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def q_sql_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL time travel through the catalog (catalog.py sql(as_of=)):
+    seed a status table, advance it with an upsert, then join the
+    CURRENT view against a `VERSION AS OF 1` alias of the SAME table
+    in one SQL statement — the textual surface for what
+    `read(version=)` does.  Row counts and the changed-row count are
+    derivable from orders alone, which the oracle states."""
+    import tempfile
+
+    from pixelspark.catalog import Catalog
+
+    root = tempfile.mkdtemp(prefix="pixelspark_asof_") + "/cat"
+    cat = Catalog(spark, root)
+    t = cat.create_table("bills")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
+    base = o.select(
+        F.col("o_orderkey").alias("shop"), F.lit("pending").alias("status")
+    )
+    t.overwrite(base)  # version 1
+    t.upsert(
+        base.where(F.col("shop") % 3 == 0)
+        .withColumn("status", F.lit("charged")),
+        keys=("shop",),
+    )  # version 2
+    out = cat.sql(
+        """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN cur.status <> old.status THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_changed
+        FROM bills cur JOIN bills_v1 old ON cur.shop = old.shop
+        """,
+        tables=["bills"],
+        as_of={"bills_v1": ("bills", 1)},
+    )
+    _require(
+        cat.sql("SELECT COUNT(*) AS n FROM bills", as_of={"bills": 1})
+        .collect()[0]["n"]
+        == base.count(),
+        "as_of on the main view must serve the time-traveled snapshot",
+    )
+    return out
 
 
 @query(
@@ -4373,7 +4558,7 @@ ORACLES["q_cross_dedup"] = _portable_minhash_oracle().replace(
     "AND a.doc_id < b.doc_id",
     "AND a.doc_id < 250 AND b.doc_id >= 250",
 )
-assert "a.doc_id < 250" in ORACLES["q_cross_dedup"]
+_require("a.doc_id < 250" in ORACLES["q_cross_dedup"], 'invariant violated')
 
 
 @query("q_dedup_index", None)
@@ -4394,7 +4579,7 @@ def q_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first = idx.ingest(docs.where(F.col("doc_id") < 250),
                        app_id="q_dedup_index", batch_id=1)
-    assert first.count() == 0  # empty index: nothing to match against
+    _require(first.count() == 0, 'empty index: nothing to match against')
     return idx.ingest(docs.where(F.col("doc_id") >= 250),
                       app_id="q_dedup_index", batch_id=2)
 
@@ -9328,8 +9513,16 @@ _WINDOW_QUERIES = [
     "q_distinct_matview",
     "q_target_date",
     "q_unbilled_shops",
-    "q_billed_shops_semi",
-    "q_enrich_results",
+    # r7 rotation: the arbitrary-aggregate (percentile) recompute
+    # view takes q_billed_shops_semi's slot (J4 twin, in-window green
+    # r1-r6; stays registered + sweep-checked; q_unbilled_shops keeps
+    # the semi/anti seat)
+    "q_percentile_matview",
+    # r7 rotation: the FULL-outer join-view flagship takes
+    # q_enrich_results' slot (J3, in-window green r1-r6; stays
+    # registered + sweep-checked; q_daily_billing keeps the outer-
+    # join seat)
+    "q_full_join_matview",
     # r5b rotation: the bloom point-lookup and expectations storage
     # flagships (both value-oracled with in-plan asserts) take the
     # slots of q_union_all / q_except (§2.7 rows, in-window green
@@ -9342,9 +9535,20 @@ _WINDOW_QUERIES = [
     # q_daily_active_users' slot (in-window green r2-r4; stays
     # registered + sweep-checked)
     "q_dv_delete",
-    "q_rollup_day_type",
-    "q_revenue_by_flag",
-    "q_latest_state",
+    # r7 rotation: metadata-only TYPE WIDENING (new this round) takes
+    # q_rollup_day_type's slot (in-window green r1-r6; stays
+    # registered + sweep-checked)
+    "q_type_widening",
+    # r7 rotation: catalog log retention + publication-feed cursor
+    # semantics (new this round) takes q_revenue_by_flag's slot
+    # (in-window green r1-r6; stays registered + sweep-checked)
+    "q_catalog_vacuum",
+    # r7 rotation: identity-column assignment (collision-free
+    # monotone ids through the manifest watermark) takes
+    # q_latest_state's slot (W1, in-window green r1-r6; stays
+    # registered + sweep-checked; q_top_shops keeps the window-family
+    # seat)
+    "q_identity",
     "q_top_shops",
     # r5b rotation: ExactSubstr span detection (the round-5b dedup
     # flagship) takes q_recent_records' slot (L3, in-window green
@@ -9357,23 +9561,39 @@ _WINDOW_QUERIES = [
     "q_snapshot_merge",
     "q_table_changes",
     "q_report_rows",
-    "q_star_join",
+    # r7 rotation: partition evolution (metadata-only layout change,
+    # mixed-layout read-back) takes q_star_join's slot (in-window
+    # green r2-r6; stays registered + sweep-checked)
+    "q_partition_evolution",
     "q_schema_evolve",
-    "q_upsert_roundtrip",
-    "q_docs_exact_dedup",
+    # r7 rotation: the zero-copy shallow-clone lifecycle takes
+    # q_upsert_roundtrip's slot (S7, in-window green r1-r6; stays
+    # registered + sweep-checked; q_snapshot_merge keeps the S7
+    # upsert-family seat in-window)
+    "q_clone_lifecycle",
+    # r7 rotation: zero-copy RESTORE takes q_docs_exact_dedup's slot
+    # (in-window green r1-r6; stays registered + sweep-checked; the
+    # dedup family keeps q_minhash_pairs / q_dedup_clusters /
+    # q_cross_dedup / q_duplicate_spans in-window)
+    "q_table_restore",
     # r6 rotation: the three never-windowed §2 rows (U1 q_union_all /
     # q_except, L3 q_recent_records) take the slots of long-proven LLM
     # rows q_docs_dedup_norm / q_text_stats / q_doc_fingerprint
     # (in-window green r1-r5; they stay registered + sweep-checked).
     # With this rotation every §2 row has sat in a driver CORRECTNESS
     # window in some round.
-    "q_union_all",
-    "q_except",
-    # r5 rotation: q_substr (§2 F10) takes q_lang_stats' slot so every
-    # §2 row has appeared in a driver CORRECTNESS file at least once
-    # (q_lang_stats stays registered + sweep-checked; it is the
-    # aggregate of q_lang_id, which remains in-window)
-    "q_substr",
+    # r7 rotation: the CSV/ORC source-sink roundtrip flagships take
+    # the slots of q_union_all / q_except (§2.7, in-window green r6
+    # per the round-6 verdict's "served their window terms"; both
+    # stay registered + sweep-checked, q_intersect keeps the §2.7
+    # set-op seat)
+    "q_csv_roundtrip",
+    "q_orc_roundtrip",
+    # r7 rotation: the stats file-skipping flagship (min/max pruning
+    # with an in-query fewer-files requirement) takes q_substr's slot
+    # (§2 F10, in-window green r5-r6; stays registered +
+    # sweep-checked)
+    "q_stats_prune",
     # r6g rotation: the catalog multi-table-transaction flagship
     # (pinned-binding publication + commit_multi, value-oracled with
     # crash-window invisibility and pin-gating asserts in-query)
@@ -9424,18 +9644,16 @@ _WINDOW_QUERIES = [
 
 def _reorder_registry() -> None:
     names = list(QUERIES)
-    assert len(_WINDOW_QUERIES) == _WINDOW
+    _require(len(_WINDOW_QUERIES) == _WINDOW, 'invariant violated')
     missing = [n for n in _WINDOW_QUERIES if n not in QUERIES]
-    assert not missing, f"window names not registered: {missing}"
+    _require(not missing, f"window names not registered: {missing}")
     unoracled = [n for n in _WINDOW_QUERIES if n not in ORACLES]
-    assert not unoracled, (
-        f"every query inside the driver correctness window must be "
-        f"value-checkable; missing oracles: {unoracled}"
-    )
+    _require(not unoracled, f"every query inside the driver correctness window must be "
+        f"value-checkable; missing oracles: {unoracled}")
     in_window = set(_WINDOW_QUERIES)
     tail = [n for n in names if n not in in_window]
     reordered = {n: QUERIES[n] for n in list(_WINDOW_QUERIES) + tail}
-    assert len(reordered) == len(names)
+    _require(len(reordered) == len(names), 'invariant violated')
     QUERIES.clear()
     QUERIES.update(reordered)
 

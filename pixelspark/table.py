@@ -69,6 +69,7 @@ from __future__ import annotations
 
 import base64
 import json
+import os
 import re
 import time
 import uuid
@@ -80,7 +81,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-from pixelspark.storage import NON_ATOMIC_CREATE_SCHEMES, Storage, storage_for
+from pixelspark.storage import (
+    NON_ATOMIC_CREATE_SCHEMES,
+    Storage,
+    _strip_file_scheme,
+    storage_for,
+)
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
@@ -126,6 +132,11 @@ READER_FEATURES = {
     "multi-layout",
     # entries / DV sidecars reference another table root (shallow clone)
     "external-roots",
+    # the recorded schema is WIDER than some data files (metadata-only
+    # type widening): readers must scan with the declared schema (the
+    # parquet widening promotion), not schema merging, which refuses
+    # int/long mixes
+    "type-widening",
 }
 
 
@@ -148,6 +159,8 @@ def reader_features(m: dict) -> list[str]:
         isinstance(d, dict) for d in dvs
     ):
         feats.add("external-roots")
+    if m.get("type_widened"):
+        feats.add("type-widening")
     return sorted(feats)
 
 
@@ -203,6 +216,66 @@ def check_writer_features(m: dict, supported: set[str], who: str) -> None:
             f"requires writer feature(s) {sorted(unknown)} this writer "
             f"does not support (supported: {sorted(supported)})"
         )
+
+
+# Metadata-only type widening (Delta type-widening table feature):
+# transitions the parquet reader can apply at SCAN time when handed
+# the wider declared schema, so files written at the old width stay
+# valid forever and the DDL is one manifest commit.
+_INT_RANK = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+
+
+def _widens_to(old, new) -> bool:
+    """Is old -> new a lossless widening Spark's parquet reader
+    promotes at scan (probed on 4.1: int->long family, float->double,
+    decimal scale/precision-up)?"""
+    from pyspark.sql.types import DecimalType, DoubleType, FloatType
+
+    o, n = old.typeName(), new.typeName()
+    if o in _INT_RANK and n in _INT_RANK:
+        return _INT_RANK[o] < _INT_RANK[n]
+    if isinstance(old, FloatType) and isinstance(new, DoubleType):
+        return True
+    if isinstance(old, DecimalType) and isinstance(new, DecimalType):
+        # both the integer digits and the scale may only grow —
+        # either shrinking could overflow/round existing values
+        return (
+            new.scale >= old.scale
+            and new.precision - new.scale >= old.precision - old.scale
+            and (new.scale, new.precision) != (old.scale, old.precision)
+        )
+    return False
+
+
+def _widen_merge_schema(prev_json: str, new_json: str) -> str:
+    """Reconcile a write's schema with the declared one on a
+    type-widened table: keep every declared column (a narrower writer
+    must not regress the DDL), keep the WIDER of the two types per
+    column, append genuinely new columns (ordinary mergeSchema
+    evolution).  A type change outside the widening lattice is
+    refused at WRITE time — better than a broken scan at read time."""
+    prev_s = StructType.fromJson(json.loads(prev_json))
+    new_s = StructType.fromJson(json.loads(new_json))
+    new_by_name = {f.name: f for f in new_s.fields}
+    fields = []
+    for f in prev_s.fields:
+        g = new_by_name.pop(f.name, None)
+        if g is None or g.dataType == f.dataType:
+            fields.append(f)
+        elif _widens_to(f.dataType, g.dataType):
+            fields.append(g)  # the write widened further
+        elif _widens_to(g.dataType, f.dataType):
+            fields.append(f)  # narrower writer: declared width wins
+        else:
+            raise ValueError(
+                f"column {f.name!r}: written type "
+                f"{g.dataType.simpleString()} is neither the declared "
+                f"{f.dataType.simpleString()} nor related to it by a "
+                "supported widening (int family up, float->double, "
+                "decimal scale/precision up)"
+            )
+    fields += [new_by_name[f.name] for f in new_s.fields if f.name in new_by_name]
+    return StructType(fields).json()
 
 
 def _range_admits(rng, op: str, val) -> bool:
@@ -511,6 +584,41 @@ class SnapshotTable:
                 new["txn"] = prev["txn"]
             if "schema" not in new and prev and prev.get("schema"):
                 new["schema"] = prev["schema"]
+            # type widening survives every commit that keeps old
+            # (narrow) files; the two FULL rewrites — overwrite and
+            # whole-table compact — materialize data at the written
+            # width, so the feature retires there.  While the flag is
+            # on, a write's recorded schema reconciles against the
+            # declared one so a narrower writer cannot regress the DDL
+            # (and new columns still evolve in, mergeSchema-style).
+            _op = (new.get("op") or {}).get("name")
+            _full_rewrite = _op == "overwrite" or (
+                _op == "compact" and "n_values" not in (new.get("op") or {})
+            )
+            if (
+                "type_widened" not in new
+                and (prev or {}).get("type_widened")
+                and not _full_rewrite
+            ):
+                new["type_widened"] = True
+            if not new.get("type_widened"):
+                new.pop("type_widened", None)
+            if (
+                new.get("type_widened")
+                and (prev or {}).get("type_widened")
+                and new.get("schema")
+                and prev.get("schema")
+                and new["schema"] != prev["schema"]
+                # ops whose schema IS the declared one: further
+                # widening, restore (the target manifest's schema is
+                # truth), and the mapping DDLs (reconciling a rename
+                # would resurrect the old name as a phantom column)
+                and _op not in ("widen_column", "restore",
+                                "rename_column", "drop_column")
+            ):
+                new["schema"] = _widen_merge_schema(
+                    prev["schema"], new["schema"]
+                )
             # deletion vectors survive commits that keep the data they
             # mask (append, replace_partitions, ...); ops that
             # materialize the masked rows (overwrite/compact) set
@@ -1934,7 +2042,8 @@ class SnapshotTable:
                     txn=txn,
                 )
             df = self._scan_entries(
-                entries, pcol, with_pos=True, cmap=m.get("column_mapping")
+                entries, pcol, with_pos=True, cmap=m.get("column_mapping"),
+                read_schema=self._declared_scan_schema(m),
             )
             dv0 = self._dv_scan(m)
             if dv0 is not None:
@@ -2197,6 +2306,7 @@ class SnapshotTable:
             df = self._scan_entries(
                 entries, m.get("partition_col"), with_pos=True,
                 cmap=m.get("column_mapping"),
+                read_schema=self._declared_scan_schema(m),
             )
             dv = self._dv_scan(m)
             if dv is not None:
@@ -2339,7 +2449,8 @@ class SnapshotTable:
             if not entries:
                 return read_v
             df = self._scan_entries(
-                entries, pcol, with_pos=True, cmap=m.get("column_mapping")
+                entries, pcol, with_pos=True, cmap=m.get("column_mapping"),
+                read_schema=self._declared_scan_schema(m),
             )
             dv = self._dv_scan(m)
             if dv is not None:
@@ -2446,6 +2557,76 @@ class SnapshotTable:
                     cmap["cols"][f.name] = self._fresh_physical(cmap, f.name)
                 out["column_mapping"] = cmap
             return out
+
+        return self._commit(build)
+
+    def widen_column(self, column: str, to_type: str) -> int:
+        """Metadata-only ALTER TABLE ... TYPE widening (the Delta
+        type-widening feature, `delta.enableTypeWidening`): change a
+        column's declared type to a STRICTLY WIDER one — int family
+        upward, float->double, decimal scale/precision up — in one
+        manifest commit.  NO data is read or rewritten; existing
+        files keep their narrow encoding and the scan applies
+        Spark's parquet widening promotion by reading with the
+        declared schema.  Writers may keep handing in EITHER width
+        (the commit reconciles to the declared one); a later full
+        `compact()` materializes everything at the wide type and
+        retires the feature.  Matters for any long-lived 100-TB
+        table whose counters outgrow INT: the alternative is a
+        full-table rewrite.
+
+        Time travel to a pre-DDL version shows the old type (the old
+        manifest is untouched).  Refused on the partition column
+        (its type is restored by directory discovery, which this
+        scan path deliberately leaves untouched) and on legacy
+        (pre-`__snap=`) layouts (the explicit-schema scan needs the
+        single-relation path — compact() first)."""
+        from pyspark.sql.types import _parse_datatype_string
+
+        target = _parse_datatype_string(to_type)
+
+        def build(prev: dict | None) -> dict:
+            if prev is None or not prev.get("schema"):
+                raise FileNotFoundError(
+                    f"no schema-bearing snapshot at {self.root}"
+                )
+            if any("__snap=" not in e["base"] for e in prev["entries"]):
+                raise ValueError(
+                    "type widening requires the __snap= data layout; "
+                    "this table has legacy snap dirs — compact() first"
+                )
+            if prev.get("partition_col") == column:
+                raise ValueError(
+                    f"{column!r} is the partition column — its scan type "
+                    "comes from directory discovery, not the declared "
+                    "schema; repartition via overwrite instead"
+                )
+            schema = StructType.fromJson(json.loads(prev["schema"]))
+            by_name = {f.name: f for f in schema.fields}
+            if column not in by_name:
+                raise ValueError(f"no such column: {column!r}")
+            old = by_name[column].dataType
+            if not _widens_to(old, target):
+                raise ValueError(
+                    f"cannot widen {column!r} from {old.simpleString()} "
+                    f"to {target.simpleString()}: not a supported "
+                    "widening (int family up, float->double, decimal "
+                    "scale/precision up)"
+                )
+            widened = StructType([
+                StructField(f.name, target, f.nullable)
+                if f.name == column else f
+                for f in schema.fields
+            ])
+            return {
+                "partition_col": prev.get("partition_col"),
+                "entries": prev["entries"],
+                "schema": widened.json(),
+                "type_widened": True,
+                "op": {"name": "widen_column", "column": column,
+                       "from": old.simpleString(),
+                       "to": target.simpleString()},
+            }
 
         return self._commit(build)
 
@@ -2880,6 +3061,7 @@ class SnapshotTable:
         df = self._scan_entries(
             entries, m.get("partition_col"), with_pos=dv is not None,
             cmap=m.get("column_mapping"),
+            read_schema=self._declared_scan_schema(m),
         )
         if dv is not None:
             # merge-on-read: mask DV-addressed row positions.  Cost is
@@ -2969,7 +3151,21 @@ class SnapshotTable:
         constraints: list[tuple[str, object]] = []
         for c, op, val in predicates:
             if c == pcol:
-                bound = val.date() if isinstance(val, datetime.datetime) else val
+                if isinstance(val, datetime.datetime):
+                    # truncating a timestamp bound to a date is lossy
+                    # when the time component is nonzero: the residual
+                    # WHERE upcasts the date part value to midnight, so
+                    # day=D rows DO satisfy `pcol < D 10:00` — widen
+                    # `<` to `<=` to admit the edge day (same
+                    # discipline as the gen_expr path below).  `>`
+                    # needs no widening: midnight > D 10:00 is false,
+                    # so day=D rows fail the residual and pruning
+                    # them is exact.
+                    bound = val.date()
+                    if val.time() != datetime.time(0, 0) and op == "<":
+                        op = "<="
+                else:
+                    bound = val
                 constraints.append((op, bound))
             elif gen_expr and re.fullmatch(
                 rf"(?i)\s*CAST\s*\(\s*{re.escape(c)}\s+AS\s+DATE\s*\)\s*",
@@ -3063,14 +3259,31 @@ class SnapshotTable:
                 out.append({**e, "files": kept})
         return out
 
+    def _declared_scan_schema(self, m: dict) -> StructType | None:
+        """The LOGICAL schema the scan must be handed explicitly, or
+        None for the default mergeSchema scan.  Only type-widened
+        tables need it: their declared types are wider than some data
+        files', which schema merging refuses but the parquet reader's
+        widening promotion applies when the wide schema is the
+        requested one."""
+        if not m.get("type_widened") or not m.get("schema"):
+            return None
+        return StructType.fromJson(json.loads(m["schema"]))
+
     def _scan_entries(
         self, entries: list[dict], pcol: str | None, with_pos: bool = False,
-        cmap: dict | None = None,
+        cmap: dict | None = None, read_schema: StructType | None = None,
     ) -> DataFrame:
         """One parquet relation over the given manifest entries (the
         single-scan `__snap=` path, with the legacy per-entry-union
         fallback).  `entries` must be non-empty.  An entry narrowed to
         a `files` list (stats pruning) contributes those files only.
+
+        `read_schema` (the declared LOGICAL schema, type-widened
+        tables) switches the relation from mergeSchema inference to
+        an EXPLICIT schema — minus each group's layout column, which
+        partition discovery restores exactly as in the merge path —
+        so files written at a pre-widening width are promoted at scan.
 
         `with_pos` appends the (__dv_file, __dv_row) row-position
         columns deletion vectors address rows by: the file path
@@ -3099,11 +3312,23 @@ class SnapshotTable:
                         paths.append(f"{root}/{e['base']}")
                     else:
                         paths += [f"{root}/{e['base']}/{p}" for p in e["parts"]]
-                df = (
-                    self.spark.read.option("basePath", f"{root}/{DATA_DIR}")
-                    .option("mergeSchema", "true")
-                    .parquet(*paths)
+                reader = self.spark.read.option(
+                    "basePath", f"{root}/{DATA_DIR}"
                 )
+                if read_schema is not None:
+                    phys = StructType([
+                        StructField(
+                            cmap["cols"][f.name] if cmap else f.name,
+                            f.dataType, f.nullable,
+                        )
+                        for f in read_schema.fields
+                        if f.name != _layout
+                        and (not cmap or cmap["cols"].get(f.name) != _layout)
+                    ])
+                    reader = reader.schema(phys)
+                else:
+                    reader = reader.option("mergeSchema", "true")
+                df = reader.parquet(*paths)
                 if with_pos:
                     df = df.select(
                         "*",
@@ -3226,7 +3451,10 @@ class SnapshotTable:
                 }
                 for (r, b), ps in by_base.items()
             ]
-            df = self._scan_entries(entries, pcol, cmap=m1.get("column_mapping"))
+            df = self._scan_entries(
+                entries, pcol, cmap=m1.get("column_mapping"),
+                read_schema=self._declared_scan_schema(m1),
+            )
             # align to the target-snapshot schema (older snaps may
             # predate an evolved column)
             return df.select(*[
@@ -3478,8 +3706,74 @@ class SnapshotTable:
             "identity": m.get("identity"),
             "column_mapping": bool(m.get("column_mapping")),
             "deletion_vectors": len(m.get("dv_files") or []),
+            **self.dv_metrics(m),
             "last_op": m.get("op") or {"name": "unknown"},
         }
+
+    def dv_metrics(self, m: dict | None = None) -> dict:
+        """Deletion-vector DEBT metrics — what decides when merge-on-
+        read has accrued enough mask tax to materialize:
+
+          * `dv_masked_rows` — rows currently masked out (parquet
+            FOOTER counts of the vector files: metadata-only I/O,
+            O(#dv files), no data pages read);
+          * `dv_bytes` — vector sidecar bytes on disk;
+          * `dv_masked_fraction` — masked rows over the manifest's
+            recorded pre-mask row count (None when either side is
+            unknowable, e.g. entries predating per-partition counts
+            or a non-local storage backend — unknown beats wrong).
+
+        Heuristic (measured, BASELINE.md dv-read-tax probe at 2M
+        rows): the tax is the broadcast anti-join's PRESENCE more
+        than its size — ~2x on a cheap full scan once any vector
+        exists, rising mildly with the masked share (2.2x at 1%,
+        3.6x at 5%).  So: compact() when `dv_masked_fraction`
+        exceeds ~5%, and sooner if the table is scan-dominated (the
+        flat anti-join overhead is the price then, and one compact
+        retires it).  Streaming deployments doing continuous DV
+        deletes should compact on a schedule instead (the fraction
+        only ratchets up between compactions)."""
+        if m is None:
+            v = self.latest_version()
+            if v is None:
+                raise FileNotFoundError(f"no snapshot at {self.root}")
+            m = self.manifest(v)
+        dvs = m.get("dv_files") or []
+        out = {"dv_masked_rows": 0, "dv_bytes": 0, "dv_masked_fraction": 0.0}
+        if not dvs:
+            return out
+        masked = 0
+        nbytes = 0
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover
+            pq = None
+        for d in dvs:
+            root = d["root"] if isinstance(d, dict) else self.root
+            rel = d["path"] if isinstance(d, dict) else d
+            path = _strip_file_scheme(f"{root}/{rel}")
+            if pq is None or re.match(r"^[a-z][a-z0-9+.-]*://", path):
+                # non-local backend: footers aren't os-walkable here
+                return {"dv_masked_rows": None, "dv_bytes": None,
+                        "dv_masked_fraction": None}
+            for wroot, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        full = os.path.join(wroot, f)
+                        masked += pq.ParquetFile(full).metadata.num_rows
+                        nbytes += os.path.getsize(full)
+        out["dv_masked_rows"] = masked
+        out["dv_bytes"] = nbytes
+        pre_mask = [
+            sum((e.get("rows") or {}).values()) if e.get("rows") else None
+            for e in m["entries"]
+        ]
+        out["dv_masked_fraction"] = (
+            None
+            if any(c is None for c in pre_mask) or not sum(pre_mask)
+            else masked / sum(pre_mask)
+        )
+        return out
 
     def restore(self, version: int) -> int:
         """Roll the table back to `version` AS A NEW COMMIT (Delta
@@ -3512,6 +3806,12 @@ class SnapshotTable:
                 # same for the column mapping: a restore across a
                 # rename/drop must resurrect the old logical schema
                 "column_mapping": m.get("column_mapping") or None,
+                # and the widening flag: the restored entries were
+                # written against the restored schema's widths, so the
+                # TARGET manifest's flag is the truthful one (the
+                # carry-over default would keep the rolled-back-over
+                # version's)
+                "type_widened": bool(m.get("type_widened")),
                 "op": {"name": "restore", "to_version": version},
             }
 
@@ -3580,6 +3880,8 @@ class SnapshotTable:
                 out["dv_files"] = dvs
             if m.get("column_mapping"):
                 out["column_mapping"] = m["column_mapping"]
+            if m.get("type_widened"):
+                out["type_widened"] = True
             if m.get("generated"):
                 out["generated"] = m["generated"]
             if m.get("identity"):

@@ -541,3 +541,73 @@ def test_poll_ack_is_crash_atomic(spark, tmp_path):
         f.write('{"version": %d}' % pin)
     ch3, _ = cat.poll_published_changes("t", legacy)
     assert ch3 is None
+
+
+def test_commit_multi_overlapping_race_refuses_retryably(spark, tmp_path):
+    """CAS-on-pin: a rival publication of an OVERLAPPING participant
+    landing between a transaction's write phase and its publication
+    must fail that transaction with the retryable conflict — and the
+    retry must heal.  The race is simulated deterministically: txn
+    A's write callable runs rival txn B to completion mid-flight."""
+    from pixelspark.catalog import ConcurrentTransaction
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    a, b = cat.create_table("a"), cat.create_table("b")
+    a.append(_df(spark, [(1, "seed", 0)]))
+    b.append(_df(spark, [(1, "seed", 0)]))
+    cat.pin_table("a")
+    cat.pin_table("b")
+
+    def rival_then_write(t):
+        # rival transaction B publishes {a} while A is mid-flight
+        rival = Catalog(spark, str(tmp_path / "cat"))
+        rival.commit_multi({
+            "a": lambda ta: ta.append(_df(spark, [(2, "rival", 0)])),
+        })
+        return t.append(_df(spark, [(3, "mine", 0)]))
+
+    with pytest.raises(ConcurrentTransaction, match="re-run"):
+        cat.commit_multi({
+            "a": rival_then_write,
+            "b": lambda tb: tb.append(_df(spark, [(3, "mine", 0)])),
+        })
+    # no mixed publication: readers see exactly the rival's published
+    # state — A's writes to BOTH tables committed durably to the
+    # table logs but neither is visible behind the pins
+    assert sorted(r["k"] for r in cat.read("a").collect()) == [1, 2]
+    assert sorted(r["k"] for r in cat.read("b").collect()) == [1]
+    assert a.latest_version() > cat.describe("a")["pin"]  # durable, unpublished
+    assert b.latest_version() > cat.describe("b")["pin"]
+
+    # the retry (replay-safe writes: the durable appends are already
+    # in the logs, so appending again would double them — publish the
+    # current heads, the heal path the docstring prescribes)
+    cat.commit_multi({
+        "a": lambda ta: ta.latest_version(),
+        "b": lambda tb: tb.latest_version(),
+    })
+    assert sorted(r["k"] for r in cat.read("a").collect()) == [1, 2, 3]
+    assert sorted(r["k"] for r in cat.read("b").collect()) == [1, 3]
+
+
+def test_commit_multi_disjoint_race_both_land(spark, tmp_path):
+    """Races over DISJOINT table sets must BOTH publish: the catalog-
+    version CAS retries the edit and the pin checks don't
+    intersect."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    a, b = cat.create_table("a"), cat.create_table("b")
+    a.append(_df(spark, [(1, "seed", 0)]))
+    b.append(_df(spark, [(1, "seed", 0)]))
+    cat.pin_table("a")
+    cat.pin_table("b")
+
+    def rival_then_write(t):
+        rival = Catalog(spark, str(tmp_path / "cat"))
+        rival.commit_multi({
+            "b": lambda tb: tb.append(_df(spark, [(2, "rival", 0)])),
+        })
+        return t.append(_df(spark, [(2, "mine", 0)]))
+
+    cat.commit_multi({"a": rival_then_write})  # must NOT raise
+    assert sorted(r["k"] for r in cat.read("a").collect()) == [1, 2]
+    assert sorted(r["k"] for r in cat.read("b").collect()) == [1, 2]

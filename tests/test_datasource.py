@@ -558,3 +558,18 @@ def test_pacing_survives_restart_via_sidecar_and_recovery_call(
                                 "maxversionspertrigger": "3",
                                 "pacingstatedir": psd})
     assert r5.latestOffset() == {"version": 6}  # 3 + 3, not head 8
+
+
+def test_widened_table_reads_through_format(reg, spark, tmp_path):
+    """Type widening through the DataSource: _read_ref_batches casts
+    every Arrow batch to the DECLARED schema, so files written at the
+    pre-DDL narrow width serve as the wide type — batch and stream."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+    t.widen_column("k", "bigint")
+    t.append(spark.createDataFrame([(2**40, "b")], "k long, v string"))
+
+    df = spark.read.format("snapshot_table").load(root)
+    assert df.schema["k"].dataType.simpleString() == "bigint"
+    assert sorted(r["k"] for r in df.collect()) == [1, 2**40]

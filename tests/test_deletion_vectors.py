@@ -296,3 +296,31 @@ def test_dv_merge_after_dv_delete_does_not_resurrect(spark, table):
     )
     got = dict(_rows(table.read()))
     assert got[3] == "v3new" and len(got) == 10
+
+
+def test_dv_metrics_report_debt_and_detail_carries_them(spark, tmp_path):
+    """dv_metrics / detail(): masked rows + vector bytes from parquet
+    FOOTERS only (no data pages), masked fraction against the
+    manifest's recorded pre-mask counts; zeroed after compact()
+    materializes the masks."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "k long, v string"))
+    assert t.dv_metrics() == {
+        "dv_masked_rows": 0, "dv_bytes": 0, "dv_masked_fraction": 0.0}
+
+    t.delete("k < 20", mode="dv")
+    m = t.dv_metrics()
+    assert m["dv_masked_rows"] == 20
+    assert m["dv_bytes"] > 0
+    assert m["dv_masked_fraction"] == pytest.approx(0.1)
+    d = t.detail()
+    assert d["dv_masked_rows"] == 20 and d["dv_masked_fraction"] == pytest.approx(0.1)
+
+    t.delete("k >= 20 and k < 30", mode="dv")  # debt accrues
+    assert t.dv_metrics()["dv_masked_rows"] == 30
+
+    t.compact()
+    assert t.dv_metrics() == {
+        "dv_masked_rows": 0, "dv_bytes": 0, "dv_masked_fraction": 0.0}
+    assert t.read().count() == 170

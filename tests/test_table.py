@@ -1870,6 +1870,39 @@ def test_direct_partition_predicate_pruning(spark, tmp_path):
     assert pruned.count() == t.read().where("day = '2024-01-03'").count()
 
 
+def test_direct_partition_predicate_timestamp_truncation_widens(
+    spark, tmp_path
+):
+    """ADVICE r6: `day < <date> 10:00` used to truncate the bound to
+    <date> but KEEP the strict `<`, pruning the edge day whose rows
+    DO satisfy the residual (a date upcasts to midnight, and
+    midnight < 10:00).  The truncation must widen `<` to `<=`;
+    `>` stays strict (midnight > 10:00 is false, so pruning the
+    edge day there is exact)."""
+    import datetime
+
+    t, _ = _day_table(spark, tmp_path, "gpp3")
+    bound = datetime.datetime(2024, 1, 3, 10, 0)
+
+    pruned = t.read(predicates=[("day", "<", bound)])
+    days = {f.split("day=")[1].split("/")[0] for f in pruned.inputFiles()}
+    assert "2024-01-03" in days  # the edge day must stay listed
+    want = sorted(r["k"] for r in t.read().where(
+        F.col("day") < F.lit(bound)).collect())
+    got = sorted(r["k"] for r in pruned.collect())
+    assert got == want and "2024-01-03" in {
+        str(r["day"]) for r in pruned.collect()
+    }
+
+    # `>` with a nonzero time: pruning the edge day is exact
+    pruned_gt = t.read(predicates=[("day", ">", bound)])
+    days_gt = {f.split("day=")[1].split("/")[0] for f in pruned_gt.inputFiles()}
+    assert "2024-01-03" not in days_gt
+    want_gt = sorted(r["k"] for r in t.read().where(
+        F.col("day") > F.lit(bound)).collect())
+    assert sorted(r["k"] for r in pruned_gt.collect()) == want_gt
+
+
 def test_predicate_pruning_keeps_foreign_layout_entries_whole(spark, tmp_path):
     """Partition evolution in progress: entries with a DIFFERENT
     layout pass through unpruned (conservative), and results stay

@@ -761,6 +761,52 @@ def dv_delete_experiment(spark) -> dict:
             **results}
 
 
+def dv_read_tax_experiment(spark) -> dict:
+    """Read tax vs MASKED FRACTION — the measurement behind the
+    dv_metrics() compaction heuristic ("compact when masked > ~5%").
+    One 2M-row table; DV-delete 0% / 1% / 5% / 20% of rows; time the
+    full read (anti-join against the vector set) vs the same table
+    compacted (vectors materialized).  The tax should track the
+    vector side's size: negligible at 1%, visible at 20%."""
+    import tempfile
+
+    from pixelspark.table import SnapshotTable
+
+    n = 2_000_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 997).alias("g"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    results = {}
+    for pct in (0, 1, 5, 20):
+        root = tempfile.mkdtemp(prefix=f"probe_dvtax_{pct}_") + "/t"
+        t = SnapshotTable(spark, root)
+        t.overwrite(df)
+        if pct:
+            t.delete(f"k % 100 < {pct}", mode="dv")
+        t.read().write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time()
+        t.read().write.format("noop").mode("overwrite").save()
+        masked_read = time.time() - t0
+        m = t.dv_metrics()
+        t.compact()
+        t.read().write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time()
+        t.read().write.format("noop").mode("overwrite").save()
+        compacted_read = time.time() - t0
+        results[f"masked_{pct}pct"] = {
+            "dv_masked_rows": m["dv_masked_rows"],
+            "dv_masked_fraction": m["dv_masked_fraction"],
+            "dv_bytes": m["dv_bytes"],
+            "read_with_dv_sec": round(masked_read, 3),
+            "read_compacted_sec": round(compacted_read, 3),
+            "tax_ratio": round(masked_read / max(compacted_read, 1e-9), 2),
+        }
+    return {"experiment": "dv_read_tax_vs_masked_fraction",
+            "rows": n, **results}
+
+
 def matview_experiment(spark) -> dict:
     """Incremental-view refresh cost model, in the deployment shape
     the O(changes) claim actually holds for: a DAY-PARTITIONED source
@@ -1162,6 +1208,7 @@ def main() -> None:
             "merge_scoping": merge_scoping_experiment,
             "dedup_index": dedup_index_experiment,
             "dv_delete": dv_delete_experiment,
+            "dv_read_tax": dv_read_tax_experiment,
             "ann_scale": ann_scale_experiment,
             "index_compaction": index_compaction_experiment,
             "clone": clone_experiment,
