@@ -458,17 +458,31 @@ class Catalog:
         exactly-once forms inside (`append_once`, `merge(txn=...)`)
         exactly as a foreachBatch sink would.
 
-        Isolation: the publication CASes ON THE PINS — the edit
-        records every participant's pin as the write phase read it,
-        and refuses (ConcurrentTransaction, retryable) if ANY
-        participant's pin moved by publication time.  Two racing
-        transactions over OVERLAPPING table sets therefore serialize:
-        one wins, the loser re-runs its (replay-safe) writes against
-        the winner's published state and publishes second — no
-        reader ever sees a mixed publication.  Races over DISJOINT
+        Isolation, precisely: the publication CASes ON THE PINS —
+        the edit records every participant's pin as the write phase
+        read it, and refuses (ConcurrentTransaction, retryable) if
+        ANY moved — so two racing transactions over OVERLAPPING
+        table sets can never BOTH publish: one wins, the loser
+        re-runs its (replay-safe) writes against the winner's
+        published state and publishes second.  Races over DISJOINT
         table sets both land (the catalog-version CAS retries the
-        edit, whose pin checks don't intersect).  Returns
-        {name: published version}."""
+        edit, whose pin checks don't intersect).  Additionally the
+        edit refuses if a FOREIGN table-log commit landed between a
+        participant's pre-transaction head and this transaction's
+        own commit — a pin advance covering it would publish data
+        this transaction never saw; on retry that commit is at or
+        below the new pre-head and gets picked up explicitly, like
+        any out-of-band commit.  (Corollary: a write callable must
+        commit AT MOST ONCE — its own intermediate commits are
+        indistinguishable from a rival's and would self-refuse;
+        compose multi-step writes into one commit.)  What the CAS
+        cannot give: commits that landed BEFORE this transaction
+        began — a crashed rival's half-landed writes included — are
+        out-of-band by definition and publish with the next pin
+        advance of that table, exactly like any direct append; the
+        table log records no writer identity, so no pin-granular
+        scheme can tell them apart.  Returns {name: published
+        version}."""
         state = self._state()["tables"]
 
         def check_pinned(tables: dict) -> None:
@@ -487,9 +501,16 @@ class Catalog:
         # them — a participant whose pin differs at publication time
         # was published by a rival mid-flight
         read_pins = {name: state[name].get("pin") for name in writes}
+        handles = {name: self._open(state[name]) for name in writes}
+        # pre-transaction heads, captured for ALL participants before
+        # ANY callable runs: anything landing above these during the
+        # write phase that is not ours is a concurrent writer
+        pre_heads = {
+            name: (t.latest_version() or 0) for name, t in handles.items()
+        }
         new_versions: dict[str, int] = {}
         for name, fn in writes.items():
-            t = self._open(state[name])
+            t = handles[name]
             v = fn(t)
             if v is None:  # replay-safe forms return None on a no-op
                 v = t.latest_version()
@@ -525,6 +546,25 @@ class Catalog:
                     "re-run the transaction — replay-safe writes make the "
                     "retry heal cleanly"
                 )
+            # foreign-commit check: a version strictly between the
+            # pre-transaction head and OUR commit was written by a
+            # concurrent writer DURING this transaction — our pin
+            # advance would publish it sight-unseen.  Refuse; on
+            # retry it sits at or below the new pre-head and is
+            # picked up explicitly as an out-of-band commit.
+            for name, v in new_versions.items():
+                foreign = [
+                    w for w in handles[name].versions()
+                    if pre_heads[name] < w < v
+                ]
+                if foreign:
+                    raise ConcurrentTransaction(
+                        f"commit_multi participant {name!r} gained "
+                        f"concurrent table-log commit(s) {foreign} during "
+                        f"this transaction's write phase at {self.root}; "
+                        "re-run the transaction — the retry publishes them "
+                        "as out-of-band commits it has actually seen"
+                    )
             for name, v in new_versions.items():
                 cur = tables[name].get("pin")
                 tables[name] = {
@@ -685,18 +725,33 @@ class Catalog:
         keep = set(vs[-max(1, keep_versions):])
         if keep_hours is not None:
             cutoff = (time.time() if now is None else now) - keep_hours * 3600.0
-            keep |= {
-                v for v in vs
-                if (self._state(v).get("committed_at") or 0) >= cutoff
-            }
+            for v in vs:
+                if v in keep:
+                    continue  # already protected: skip the read
+                try:
+                    committed = self._state(v).get("committed_at") or 0
+                except (OSError, FileNotFoundError):
+                    continue  # a racing vacuum already pruned it
+                if committed >= cutoff:
+                    keep.add(v)
         removed = [v for v in vs if v not in keep]
         if not dry_run:
             for v in removed:
-                self.st.delete(self._path(v))
-            # publication tmp files orphaned by a committer crash
+                try:
+                    self.st.delete(self._path(v))
+                except OSError:
+                    pass  # a racing vacuum already pruned it
+            # publication tmp files orphaned by a committer crash —
+            # AGE-GATED (the Delta tmp-GC rule): a fresh tmp may be a
+            # LIVE committer's staged write mid-link; reaping it would
+            # crash that commit.  Tmp files live milliseconds, so an
+            # hour-old one is an orphan; unknown age keeps.
+            cutoff = (time.time() if now is None else now) - 3600.0
             for name in self.st.list(self._dir):
                 if ".tmp-" in name:
-                    self.st.delete(f"{self._dir}/{name}")
+                    mt = self.st.mtime(f"{self._dir}/{name}")
+                    if mt is not None and mt <= cutoff:
+                        self.st.delete(f"{self._dir}/{name}")
         return removed
 
     def register_views(self, version: int | None = None) -> list[str]:
@@ -773,10 +828,28 @@ class Catalog:
             if isinstance(at, str):
                 import datetime as _dt
 
-                at = _dt.datetime.fromisoformat(at).timestamp()
+                dt = _dt.datetime.fromisoformat(at)
+                if dt.tzinfo is None:
+                    # commit instants are UTC epoch (time.time()):
+                    # a NAIVE string must mean UTC too, or the same
+                    # SQL resolves different versions on differently-
+                    # zoned drivers
+                    dt = dt.replace(tzinfo=_dt.timezone.utc)
+                at = dt.timestamp()
             if isinstance(at, float):
                 df = t.read(as_of_timestamp=at)
             else:
                 df = t.read(version=at)
             df.createOrReplaceTempView(vname)
-        return self.spark.sql(query)
+        try:
+            # analysis is EAGER: the returned DataFrame's plan has
+            # already resolved the views by the time sql() returns
+            return self.spark.sql(query)
+        finally:
+            # drop the as_of registrations so a later query cannot
+            # silently read a stale snapshot by the alias name (the
+            # same stance as the tables=[] no-commits drop); an
+            # override of a main catalog name fails-fast until the
+            # next sql()/register_views() re-registers the pin view
+            for vname in (as_of or {}):
+                self.spark.catalog.dropTempView(vname)

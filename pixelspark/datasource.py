@@ -396,9 +396,16 @@ class _SnapshotStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         # fresh query starts only — restarts recover the cursor from
-        # the sidecar (constructor) or the recovery partitions() call
-        if self._cursor is None:
-            self._cursor = self.starting
+        # the sidecar (constructor) or the recovery partitions()
+        # call.  A fresh start RESETS both cursor and sidecar: a
+        # stale sidecar from a wiped-checkpoint reprocess must not
+        # pace (or crash) the new query from the old query's
+        # position.  (The first latestOffset precedes this call and
+        # may have used the stale seed once — its end is clamped to
+        # the table head, so the worst case is one unpaced first
+        # batch, same as a sidecar-less restart.)
+        self._cursor = self.starting
+        self._persist_pace(self.starting)
         return {"version": self.starting}
 
     def _persist_pace(self, end: int) -> None:
@@ -419,11 +426,14 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         if self.max_versions is None:
             return {"version": head}
         cur = self._cursor if self._cursor is not None else self.starting
-        end = min(head, cur + self.max_versions)
         # never hand Spark an offset below one it may already hold —
-        # max() keeps a stale `starting` (or sidecar) from shrinking
-        # the plan below the cursor the recovery call established
-        end = max(end, cur)
+        # max(cur) keeps a stale `starting` from shrinking the plan
+        # below the cursor the recovery call established — but also
+        # never an offset past the table head: a stale sidecar (or a
+        # table recreated under an old pacing dir) must degrade to
+        # planning up to head, not crash partitions() on a manifest
+        # that does not exist
+        end = min(head, max(cur, min(head, cur + self.max_versions)))
         self._persist_pace(end)
         return {"version": end}
 

@@ -4017,10 +4017,16 @@ class SnapshotTable:
             if v not in kept:
                 self.st.delete(self._manifest_path(v))
         # manifest-publication temp files orphaned by a committer crash
-        # (versions() never reads them; this is pure tidying)
+        # (versions() never reads them; this is pure tidying) —
+        # AGE-GATED like data dirs: a fresh tmp may belong to a LIVE
+        # committer mid-rename; tmp files live milliseconds, so an
+        # hour-old one is an orphan (unknown age keeps)
+        tmp_cutoff = (time.time() if now is None else now) - 3600.0
         for name in self.st.list(f"{self.root}/{MANIFEST_DIR}"):
             if ".tmp-" in name:
-                self.st.delete(f"{self.root}/{MANIFEST_DIR}/{name}")
+                mt = self.st.mtime(f"{self.root}/{MANIFEST_DIR}/{name}")
+                if mt is not None and mt <= tmp_cutoff:
+                    self.st.delete(f"{self.root}/{MANIFEST_DIR}/{name}")
         return sorted(removed)
 
 

@@ -611,3 +611,73 @@ def test_commit_multi_disjoint_race_both_land(spark, tmp_path):
     cat.commit_multi({"a": rival_then_write})  # must NOT raise
     assert sorted(r["k"] for r in cat.read("a").collect()) == [1, 2]
     assert sorted(r["k"] for r in cat.read("b").collect()) == [1, 2]
+
+
+def test_commit_multi_refuses_foreign_midflight_commit(spark, tmp_path):
+    """A concurrent writer committing to a participant's TABLE LOG
+    during the write phase (pins unmoved — nothing published) must
+    refuse: the pin advance would publish data this transaction never
+    saw.  On retry the commit sits at/below the new pre-head and is
+    picked up explicitly as out-of-band."""
+    from pixelspark.catalog import ConcurrentTransaction
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    a = cat.create_table("a")
+    a.append(_df(spark, [(1, "seed", 0)]))
+    cat.pin_table("a")
+
+    def foreign_then_write(t):
+        # an out-of-band writer lands mid-flight (no publication)
+        SnapshotTableRef = type(t)
+        rival = SnapshotTableRef(spark, t.root)
+        rival.append(_df(spark, [(2, "foreign", 0)]))
+        return t.append(_df(spark, [(3, "mine", 0)]))
+
+    with pytest.raises(ConcurrentTransaction, match="concurrent table-log"):
+        cat.commit_multi({"a": foreign_then_write})
+    assert sorted(r["k"] for r in cat.read("a").collect()) == [1]  # old pin
+
+    # retry: both commits are now pre-head, published as seen
+    cat.commit_multi({"a": lambda t: t.latest_version()})
+    assert sorted(r["k"] for r in cat.read("a").collect()) == [1, 2, 3]
+
+
+def test_vacuum_age_gates_tmp_files(spark, tmp_path):
+    """A FRESH `.tmp-` file in _catalog/ may be a live committer's
+    staged write — vacuum must not reap it; an hour-old one is an
+    orphan and goes."""
+    import os
+    import time as _time
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table("t")
+    d = str(tmp_path / "cat" / "_catalog")
+    fresh = os.path.join(d, ".tmp-fresh")
+    stale = os.path.join(d, ".tmp-stale")
+    for p in (fresh, stale):
+        with open(p, "w") as f:
+            f.write("{}")
+    old = _time.time() - 7200
+    os.utime(stale, (old, old))
+    cat.vacuum(keep_versions=1)
+    assert os.path.exists(fresh)      # live committer protected
+    assert not os.path.exists(stale)  # orphan reaped
+
+
+def test_sql_as_of_views_do_not_leak(spark, tmp_path):
+    """as_of registrations are dropped after the (eagerly analyzed)
+    query: a later query by the alias name fails instead of silently
+    reading a stale snapshot."""
+    from pyspark.sql.utils import AnalysisException
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    t = cat.create_table("t")
+    t.append(_df(spark, [(1, "a", 10)]))
+    t.append(_df(spark, [(2, "b", 20)]))
+    df = cat.sql(
+        "SELECT COUNT(*) AS n FROM t_v1",
+        tables=["t"], as_of={"t_v1": ("t", 1)},
+    )
+    assert df.collect()[0]["n"] == 1  # plan survives the drop
+    with pytest.raises(AnalysisException):
+        spark.sql("SELECT * FROM t_v1").collect()

@@ -573,3 +573,40 @@ def test_widened_table_reads_through_format(reg, spark, tmp_path):
     df = spark.read.format("snapshot_table").load(root)
     assert df.schema["k"].dataType.simpleString() == "bigint"
     assert sorted(r["k"] for r in df.collect()) == [1, 2**40]
+
+
+def test_stale_pacing_sidecar_cannot_poison_a_fresh_start(
+    reg, spark, tmp_path
+):
+    """Code-review r7: a pacing sidecar surviving a checkpoint wipe
+    (or a table recreated under an old pacing dir) must not crash or
+    mis-pace the new query: latestOffset clamps to the table head,
+    and initialOffset — fresh starts only — RESETS cursor + sidecar
+    to startingVersion."""
+    import json as _json
+    import os as _os
+
+    from pixelspark.datasource import _SnapshotStreamReader
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    for i in range(3):
+        t.append(_df(spark, [(i, f"v{i}")]))
+    schema = t.read().schema
+    psd = str(tmp_path / "pace")
+    _os.makedirs(psd)
+    pace = _os.path.join(psd, "pixelspark-pace.json")
+    with open(pace, "w") as fh:
+        fh.write('{"version": 99}')  # stale: far past head=3
+
+    r = _SnapshotStreamReader(root, schema,
+                              {"maxversionspertrigger": "1",
+                               "pacingstatedir": psd})
+    # Spark's fresh-start order: latestOffset FIRST — must clamp to
+    # head (no offset past a manifest that doesn't exist)...
+    assert r.latestOffset() == {"version": 3}
+    # ...then initialOffset resets the stale state entirely
+    assert r.initialOffset() == {"version": 0}
+    with open(pace) as fh:
+        assert _json.load(fh)["version"] == 0
+    assert r.latestOffset() == {"version": 1}  # paced from scratch

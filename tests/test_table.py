@@ -1954,3 +1954,22 @@ def test_detail_summarizes_from_manifest_alone(spark, tmp_path):
     d = t.detail()
     assert d["deletion_vectors"] == 1
     assert d["num_rows"] is None  # DV masks: unknown beats wrong
+
+
+def test_vacuum_age_gates_manifest_tmp_files(spark, tmp_path):
+    """A fresh `.tmp-` in _manifests/ may be a LIVE committer's staged
+    write mid-link — vacuum keeps it; an hour-old orphan goes."""
+    import os
+    import time as _time
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    d = str(tmp_path / "t" / "_manifests")
+    fresh, stale = os.path.join(d, ".tmp-fresh"), os.path.join(d, ".tmp-old")
+    for p in (fresh, stale):
+        with open(p, "w") as f:
+            f.write("{}")
+    old = _time.time() - 7200
+    os.utime(stale, (old, old))
+    t.vacuum(keep_versions=1)
+    assert os.path.exists(fresh) and not os.path.exists(stale)
