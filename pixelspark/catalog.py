@@ -754,6 +754,61 @@ class Catalog:
                         self.st.delete(f"{self._dir}/{name}")
         return removed
 
+    def maintain(
+        self,
+        keep_versions: int = 10,
+        keep_hours: float | None = None,
+        table_keep_versions: int = 10,
+        table_keep_hours: float | None = None,
+        max_masked_fraction: float = 0.05,
+        min_age_hours: float = 1.0,
+    ) -> dict:
+        """One maintenance pass over the whole namespace — the loop a
+        100-TB deployment runs on a schedule, composed from the
+        engine's primitives so none of the retention caveats are left
+        to the operator: per binding, `maybe_compact` (materialize
+        deletion-vector debt past the measured threshold) then
+        `SnapshotTable.vacuum`; finally the catalog log's own
+        `vacuum`.
+
+        PIN-AWARE table retention: a pinned binding's published
+        version must survive its table's vacuum (catalog readers
+        serve the pin), so the per-table keep_versions floor is
+        raised to cover the pin — publication lag never becomes data
+        loss, however far behind the pin is.  `min_age_hours`
+        defaults to 1 so in-flight writers are protected without the
+        caller remembering to ask.  Restore targets older than the
+        retention remain the operator's responsibility (documented
+        on `SnapshotTable.vacuum`).
+
+        Returns {"tables": {name: {"compacted_to": v|None,
+        "removed_dirs": n}}, "catalog_removed": [versions]}."""
+        report: dict = {"tables": {}, "catalog_removed": []}
+        state = self._state()["tables"]
+        for name in sorted(state):
+            t = self._open(state[name])
+            if not t.exists():
+                continue
+            compacted = t.maybe_compact(max_masked_fraction)
+            keep = table_keep_versions
+            pin = state[name].get("pin")
+            latest = t.latest_version()
+            if pin is not None and latest is not None:
+                keep = max(keep, latest - pin + 1)
+            removed = t.vacuum(
+                keep_versions=keep,
+                keep_hours=table_keep_hours,
+                min_age_hours=min_age_hours,
+            )
+            report["tables"][name] = {
+                "compacted_to": compacted,
+                "removed_dirs": len(removed),
+            }
+        report["catalog_removed"] = self.vacuum(
+            keep_versions=keep_versions, keep_hours=keep_hours
+        )
+        return report
+
     def register_views(self, version: int | None = None) -> list[str]:
         """Register every cataloged table that has data as a Spark
         temp view under its catalog name — at the binding's PIN for

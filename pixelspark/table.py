@@ -227,15 +227,38 @@ _INT_RANK = {"byte": 0, "short": 1, "integer": 2, "long": 3}
 
 def _widens_to(old, new) -> bool:
     """Is old -> new a lossless widening Spark's parquet reader
-    promotes at scan (probed on 4.1: int->long family, float->double,
-    decimal scale/precision-up)?"""
-    from pyspark.sql.types import DecimalType, DoubleType, FloatType
+    promotes at scan?  The lattice is EXACTLY what was probed on
+    Spark 4.1 (the Delta type-widening v2 set, minus combinations
+    the vectorized reader refused under probe — e.g. short->decimal
+    fails, and long->decimal only at scale 0):
+
+      * int family upward (byte -> short -> int -> long);
+      * byte/short/int -> double (exact: |int| < 2^53);
+      * float -> double;
+      * int -> decimal(p, s) with p - s >= 10;
+      * long -> decimal(p, 0) with p >= 20;
+      * decimal scale/precision up (both integer digits and scale
+        may only grow);
+      * date -> timestamp_ntz (midnight, the SQL date upcast)."""
+    from pyspark.sql.types import (
+        DateType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        TimestampNTZType,
+    )
 
     o, n = old.typeName(), new.typeName()
     if o in _INT_RANK and n in _INT_RANK:
         return _INT_RANK[o] < _INT_RANK[n]
+    if o in _INT_RANK and isinstance(new, DoubleType):
+        return o != "long"  # 64-bit ints overflow a double's mantissa
     if isinstance(old, FloatType) and isinstance(new, DoubleType):
         return True
+    if o == "integer" and isinstance(new, DecimalType):
+        return new.precision - new.scale >= 10
+    if o == "long" and isinstance(new, DecimalType):
+        return new.scale == 0 and new.precision >= 20
     if isinstance(old, DecimalType) and isinstance(new, DecimalType):
         # both the integer digits and the scale may only grow —
         # either shrinking could overflow/round existing values
@@ -244,6 +267,8 @@ def _widens_to(old, new) -> bool:
             and new.precision - new.scale >= old.precision - old.scale
             and (new.scale, new.precision) != (old.scale, old.precision)
         )
+    if isinstance(old, DateType) and isinstance(new, TimestampNTZType):
+        return True
     return False
 
 
@@ -3774,6 +3799,27 @@ class SnapshotTable:
             else masked / sum(pre_mask)
         )
         return out
+
+    def maybe_compact(
+        self, max_masked_fraction: float = 0.05, **compact_kwargs
+    ) -> int | None:
+        """The dv_metrics() heuristic made executable (Delta's
+        auto-compaction idea, scoped to deletion-vector debt): run a
+        full `compact()` iff the masked-row share exceeds
+        `max_masked_fraction` (default the measured ~5% knee from
+        the BASELINE.md dv-read-tax probe).  Returns the new version,
+        or None when debt is under threshold or UNKNOWABLE (missing
+        per-partition counts / non-local backend — an unknown share
+        must not trigger a table-sized rewrite on a guess; call
+        compact() explicitly there).  `compact_kwargs` pass through
+        (e.g. cluster_by= to re-cluster while paying the rewrite).
+        Intended as the maintenance-loop primitive: streaming
+        deployments doing continuous DV deletes call this on a
+        schedule and pay the rewrite only when the tax is real."""
+        frac = self.dv_metrics()["dv_masked_fraction"]
+        if frac is None or frac <= max_masked_fraction:
+            return None
+        return self.compact(**compact_kwargs)
 
     def restore(self, version: int) -> int:
         """Roll the table back to `version` AS A NEW COMMIT (Delta

@@ -681,3 +681,27 @@ def test_sql_as_of_views_do_not_leak(spark, tmp_path):
     assert df.collect()[0]["n"] == 1  # plan survives the drop
     with pytest.raises(AnalysisException):
         spark.sql("SELECT * FROM t_v1").collect()
+
+
+def test_maintain_runs_the_whole_loop_pin_aware(spark, tmp_path):
+    """Catalog.maintain: DV debt compacted past threshold, table
+    logs vacuumed WITHOUT ever reclaiming a pinned (published)
+    version however far behind the pin is, catalog log bounded."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    t = cat.create_table("t")
+    t.append(_df(spark, [(i, "s", i) for i in range(100)]))
+    cat.publish("t")
+    pin = cat.describe("t")["pin"]
+    for i in range(6):  # unpublished churn: pin falls far behind
+        t.append(_df(spark, [(100 + i, "s", i)]))
+    t.delete("k < 20", mode="dv")  # ~19% masked: past threshold
+
+    rep = cat.maintain(keep_versions=1, table_keep_versions=2)
+    assert rep["tables"]["t"]["compacted_to"] is not None  # debt retired
+    assert t.dv_metrics()["dv_masked_rows"] == 0
+    # the pinned version SURVIVED a keep_versions=2 vacuum
+    assert pin in t.versions()
+    assert cat.read("t").count() == 100  # published snapshot intact
+    assert len(cat.versions()) == 1      # catalog log bounded
+    # direct head serves the compacted post-DML state
+    assert t.read().count() == 106 - 20

@@ -324,3 +324,22 @@ def test_dv_metrics_report_debt_and_detail_carries_them(spark, tmp_path):
     assert t.dv_metrics() == {
         "dv_masked_rows": 0, "dv_bytes": 0, "dv_masked_fraction": 0.0}
     assert t.read().count() == 170
+
+
+def test_maybe_compact_materializes_only_past_threshold(spark, tmp_path):
+    """The executable form of the dv_metrics heuristic: under the
+    threshold nothing happens (no table-sized rewrite on small debt),
+    past it one full compact retires the vectors."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "k long, v string"))
+    t.delete("k < 4", mode="dv")  # 2% masked
+    v = t.latest_version()
+    assert t.maybe_compact(max_masked_fraction=0.05) is None
+    assert t.latest_version() == v  # under threshold: untouched
+
+    t.delete("k >= 4 and k < 30", mode="dv")  # 15% masked
+    out = t.maybe_compact(max_masked_fraction=0.05)
+    assert out == t.latest_version() and out > v
+    assert t.dv_metrics()["dv_masked_rows"] == 0  # debt retired
+    assert t.read().count() == 170

@@ -171,3 +171,42 @@ def test_widen_composes_with_column_mapping_ddl(spark, tmp_path):
     assert got.schema["count_total"].dataType.simpleString() == "bigint"
     # and the flag survived the mapping DDL
     assert t.manifest(t.latest_version()).get("type_widened") is True
+
+
+def test_extended_widening_lattice(spark, tmp_path):
+    """The Delta type-widening v2 transitions the Spark 4.1 parquet
+    reader was PROBED to promote: byte->long, int->double,
+    int->decimal, long->decimal(scale 0), date->timestamp_ntz —
+    and the probed-refused combinations stay refused."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.sql(
+        "select cast(3 as byte) b, cast(5 as smallint) s, 7 i, "
+        "cast(9 as bigint) l, cast('2024-01-02' as date) d"
+    ))
+    t.widen_column("b", "bigint")
+    t.widen_column("s", "double")
+    t.widen_column("i", "decimal(12,2)")
+    t.widen_column("l", "decimal(20,0)")
+    t.widen_column("d", "timestamp_ntz")
+    r = t.read().collect()[0]
+    assert (r["b"], r["s"], str(r["i"]), str(r["l"])) == (3, 5.0, "7.00", "9")
+    assert r["d"].isoformat() == "2024-01-02T00:00:00"
+    schema = {f.name: f.dataType.simpleString() for f in t.read().schema.fields}
+    assert schema == {"b": "bigint", "s": "double", "i": "decimal(12,2)",
+                      "l": "decimal(20,0)", "d": "timestamp_ntz"}
+    # post-DDL wide writes coexist with the narrow files
+    t.append(spark.sql(
+        "select cast(2 as bigint) b, cast(1.5 as double) s, "
+        "cast(123.45 as decimal(12,2)) i, cast(99 as decimal(20,0)) l, "
+        "cast('2024-01-03 10:30:00' as timestamp_ntz) d"
+    ))
+    assert sorted(str(r["i"]) for r in t.read().collect()) == ["123.45", "7.00"]
+
+    # probed-refused combinations
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    t2.append(spark.sql("select cast(5 as smallint) s, cast(9 as bigint) l"))
+    for col, ty in (("s", "decimal(7,2)"),   # short->decimal: reader refuses
+                    ("l", "double"),         # long->double: lossy past 2^53
+                    ("l", "decimal(22,2)")): # long->decimal needs scale 0
+        with pytest.raises(ValueError, match="widen"):
+            t2.widen_column(col, ty)
