@@ -807,6 +807,49 @@ def dv_read_tax_experiment(spark) -> dict:
             "rows": n, **results}
 
 
+def widen_read_tax_experiment(spark) -> dict:
+    """Does the type-widened read path (explicit declared schema
+    instead of mergeSchema inference) cost anything?  One 2M-row
+    table read three ways: pre-widening (mergeSchema path), post-
+    widening mixed widths (declared-schema path over int+long
+    files), and post-compact (uniform wide, flag retired).  The DDL
+    itself is also timed — it must be manifest-write flat."""
+    import tempfile
+
+    from pixelspark.table import SnapshotTable
+
+    n = 2_000_000
+    half = spark.range(n // 2).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 997).cast("int").alias("g"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    root = tempfile.mkdtemp(prefix="probe_widen_") + "/t"
+    t = SnapshotTable(spark, root)
+    t.append(half)
+
+    def timed_read() -> float:
+        t.read().write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time()
+        t.read().write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    out = {"read_premerge_sec": timed_read()}
+    t0 = time.time()
+    t.widen_column("g", "bigint")
+    out["widen_ddl_sec"] = round(time.time() - t0, 4)
+    t.append(half.select(
+        "k", (F.col("g").cast("bigint") + (1 << 40)).alias("g"), "payload"
+    ))
+    out["read_mixed_declared_sec"] = timed_read()
+    t.compact()
+    out["read_compacted_sec"] = timed_read()
+    out["declared_vs_premerge_ratio"] = round(
+        out["read_mixed_declared_sec"] / (2 * out["read_premerge_sec"]), 2
+    )  # mixed read covers 2x the rows of the pre-merge read
+    return {"experiment": "widen_read_tax", "rows_per_width": n // 2, **out}
+
+
 def matview_experiment(spark) -> dict:
     """Incremental-view refresh cost model, in the deployment shape
     the O(changes) claim actually holds for: a DAY-PARTITIONED source
@@ -1209,6 +1252,7 @@ def main() -> None:
             "dedup_index": dedup_index_experiment,
             "dv_delete": dv_delete_experiment,
             "dv_read_tax": dv_read_tax_experiment,
+            "widen_read_tax": widen_read_tax_experiment,
             "ann_scale": ann_scale_experiment,
             "index_compaction": index_compaction_experiment,
             "clone": clone_experiment,
