@@ -210,3 +210,56 @@ def test_extended_widening_lattice(spark, tmp_path):
                     ("l", "decimal(22,2)")): # long->decimal needs scale 0
         with pytest.raises(ValueError, match="widen"):
             t2.widen_column(col, ty)
+
+
+def test_change_feed_across_widening(spark, tmp_path):
+    """read_changes spanning the widening DDL: the manifest diff sees
+    no entry churn at the DDL itself (metadata-only), and post-DDL
+    appends deliver at the DECLARED type even when the window's scan
+    mixes narrow and wide files."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, 10)], "k int, n int"))
+    v1 = t.latest_version()
+    t.widen_column("n", "bigint")
+    t.append(spark.createDataFrame([(2, 2**40)], "k int, n long"))
+
+    ch = t.read_changes(v1)  # window spans DDL + wide append
+    rows = [(r["k"], r["n"], r["change_type"]) for r in ch.collect()]
+    assert rows == [(2, 2**40, "inserted")]  # DDL contributed nothing
+    assert ch.schema["n"].dataType.simpleString() == "bigint"
+
+    # full-history feed reads the narrow file at the wide type
+    ch0 = t.read_changes(0)
+    assert sorted(r["n"] for r in ch0.collect()) == [10, 2**40]
+    assert ch0.schema["n"].dataType.simpleString() == "bigint"
+
+
+def test_incremental_matview_over_widening_source(spark, tmp_path):
+    """The riskiest composition: an incremental COUNT/SUM view whose
+    SOURCE widens mid-life.  The pre-DDL fold materialized the view's
+    sum at the narrow width; post-DDL folds deliver bigint deltas —
+    the view must keep folding exactly (no overflow at values past
+    2^31, no type clash in the merge) and match a from-scratch
+    recompute."""
+    from pixelspark.ops import matview as MV
+
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    view = SnapshotTable(spark, str(tmp_path / "view"))
+    src.append(spark.createDataFrame(
+        [("a", 10), ("b", 20)], "g string, v int"))
+    MV.refresh_agg_view(src, view, ("g",), sum_cols=("v",))
+
+    src.widen_column("v", "bigint")
+    src.append(spark.createDataFrame(
+        [("a", 2**40), ("c", 5)], "g string, v long"))
+    MV.refresh_agg_view(src, view, ("g",), sum_cols=("v",))
+
+    got = {r["g"]: (r["n"], r["v"]) for r in view.read().collect()}
+    want = {
+        r["g"]: (r["cnt"], r["s"])
+        for r in src.read().groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want
+    assert got["a"] == (2, 10 + 2**40)  # past 2^31: no narrow overflow
