@@ -2582,6 +2582,65 @@ def q_sql_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_maintain",
+    f"""
+    SELECT user_id AS shop, CAST(COUNT(*) AS BIGINT) AS views
+    FROM events
+    WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '{TD}'
+      AND user_id <= 80 AND user_id % 7 <> 0
+    GROUP BY user_id
+    """,
+)
+def q_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scheduled maintenance loop end-to-end (catalog.py
+    maintain): ingest + publish, DV-delete past the debt threshold,
+    churn unpublished commits so the pin falls behind, then ONE
+    maintain() pass — which must compact the debt (required
+    in-query: zero masked rows after), vacuum table + catalog logs
+    without touching the published pin's data, and leave the VISIBLE
+    rows bit-identical to plain SQL over events.  Maintenance that
+    changes what readers see is a bug by definition; this row makes
+    that a hashed invariant."""
+    import tempfile
+
+    from pixelspark.catalog import Catalog
+
+    root = tempfile.mkdtemp(prefix="pixelspark_maint_") + "/cat"
+    cat = Catalog(spark, root)
+    t = cat.create_table("pv")
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(
+            (F.col("event_type") == "view")
+            & (F.col("ts").cast("date") == TD)
+            & (F.col("user_id") <= 80)
+        )
+        .groupBy(F.col("user_id").alias("shop"))
+        .agg(F.count(F.lit(1)).cast("long").alias("views"))
+    )
+    t.append(ev)
+    t.delete("shop % 7 = 0", mode="dv")  # ~14% masked: past threshold
+    cat.publish("pv")
+    for _ in range(3):  # unpublished churn: the pin falls behind
+        t.append(ev.where(F.col("shop") <= 5))
+    pre = {(r["shop"], r["views"]) for r in cat.read("pv").collect()}
+
+    rep = cat.maintain(keep_versions=1, table_keep_versions=2)
+    _require(
+        rep["tables"]["pv"]["compacted_to"] is not None,
+        "DV debt past threshold must compact",
+    )
+    _require(
+        t.dv_metrics()["dv_masked_rows"] == 0,
+        "maintenance must retire the deletion vectors",
+    )
+    _require(len(cat.versions()) == 1, "catalog log must stay bounded")
+    post = {(r["shop"], r["views"]) for r in cat.read("pv").collect()}
+    _require(post == pre, "maintenance must not change visible rows")
+    return cat.read("pv").select("shop", "views")
+
+
+@query(
     "q_table_tail",
     """
     SELECT CAST(ts AS DATE) AS day,
