@@ -1215,15 +1215,26 @@ class SnapshotTable:
         )
         return True
 
-    def _probe_positions(self, val, dtype: str) -> list[int]:
+    def _probe_positions(self, val, dtype: str) -> list[int] | None:
         """Bit positions of a probe value — the SAME JVM xxhash64 the
         write used (one tiny local job; reimplementing xxhash64 in
-        Python would risk silent divergence)."""
+        Python would risk silent divergence).  The cast targets the
+        FILE's recorded dtype (files written before a type widening
+        hashed at the narrow width); a value OUTSIDE that dtype's
+        domain returns None — the file cannot contain it, which is a
+        sound (and exact) skip, and a plain cast would crash under
+        ANSI instead (try_cast absorbs the overflow)."""
         row = (
             self.spark.range(1)
-            .select(self._bloom_positions(F.lit(val).cast(dtype)).alias("p"))
+            .select(F.lit(val).try_cast(dtype).alias("v"))
+            .select(
+                self._bloom_positions(F.col("v")).alias("p"),
+                F.col("v").isNull().alias("overflow"),
+            )
             .collect()[0]
         )
+        if row["overflow"]:
+            return None
         return list(row["p"])
 
     @staticmethod
@@ -1274,10 +1285,16 @@ class SnapshotTable:
                     meta = (metas or {}).get(c)
                     if not meta:
                         continue
-                    ck = (c, repr(v))
+                    # dtype is part of the key: files from different
+                    # schema eras (type widening) hash the same value
+                    # at different widths
+                    ck = (c, repr(v), meta["dtype"])
                     if ck not in pos_cache:
                         pos_cache[ck] = self._probe_positions(v, meta["dtype"])
-                    if not self._bloom_admits(meta, pos_cache[ck]):
+                    pos = pos_cache[ck]
+                    if pos is None or not self._bloom_admits(meta, pos):
+                        # None: the value overflows this file's
+                        # recorded dtype — the file cannot contain it
                         admit = False
                         break
                 if admit:

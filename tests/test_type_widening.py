@@ -263,3 +263,27 @@ def test_incremental_matview_over_widening_source(spark, tmp_path):
     }
     assert got == want
     assert got["a"] == (2, 10 + 2**40)  # past 2^31: no narrow overflow
+
+
+def test_bloom_point_lookup_survives_widening(spark, tmp_path):
+    """Bloom sidecars hash values at the FILE's write-time width.
+    After widening: probing a value that overflows a narrow file's
+    recorded dtype must SKIP that file (its domain cannot contain
+    the value) instead of crashing the ANSI cast; a narrow-era value
+    still probes at the narrow width and finds its row.  Guards the
+    per-file dtype in the probe-position cache key too."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), bloom_cols=["n"])
+    t.append(spark.createDataFrame([(i, i) for i in range(50)],
+                                   "k int, n int"))
+    t.widen_column("n", "bigint")
+    t.append(spark.createDataFrame([(99, 2**40)], "k int, n long"))
+
+    wide = t.read(predicates=[("n", "=", 2**40)])
+    assert [(r["k"], r["n"]) for r in wide.collect()] == [(99, 2**40)]
+    assert len(wide.inputFiles()) == 1  # every narrow file bloom-skipped
+
+    narrow = t.read(predicates=[("n", "=", 5)])
+    assert [(r["k"], r["n"]) for r in narrow.collect()] == [(5, 5)]
+
+    absent = t.read(predicates=[("n", "=", 12345)])
+    assert absent.collect() == [] and len(absent.inputFiles()) == 0
