@@ -45,7 +45,16 @@ the table format currently has (`pixelspark.table.READER_FEATURES`):
     `col=value` layout, so partition evolution mid-history reads
     correctly;
   * external-roots: shallow-clone entries are read from their owning
-    table's root.
+    table's root;
+  * type-widening: every Arrow batch is cast to the DECLARED schema,
+    so files written before a `widen_column` DDL serve at the wide
+    type (the same promotion the JVM scan path applies).
+
+Admission control: `.option("maxVersionsPerTrigger", n)` bounds how
+many table versions one micro-batch consumes (Delta
+maxFilesPerTrigger analog); `.option("pacingStateDir", dir)` keeps
+the pacing cursor across checkpoint restarts via an atomic sidecar
+(see the reader's constructor comment for the seeding contract).
 
 A manifest that lists a reader feature outside this set (written by
 a future engine version) is refused loudly via
