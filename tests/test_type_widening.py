@@ -287,3 +287,32 @@ def test_bloom_point_lookup_survives_widening(spark, tmp_path):
 
     absent = t.read(predicates=[("n", "=", 12345)])
     assert absent.collect() == [] and len(absent.inputFiles()) == 0
+
+
+def test_widening_on_partition_evolved_mixed_layouts(spark, tmp_path):
+    """Widening on a table mid-partition-evolution: the explicit-
+    schema scan builds one relation PER layout group, excluding that
+    group's own layout column (discovery restores it) — so an entry
+    laid out by `region` and an entry laid out by `day` both serve
+    the widened column correctly in one read."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.replace_partitions(
+        spark.createDataFrame([("r1", "d1", 1, 10), ("r2", "d1", 2, 20)],
+                              "region string, day string, k int, n int"),
+        "region")
+    t.evolve_partitioning("day")
+    t.replace_partitions(
+        spark.createDataFrame([("r1", "d2", 3, 30)],
+                              "region string, day string, k int, n int"),
+        "day")
+    t.widen_column("n", "bigint")
+    # post-DDL wide write lands under the CURRENT (day) layout
+    t.replace_partitions(
+        spark.createDataFrame([("r3", "d3", 4, 2**40)],
+                              "region string, day string, k int, n long"),
+        "day")
+    got = t.read()
+    assert got.schema["n"].dataType.simpleString() == "bigint"
+    rows = {(r["region"], r["day"], r["k"], r["n"]) for r in got.collect()}
+    assert rows == {("r1", "d1", 1, 10), ("r2", "d1", 2, 20),
+                    ("r1", "d2", 3, 30), ("r3", "d3", 4, 2**40)}
