@@ -79,7 +79,7 @@ from typing import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 from pixelspark.storage import (
     NON_ATOMIC_CREATE_SCHEMES,
@@ -880,6 +880,142 @@ class SnapshotTable:
         return out, high + acc * step
 
     @staticmethod
+    def _fill_null_ids(df: DataFrame, spec: dict) -> tuple[DataFrame, int]:
+        """Assign ids to exactly the NULL rows of a PRESENT identity
+        column, preserving every existing value — the system-owned
+        (row-tracking) variant of `_assign_identity` for frames that
+        mix carried-over rows (ids from the table) with new rows
+        (merge inserts, upsert's source side).  Same distributed
+        shape: per-partition NULL counts → driver prefix offsets →
+        a row_number over (partition, is-null) ranking only the null
+        group.  Returns (filled df, advanced high-watermark)."""
+        from pyspark.sql.window import Window
+
+        col, step, high = spec["col"], spec["step"], spec["high"]
+        isnull = F.col(col).isNull()
+        tagged = df.withColumn("__pid", F.spark_partition_id())
+        counts = {
+            r["__pid"]: r["c"]
+            for r in tagged.groupBy("__pid").agg(
+                F.count(F.when(isnull, 1)).alias("c")).collect()
+            if r["c"]
+        }
+        offs, acc = {}, 0
+        for p in sorted(counts):
+            offs[p] = acc
+            acc += counts[p]
+        if not acc:
+            return df, high  # nothing to fill
+        off = F.lit(0).cast("long")
+        for p, o in offs.items():
+            off = F.when(F.col("__pid") == p,
+                         F.lit(o).cast("long")).otherwise(off)
+        rn = F.row_number().over(
+            Window.partitionBy("__pid", isnull)
+            .orderBy(F.monotonically_increasing_id())
+        )
+        out = tagged.withColumn(
+            col,
+            F.when(
+                isnull,
+                F.lit(high).cast("long")
+                + (off + rn - 1) * F.lit(step).cast("long"),
+            ).otherwise(F.col(col)),
+        ).drop("__pid").select(*df.columns)
+        return out, high + acc * step
+
+    def _identity_prepare(
+        self, df: DataFrame, spec: dict | None
+    ) -> tuple[DataFrame, int | None]:
+        """The one assignment decision every write path shares: absent
+        column → assign the whole batch; present column on a SYSTEM
+        spec (row tracking) → fill only the NULLs, preserving carried
+        ids; present column on a user identity → leave it (the write
+        audit refuses NULLs).  Returns (df, new high or None when
+        nothing was assigned)."""
+        if not spec:
+            return df, None
+        if spec["col"] not in df.columns:
+            out, nh = self._assign_identity(df, spec)
+        elif spec.get("system"):
+            out, nh = self._fill_null_ids(df, spec)
+        else:
+            return df, None
+        # an empty batch (or an all-ids frame) assigned nothing: None
+        # keeps the commit from writing an unchanged watermark and
+        # turns the write-plan NULL audit back on
+        return out, (nh if nh != spec["high"] else None)
+
+    def enable_row_tracking(self, start: int = 1) -> int:
+        """ROW TRACKING (the Delta row-tracking feature, v1): a
+        system-owned `__row_id` BIGINT column whose values are
+        assigned by the engine at write time and PRESERVED by every
+        rewrite — compact, upsert, multi-clause merge (rewrite and
+        merge-on-read), update — so downstream consumers get a stable
+        row identity that survives file churn without a user key.
+        Implementation: the identity machinery with a `system` marker
+        — absent columns are assigned per write exactly like identity
+        columns; frames that MIX carried rows with new ones (upsert
+        unions, merge insert legs) get only their NULLs filled.  The
+        column is an ordinary VISIBLE schema column (hiding it would
+        make every internal rewrite a place ids could silently drop);
+        `read().drop("__row_id")` is the caller's one-liner.  Ids
+        appear in the change feed, giving CDC consumers a stable key
+        for free.
+
+        v1 limits, stated: refused when the table already has a user
+        identity column (one watermark slot), and on a table with
+        EXISTING rows (their files lack the column; backfill would be
+        a full rewrite — create the table with tracking on, or
+        compact into a fresh tracked table).  Two forks of a clone
+        can assign the same ids to different tables (forks are
+        forks)."""
+
+        def build(prev: dict | None) -> dict:
+            if prev is None or not prev.get("schema"):
+                raise FileNotFoundError(
+                    f"no schema-bearing snapshot at {self.root}"
+                )
+            if prev.get("identity"):
+                raise ValueError(
+                    "table already has an identity column "
+                    f"({prev['identity']['col']!r}); row tracking uses the "
+                    "same watermark slot — v1 supports one or the other"
+                )
+            counts = [
+                sum((e.get("rows") or {}).values()) if e.get("rows") else None
+                for e in prev["entries"]
+            ]
+            if prev.get("dv_files") or any(c is None for c in counts) or sum(
+                c for c in counts if c
+            ):
+                # entries may exist with ZERO rows (an empty overwrite
+                # leaves an empty data dir) — only actual rows (or
+                # unknowable counts) need the backfill refusal
+                raise ValueError(
+                    "row tracking on a table with existing rows would "
+                    "need a backfill rewrite — enable it on a fresh table "
+                    "(create, enable, then load)"
+                )
+            schema = StructType.fromJson(json.loads(prev["schema"]))
+            if "__row_id" in {f.name for f in schema.fields}:
+                raise ValueError("column __row_id already exists")
+            widened = StructType(
+                list(schema.fields)
+                + [StructField("__row_id", LongType(), True)]
+            )
+            return {
+                "partition_col": prev.get("partition_col"),
+                "entries": prev["entries"],
+                "schema": widened.json(),
+                "identity": {"col": "__row_id", "step": 1, "high": start,
+                             "system": True},
+                "op": {"name": "enable_row_tracking", "start": start},
+            }
+
+        return self._commit(build)
+
+    @staticmethod
     def _identity_ahead(a: int, b: int, step: int) -> int:
         """The further-along of two watermarks in the step direction."""
         return max(a, b) if step > 0 else min(a, b)
@@ -1418,9 +1554,7 @@ class SnapshotTable:
                 if last is not None and last >= txn[1]:
                     return None  # replay detected before paying the write
         spec = self._identity_spec()
-        out_df, new_high = df, None
-        if spec and spec["col"] not in df.columns:
-            out_df, new_high = self._assign_identity(df, spec)
+        out_df, new_high = self._identity_prepare(df, spec)
         rel, parts, has_data, wmap = self._write_snap(
             out_df, partition_col, audit_identity=new_high is None)
         entry = self._entry_for(rel, parts, has_data, out_df.schema, wmap)
@@ -1466,11 +1600,7 @@ class SnapshotTable:
         so the schema is established."""
         for _ in range(self.max_retries):
             spec = self._identity_spec()
-            out_df, new_high = df, None
-            if spec and spec["col"] not in df.columns:
-                out_df, new_high = self._assign_identity(df, spec)
-                if new_high == spec["high"]:
-                    new_high = None  # empty batch assigned nothing
+            out_df, new_high = self._identity_prepare(df, spec)
             rel, _, has_data, wmap = self._write_snap(
                 out_df, None, audit_identity=new_high is None)
             entry = self._entry_for(rel, [], has_data, out_df.schema, wmap)
@@ -1538,11 +1668,7 @@ class SnapshotTable:
                 return None  # replay detected before paying the write
         for _ in range(self.max_retries):
             spec = self._identity_spec()
-            out_df, new_high = df, None
-            if spec and spec["col"] not in df.columns:
-                out_df, new_high = self._assign_identity(df, spec)
-                if new_high == spec["high"]:
-                    new_high = None
+            out_df, new_high = self._identity_prepare(df, spec)
             rel, _, has_data, wmap = self._write_snap(
                 out_df, None, audit_identity=new_high is None)
             entry = self._entry_for(rel, [], has_data, out_df.schema, wmap)
@@ -1632,9 +1758,7 @@ class SnapshotTable:
                 if last is not None and last >= txn[1]:
                     return None  # replay: skip before paying the write
         spec = self._identity_spec()
-        out_df, new_high = df, None
-        if spec and spec["col"] not in df.columns:
-            out_df, new_high = self._assign_identity(df, spec)
+        out_df, new_high = self._identity_prepare(df, spec)
         rel, parts, has_data, wmap = self._write_snap(
             out_df, partition_col, audit_identity=new_high is None)
         entry = self._entry_for(rel, sorted(parts), has_data, out_df.schema,
@@ -1740,7 +1864,22 @@ class SnapshotTable:
                 keep = existing.join(
                     F.broadcast(df.select(*keys).distinct()), list(keys), "left_anti"
                 )
-                merged = keep.unionByName(df, allowMissingColumns=True)
+                src = df
+                spec = self._identity_spec()
+                if (
+                    spec
+                    and spec.get("system")
+                    and spec["col"] not in df.columns
+                ):
+                    # row tracking: an upserted key is the SAME logical
+                    # row — inherit its id from the current snapshot
+                    # (new keys stay NULL and get fresh ids at write)
+                    src = df.join(
+                        existing.select(*keys, spec["col"]),
+                        list(keys),
+                        "left",
+                    )
+                merged = keep.unionByName(src, allowMissingColumns=True)
                 # preserve the table's partitioning — a keyed merge must
                 # not silently rewrite a partitioned table as unpartitioned
                 return self.overwrite(
@@ -2185,7 +2324,14 @@ class SnapshotTable:
                 assigned=upd_map,  # DV merge appends ordinary new rows;
                 # nothing is partition-scoped, so everything may regen
             )
-            rel_new, parts, has_data, wmap_new = self._write_snap(new_data, pcol)
+            # row tracking: updated post-images carry t.__row_id
+            # through out(); insert-leg rows arrive NULL and get
+            # fresh ids here (a user identity keeps the refuse-NULLs
+            # stance — sources must carry ids explicitly)
+            spec_dv = self._identity_spec()
+            new_data, new_high_dv = self._identity_prepare(new_data, spec_dv)
+            rel_new, parts, has_data, wmap_new = self._write_snap(
+                new_data, pcol, audit_identity=new_high_dv is None)
             # an empty unpartitioned write can still leave a zero-row
             # part file (has_data=True); read the (tiny or empty) snap
             # back so a fully-no-op merge commits nothing
@@ -2227,6 +2373,13 @@ class SnapshotTable:
                     dvs.append(rel_dv)
                 if dvs:
                     out_m["dv_files"] = dvs
+                if new_high_dv is not None:
+                    # same CAS as append: a rival that assigned from
+                    # the range we staged would collide — re-stage
+                    cur = (prev or {}).get("identity") or spec_dv
+                    if cur["high"] != spec_dv["high"]:
+                        raise _Conflicted
+                    out_m["identity"] = {**cur, "high": new_high_dv}
                 if txn is not None:
                     tmap = dict((prev or {}).get("txn") or {})
                     self._txn_apply(tmap, txn)
