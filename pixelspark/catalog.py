@@ -513,7 +513,24 @@ class Catalog:
             t = handles[name]
             v = fn(t)
             if v is None:  # replay-safe forms return None on a no-op
+                # a no-op wrote nothing, so the head this transaction
+                # publishes must be the head it STARTED from — any
+                # advance during the write phase is a rival's commit,
+                # and taking latest_version() here would launder it
+                # past the strictly-between foreign check below
+                # (w == v would be "ours" when nothing here is ours)
                 v = t.latest_version()
+                if v != pre_heads[name] and not (
+                    v is None and not pre_heads[name]
+                ):
+                    raise ConcurrentTransaction(
+                        f"commit_multi participant {name!r}: the write "
+                        f"callable replayed as a no-op but the table head "
+                        f"advanced {pre_heads[name]} -> {v} during the "
+                        f"write phase at {self.root} — a concurrent writer "
+                        "committed; re-run the transaction so the retry "
+                        "publishes state it has actually seen"
+                    )
             elif v not in t.versions():
                 raise ValueError(
                     f"write callable for {name!r} returned {v!r}, which is "
@@ -856,7 +873,12 @@ class Catalog:
             (overriding its pin: time travel addresses the table
             log, exactly like `read(version=)`);
           * `{"orders": "2024-01-02T00:00:00+00:00"}` or an epoch-
-            seconds float — `TIMESTAMP AS OF` via `version_at`;
+            seconds float — `TIMESTAMP AS OF` via `version_at`.
+            Disambiguation is by TYPE: int = version, float/str =
+            timestamp; an int in epoch-seconds territory (>= 1e8) is
+            refused rather than read as a version, so a stray
+            `int(time.time())` errors instead of resolving a wildly
+            wrong snapshot;
           * `{"orders_old": ("orders", 1)}` — register an EXTRA view
             of `orders` at version 1 under the alias `orders_old`,
             which is how one query joins a table at two versions:
@@ -891,6 +913,24 @@ class Catalog:
                     # zoned drivers
                     dt = dt.replace(tzinfo=_dt.timezone.utc)
                 at = dt.timestamp()
+            if isinstance(at, bool):
+                raise TypeError(
+                    f"as_of[{vname!r}] is a bool; pass a version int, an "
+                    "epoch-seconds float, or an ISO-8601 string"
+                )
+            if isinstance(at, int) and at >= 100_000_000:
+                # disambiguation rule (documented): ints are table
+                # VERSIONS, floats/strings are timestamps.  An int in
+                # epoch-seconds territory (1e8 ≈ 1973) is never a
+                # plausible version number — int(time.time()) would
+                # silently resolve a wildly wrong snapshot, so refuse
+                # instead of guessing
+                raise ValueError(
+                    f"as_of[{vname!r}] = {at} looks like an epoch-seconds "
+                    "timestamp, but ints are interpreted as table "
+                    "VERSIONS; pass float(ts) or an ISO-8601 string for "
+                    "TIMESTAMP AS OF"
+                )
             if isinstance(at, float):
                 df = t.read(as_of_timestamp=at)
             else:

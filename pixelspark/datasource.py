@@ -394,8 +394,28 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             raise ValueError("maxVersionsPerTrigger must be >= 1")
         self._cursor: int | None = None
         self._pace_file: str | None = None
-        psd = options.get("pacingstatedir")
+        # default the sidecar into the checkpoint dir when the user
+        # passed checkpointLocation as a READ option (Spark does not
+        # forward the writer's checkpointLocation to the reader —
+        # probed on 4.1); the explicit option stays the override
+        psd = options.get("pacingstatedir") or options.get(
+            "checkpointlocation"
+        )
         if psd is not None:
+            scheme = psd.split("://", 1)[0] if "://" in psd else ""
+            if scheme == "file":
+                psd = psd.split("://", 1)[1]
+            elif scheme:
+                # fail at CONSTRUCTION, not in the first
+                # latestOffset's os.makedirs — the sidecar uses
+                # driver-local file I/O (atomic os.replace), which no
+                # object-store scheme provides
+                raise ValueError(
+                    f"pacingStateDir scheme '{scheme}' is not supported: "
+                    "the pacing sidecar needs a driver-local filesystem "
+                    "path (atomic rename); point it at local disk, e.g. "
+                    "next to a local checkpoint dir"
+                )
             self._pace_file = os.path.join(psd, "pixelspark-pace.json")
             try:
                 with open(self._pace_file, "r", encoding="utf-8") as f:

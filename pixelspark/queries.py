@@ -9516,6 +9516,192 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_row_tracking",
+    f"""
+    WITH pv AS (
+      SELECT user_id AS shop, COUNT(*) AS views
+      FROM events
+      WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '{TD}'
+      GROUP BY user_id
+    ), cust AS (
+      SELECT COALESCE(pv.views, 0) AS views
+      FROM customer c LEFT JOIN pv ON c.c_custkey = pv.shop
+    ), n AS (
+      SELECT CAST((SELECT COUNT(*) FROM cust) AS BIGINT) AS n_cust,
+             CAST((SELECT COUNT(*) FROM supplier) AS BIGINT) AS n_sup,
+             CAST((SELECT COUNT(*) FROM cust WHERE views >= 2) AS BIGINT) AS n_hot,
+             CAST((SELECT COUNT(*) FROM cust WHERE views = 1) AS BIGINT) AS n_one
+    )
+    SELECT stage, n_rows, n_ids, n_stable, n_fresh FROM (
+      SELECT '1_load' AS stage, n_cust AS n_rows, n_cust AS n_ids,
+             CAST(0 AS BIGINT) AS n_stable, n_cust AS n_fresh FROM n
+      UNION ALL SELECT '2_upsert', n_cust + n_sup, n_cust + n_sup,
+             n_cust, n_sup FROM n
+      UNION ALL SELECT '3_dvmerge', n_cust + n_sup - n_hot,
+             n_cust + n_sup - n_hot, n_cust + n_sup - n_hot,
+             CAST(0 AS BIGINT) FROM n
+      UNION ALL SELECT '4_update', n_cust + n_sup - n_hot,
+             n_cust + n_sup - n_hot, n_cust + n_sup - n_hot,
+             CAST(0 AS BIGINT) FROM n
+      UNION ALL SELECT '5_compact', n_cust + n_sup - n_hot,
+             n_cust + n_sup - n_hot, n_cust + n_sup - n_hot,
+             CAST(0 AS BIGINT) FROM n
+      UNION ALL SELECT '6_cdf', n_hot + n_one, n_hot + n_one,
+             n_hot + n_one, CAST(0 AS BIGINT) FROM n
+    ) ORDER BY stage
+    """,
+)
+def q_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW TRACKING end-state oracle (table.py enable_row_tracking —
+    Delta row tracking; the stable identity the reference's
+    latest-state/append-as-update pattern, src/services/billing.ts:
+    133-163, needs downstream): a deterministic lifecycle — load →
+    upsert (updates + supplier inserts) → merge-on-read DV merge
+    (delete hot keys, update one-view keys) → conditional UPDATE →
+    compact — emitting one row per stage with the invariants the
+    feature promises, each count reconstructible in plain SQL from
+    the raw inputs:
+
+      * n_rows / n_ids — row count and DISTINCT `__row_id` count
+        (equal at every stage = ids never collide, through unions,
+        DV rewrites and compaction alike);
+      * n_stable — surviving keys whose id is IDENTICAL to the
+        previous stage's (must equal the survivor count: NO rewrite
+        may churn an id — also _require'd in-query);
+      * n_fresh — keys new in the stage (their ids are _require'd to
+        continue the watermark, never reuse);
+      * stage '6_cdf' — the change feed of the DV merge: every
+        change row (deleted + updated post-images) carries the SAME
+        `__row_id` the pre-merge snapshot held for its key, giving
+        CDC consumers a stable join key for free.
+
+    Which PHYSICAL row got which id is partitioning-dependent (Delta
+    semantics), so the oracle pins the deterministic part — set
+    cardinalities, stability and freshness counts — while in-query
+    _requires pin the id-set shape (dense 1..N at load, watermark
+    continuation on inserts, zero churn everywhere)."""
+    import tempfile
+
+    from pixelspark.table import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="pixelspark_rowtrack_") + "/t"
+    t = SnapshotTable(spark, root)
+    t.overwrite(spark.createDataFrame(
+        [], "shop string, views long, status string"))
+    t.enable_row_tracking()
+
+    bill = B.daily_billing(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "events"), TD)
+    base = bill.select(
+        F.col("shop").cast("string").alias("shop"),
+        F.col("page_views").cast("long").alias("views"),
+        F.lit("pending").alias("status"),
+    )
+
+    def ids(version):
+        return t.read(version=version).select(
+            "shop", F.col("__row_id").alias("rid"))
+
+    def stage_counts(prev_v, cur_v):
+        """(rows, distinct ids, stable survivors, fresh keys) between
+        two snapshots — three bounded scalar aggregates."""
+        prev, cur = ids(prev_v), ids(cur_v)
+        row = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("rid").alias("d"),
+        ).collect()[0]
+        j = prev.withColumnRenamed("rid", "pid").join(cur, "shop")
+        srow = j.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("pid") == F.col("rid"), 1)
+                  .otherwise(0)).alias("st"),
+        ).collect()[0]
+        _require(srow["st"] == (srow["n"] or 0),
+                 "a rewrite churned a surviving row's id")
+        fresh = cur.join(prev, "shop", "left_anti")
+        fr = fresh.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("rid").alias("d"),
+            F.min("rid").alias("lo"), F.max("rid").alias("hi"),
+        ).collect()[0]
+        if fr["n"]:
+            # fresh ids continue the watermark: dense, above every
+            # previously assigned id
+            _require(fr["d"] == fr["n"] and
+                     fr["hi"] - fr["lo"] + 1 == fr["n"],
+                     "fresh ids must be dense")
+            pmax = prev.agg(F.max("rid").alias("m")).collect()[0]["m"]
+            _require(pmax is None or fr["lo"] > pmax,
+                     "fresh ids must never reuse")
+        return int(row["n"]), int(row["d"]), int(srow["st"] or 0), int(fr["n"])
+
+    t.append(base)
+    v_load = t.latest_version()
+    lrow = ids(v_load).agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("rid").alias("d"),
+        F.min("rid").alias("lo"), F.max("rid").alias("hi"),
+    ).collect()[0]
+    _require(lrow["lo"] == 1 and lrow["hi"] == lrow["n"]
+             and lrow["d"] == lrow["n"], "load ids must be dense 1..N")
+
+    ups = base.where("views > 0").withColumn("status", F.lit("active"))
+    ins = _t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("sup-"), F.col("s_suppkey")).alias("shop"),
+        F.lit(0).cast("long").alias("views"),
+        F.lit("new").alias("status"),
+    )
+    t.upsert(ups.unionByName(ins), keys=("shop",))
+    v_up = t.latest_version()
+    s2 = stage_counts(v_load, v_up)
+
+    t.merge(
+        base.where("views > 0").withColumn("status", F.lit("success")),
+        keys=("shop",),
+        when_matched_delete="s.views >= 2",
+        when_matched_update="all",
+        when_not_matched_insert=False,
+        mode="dv",
+    )
+    v_mrg = t.latest_version()
+    s3 = stage_counts(v_up, v_mrg)
+
+    t.update({"status": F.lit("flagged")}, condition="status = 'pending'")
+    v_updt = t.latest_version()
+    s4 = stage_counts(v_mrg, v_updt)
+
+    t.compact()
+    s5 = stage_counts(v_updt, t.latest_version())
+
+    ch = t.read_changes(v_up, v_mrg, keys=("shop",))
+    cj = ch.select("shop", F.col("__row_id").alias("cid")).join(
+        ids(v_up).withColumnRenamed("rid", "pid"), "shop")
+    crow = cj.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("cid").alias("d"),
+        F.sum(F.when(F.col("cid") == F.col("pid"), 1)
+              .otherwise(0)).alias("st"),
+    ).collect()[0]
+    _require(crow["n"] == ch.count(),
+             "every change row must resolve a pre-merge key")
+    _require(crow["st"] == crow["n"],
+             "CDF change rows must carry the stable pre-merge ids")
+    s6 = (int(crow["n"]), int(crow["d"]), int(crow["st"] or 0), 0)
+
+    rows = [
+        ("1_load", int(lrow["n"]), int(lrow["d"]), 0, int(lrow["n"])),
+        ("2_upsert", *s2),
+        ("3_dvmerge", *s3),
+        ("4_update", *s4),
+        ("5_compact", *s5),
+        ("6_cdf", *s6),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stage string, n_rows long, n_ids long, n_stable long, n_fresh long",
+    ).orderBy("stage")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate hash-checks the FIRST 50
 # entries of QUERIES (CORRECTNESS_r{N}.json keys == registry[0:50]).  Queries

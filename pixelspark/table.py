@@ -1873,12 +1873,32 @@ class SnapshotTable:
                 ):
                     # row tracking: an upserted key is the SAME logical
                     # row — inherit its id from the current snapshot
-                    # (new keys stay NULL and get fresh ids at write)
-                    src = df.join(
-                        existing.select(*keys, spec["col"]),
-                        list(keys),
-                        "left",
+                    # (new keys stay NULL and get fresh ids at write).
+                    # The id projection is deduped (appends may have
+                    # stacked several rows per key; a plain join would
+                    # fan the source out) and the source must be
+                    # key-unique (two source rows inheriting one id
+                    # would break row-id uniqueness — same contract
+                    # merge() enforces with validate_keys).
+                    dup = (
+                        df.groupBy(*keys)
+                        .agg(F.count(F.lit(1)).alias("__n"))
+                        .where(F.col("__n") > 1)
+                        .limit(1)
+                        .collect()
                     )
+                    if dup:
+                        raise ValueError(
+                            "upsert into a row-tracked table requires a "
+                            "key-unique source: multiple rows for key "
+                            f"{tuple(dup[0][k] for k in keys)!r}; "
+                            "de-duplicate the source (latest-wins window)"
+                        )
+                    ids = (
+                        existing.groupBy(*keys)
+                        .agg(F.min(spec["col"]).alias(spec["col"]))
+                    )
+                    src = df.join(ids, list(keys), "left")
                 merged = keep.unionByName(src, allowMissingColumns=True)
                 # preserve the table's partitioning — a keyed merge must
                 # not silently rewrite a partitioned table as unpartitioned

@@ -705,3 +705,67 @@ def test_maintain_runs_the_whole_loop_pin_aware(spark, tmp_path):
     assert len(cat.versions()) == 1      # catalog log bounded
     # direct head serves the compacted post-DML state
     assert t.read().count() == 106 - 20
+
+
+def test_commit_multi_noop_replay_cannot_launder_rival_commit(
+    spark, tmp_path
+):
+    """ADVICE r7: when a write callable replays to a no-op (returns
+    None), the published version must be the PRE-transaction head —
+    taking latest_version() would adopt a rival commit that landed
+    during the write phase and advance the pin over data this
+    transaction never computed against (w == v slips past the
+    strictly-between foreign check)."""
+    from pixelspark.catalog import ConcurrentTransaction
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    t = cat.create_table("t")
+    t.append_once(_df(spark, [(1, "a", 10)]), "app", 1)
+    cat.pin_table("t")
+
+    def rival_then_replay(tbl):
+        # a rival's direct append lands mid-write-phase...
+        rival = Catalog(spark, str(tmp_path / "cat")).table("t")
+        rival.append(_df(spark, [(2, "rival", 0)]))
+        # ...then our write replays to a no-op
+        return tbl.append_once(_df(spark, [(1, "a", 10)]), "app", 1)
+
+    with pytest.raises(ConcurrentTransaction, match="no-op"):
+        cat.commit_multi({"t": rival_then_replay})
+    # the rival's row is durable but NOT published
+    assert cat.read("t").count() == 1
+    assert t.read().count() == 2
+
+    # retry: the rival commit is now at/below the pre-head — the
+    # replayed no-op publishes it explicitly, as a seen commit
+    cat.commit_multi({
+        "t": lambda tbl: tbl.append_once(_df(spark, [(1, "a", 10)]),
+                                         "app", 1),
+    })
+    assert cat.read("t").count() == 2
+
+
+def test_sql_as_of_rejects_ambiguous_epoch_int(spark, tmp_path):
+    """ADVICE r7: ints are table VERSIONS; an int in epoch-seconds
+    territory (the natural output of int(time.time())) must error,
+    not resolve a wildly wrong snapshot.  Floats stay timestamps,
+    bools are refused outright."""
+    import time
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    t = cat.create_table("t")
+    t.append(_df(spark, [(1, "a", 10)]))
+
+    with pytest.raises(ValueError, match="epoch-seconds"):
+        cat.sql("SELECT * FROM t", tables=["t"],
+                as_of={"t": int(time.time())})
+    with pytest.raises(TypeError, match="bool"):
+        cat.sql("SELECT * FROM t", tables=["t"], as_of={"t": True})
+    # float epoch still routes to TIMESTAMP AS OF
+    n = cat.sql("SELECT COUNT(*) AS n FROM t", tables=["t"],
+                as_of={"t": float(time.time()) + 60}).collect()[0]["n"]
+    assert n == 1
+    # plain small int still routes to VERSION AS OF
+    n = cat.sql("SELECT COUNT(*) AS n FROM t", tables=["t"],
+                as_of={"t": 1}).collect()[0]["n"]
+    assert n == 1

@@ -610,3 +610,51 @@ def test_stale_pacing_sidecar_cannot_poison_a_fresh_start(
     with open(pace) as fh:
         assert _json.load(fh)["version"] == 0
     assert r.latestOffset() == {"version": 1}  # paced from scratch
+
+
+def test_pacing_sidecar_rejects_nonlocal_and_defaults_from_checkpoint(
+    reg, spark, tmp_path
+):
+    """ADVICE r7 + VERDICT r7 item 5: (a) a non-local pacingStateDir
+    fails at CONSTRUCTION with a clear error, not in the first
+    latestOffset's os.makedirs; (b) when checkpointLocation is given
+    as a READ option, the sidecar defaults into it — restart pacing
+    without the explicit opt-in (explicit pacingStateDir remains the
+    override)."""
+    import json as _json
+    import os as _os
+
+    from pixelspark.datasource import _SnapshotStreamReader
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    for i in range(8):
+        t.append(_df(spark, [(i, f"v{i}")]))
+    schema = t.read().schema
+
+    with pytest.raises(ValueError, match="scheme 's3'"):
+        _SnapshotStreamReader(root, schema,
+                              {"maxversionspertrigger": "2",
+                               "pacingstatedir": "s3://bkt/pace"})
+
+    # (b) checkpointLocation read option alone defaults the sidecar
+    ckpt = str(tmp_path / "ckpt")
+    r = _SnapshotStreamReader(root, schema,
+                              {"maxversionspertrigger": "3",
+                               "checkpointlocation": ckpt})
+    r.initialOffset()
+    assert r.latestOffset() == {"version": 3}
+    with open(_os.path.join(ckpt, "pixelspark-pace.json")) as fh:
+        assert _json.load(fh)["version"] == 3
+    # restart-into-deep-backlog with NO recovery call: the defaulted
+    # sidecar alone restores pacing (head is 8, stale 'latest' seed)
+    r2 = _SnapshotStreamReader(root, schema,
+                               {"startingversion": "latest",
+                                "maxversionspertrigger": "3",
+                                "checkpointlocation": ckpt})
+    assert r2.latestOffset() == {"version": 6}
+    # file:// local URIs are accepted and resolved to the local path
+    r3 = _SnapshotStreamReader(root, schema,
+                               {"maxversionspertrigger": "2",
+                                "pacingstatedir": f"file://{ckpt}"})
+    assert r3._cursor == 6  # re-seeded from the same sidecar

@@ -132,3 +132,31 @@ def test_enable_refusals_and_streaming_append_once(spark, tmp_path):
     ) is None
     assert t3.manifest(t3.latest_version())["identity"]["high"] == high0
     assert sorted(_ids(t3).values()) == [1]
+
+
+def test_upsert_id_inheritance_survives_duplicate_existing_rows(
+    spark, tmp_path
+):
+    """ADVICE r7: append can stack several rows per business key; the
+    upsert id-inheritance join must not fan the source out (one
+    source row -> one rewritten row, inheriting ONE of the key's
+    ids), and a source with duplicate keys is refused — two rows
+    sharing one __row_id would break row-id uniqueness."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([], "k long, v string"))
+    t.enable_row_tracking()
+    # two physical rows for k=1 (append is not keyed)
+    t.append(spark.createDataFrame([(1, "a"), (1, "a2"), (2, "b")],
+                                   "k long, v string"))
+
+    t.upsert(spark.createDataFrame([(1, "a3")], "k long, v string"),
+             keys=("k",))
+    rows = t.read().collect()
+    assert sorted(r["k"] for r in rows) == [1, 2]  # no fan-out
+    ids = {r["k"]: r["__row_id"] for r in rows}
+    assert ids[1] in (1, 2)  # inherited the key's min id, not both
+    assert len(set(ids.values())) == 2
+
+    with pytest.raises(ValueError, match="key-unique"):
+        t.upsert(spark.createDataFrame([(3, "x"), (3, "y")],
+                                       "k long, v string"), keys=("k",))
