@@ -778,15 +778,26 @@ class Catalog:
         table_keep_versions: int = 10,
         table_keep_hours: float | None = None,
         max_masked_fraction: float = 0.05,
+        max_live_entries: int | None = 8,
+        max_small_file_share: float | None = 0.5,
         min_age_hours: float = 1.0,
     ) -> dict:
         """One maintenance pass over the whole namespace — the loop a
         100-TB deployment runs on a schedule, composed from the
         engine's primitives so none of the retention caveats are left
         to the operator: per binding, `maybe_compact` (materialize
-        deletion-vector debt past the measured threshold) then
-        `SnapshotTable.vacuum`; finally the catalog log's own
-        `vacuum`.
+        deletion-vector debt past the measured ~5% threshold, fold
+        union-width debt past `max_live_entries` — the round-6
+        index_compaction probe's +37-70% probe-cost knee — and
+        small-file debt past `max_small_file_share`; partitioned
+        tables fold only their multi-entry values, never a full
+        rewrite for being old) then `SnapshotTable.vacuum`; finally
+        the catalog log's own `vacuum`.  A binding whose table was
+        created with `stats_cols` re-clusters on every triggered
+        compact (`cluster_by=` the first two stats columns — the
+        round-5 probe measured 160->1 file pruning only AFTER
+        clustering, so skipping the re-layout would quietly turn
+        stats back into bookkeeping).
 
         PIN-AWARE table retention: a pinned binding's published
         version must survive its table's vacuum (catalog readers
@@ -806,7 +817,15 @@ class Catalog:
             t = self._open(state[name])
             if not t.exists():
                 continue
-            compacted = t.maybe_compact(max_masked_fraction)
+            ckw: dict = {}
+            if t.stats_cols:
+                ckw["cluster_by"] = tuple(t.stats_cols[:2])
+            compacted = t.maybe_compact(
+                max_masked_fraction,
+                max_live_entries=max_live_entries,
+                max_small_file_share=max_small_file_share,
+                **ckw,
+            )
             keep = table_keep_versions
             pin = state[name].get("pin")
             latest = t.latest_version()

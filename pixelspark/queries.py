@@ -9768,18 +9768,19 @@ _WINDOW_QUERIES = [
     # registered + sweep-checked; q_daily_billing keeps the outer-
     # join seat)
     "q_full_join_matview",
-    # r5b rotation: the bloom point-lookup and expectations storage
-    # flagships (both value-oracled with in-plan asserts) take the
-    # slots of q_union_all / q_except (§2.7 rows, in-window green
-    # r1-r4; q_intersect keeps a §2.7 set-op in the window; both stay
-    # registered + sweep-checked)
-    "q_bloom_prune",
-    "q_expectations",
-    # r5c rotation: the deletion-vector storage flagship (value-oracled
-    # end state + in-query no-rewrite manifest assert) takes
-    # q_daily_active_users' slot (in-window green r2-r4; stays
-    # registered + sweep-checked)
-    "q_dv_delete",
+    # r8 rotation: sql(as_of=) textual time travel and the composed
+    # maintenance loop (both NEW in r7, never window-passed — the
+    # r7 verdict's item 4) take the slots of q_bloom_prune /
+    # q_expectations (in-window green r5b-r7; both stay registered +
+    # sweep-checked; q_stats_prune keeps the skipping-family seat)
+    "q_sql_as_of",
+    "q_maintain",
+    # r8 rotation: the merge-on-read DV MERGE (same end state as
+    # q_snapshot_merge, zero pre-existing data rewritten — asserted
+    # in-query) takes q_dv_delete's slot (in-window green r5c-r7;
+    # stays registered + sweep-checked; the DV family keeps this
+    # stronger merge row in-window)
+    "q_snapshot_merge_dv",
     # r7 rotation: metadata-only TYPE WIDENING (new this round) takes
     # q_rollup_day_type's slot (in-window green r1-r6; stays
     # registered + sweep-checked)
@@ -9832,8 +9833,13 @@ _WINDOW_QUERIES = [
     # per the round-6 verdict's "served their window terms"; both
     # stay registered + sweep-checked, q_intersect keeps the §2.7
     # set-op seat)
-    "q_csv_roundtrip",
-    "q_orc_roundtrip",
+    # r8 rotation: row-level DELETE+UPDATE DML and the CDC-apply
+    # pipeline take the slots of q_csv_roundtrip / q_orc_roundtrip
+    # (in-window green r7, their window terms served per the r7
+    # verdict; both stay registered + sweep-checked; q_jsonl_roundtrip
+    # takes the source-sink roundtrip seat below)
+    "q_table_dml",
+    "q_cdc_apply",
     # r7 rotation: the stats file-skipping flagship (min/max pruning
     # with an in-query fewer-files requirement) takes q_substr's slot
     # (§2 F10, in-window green r5-r6; stays registered +
@@ -9846,11 +9852,15 @@ _WINDOW_QUERIES = [
     # + sweep-checked; the text-analysis family keeps in-window seats
     # via q_repetition_signals / q_quality_logreg)
     "q_catalog_txn",
-    "q_recent_records",
-    # r5c rotation: DSIR importance weights (the round-5c data-selection
-    # flagship, value-oracled incl. the fit pass) takes q_token_count's
-    # slot (in-window green r1-r4; stays registered + sweep-checked)
-    "q_dsir_weights",
+    # r8 rotation: SCD-2 dimension maintenance takes
+    # q_recent_records' slot (L3, in-window green r6-r7 after its r6
+    # rotation-in; stays registered + sweep-checked)
+    "q_scd2",
+    # r8 rotation: the JSONL source-sink roundtrip takes
+    # q_dsir_weights' slot (in-window green r5c-r7; stays registered
+    # + sweep-checked; the data-selection family keeps q_domain_mix
+    # in-window)
+    "q_jsonl_roundtrip",
     # r6c rotation: the Gopher repetition pack (round-6b quality
     # flagship, value-oracled) takes q_ngram_jaccard's slot (in-window
     # green r1-r5; stays registered + sweep-checked)
@@ -9874,7 +9884,12 @@ _WINDOW_QUERIES = [
     "q_quality_logreg",
     "q_ann_topk",
     "q_media_features",
-    "q_intersect",
+    # r8 rotation: ROW TRACKING (new this round — the r7 verdict's
+    # top ask: the one storage feature without a driver-checkable
+    # row) takes q_intersect's slot (§2.7 set-op, in-window green
+    # r1-r7; stays registered + sweep-checked — every §2.7 op has
+    # served a window term)
+    "q_row_tracking",
     "q_charge_execute",
     "q_dedup_clusters",
     "q_cross_dedup",

@@ -198,7 +198,7 @@ def writer_features(m: dict) -> list[str]:
     feats = set(reader_features(m))
     if m.get("generated"):
         feats.add("generated-columns")
-    if m.get("identity"):
+    if m.get("identity") or m.get("row_tracking"):
         feats.add("identity-columns")
     return sorted(feats)
 
@@ -236,10 +236,22 @@ def _widens_to(old, new) -> bool:
       * byte/short/int -> double (exact: |int| < 2^53);
       * float -> double;
       * int -> decimal(p, s) with p - s >= 10;
-      * long -> decimal(p, 0) with p >= 20;
+      * long -> decimal(p, s) with p - s >= 20 (r8 probe: the
+        reader rescales ANY-scale targets exactly, max-long
+        roundtrips at (21,1); p - s = 19 is refused by the reader);
       * decimal scale/precision up (both integer digits and scale
-        may only grow);
-      * date -> timestamp_ntz (midnight, the SQL date upcast)."""
+        may only grow; spans physical encodings — INT32-backed
+        decimals promote to FLBA-backed widths, probed);
+      * date -> timestamp_ntz (midnight, the SQL date upcast).
+
+    Empirically REFUSED by the Spark 4.1 reader (re-probed r8, kept
+    out of the lattice): byte/short -> decimal, float -> decimal,
+    long -> double, date -> timestamp (LTZ — only the NTZ promotion
+    exists; tz semantics would be ambiguous at scan time anyway).
+    decimal -> double is accepted by the reader but CORRUPTS
+    (decimal(5,2) 1.00 reads as 100.0 — the unscaled integer served
+    raw), which is exactly why this lattice is probe-pinned instead
+    of trusting the reader's accept/reject alone."""
     from pyspark.sql.types import (
         DateType,
         DecimalType,
@@ -258,7 +270,7 @@ def _widens_to(old, new) -> bool:
     if o == "integer" and isinstance(new, DecimalType):
         return new.precision - new.scale >= 10
     if o == "long" and isinstance(new, DecimalType):
-        return new.scale == 0 and new.precision >= 20
+        return new.precision - new.scale >= 20
     if isinstance(old, DecimalType) and isinstance(new, DecimalType):
         # both the integer digits and the scale may only grow —
         # either shrinking could overflow/round existing values
@@ -658,11 +670,22 @@ class SnapshotTable:
                     new["generated"] = gen
             # identity spec + high-watermark survive every commit;
             # assigning builds set the key explicitly (with their CAS
-            # against the watermark they staged from)
+            # against the watermark they staged from).  v1 manifests
+            # stored the SYSTEM row-tracking spec in the identity
+            # slot — the carry-forward migrates it to its own key on
+            # the next commit, which is what lets a user identity
+            # column and __row_id coexist (v2)
             if "identity" not in new:
                 idn = (prev or {}).get("identity") or self.identity_seed
-                if idn:
+                if idn and not idn.get("system"):
                     new["identity"] = idn
+            if "row_tracking" not in new:
+                rt = (prev or {}).get("row_tracking")
+                if rt is None:
+                    legacy = (prev or {}).get("identity")
+                    rt = legacy if (legacy and legacy.get("system")) else None
+                if rt:
+                    new["row_tracking"] = rt
             # column mapping (rename/drop without rewrite) survives every
             # commit; ops that change it (rename_column, drop_column,
             # add_columns, restore) set the key explicitly
@@ -734,7 +757,7 @@ class SnapshotTable:
 
     def _write_snap(
         self, df: DataFrame, partition_col: str | None,
-        audit_identity: bool = True,
+        audit_cols: list[str] | None = None,
     ) -> tuple[str, list[str], bool, dict | None]:
         """Write one immutable data dir; returns (relative dir, list of
         `col=value` subdirectory names — empty for unpartitioned,
@@ -748,8 +771,8 @@ class SnapshotTable:
         entry would give read() zero scannable paths, so callers
         short-circuit on `has_data=False`."""
         df = self._apply_generated(df)
-        idn = self._identity_spec()
-        if idn:
+        specs = self._id_specs()
+        for _, idn in specs:
             if idn["col"] not in df.columns:
                 raise ValueError(
                     f"write to {self.root} is missing identity column "
@@ -762,18 +785,23 @@ class SnapshotTable:
         metrics = None
         if self.expectations:
             df, metrics = self._apply_expectations(df)
-        if idn and audit_identity:
-            # engine-assigned batches skip this (non-null by
-            # construction).  The guard is INLINE in the write plan
-            # (Delta CHECK style: raise_error poisons the job on the
-            # first NULL) so rewrite-path DML never pays a second
-            # execution of its whole plan just to audit one column —
-            # a NULL id is corruption (merge-insert legs whose source
-            # forgot the column).  Applied AFTER constraint /
-            # expectation aggregates so those evaluate unguarded.
-            c = F.col(idn["col"])
+        # `audit_cols=None` (callers outside the assigning write
+        # paths) audits EVERY id column; assigning callers pass
+        # exactly the columns their _prepare_ids did NOT assign.
+        # Engine-assigned batches are non-null by construction.  The
+        # guard is INLINE in the write plan (Delta CHECK style:
+        # raise_error poisons the job on the first NULL) so
+        # rewrite-path DML never pays a second execution of its whole
+        # plan just to audit one column — a NULL id is corruption
+        # (merge-insert legs whose source forgot the column).
+        # Applied AFTER constraint / expectation aggregates so those
+        # evaluate unguarded.
+        to_audit = ([idn["col"] for _, idn in specs]
+                    if audit_cols is None else audit_cols)
+        for colname in to_audit:
+            c = F.col(colname)
             df = df.withColumn(
-                idn["col"],
+                colname,
                 F.when(c.isNull(), F.raise_error(F.lit(
                     _IDENTITY_NULL_MARK))).otherwise(c),
             )
@@ -798,8 +826,8 @@ class SnapshotTable:
             except Exception as e:  # translate the inline identity guard
                 if _IDENTITY_NULL_MARK in str(e):
                     raise ConstraintViolation(
-                        f"write to {self.root}: rows carry NULL in "
-                        f"identity column {idn['col']!r} — provide values "
+                        f"write to {self.root}: rows carry NULL in identity "
+                        f"column(s) {', '.join(to_audit)} — provide values "
                         "(or use append/overwrite, which assign them)"
                     ) from None
                 raise
@@ -829,15 +857,102 @@ class SnapshotTable:
         return self.generated_cols
 
     def _identity_spec(self) -> dict | None:
-        """The table's persisted identity spec (manifest wins over the
-        constructor seed — the spec and its high-watermark are table
-        state, fixed at creation like generation expressions)."""
+        """The table's persisted USER identity spec (manifest wins over
+        the constructor seed — the spec and its high-watermark are
+        table state, fixed at creation like generation expressions).
+        The system row-tracking spec lives under its own manifest key
+        since v2; a v1 manifest that stored it in this slot (marked
+        `system`) is filtered out here and served by
+        `_row_tracking_spec` instead."""
         v = self.latest_version()
         if v is not None:
             stored = self.manifest(v).get("identity")
             if stored:
-                return stored
+                return None if stored.get("system") else stored
         return self.identity_seed
+
+    def _row_tracking_spec(self) -> dict | None:
+        """The system `__row_id` spec: the `row_tracking` manifest key,
+        or — for tables written by v1 code — a system-marked spec
+        still sitting in the identity slot (migrated to its own key by
+        the next commit's carry-forward)."""
+        v = self.latest_version()
+        if v is None:
+            return None
+        m = self.manifest(v)
+        rt = m.get("row_tracking")
+        if rt:
+            return rt
+        legacy = m.get("identity")
+        return legacy if (legacy and legacy.get("system")) else None
+
+    def _id_specs(self) -> list[tuple[str, dict]]:
+        """Every watermarked id column as (manifest_key, spec) — the
+        user identity slot and the system row-tracking slot, which
+        coexist since v2 (Delta ships both)."""
+        out = []
+        idn = self._identity_spec()
+        if idn:
+            out.append(("identity", idn))
+        rt = self._row_tracking_spec()
+        if rt:
+            out.append(("row_tracking", rt))
+        return out
+
+    def _prepare_ids(
+        self, df: DataFrame
+    ) -> tuple[DataFrame, dict[str, tuple[dict, int]]]:
+        """Apply every id spec to a batch (absent column → assign the
+        whole batch; system column with NULLs → fill only those).
+        Returns (df, {manifest_key: (spec as staged, new high)}) for
+        exactly the specs that assigned something."""
+        highs: dict[str, tuple[dict, int]] = {}
+        for key, spec in self._id_specs():
+            df, nh = self._identity_prepare(df, spec)
+            if nh is not None:
+                highs[key] = (spec, nh)
+        return df, highs
+
+    def _unassigned_id_cols(self, highs: dict) -> list[str]:
+        """Id columns this write did NOT assign — they arrive carried
+        from the table (or from an explicit-id source) and get the
+        inline NULL audit in the write plan."""
+        return [spec["col"] for key, spec in self._id_specs()
+                if key not in highs]
+
+    @staticmethod
+    def _wm_slot(prev: dict | None, key: str) -> dict | None:
+        """Read a watermark slot from a (possibly v1-layout) manifest:
+        the identity slot never serves system specs, the row-tracking
+        slot falls back to a legacy system-marked identity entry."""
+        m = prev or {}
+        if key == "identity":
+            s = m.get("identity")
+            return None if (s and s.get("system")) else s
+        rt = m.get("row_tracking")
+        if rt:
+            return rt
+        s = m.get("identity")
+        return s if (s and s.get("system")) else None
+
+    def _stamp_highs(
+        self, out: dict, prev: dict | None, highs: dict, cas: bool = True
+    ) -> None:
+        """Write advanced id watermarks into a building manifest.
+        With `cas` (append-shaped commits) a rival that assigned from
+        the range this write staged raises _Conflicted so the caller
+        re-stages; without (full rewrites) the watermark merges
+        monotone — replaced rows die with their ids, so a racing
+        assignment cannot produce a LIVE collision."""
+        for key, (spec, nh) in highs.items():
+            cur = self._wm_slot(prev, key) or spec
+            if cas:
+                if cur["high"] != spec["high"]:
+                    raise _Conflicted
+                out[key] = {**cur, "high": nh}
+            else:
+                out[key] = {**cur, "high": self._identity_ahead(
+                    cur["high"], nh, spec["step"])}
 
     @staticmethod
     def _assign_identity(df: DataFrame, spec: dict) -> tuple[DataFrame, int]:
@@ -946,41 +1061,117 @@ class SnapshotTable:
         # turns the write-plan NULL audit back on
         return out, (nh if nh != spec["high"] else None)
 
-    def enable_row_tracking(self, start: int = 1) -> int:
-        """ROW TRACKING (the Delta row-tracking feature, v1): a
+    def enable_row_tracking(self, start: int = 1,
+                            backfill: bool = False) -> int:
+        """ROW TRACKING (the Delta row-tracking feature): a
         system-owned `__row_id` BIGINT column whose values are
         assigned by the engine at write time and PRESERVED by every
         rewrite — compact, upsert, multi-clause merge (rewrite and
         merge-on-read), update — so downstream consumers get a stable
         row identity that survives file churn without a user key.
-        Implementation: the identity machinery with a `system` marker
-        — absent columns are assigned per write exactly like identity
-        columns; frames that MIX carried rows with new ones (upsert
-        unions, merge insert legs) get only their NULLs filled.  The
-        column is an ordinary VISIBLE schema column (hiding it would
-        make every internal rewrite a place ids could silently drop);
+        Implementation: the identity machinery under its own manifest
+        watermark slot (`row_tracking` — v2; a user identity column
+        and `__row_id` coexist, as in Delta) — absent columns are
+        assigned per write exactly like identity columns; frames that
+        MIX carried rows with new ones (upsert unions, merge insert
+        legs) get only their NULLs filled.  The column is an ordinary
+        VISIBLE schema column (hiding it would make every internal
+        rewrite a place ids could silently drop);
         `read().drop("__row_id")` is the caller's one-liner.  Ids
         appear in the change feed, giving CDC consumers a stable key
         for free.
 
-        v1 limits, stated: refused when the table already has a user
-        identity column (one watermark slot), and on a table with
-        EXISTING rows (their files lack the column; backfill would be
-        a full rewrite — create the table with tracking on, or
-        compact into a fresh tracked table).  Two forks of a clone
-        can assign the same ids to different tables (forks are
-        forks)."""
+        On a table with EXISTING rows the files lack the column, so
+        enabling requires `backfill=True`: ONE distributed rewrite
+        (the same per-partition identity-assign shape as every
+        engine-assigned write — no global sort) committed exactly
+        like compact(), pinned to the version it read and re-run on
+        conflict.  Without the flag a non-empty table is refused so
+        the rewrite cost is never paid silently.
+
+        Remaining limits, stated: refused on column-mapping-enabled
+        tables (the new physical column would need an add_columns
+        round-trip the system column can't do mid-write), and two
+        forks of a clone can assign the same ids to different tables
+        (forks are forks)."""
+        if backfill:
+            if self._row_tracking_spec():
+                raise ValueError("row tracking is already enabled")
+            for _ in range(self.max_retries):
+                read_v = self.latest_version()
+                if read_v is None:
+                    break  # empty table: the metadata path below
+                m = self.manifest(read_v)
+                counts = [
+                    sum((e.get("rows") or {}).values())
+                    if e.get("rows") else None
+                    for e in m["entries"]
+                ]
+                if not (m.get("dv_files") or any(c is None for c in counts)
+                        or sum(c for c in counts if c)):
+                    break  # verifiably empty: no rewrite needed
+                if m.get("column_mapping"):
+                    raise ValueError(
+                        "row tracking on a column-mapping-enabled table is "
+                        "not supported (the system column cannot be "
+                        "declared via add_columns mid-write)"
+                    )
+                schema = StructType.fromJson(json.loads(m["schema"]))
+                if "__row_id" in {f.name for f in schema.fields}:
+                    raise ValueError("column __row_id already exists")
+                spec = {"col": "__row_id", "step": 1, "high": start,
+                        "system": True}
+                assigned, new_high = self._assign_identity(
+                    self.read(version=read_v), spec)
+                # keep __row_id LAST, matching the fresh-table path's
+                # widened schema shape
+                assigned = assigned.select(
+                    *[f.name for f in schema.fields], "__row_id")
+                pcol = m.get("partition_col")
+                rel, parts, has_data, wmap = self._write_snap(
+                    assigned, pcol)  # default: audit carried user ids
+                entry = self._entry_for(
+                    rel, sorted(parts), has_data, assigned.schema, wmap)
+
+                def build(prev: dict | None) -> dict:
+                    self._check_expected(prev, read_v)
+                    if (prev or {}).get("column_mapping") != wmap:
+                        raise _Conflicted
+                    return {
+                        "partition_col": pcol,
+                        "entries": [entry] if has_data else [],
+                        "schema": assigned.schema.json(),
+                        "dv_files": [],  # rewrite materialized the masks
+                        "row_tracking": {**spec, "high": new_high},
+                        "op": {"name": "enable_row_tracking",
+                               "start": start, "backfill": True},
+                    }
+
+                try:
+                    return self._commit(build)
+                except ConcurrentWriteConflict:
+                    if has_data:
+                        self.st.delete(f"{self.root}/{rel}")
+                    continue  # table moved: re-read, re-assign
+            else:
+                raise ConcurrentCommitError(
+                    f"enable_row_tracking(backfill=True) lost the "
+                    f"read-rewrite race {self.max_retries} times at "
+                    f"{self.root}"
+                )
 
         def build(prev: dict | None) -> dict:
             if prev is None or not prev.get("schema"):
                 raise FileNotFoundError(
                     f"no schema-bearing snapshot at {self.root}"
                 )
-            if prev.get("identity"):
+            if self._wm_slot(prev, "row_tracking"):
+                raise ValueError("row tracking is already enabled")
+            if prev.get("column_mapping"):
                 raise ValueError(
-                    "table already has an identity column "
-                    f"({prev['identity']['col']!r}); row tracking uses the "
-                    "same watermark slot — v1 supports one or the other"
+                    "row tracking on a column-mapping-enabled table is "
+                    "not supported (the system column cannot be declared "
+                    "via add_columns mid-write)"
                 )
             counts = [
                 sum((e.get("rows") or {}).values()) if e.get("rows") else None
@@ -991,11 +1182,12 @@ class SnapshotTable:
             ):
                 # entries may exist with ZERO rows (an empty overwrite
                 # leaves an empty data dir) — only actual rows (or
-                # unknowable counts) need the backfill refusal
+                # unknowable counts) need the backfill flag
                 raise ValueError(
-                    "row tracking on a table with existing rows would "
-                    "need a backfill rewrite — enable it on a fresh table "
-                    "(create, enable, then load)"
+                    "row tracking on a table with existing rows needs a "
+                    "backfill rewrite — pass backfill=True (one "
+                    "distributed rewrite, committed like compact) or "
+                    "enable on a fresh table (create, enable, then load)"
                 )
             schema = StructType.fromJson(json.loads(prev["schema"]))
             if "__row_id" in {f.name for f in schema.fields}:
@@ -1008,8 +1200,8 @@ class SnapshotTable:
                 "partition_col": prev.get("partition_col"),
                 "entries": prev["entries"],
                 "schema": widened.json(),
-                "identity": {"col": "__row_id", "step": 1, "high": start,
-                             "system": True},
+                "row_tracking": {"col": "__row_id", "step": 1,
+                                 "high": start, "system": True},
                 "op": {"name": "enable_row_tracking", "start": start},
             }
 
@@ -1553,10 +1745,10 @@ class SnapshotTable:
                 last = self.manifest(v).get("txn", {}).get(txn[0])
                 if last is not None and last >= txn[1]:
                     return None  # replay detected before paying the write
-        spec = self._identity_spec()
-        out_df, new_high = self._identity_prepare(df, spec)
+        out_df, highs = self._prepare_ids(df)
         rel, parts, has_data, wmap = self._write_snap(
-            out_df, partition_col, audit_identity=new_high is None)
+            out_df, partition_col,
+            audit_cols=self._unassigned_id_cols(highs))
         entry = self._entry_for(rel, parts, has_data, out_df.schema, wmap)
         schema = out_df.schema.json()
 
@@ -1574,13 +1766,10 @@ class SnapshotTable:
                 "dv_files": [],
                 "op": op or {"name": "overwrite"},
             }
-            if new_high is not None:
-                # replaced rows die with their ids, so a racing
-                # assignment cannot produce a LIVE collision — the
-                # watermark just stays monotone (ids are never reused)
-                cur = (prev or {}).get("identity") or spec
-                out["identity"] = {**cur, "high": self._identity_ahead(
-                    cur["high"], new_high, spec["step"])}
+            # replaced rows die with their ids, so a racing
+            # assignment cannot produce a LIVE collision — the
+            # watermark just stays monotone (ids are never reused)
+            self._stamp_highs(out, prev, highs, cas=False)
             if txn is not None or clear_txn:
                 tmap = dict((prev or {}).get("txn") or {})
                 for app in clear_txn or ():
@@ -1599,10 +1788,9 @@ class SnapshotTable:
         current version); to a missing table it creates an empty one
         so the schema is established."""
         for _ in range(self.max_retries):
-            spec = self._identity_spec()
-            out_df, new_high = self._identity_prepare(df, spec)
+            out_df, highs = self._prepare_ids(df)
             rel, _, has_data, wmap = self._write_snap(
-                out_df, None, audit_identity=new_high is None)
+                out_df, None, audit_cols=self._unassigned_id_cols(highs))
             entry = self._entry_for(rel, [], has_data, out_df.schema, wmap)
             schema = out_df.schema.json()
             if not has_data:
@@ -1623,13 +1811,9 @@ class SnapshotTable:
                     entries = entries + [entry]
                 out = {"partition_col": None, "entries": entries,
                        "schema": schema, "op": {"name": "append"}}
-                if new_high is not None:
-                    cur = (prev or {}).get("identity") or spec
-                    if cur["high"] != spec["high"]:
-                        # a rival assigned from the range we staged —
-                        # our written ids would collide; re-stage
-                        raise _Conflicted
-                    out["identity"] = {**cur, "high": new_high}
+                # a rival that assigned from the range we staged would
+                # collide with our written ids — CAS and re-stage
+                self._stamp_highs(out, prev, highs, cas=True)
                 return out
 
             try:
@@ -1667,16 +1851,15 @@ class SnapshotTable:
             if last is not None and last >= batch_id:
                 return None  # replay detected before paying the write
         for _ in range(self.max_retries):
-            spec = self._identity_spec()
-            out_df, new_high = self._identity_prepare(df, spec)
+            out_df, highs = self._prepare_ids(df)
             rel, _, has_data, wmap = self._write_snap(
-                out_df, None, audit_identity=new_high is None)
+                out_df, None, audit_cols=self._unassigned_id_cols(highs))
             entry = self._entry_for(rel, [], has_data, out_df.schema, wmap)
             schema = out_df.schema.json()
             try:
                 return self._append_once_commit(
                     out_df, app_id, batch_id, rel, entry, has_data, wmap,
-                    schema, idn=(spec, new_high),
+                    schema, highs=highs,
                 )
             except ConcurrentWriteConflict:
                 # mapping DDL raced the write (see append): re-stage
@@ -1692,10 +1875,8 @@ class SnapshotTable:
 
     def _append_once_commit(
         self, df, app_id, batch_id, rel, entry, has_data, wmap, schema,
-        idn: tuple[dict | None, int | None] = (None, None),
+        highs: dict | None = None,
     ) -> int | None:
-        spec, new_high = idn
-
         def build(prev: dict | None) -> dict:
             if (prev or {}).get("column_mapping") != wmap:
                 raise _Conflicted
@@ -1716,11 +1897,8 @@ class SnapshotTable:
                    "txn": txn, "schema": schema,
                    "op": {"name": "append_once", "app_id": app_id,
                           "batch_id": batch_id}}
-            if new_high is not None:
-                cur = (prev or {}).get("identity") or spec
-                if cur["high"] != spec["high"]:
-                    raise _Conflicted  # rival assigned our staged range
-                out["identity"] = {**cur, "high": new_high}
+            # rival assigned from our staged range → CAS, re-stage
+            self._stamp_highs(out, prev, highs or {}, cas=True)
             return out
 
         return self._commit(build)
@@ -1757,10 +1935,10 @@ class SnapshotTable:
                 last = self.manifest(v).get("txn", {}).get(txn[0])
                 if last is not None and last >= txn[1]:
                     return None  # replay: skip before paying the write
-        spec = self._identity_spec()
-        out_df, new_high = self._identity_prepare(df, spec)
+        out_df, highs = self._prepare_ids(df)
         rel, parts, has_data, wmap = self._write_snap(
-            out_df, partition_col, audit_identity=new_high is None)
+            out_df, partition_col,
+            audit_cols=self._unassigned_id_cols(highs))
         entry = self._entry_for(rel, sorted(parts), has_data, out_df.schema,
                                 wmap)
         new_parts = set(parts)  # subdirs that actually exist in the new snap
@@ -1829,15 +2007,11 @@ class SnapshotTable:
                                 "n_values": len(replaced)}}
             if tmap:
                 out["txn"] = tmap
-            if new_high is not None:
-                # a replaced-away rival range cannot collide, but a
-                # KEPT partition's rival rows can — CAS like append;
-                # the conflict propagates (replace_partitions has no
-                # re-stage loop; callers retry like the mapping race)
-                cur = (prev or {}).get("identity") or spec
-                if cur["high"] != spec["high"]:
-                    raise _Conflicted
-                out["identity"] = {**cur, "high": new_high}
+            # a replaced-away rival range cannot collide, but a
+            # KEPT partition's rival rows can — CAS like append;
+            # the conflict propagates (replace_partitions has no
+            # re-stage loop; callers retry like the mapping race)
+            self._stamp_highs(out, prev, highs, cas=True)
             return out
 
         return self._commit(build)
@@ -1865,12 +2039,8 @@ class SnapshotTable:
                     F.broadcast(df.select(*keys).distinct()), list(keys), "left_anti"
                 )
                 src = df
-                spec = self._identity_spec()
-                if (
-                    spec
-                    and spec.get("system")
-                    and spec["col"] not in df.columns
-                ):
+                spec = self._row_tracking_spec()
+                if spec and spec["col"] not in df.columns:
                     # row tracking: an upserted key is the SAME logical
                     # row — inherit its id from the current snapshot
                     # (new keys stay NULL and get fresh ids at write).
@@ -2348,10 +2518,10 @@ class SnapshotTable:
             # through out(); insert-leg rows arrive NULL and get
             # fresh ids here (a user identity keeps the refuse-NULLs
             # stance — sources must carry ids explicitly)
-            spec_dv = self._identity_spec()
-            new_data, new_high_dv = self._identity_prepare(new_data, spec_dv)
+            new_data, highs_dv = self._prepare_ids(new_data)
             rel_new, parts, has_data, wmap_new = self._write_snap(
-                new_data, pcol, audit_identity=new_high_dv is None)
+                new_data, pcol,
+                audit_cols=self._unassigned_id_cols(highs_dv))
             # an empty unpartitioned write can still leave a zero-row
             # part file (has_data=True); read the (tiny or empty) snap
             # back so a fully-no-op merge commits nothing
@@ -2393,13 +2563,9 @@ class SnapshotTable:
                     dvs.append(rel_dv)
                 if dvs:
                     out_m["dv_files"] = dvs
-                if new_high_dv is not None:
-                    # same CAS as append: a rival that assigned from
-                    # the range we staged would collide — re-stage
-                    cur = (prev or {}).get("identity") or spec_dv
-                    if cur["high"] != spec_dv["high"]:
-                        raise _Conflicted
-                    out_m["identity"] = {**cur, "high": new_high_dv}
+                # same CAS as append: a rival that assigned from
+                # the range we staged would collide — re-stage
+                self._stamp_highs(out_m, prev, highs_dv, cas=True)
                 if txn is not None:
                     tmap = dict((prev or {}).get("txn") or {})
                     self._txn_apply(tmap, txn)
@@ -2930,13 +3096,14 @@ class SnapshotTable:
                     f"column {target!r} ({expr!r}) — drop the generation "
                     "first"
                 )
-        idn = prev.get("identity")
-        if idn and idn.get("col") == logical:
-            raise ValueError(
-                f"{logical!r} is the identity column — the manifest's "
-                "identity spec addresses it by logical name; identity "
-                "columns cannot be renamed or dropped"
-            )
+        for slot in ("identity", "row_tracking"):
+            idn = prev.get(slot)
+            if idn and idn.get("col") == logical:
+                raise ValueError(
+                    f"{logical!r} is the identity column — the manifest's "
+                    "identity spec addresses it by logical name; identity "
+                    "columns cannot be renamed or dropped"
+                )
 
     def enable_column_mapping(self) -> int:
         """Turn on name-based column mapping (Delta column-mapping
@@ -3055,6 +3222,7 @@ class SnapshotTable:
         partition_values: list | None = None,
         cluster_by: tuple[str, ...] | None = None,
         num_files: int = 8,
+        coalesce_files: bool = False,
     ) -> int:
         """Fold live entries into fewer data dirs (bounds the read
         union width); pure add-then-commit, same crash model.
@@ -3083,6 +3251,12 @@ class SnapshotTable:
 
         def layout(df: DataFrame) -> DataFrame:
             if cluster_by is None:
+                if coalesce_files:
+                    # the small-file fold (Delta OPTIMIZE's bin-pack,
+                    # approximated): shuffle-free narrowing — tiny
+                    # inputs are exactly the case where capping the
+                    # write's task count costs nothing
+                    return df.coalesce(num_files)
                 return df
             if len(cluster_by) == 1:
                 return df.repartitionByRange(
@@ -3919,6 +4093,7 @@ class SnapshotTable:
             "writer_features": m.get("writer_features") or [],
             "generated": m.get("generated") or {},
             "identity": m.get("identity"),
+            "row_tracking": m.get("row_tracking"),
             "column_mapping": bool(m.get("column_mapping")),
             "deletion_vectors": len(m.get("dv_files") or []),
             **self.dv_metrics(m),
@@ -3990,26 +4165,135 @@ class SnapshotTable:
         )
         return out
 
+    def fragmentation_metrics(self, m: dict | None = None) -> dict:
+        """Layout-debt metrics — the read-tax sources that are NOT
+        deletion vectors:
+
+          * `n_live_entries` — manifest entries in the current
+            snapshot.  Every entry is one scan in the read union, so
+            entry count is a direct multiplier on probe/scan setup
+            cost (round-6 index_compaction probe: a 10-entry index
+            re-widened probe scans +37-70%; round-4 union-width
+            probe: the same tax on plain reads pre-compaction);
+          * `n_files` / `small_file_share` — parquet data files and
+            the share under `small_file_bytes` (local backends only;
+            None when unknowable — unknown beats wrong, like
+            dv_metrics);
+          * `multi_entry_partitions` — partition values living in
+            MORE THAN ONE live entry (partitioned tables): exactly
+            the values whose reads union several scans, and exactly
+            the right `compact(partition_values=...)` unit — folding
+            them shrinks the union without rewriting the
+            single-entry partitions at all."""
+        if m is None:
+            v = self.latest_version()
+            if v is None:
+                raise FileNotFoundError(f"no snapshot at {self.root}")
+            m = self.manifest(v)
+        entries = m["entries"]
+        out: dict = {
+            "n_live_entries": len(entries),
+            "n_files": 0,
+            "small_file_share": 0.0,
+            "multi_entry_partitions": [],
+        }
+        if m.get("partition_col"):
+            seen: dict[str, int] = {}
+            for e in entries:
+                if self._entry_layout(e) != m["partition_col"]:
+                    continue
+                for p in e.get("parts") or []:
+                    seen[p] = seen.get(p, 0) + 1
+            out["multi_entry_partitions"] = sorted(
+                p.split("=", 1)[1] for p, n in seen.items() if n > 1
+            )
+        n_files = 0
+        n_small = 0
+        for e in entries:
+            root = e.get("root") or self.root
+            path = _strip_file_scheme(f"{root}/{e['base']}")
+            if re.match(r"^[a-z][a-z0-9+.-]*://", path):
+                out["n_files"] = None
+                out["small_file_share"] = None
+                return out
+            for wroot, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        n_files += 1
+                        if os.path.getsize(
+                            os.path.join(wroot, f)
+                        ) < self.small_file_bytes:
+                            n_small += 1
+        out["n_files"] = n_files
+        out["small_file_share"] = (n_small / n_files) if n_files else 0.0
+        return out
+
+    small_file_bytes: int = 32 << 20  # Delta OPTIMIZE's "small" order
+
     def maybe_compact(
-        self, max_masked_fraction: float = 0.05, **compact_kwargs
+        self,
+        max_masked_fraction: float = 0.05,
+        max_live_entries: int | None = None,
+        max_small_file_share: float | None = None,
+        num_files: int = 8,
+        **compact_kwargs,
     ) -> int | None:
-        """The dv_metrics() heuristic made executable (Delta's
-        auto-compaction idea, scoped to deletion-vector debt): run a
-        full `compact()` iff the masked-row share exceeds
-        `max_masked_fraction` (default the measured ~5% knee from
-        the BASELINE.md dv-read-tax probe).  Returns the new version,
-        or None when debt is under threshold or UNKNOWABLE (missing
-        per-partition counts / non-local backend — an unknown share
-        must not trigger a table-sized rewrite on a guess; call
-        compact() explicitly there).  `compact_kwargs` pass through
-        (e.g. cluster_by= to re-cluster while paying the rewrite).
-        Intended as the maintenance-loop primitive: streaming
-        deployments doing continuous DV deletes call this on a
-        schedule and pay the rewrite only when the tax is real."""
+        """The maintenance heuristics made executable (Delta's
+        auto-compaction / OPTIMIZE idea): run `compact()` iff any
+        measured debt crossed its threshold —
+
+          * deletion-vector debt: masked share >
+            `max_masked_fraction` (default the measured ~5% knee
+            from the BASELINE.md dv-read-tax probe);
+          * union-width debt: live entries > `max_live_entries`
+            (opt-in; the round-6 index_compaction probe measured
+            +37-70% probe cost at 10 entries — 8 is a sane setting).
+            On a PARTITIONED table where only some values are spread
+            over several entries, the rewrite is SCOPED to exactly
+            those values (`compact(partition_values=...)`) — a
+            day-partitioned table with one entry per day never pays
+            a full rewrite for being old;
+          * small-file debt: file share under `small_file_bytes`
+            exceeds `max_small_file_share` (opt-in) AND the table
+            has more files than the compaction target `num_files` —
+            without that guard a small-but-healthy table would
+            re-trigger forever.
+
+        Returns the new version, or None when every debt is under
+        threshold or UNKNOWABLE (missing per-partition counts /
+        non-local backend — an unknown share must not trigger a
+        table-sized rewrite on a guess; call compact() explicitly
+        there).  `compact_kwargs` pass through (e.g. cluster_by= to
+        re-cluster while paying the rewrite — the round-5 probe
+        measured 160->1 file pruning only after clustering, so
+        stats-skipping tables should re-cluster on every compact)."""
         frac = self.dv_metrics()["dv_masked_fraction"]
-        if frac is None or frac <= max_masked_fraction:
-            return None
-        return self.compact(**compact_kwargs)
+        if frac is not None and frac > max_masked_fraction:
+            return self.compact(num_files=num_files, **compact_kwargs)
+        fm = self.fragmentation_metrics()
+        if (max_small_file_share is not None
+                and fm["n_files"] is not None
+                and fm["n_files"] > num_files
+                and fm["small_file_share"] > max_small_file_share):
+            return self.compact(
+                num_files=num_files, coalesce_files=True, **compact_kwargs)
+        if (max_live_entries is not None
+                and fm["n_live_entries"] > max_live_entries):
+            if fm["multi_entry_partitions"]:
+                return self.compact(
+                    partition_values=fm["multi_entry_partitions"],
+                    num_files=num_files, coalesce_files=True,
+                    **compact_kwargs)
+            v = self.latest_version()
+            if self.manifest(v).get("partition_col"):
+                # one entry per distinct partition set: the entry
+                # count is structural (a day per commit), not debt a
+                # full rewrite should be paid for — leave it to an
+                # explicit windowed compact(partition_values=...)
+                return None
+            return self.compact(
+                num_files=num_files, coalesce_files=True, **compact_kwargs)
+        return None
 
     def restore(self, version: int) -> int:
         """Roll the table back to `version` AS A NEW COMMIT (Delta
@@ -4125,6 +4409,8 @@ class SnapshotTable:
                 # cloned watermark (two forks may then hand out the
                 # same ids to DIFFERENT tables — forks are forks)
                 out["identity"] = m["identity"]
+            if m.get("row_tracking"):
+                out["row_tracking"] = m["row_tracking"]
             return out
 
         dest._commit(build)

@@ -769,3 +769,76 @@ def test_sql_as_of_rejects_ambiguous_epoch_int(spark, tmp_path):
     n = cat.sql("SELECT COUNT(*) AS n FROM t", tables=["t"],
                 as_of={"t": 1}).collect()[0]["n"]
     assert n == 1
+
+
+def test_maintain_compacts_fragmented_dv_clean_table(spark, tmp_path):
+    """r8: the maintenance loop also watches union-width debt — a
+    DV-clean table fragmented by many small appends is folded (and a
+    stats_cols binding is re-clustered so file skipping keeps
+    working), idempotently."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    t = cat.create_table("t", stats_cols=["k"])
+    for i in range(10):  # fragmented, zero DV debt
+        t.append(_df(spark, [(j, "s", j) for j in range(i * 10, i * 10 + 10)]))
+    assert t.dv_metrics()["dv_masked_rows"] == 0
+    assert t.fragmentation_metrics()["n_live_entries"] == 10
+
+    rep = cat.maintain(table_keep_versions=1)
+    assert rep["tables"]["t"]["compacted_to"] is not None
+    fm = t.fragmentation_metrics()
+    assert fm["n_live_entries"] == 1 and fm["n_files"] <= 8
+    assert t.read().count() == 100
+    # the re-cluster recorded tight per-file stats: a point predicate
+    # scans fewer files than live
+    pruned = t.read(predicates=[("k", "=", 5)])
+    assert pruned.where("k = 5").count() == 1
+    # second pass: healthy table, nothing re-triggers
+    rep2 = cat.maintain(table_keep_versions=1)
+    assert rep2["tables"]["t"]["compacted_to"] is None
+
+
+def test_concurrent_maintain_is_safe(spark, tmp_path):
+    """r8 (VERDICT item 7): two maintain() runs racing on the same
+    catalog — scheduler overlap — must not double-delete, corrupt a
+    table, or lose a pin; retryable conflicts are the worst allowed
+    outcome, and a follow-up maintain runs clean."""
+    import threading
+
+    from pixelspark.catalog import ConcurrentTransaction
+    from pixelspark.table import ConcurrentCommitError
+
+    root = str(tmp_path / "cat")
+    cat = Catalog(spark, root)
+    t = cat.create_table("t")
+    for i in range(12):
+        t.append(_df(spark, [(i, "s", i)]))
+    cat.publish("t")
+    pin = cat.describe("t")["pin"]
+    t.delete("k < 3", mode="dv")
+
+    errs: list = []
+
+    def run():
+        c = Catalog(spark, root)
+        try:
+            c.maintain(keep_versions=1, table_keep_versions=2,
+                       min_age_hours=0.0)
+        except (ConcurrentTransaction, ConcurrentCommitError,
+                CatalogCommitError, FileNotFoundError) as e:
+            errs.append(e)  # retryable loss is acceptable; corruption not
+        except Exception as e:  # noqa: BLE001 — the assert below names it
+            errs.append(AssertionError(f"non-retryable: {e!r}"))
+
+    th = [threading.Thread(target=run) for _ in range(2)]
+    [x.start() for x in th]
+    [x.join() for x in th]
+    assert not [e for e in errs if isinstance(e, AssertionError)], errs
+
+    # state intact: published snapshot still served, data correct
+    assert cat.describe("t")["pin"] >= pin
+    assert t.read().count() == 9
+    assert cat.read("t").count() in (9, 12)  # pre- or post-publication pin
+    # a quiet follow-up pass heals anything the race left behind
+    rep = Catalog(spark, root).maintain(
+        keep_versions=1, table_keep_versions=2, min_age_hours=0.0)
+    assert t.read().count() == 9

@@ -112,25 +112,21 @@ def test_enable_refusals_and_streaming_append_once(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "t"))
     t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
     with pytest.raises(ValueError, match="backfill"):
-        t.enable_row_tracking()  # existing rows: refused (v1)
-
-    t2 = SnapshotTable(spark, str(tmp_path / "t2"),
-                       identity={"col": "uid", "start": 1, "step": 1})
-    t2.overwrite(spark.createDataFrame([], "k long, v string"))
-    with pytest.raises(ValueError, match="identity"):
-        t2.enable_row_tracking()  # one watermark slot (v1)
+        t.enable_row_tracking()  # existing rows: needs backfill=True
 
     t3 = SnapshotTable(spark, str(tmp_path / "t3"))
     t3.overwrite(spark.createDataFrame([], "k long, v string"))
     t3.enable_row_tracking()
+    with pytest.raises(ValueError, match="already enabled"):
+        t3.enable_row_tracking()
     # exactly-once ingest: a replayed batch assigns nothing
     t3.append_once(spark.createDataFrame([(1, "a")], "k long, v string"),
                    "app", 1)
-    high0 = t3.manifest(t3.latest_version())["identity"]["high"]
+    high0 = t3.manifest(t3.latest_version())["row_tracking"]["high"]
     assert t3.append_once(
         spark.createDataFrame([(1, "a")], "k long, v string"), "app", 1
     ) is None
-    assert t3.manifest(t3.latest_version())["identity"]["high"] == high0
+    assert t3.manifest(t3.latest_version())["row_tracking"]["high"] == high0
     assert sorted(_ids(t3).values()) == [1]
 
 
@@ -160,3 +156,134 @@ def test_upsert_id_inheritance_survives_duplicate_existing_rows(
     with pytest.raises(ValueError, match="key-unique"):
         t.upsert(spark.createDataFrame([(3, "x"), (3, "y")],
                                        "k long, v string"), keys=("k",))
+
+
+def test_backfill_assigns_existing_rows_and_lifecycle_holds(
+    spark, tmp_path
+):
+    """v2: enable_row_tracking(backfill=True) on a loaded table is ONE
+    distributed rewrite — existing rows get dense ids 1..N, and every
+    later rewrite preserves them exactly as on a born-tracked table."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")],
+                                   "k long, v string"))
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    t.delete("k = 3", mode="dv")  # DV debt: backfill must materialize
+
+    t.enable_row_tracking(backfill=True)
+    ids0 = _ids(t)
+    assert sorted(ids0.values()) == [1, 2]  # dense over LIVE rows
+    assert t.manifest(t.latest_version()).get("dv_files") in (None, [])
+
+    # the backfilled table passes the same lifecycle as a fresh one
+    t.upsert(spark.createDataFrame([(1, "a2"), (9, "z")],
+                                   "k long, v string"), keys=("k",))
+    ids1 = _ids(t)
+    assert ids1[1] == ids0[1] and ids1[2] == ids0[2]
+    assert ids1[9] == 3  # watermark continued past the backfill
+    t.compact()
+    assert _ids(t) == ids1
+
+    # idempotence: second enable refuses, backfill or not
+    with pytest.raises(ValueError, match="already enabled"):
+        t.enable_row_tracking(backfill=True)
+
+
+def test_backfill_on_partitioned_table_keeps_layout(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.replace_partitions(
+        spark.createDataFrame([(1, "x", "d1"), (2, "y", "d2")],
+                              "k long, v string, day string"), "day")
+    t.enable_row_tracking(backfill=True)
+    m = t.manifest(t.latest_version())
+    assert m["partition_col"] == "day"
+    assert sorted(_ids(t).values()) == [1, 2]
+    # partition-scoped refresh still assigns fresh ids
+    t.replace_partitions(
+        spark.createDataFrame([(5, "z", "d2")],
+                              "k long, v string, day string"), "day")
+    ids = _ids(t)
+    assert ids[1] == 1 and ids[5] == 3  # untouched d1 kept, d2 fresh
+
+
+def test_user_identity_and_row_tracking_coexist(spark, tmp_path):
+    """v2: a user identity column and __row_id each keep their own
+    manifest watermark slot (Delta ships both)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"),
+                      identity={"col": "uid", "start": 100, "step": 1})
+    t.overwrite(spark.createDataFrame([], "k long, v string"))
+    t.enable_row_tracking()
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")],
+                                   "k long, v string"))
+    rows = {r["k"]: r for r in t.read().collect()}
+    assert sorted(r["uid"] for r in rows.values()) == [100, 101]
+    assert sorted(r["__row_id"] for r in rows.values()) == [1, 2]
+
+    # upsert: __row_id is inherited/filled by the engine (system
+    # column), but the USER identity keeps its refuse-NULLs stance —
+    # a source that omits uid is refused, one that carries explicit
+    # uids (Delta GENERATED BY DEFAULT) goes through
+    from pixelspark.table import ConstraintViolation
+
+    with pytest.raises(ConstraintViolation, match="NULL in identity"):
+        t.upsert(spark.createDataFrame([(1, "a2"), (9, "z")],
+                                       "k long, v string"), keys=("k",))
+    t.upsert(
+        spark.createDataFrame(
+            [(1, "a2", rows[1]["uid"]), (9, "z", 500)],
+            "k long, v string, uid long"),
+        keys=("k",))
+    rows1 = {r["k"]: r for r in t.read().collect()}
+    assert rows1[1]["__row_id"] == rows[1]["__row_id"]
+    assert rows1[2]["uid"] == rows[2]["uid"]
+    assert rows1[9]["__row_id"] == 3 and rows1[9]["uid"] == 500
+    t.sync_identity()  # watermark jumps past the explicit 500
+    m = t.manifest(t.latest_version())
+    assert m["identity"]["col"] == "uid" and not m["identity"].get("system")
+    assert m["identity"]["high"] == 501
+    assert m["row_tracking"]["col"] == "__row_id"
+    t.append(spark.createDataFrame([(10, "w")], "k long, v string"))
+    rows2 = {r["k"]: r for r in t.read().collect()}
+    assert rows2[10]["uid"] == 501 and rows2[10]["__row_id"] == 4
+
+    # and the reverse order: tracking first, identity via constructor
+    # on an already-tracked table keeps both slots
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    t2.overwrite(spark.createDataFrame([], "k long, v string"))
+    t2.enable_row_tracking()
+    t2b = SnapshotTable(spark, str(tmp_path / "t2"),
+                        identity={"col": "uid", "start": 1, "step": 1})
+    t2b.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    r = t2b.read().collect()[0]
+    assert r["uid"] == 1 and r["__row_id"] == 1
+
+
+def test_legacy_v1_manifest_migrates_to_row_tracking_slot(
+    spark, tmp_path
+):
+    """v1 manifests stored the system spec in the identity slot; the
+    next commit under v2 code migrates it to `row_tracking` and the
+    ids keep flowing from the same watermark."""
+    import json
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([], "k long, v string"))
+    t.enable_row_tracking()
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    # rewrite the manifest into the v1 layout (system spec in the
+    # identity slot) to simulate a table written by v1 code
+    v = t.latest_version()
+    mp = f"{tmp_path}/t/_manifests/v{v:08d}.json"
+    m = json.loads(open(mp).read())
+    m["identity"] = m.pop("row_tracking")
+    open(mp, "w").write(json.dumps(m))
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    assert t._row_tracking_spec()["col"] == "__row_id"
+    assert t._identity_spec() is None  # filtered: system spec
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    ids = _ids(t)
+    assert ids == {1: 1, 2: 2}  # watermark continued, no reuse
+    m2 = t.manifest(t.latest_version())
+    assert m2["row_tracking"]["col"] == "__row_id"  # migrated
+    assert "identity" not in m2 or not m2["identity"].get("system")

@@ -1973,3 +1973,59 @@ def test_vacuum_age_gates_manifest_tmp_files(spark, tmp_path):
     os.utime(stale, (old, old))
     t.vacuum(keep_versions=1)
     assert os.path.exists(fresh) and not os.path.exists(stale)
+
+
+def test_fragmentation_metrics_and_maybe_compact_entries(spark, tmp_path):
+    """r8: maybe_compact also retires UNION-WIDTH debt (round-6
+    index_compaction probe: +37-70% probe cost at 10 entries) and
+    small-file debt — and is idempotent once healthy."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for i in range(10):
+        t.append(spark.createDataFrame([(i, f"v{i}")], "k long, v string"))
+    fm = t.fragmentation_metrics()
+    assert fm["n_live_entries"] == 10
+    assert fm["n_files"] >= 10 and fm["small_file_share"] == 1.0
+
+    assert t.maybe_compact(max_live_entries=12) is None  # under threshold
+    v = t.maybe_compact(max_live_entries=8)
+    assert v is not None
+    fm2 = t.fragmentation_metrics()
+    assert fm2["n_live_entries"] == 1
+    assert fm2["n_files"] < fm["n_files"]
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(10))
+    # healthy now: nothing re-triggers
+    assert t.maybe_compact(max_live_entries=8) is None
+    assert t.maybe_compact(max_small_file_share=0.5) is None  # n_files <= 8
+
+
+def test_maybe_compact_partitioned_scopes_to_multi_entry_values(
+    spark, tmp_path
+):
+    """r8: on a partitioned table, entry-count debt folds ONLY the
+    values spread over several entries (a DV merge's post-image dirs)
+    — one entry per day is structural, never a full-rewrite
+    trigger."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.replace_partitions(
+        spark.createDataFrame(
+            [(1, "a", "d1"), (2, "b", "d2"), (3, "c", "d3")],
+            "k long, v string, day string"), "day")
+    # one entry per day via three refreshes
+    for d in ("d1", "d2", "d3"):
+        t.replace_partitions(
+            spark.createDataFrame([(10, "r", d)],
+                                  "k long, v string, day string"), "day")
+    assert t.maybe_compact(max_live_entries=2) is None  # structural
+
+    # DV merge puts d1 post-images in a NEW entry: d1 is now split
+    t.merge(spark.createDataFrame([(10, "r2", "d1")],
+                                  "k long, v string, day string"),
+            keys=("k", "day"), mode="dv")
+    fm = t.fragmentation_metrics()
+    assert fm["multi_entry_partitions"] == ["d1"]
+    v = t.maybe_compact(max_live_entries=2, max_masked_fraction=1.0)
+    assert v is not None
+    fm2 = t.fragmentation_metrics()
+    assert fm2["multi_entry_partitions"] == []
+    got = {(r["k"], r["day"]): r["v"] for r in t.read().collect()}
+    assert got[(10, "d1")] == "r2" and got[(10, "d2")] == "r"
