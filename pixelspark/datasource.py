@@ -380,7 +380,12 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         # restart pacing holds without extra state.  Belt for any
         # ordering where that recovery call disappears: set
         # .option('pacingStateDir', dir) (use a per-query dir, e.g.
-        # next to the checkpoint) and latestOffset persists each
+        # next to the checkpoint) — or just pass the query's
+        # .option('checkpointLocation', ...) on the READ side too,
+        # which defaults the sidecar into that dir (Spark does not
+        # forward the writer's checkpointLocation to the reader, so
+        # the read-side option is the only resolvable signal) —
+        # and latestOffset persists each
         # planned end there (atomic replace) BEFORE returning it — the
         # sidecar is therefore >= every offset Spark ever logged, so
         # re-seeding the cursor from it at construction can never

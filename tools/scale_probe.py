@@ -1224,6 +1224,74 @@ def mix_scale_experiment(spark) -> dict:
     }
 
 
+def fragmentation_maintain_experiment(spark) -> dict:
+    """r8: the union-width/small-file maintenance payoff, measured —
+    a stats_cols table fragmented into 12 single-append entries vs
+    the same table after `maybe_compact(max_live_entries=8,
+    cluster_by=("k",))` (the exact call Catalog.maintain now makes):
+    point-probe `read(predicates=...)` and full-scan count,
+    interleaved best-of-2 each."""
+    import shutil
+    import time as _t
+
+    from pixelspark.table import SnapshotTable
+
+    root = f"{BASE}/frag_maintain"
+    shutil.rmtree(root, ignore_errors=True)
+    t = SnapshotTable(spark, f"{root}/t", stats_cols=("k",))
+    n, chunks = 2_000_000, 12
+    per = n // chunks
+    for i in range(chunks):
+        # ingest order SCATTERS the key (hash of arrival id), the
+        # realistic worst case: every append spans the whole key
+        # domain, so per-file min/max stats are useless until the
+        # maintenance re-cluster tightens them
+        t.append(
+            spark.range(i * per, (i + 1) * per).select(
+                ((F.col("id") * 2654435761) % n).alias("k"),
+                (F.col("id") % 97).alias("v"),
+                F.md5(F.col("id").cast("string")).alias("pad"),
+            )
+        )
+
+    def point():
+        ts = []
+        for _ in range(2):
+            s = _t.time()
+            t.read(predicates=[("k", ">=", 1_000_000),
+                               ("k", "<", 1_001_000)]).agg(
+                F.sum("v")).collect()
+            ts.append(_t.time() - s)
+        return round(min(ts), 3)
+
+    def full():
+        ts = []
+        for _ in range(2):
+            s = _t.time()
+            t.read().agg(F.count(F.lit(1))).collect()
+            ts.append(_t.time() - s)
+        return round(min(ts), 3)
+
+    fm0 = t.fragmentation_metrics()
+    p0, f0 = point(), full()
+    v = t.maybe_compact(max_live_entries=8, cluster_by=("k",))
+    fm1 = t.fragmentation_metrics()
+    p1, f1 = point(), full()
+    return {
+        "experiment": "fragmentation_maintain",
+        "rows": n,
+        "before": {"entries": fm0["n_live_entries"],
+                   "files": fm0["n_files"],
+                   "point_probe_sec": p0, "full_scan_sec": f0},
+        "after": {"entries": fm1["n_live_entries"],
+                  "files": fm1["n_files"],
+                  "point_probe_sec": p1, "full_scan_sec": f1},
+        "compacted": v is not None,
+        "point_probe_recovery": round(p0 / p1, 2) if p1 else None,
+        "full_scan_recovery": round(f0 / f1, 2) if f1 else None,
+    }
+
+
 def main() -> None:
     spark = get_spark("pixelspark-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -1255,6 +1323,7 @@ def main() -> None:
             "widen_read_tax": widen_read_tax_experiment,
             "ann_scale": ann_scale_experiment,
             "index_compaction": index_compaction_experiment,
+            "fragmentation_maintain": fragmentation_maintain_experiment,
             "clone": clone_experiment,
             "catalog": catalog_experiment,
             "mix_scale": mix_scale_experiment,
