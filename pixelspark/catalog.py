@@ -817,29 +817,40 @@ class Catalog:
             t = self._open(state[name])
             if not t.exists():
                 continue
-            ckw: dict = {}
-            if t.stats_cols:
-                ckw["cluster_by"] = tuple(t.stats_cols[:2])
-            compacted = t.maybe_compact(
-                max_masked_fraction,
-                max_live_entries=max_live_entries,
-                max_small_file_share=max_small_file_share,
-                **ckw,
-            )
-            keep = table_keep_versions
-            pin = state[name].get("pin")
-            latest = t.latest_version()
-            if pin is not None and latest is not None:
-                keep = max(keep, latest - pin + 1)
-            removed = t.vacuum(
-                keep_versions=keep,
-                keep_hours=table_keep_hours,
-                min_age_hours=min_age_hours,
-            )
-            report["tables"][name] = {
-                "compacted_to": compacted,
-                "removed_dirs": len(removed),
-            }
+            try:
+                ckw: dict = {}
+                if t.stats_cols:
+                    ckw["cluster_by"] = tuple(t.stats_cols[:2])
+                compacted = t.maybe_compact(
+                    max_masked_fraction,
+                    max_live_entries=max_live_entries,
+                    max_small_file_share=max_small_file_share,
+                    **ckw,
+                )
+                keep = table_keep_versions
+                pin = state[name].get("pin")
+                latest = t.latest_version()
+                if pin is not None and latest is not None:
+                    keep = max(keep, latest - pin + 1)
+                removed = t.vacuum(
+                    keep_versions=keep,
+                    keep_hours=table_keep_hours,
+                    min_age_hours=min_age_hours,
+                )
+                report["tables"][name] = {
+                    "compacted_to": compacted,
+                    "removed_dirs": len(removed),
+                }
+            except Exception as e:  # noqa: BLE001 — reported, not hidden
+                # one table's failure (a racing writer, a layout this
+                # pass can't address) must not starve the REST of the
+                # namespace of maintenance; the error is surfaced in
+                # the report for the operator, never swallowed
+                report["tables"][name] = {
+                    "compacted_to": None,
+                    "removed_dirs": 0,
+                    "error": f"{type(e).__name__}: {e}",
+                }
         report["catalog_removed"] = self.vacuum(
             keep_versions=keep_versions, keep_hours=keep_hours
         )

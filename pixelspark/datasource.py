@@ -402,26 +402,47 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         # default the sidecar into the checkpoint dir when the user
         # passed checkpointLocation as a READ option (Spark does not
         # forward the writer's checkpointLocation to the reader —
-        # probed on 4.1); the explicit option stays the override
-        psd = options.get("pacingstatedir") or options.get(
-            "checkpointlocation"
-        )
-        if psd is not None:
+        # probed on 4.1); the explicit option stays the override.
+        # Only consulted when pacing is ON: without
+        # maxVersionsPerTrigger there is no cursor to persist, and a
+        # checkpointLocation habit-copied onto the read side must not
+        # change behavior (let alone fail construction).
+        psd = options.get("pacingstatedir")
+        explicit = psd is not None
+        if psd is None and self.max_versions is not None:
+            psd = options.get("checkpointlocation")
+        if psd is not None and self.max_versions is not None:
             scheme = psd.split("://", 1)[0] if "://" in psd else ""
             if scheme == "file":
                 psd = psd.split("://", 1)[1]
             elif scheme:
-                # fail at CONSTRUCTION, not in the first
-                # latestOffset's os.makedirs — the sidecar uses
-                # driver-local file I/O (atomic os.replace), which no
-                # object-store scheme provides
-                raise ValueError(
-                    f"pacingStateDir scheme '{scheme}' is not supported: "
-                    "the pacing sidecar needs a driver-local filesystem "
-                    "path (atomic rename); point it at local disk, e.g. "
-                    "next to a local checkpoint dir"
-                )
-            self._pace_file = os.path.join(psd, "pixelspark-pace.json")
+                if not explicit:
+                    # a non-local checkpoint dir cannot host the
+                    # driver-local sidecar — the DEFAULT degrades to
+                    # sidecar-less pacing (the recovery-call seeding
+                    # still holds); only the explicit option fails
+                    psd = None
+                else:
+                    # fail at CONSTRUCTION, not in the first
+                    # latestOffset's os.makedirs — the sidecar uses
+                    # driver-local file I/O (atomic os.replace), which
+                    # no object-store scheme provides
+                    raise ValueError(
+                        f"pacingStateDir scheme '{scheme}' is not "
+                        "supported: the pacing sidecar needs a driver-"
+                        "local filesystem path (atomic rename); point it "
+                        "at local disk, e.g. next to a local checkpoint "
+                        "dir"
+                    )
+        if psd is not None and self.max_versions is not None:
+            import hashlib
+
+            # namespaced per SOURCE: two snapshot_table readers in one
+            # query share the query's checkpoint dir — a shared file
+            # would cross-seed their cursors (last writer wins)
+            tag = hashlib.md5(self.root.encode()).hexdigest()[:12]
+            self._pace_file = os.path.join(
+                psd, f"pixelspark-pace-{tag}.json")
             try:
                 with open(self._pace_file, "r", encoding="utf-8") as f:
                     self._cursor = int(json.load(f)["version"])

@@ -191,6 +191,12 @@ WRITER_FEATURES = READER_FEATURES | {
     # advance when it assigns ids — an ignorant writer would reuse
     # already-handed-out values
     "identity-columns",
+    # the system __row_id spec lives under its own `row_tracking`
+    # manifest key (v2): a writer that only knows the v1 identity
+    # slot would pass the identity-columns fence yet silently DROP
+    # the key from its carry-forward — watermark gone, ids reused on
+    # re-enable.  A distinct feature name makes such writers refuse.
+    "row-tracking",
 }
 
 
@@ -200,6 +206,8 @@ def writer_features(m: dict) -> list[str]:
         feats.add("generated-columns")
     if m.get("identity") or m.get("row_tracking"):
         feats.add("identity-columns")
+    if m.get("row_tracking"):
+        feats.add("row-tracking")
     return sorted(feats)
 
 
@@ -4257,21 +4265,40 @@ class SnapshotTable:
             exceeds `max_small_file_share` (opt-in) AND the table
             has more files than the compaction target `num_files` —
             without that guard a small-but-healthy table would
-            re-trigger forever.
+            re-trigger forever.  UNPARTITIONED tables only: under a
+            `col=value` layout the write splits per value again, so
+            a fold could never converge below one file per value —
+            partition granularity bounds file folding there (use an
+            explicit windowed `compact(partition_values=...)`).
 
         Returns the new version, or None when every debt is under
         threshold or UNKNOWABLE (missing per-partition counts /
         non-local backend — an unknown share must not trigger a
         table-sized rewrite on a guess; call compact() explicitly
-        there).  `compact_kwargs` pass through (e.g. cluster_by= to
-        re-cluster while paying the rewrite — the round-5 probe
-        measured 160->1 file pruning only after clustering, so
-        stats-skipping tables should re-cluster on every compact)."""
-        frac = self.dv_metrics()["dv_masked_fraction"]
+        there).  Mixed partition layouts (mid-evolution) skip the
+        fragmentation triggers entirely — a scoped rewrite cannot
+        address foreign-layout entries, and the maintenance loop
+        must not crash on them; a full compact() restores the
+        single layout and re-arms the triggers.  `compact_kwargs`
+        pass through (e.g. cluster_by= to re-cluster while paying
+        the rewrite — the round-5 probe measured 160->1 file pruning
+        only after clustering, so stats-skipping tables should
+        re-cluster on every compact)."""
+        v = self.latest_version()
+        if v is None:
+            return None
+        m = self.manifest(v)  # ONE snapshot decides every trigger
+        frac = self.dv_metrics(m)["dv_masked_fraction"]
         if frac is not None and frac > max_masked_fraction:
             return self.compact(num_files=num_files, **compact_kwargs)
-        fm = self.fragmentation_metrics()
+        if max_live_entries is None and max_small_file_share is None:
+            return None  # r7 API shape: never pay the file walk
+        fm = self.fragmentation_metrics(m)
+        pcol = m.get("partition_col")
+        if any(self._entry_layout(e) != pcol for e in m["entries"]):
+            return None  # mid-evolution: see docstring
         if (max_small_file_share is not None
+                and pcol is None
                 and fm["n_files"] is not None
                 and fm["n_files"] > num_files
                 and fm["small_file_share"] > max_small_file_share):
@@ -4284,8 +4311,7 @@ class SnapshotTable:
                     partition_values=fm["multi_entry_partitions"],
                     num_files=num_files, coalesce_files=True,
                     **compact_kwargs)
-            v = self.latest_version()
-            if self.manifest(v).get("partition_col"):
+            if pcol is not None:
                 # one entry per distinct partition set: the entry
                 # count is structural (a day per commit), not debt a
                 # full rewrite should be paid for — leave it to an

@@ -549,7 +549,7 @@ def test_pacing_survives_restart_via_sidecar_and_recovery_call(
                                 "pacingstatedir": psd})
     r4.initialOffset()
     assert r4.latestOffset() == {"version": 3}
-    with open(_os.path.join(psd, "pixelspark-pace.json")) as fh:
+    with open(r4._pace_file) as fh:  # namespaced per source (r8)
         assert _json.load(fh)["version"] == 3
     # "restarted" reader: no initialOffset, no recovery call, stale
     # 'latest' starting — the sidecar alone restores pacing
@@ -593,15 +593,21 @@ def test_stale_pacing_sidecar_cannot_poison_a_fresh_start(
     for i in range(3):
         t.append(_df(spark, [(i, f"v{i}")]))
     schema = t.read().schema
+    import hashlib as _hl
+
     psd = str(tmp_path / "pace")
     _os.makedirs(psd)
-    pace = _os.path.join(psd, "pixelspark-pace.json")
+    pace = _os.path.join(
+        psd,
+        f"pixelspark-pace-{_hl.md5(root.encode()).hexdigest()[:12]}.json",
+    )
     with open(pace, "w") as fh:
         fh.write('{"version": 99}')  # stale: far past head=3
 
     r = _SnapshotStreamReader(root, schema,
                               {"maxversionspertrigger": "1",
                                "pacingstatedir": psd})
+    assert r._pace_file == pace  # namespaced per source (r8)
     # Spark's fresh-start order: latestOffset FIRST — must clamp to
     # head (no offset past a manifest that doesn't exist)...
     assert r.latestOffset() == {"version": 3}
@@ -644,7 +650,7 @@ def test_pacing_sidecar_rejects_nonlocal_and_defaults_from_checkpoint(
                                "checkpointlocation": ckpt})
     r.initialOffset()
     assert r.latestOffset() == {"version": 3}
-    with open(_os.path.join(ckpt, "pixelspark-pace.json")) as fh:
+    with open(r._pace_file) as fh:  # namespaced per source (r8)
         assert _json.load(fh)["version"] == 3
     # restart-into-deep-backlog with NO recovery call: the defaulted
     # sidecar alone restores pacing (head is 8, stale 'latest' seed)
@@ -658,3 +664,33 @@ def test_pacing_sidecar_rejects_nonlocal_and_defaults_from_checkpoint(
                                {"maxversionspertrigger": "2",
                                 "pacingstatedir": f"file://{ckpt}"})
     assert r3._cursor == 6  # re-seeded from the same sidecar
+
+    # code-review r8: the DEFAULT must never change behavior for a
+    # habit-copied read-side checkpointLocation — a non-local scheme
+    # degrades to sidecar-less pacing (no raise), and without pacing
+    # the option is ignored entirely
+    r4 = _SnapshotStreamReader(root, schema,
+                               {"maxversionspertrigger": "2",
+                                "checkpointlocation": "s3://bkt/ckpt"})
+    assert r4._pace_file is None
+    r5 = _SnapshotStreamReader(root, schema,
+                               {"checkpointlocation": "s3://bkt/ckpt"})
+    assert r5._pace_file is None and r5.latestOffset() == {"version": 8}
+
+    # code-review r8: two sources sharing one checkpoint dir keep
+    # SEPARATE sidecars — no cross-seeding between tables
+    root_b = str(tmp_path / "tb")
+    tb = SnapshotTable(spark, root_b)
+    tb.append(_df(spark, [(0, "x")]))
+    rb = _SnapshotStreamReader(root_b, tb.read().schema,
+                               {"maxversionspertrigger": "3",
+                                "checkpointlocation": ckpt})
+    assert rb._pace_file != r._pace_file
+    rb.initialOffset()
+    assert rb.latestOffset() == {"version": 1}  # clamped to B's head
+    # ...and A's sidecar still carries A's cursor
+    r6 = _SnapshotStreamReader(root, schema,
+                               {"startingversion": "latest",
+                                "maxversionspertrigger": "3",
+                                "checkpointlocation": ckpt})
+    assert r6._cursor == 6

@@ -197,13 +197,16 @@ def test_backfill_on_partitioned_table_keeps_layout(spark, tmp_path):
     t.enable_row_tracking(backfill=True)
     m = t.manifest(t.latest_version())
     assert m["partition_col"] == "day"
-    assert sorted(_ids(t).values()) == [1, 2]
-    # partition-scoped refresh still assigns fresh ids
+    ids0 = _ids(t)
+    assert sorted(ids0.values()) == [1, 2]
+    # partition-scoped refresh: untouched d1 keeps its id (which ROW
+    # got which id at backfill is partitioning-dependent — Delta
+    # semantics), the refreshed d2 row continues the watermark
     t.replace_partitions(
         spark.createDataFrame([(5, "z", "d2")],
                               "k long, v string, day string"), "day")
     ids = _ids(t)
-    assert ids[1] == 1 and ids[5] == 3  # untouched d1 kept, d2 fresh
+    assert ids[1] == ids0[1] and ids[5] == 3
 
 
 def test_user_identity_and_row_tracking_coexist(spark, tmp_path):

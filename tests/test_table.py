@@ -2029,3 +2029,40 @@ def test_maybe_compact_partitioned_scopes_to_multi_entry_values(
     assert fm2["multi_entry_partitions"] == []
     got = {(r["k"], r["day"]): r["v"] for r in t.read().collect()}
     assert got[(10, "d1")] == "r2" and got[(10, "d2")] == "r"
+
+
+def test_maybe_compact_review_guards(spark, tmp_path):
+    """code-review r8: (a) small-file debt never full-rewrites a
+    PARTITIONED table (the fold could not converge below one file
+    per value); (b) a mid-evolution mixed-layout table skips the
+    fragmentation triggers instead of crashing the maintenance loop;
+    (c) the r7 call shape (DV thresholds only) never pays the file
+    walk and still compacts DV debt."""
+    # (a) partitioned, all-small files: small-file trigger is a no-op
+    t = SnapshotTable(spark, str(tmp_path / "a"))
+    for d in ("d1", "d2", "d3"):
+        t.replace_partitions(
+            spark.createDataFrame([(1, d)], "k long, day string"), "day")
+    assert t.maybe_compact(max_small_file_share=0.1) is None
+
+    # (b) mixed layouts: entry debt present, triggers skip cleanly
+    t2 = SnapshotTable(spark, str(tmp_path / "b"))
+    for i in range(4):
+        t2.append(spark.createDataFrame([(i, "x")], "k long, day string"))
+    t2.evolve_partitioning("day")
+    t2.replace_partitions(
+        spark.createDataFrame([(9, "d9")], "k long, day string"), "day")
+    assert t2.maybe_compact(max_live_entries=2,
+                            max_small_file_share=0.1) is None
+    t2.compact()  # restores a single layout...
+    t2.read().count()
+    # ...and re-arms the triggers (1 entry now: under threshold)
+    assert t2.maybe_compact(max_live_entries=2) is None
+
+    # (c) DV-only shape compacts debt without fragmentation metrics
+    t3 = SnapshotTable(spark, str(tmp_path / "c"))
+    t3.append(spark.createDataFrame([(i, "x") for i in range(20)],
+                                    "k long, v string"))
+    t3.delete("k < 5", mode="dv")
+    assert t3.maybe_compact(max_masked_fraction=0.05) is not None
+    assert t3.dv_metrics()["dv_masked_rows"] == 0
