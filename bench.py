@@ -121,6 +121,16 @@ HEADLINE = [
     # small-JSON CAS writes, so a jump here means a table write path
     # regressed, not the catalog
     "q_catalog_txn",
+    # round-8: the row-tracking lifecycle (backfill rewrite + upsert
+    # + DV merge + update + compact + CDF, with the per-stage
+    # stability aggregates) — the stable-identity loop a CDC
+    # downstream pays; commit-cost dominated like its class
+    "q_row_tracking",
+    # round-8: fragmentation-aware maintenance (10 appends + one
+    # maintain() fold + the no-op re-check) — measures the
+    # union-width maintenance loop end to end; the probe payoff
+    # (7.4x point-probe recovery at 2M rows) is in BASELINE.md
+    "q_maintain_frag",
 ]
 
 # Storage-LIFECYCLE rows: multi-commit table/catalog lifecycles whose
@@ -135,6 +145,8 @@ LIFECYCLE = {
     "q_join_matview",
     "q_topn_matview",
     "q_catalog_txn",
+    "q_row_tracking",
+    "q_maintain_frag",
 }
 
 

@@ -806,11 +806,23 @@ class SnapshotTable:
         # evaluate unguarded.
         to_audit = ([idn["col"] for _, idn in specs]
                     if audit_cols is None else audit_cols)
+        sys_bound = {
+            idn["col"]: idn["high"] for _, idn in specs
+            if idn.get("system") and idn["step"] > 0
+        }
         for colname in to_audit:
             c = F.col(colname)
+            bad = c.isNull()
+            if colname in sys_bound:
+                # a SYSTEM id column is engine-owned: a carried frame
+                # only ever holds ids the engine already assigned
+                # (< high), so an explicit id at/above the watermark
+                # is a future duplicate the moment assignment reaches
+                # it — refuse in the same inline guard, for free
+                bad = bad | (c >= F.lit(sys_bound[colname]).cast("long"))
             df = df.withColumn(
                 colname,
-                F.when(c.isNull(), F.raise_error(F.lit(
+                F.when(bad, F.raise_error(F.lit(
                     _IDENTITY_NULL_MARK))).otherwise(c),
             )
         cmap = self._current_mapping()
@@ -836,7 +848,9 @@ class SnapshotTable:
                     raise ConstraintViolation(
                         f"write to {self.root}: rows carry NULL in identity "
                         f"column(s) {', '.join(to_audit)} — provide values "
-                        "(or use append/overwrite, which assign them)"
+                        "(or use append/overwrite, which assign them) — or "
+                        "an explicit system id at/above the watermark "
+                        "(system id columns are engine-owned)"
                     ) from None
                 raise
 

@@ -290,3 +290,27 @@ def test_legacy_v1_manifest_migrates_to_row_tracking_slot(
     m2 = t.manifest(t.latest_version())
     assert m2["row_tracking"]["col"] == "__row_id"  # migrated
     assert "identity" not in m2 or not m2["identity"].get("system")
+
+
+def test_explicit_out_of_watermark_row_id_is_refused(spark, tmp_path):
+    """r8 hardening: a system id column is engine-owned — an explicit
+    __row_id at/above the watermark would collide the moment
+    assignment reaches it, so the inline write audit refuses it;
+    carried ids (always below the watermark) still pass."""
+    from pixelspark.table import ConstraintViolation
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([], "k long, v string"))
+    t.enable_row_tracking()
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")],
+                                   "k long, v string"))
+
+    with pytest.raises(ConstraintViolation, match="identity"):
+        t.append(spark.createDataFrame(
+            [(9, "z", 999)], "k long, v string, __row_id long"))
+    # a carried frame (ids the engine assigned) still writes fine
+    t.overwrite(t.read())
+    assert sorted(_ids(t).values()) == [1, 2]
+    # and assignment continues uncollided
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    assert sorted(_ids(t).values()) == [1, 2, 3]
