@@ -202,14 +202,23 @@ def test_extended_widening_lattice(spark, tmp_path):
     ))
     assert sorted(str(r["i"]) for r in t.read().collect()) == ["123.45", "7.00"]
 
-    # probed-refused combinations
+    # probed-refused combinations (r8 re-probe: long->decimal with
+    # NONZERO scale is supported at p-s >= 20 — the reader rescales
+    # exactly, max-long roundtrips at (21,1) — so it moved to the
+    # accepted set below; p-s = 19 stays refused, reader-probed)
     t2 = SnapshotTable(spark, str(tmp_path / "t2"))
     t2.append(spark.sql("select cast(5 as smallint) s, cast(9 as bigint) l"))
     for col, ty in (("s", "decimal(7,2)"),   # short->decimal: reader refuses
                     ("l", "double"),         # long->double: lossy past 2^53
-                    ("l", "decimal(22,2)")): # long->decimal needs scale 0
+                    ("l", "decimal(20,1)")): # 19 integer digits: refused
         with pytest.raises(ValueError, match="widen"):
             t2.widen_column(col, ty)
+    t2.widen_column("l", "decimal(22,2)")  # p-s=20: r8 lattice edge
+    t2.append(spark.sql(
+        "select cast(1 as smallint) s, "
+        "cast(9223372036854775807.25 as decimal(22,2)) l"))
+    got = sorted(str(r["l"]) for r in t2.read().collect())
+    assert got == ["9.00", "9223372036854775807.25"]
 
 
 def test_change_feed_across_widening(spark, tmp_path):
