@@ -1084,7 +1084,8 @@ class SnapshotTable:
         return out, (nh if nh != spec["high"] else None)
 
     def enable_row_tracking(self, start: int = 1,
-                            backfill: bool = False) -> int:
+                            backfill: bool = False,
+                            _allow_rows: bool = False) -> int:
         """ROW TRACKING (the Delta row-tracking feature): a
         system-owned `__row_id` BIGINT column whose values are
         assigned by the engine at write time and PRESERVED by every
@@ -1111,14 +1112,33 @@ class SnapshotTable:
         conflict.  Without the flag a non-empty table is refused so
         the rewrite cost is never paid silently.
 
-        Remaining limits, stated: refused on column-mapping-enabled
-        tables (the new physical column would need an add_columns
-        round-trip the system column can't do mid-write), and two
-        forks of a clone can assign the same ids to different tables
-        (forks are forks)."""
+        COLUMN-MAPPING tables compose (Delta ships both): the enable
+        commit extends the mapping with a fresh physical name for
+        `__row_id`, exactly like add_columns; a mapped BACKFILL is
+        two commits — the metadata enable, then one fill-rewrite
+        (the overwrite path fills the NULL ids of pre-enable rows) —
+        because writes translate through the CURRENT mapping, so the
+        column must be mapped before any data carrying it can land.
+        Between those two commits, reads serve pre-enable rows with
+        NULL ids (the documented mapped-backfill window; the
+        unmapped path stays a single atomic commit).
+
+        Remaining limit, stated: two forks of a clone can assign the
+        same ids to different tables (forks are forks)."""
         if backfill:
             if self._row_tracking_spec():
                 raise ValueError("row tracking is already enabled")
+            mapped = False
+            v0 = self.latest_version()
+            if v0 is not None and self.manifest(v0).get("column_mapping"):
+                mapped = True
+            if mapped:
+                # two commits (see docstring): metadata enable first —
+                # the mapping must carry __row_id before the rewrite
+                # can write it — then one fill-rewrite
+                self.enable_row_tracking(start=start, backfill=False,
+                                         _allow_rows=True)
+                return self.compact()
             for _ in range(self.max_retries):
                 read_v = self.latest_version()
                 if read_v is None:
@@ -1132,12 +1152,6 @@ class SnapshotTable:
                 if not (m.get("dv_files") or any(c is None for c in counts)
                         or sum(c for c in counts if c)):
                     break  # verifiably empty: no rewrite needed
-                if m.get("column_mapping"):
-                    raise ValueError(
-                        "row tracking on a column-mapping-enabled table is "
-                        "not supported (the system column cannot be "
-                        "declared via add_columns mid-write)"
-                    )
                 schema = StructType.fromJson(json.loads(m["schema"]))
                 if "__row_id" in {f.name for f in schema.fields}:
                     raise ValueError("column __row_id already exists")
@@ -1189,18 +1203,13 @@ class SnapshotTable:
                 )
             if self._wm_slot(prev, "row_tracking"):
                 raise ValueError("row tracking is already enabled")
-            if prev.get("column_mapping"):
-                raise ValueError(
-                    "row tracking on a column-mapping-enabled table is "
-                    "not supported (the system column cannot be declared "
-                    "via add_columns mid-write)"
-                )
             counts = [
                 sum((e.get("rows") or {}).values()) if e.get("rows") else None
                 for e in prev["entries"]
             ]
-            if prev.get("dv_files") or any(c is None for c in counts) or sum(
-                c for c in counts if c
+            if not _allow_rows and (
+                prev.get("dv_files") or any(c is None for c in counts)
+                or sum(c for c in counts if c)
             ):
                 # entries may exist with ZERO rows (an empty overwrite
                 # leaves an empty data dir) — only actual rows (or
@@ -1218,7 +1227,7 @@ class SnapshotTable:
                 list(schema.fields)
                 + [StructField("__row_id", LongType(), True)]
             )
-            return {
+            out = {
                 "partition_col": prev.get("partition_col"),
                 "entries": prev["entries"],
                 "schema": widened.json(),
@@ -1226,6 +1235,18 @@ class SnapshotTable:
                                  "high": start, "system": True},
                 "op": {"name": "enable_row_tracking", "start": start},
             }
+            cmap = prev.get("column_mapping")
+            if cmap:
+                # mapping-enabled tables compose: the system column
+                # gets a fresh physical name in the SAME commit, the
+                # add_columns discipline (writes translate through the
+                # current mapping, so the column must be mapped before
+                # any data carrying it can land)
+                cmap = json.loads(json.dumps(cmap))  # deep copy
+                cmap["cols"]["__row_id"] = self._fresh_physical(
+                    cmap, "__row_id")
+                out["column_mapping"] = cmap
+            return out
 
         return self._commit(build)
 

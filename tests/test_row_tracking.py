@@ -314,3 +314,46 @@ def test_explicit_out_of_watermark_row_id_is_refused(spark, tmp_path):
     # and assignment continues uncollided
     t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
     assert sorted(_ids(t).values()) == [1, 2, 3]
+
+
+def test_row_tracking_composes_with_column_mapping(spark, tmp_path):
+    """r8: row tracking on a column-mapping-enabled table (Delta
+    ships both): the enable commit maps __row_id to a fresh physical
+    name like add_columns; a mapped backfill is two commits
+    (metadata enable, then one fill-rewrite); renames and the id
+    lifecycle keep composing afterwards."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")],
+                                   "k long, v string"))
+    t.enable_column_mapping()
+    t.rename_column("v", "val")
+
+    t.enable_row_tracking(backfill=True)
+    ids0 = _ids(t)
+    assert sorted(ids0.values()) == [1, 2]
+    m = t.manifest(t.latest_version())
+    assert "__row_id" in m["column_mapping"]["cols"]
+    phys = m["column_mapping"]["cols"]["__row_id"]
+    assert phys != "__row_id"  # fresh physical name, add_columns style
+
+    # lifecycle on the mapped+tracked table: upsert inherits, rename
+    # of OTHER columns stays metadata-only, ids never churn
+    t.upsert(spark.createDataFrame([(1, "a2"), (9, "z")],
+                                   "k long, val string"), keys=("k",))
+    ids1 = _ids(t)
+    assert ids1[1] == ids0[1] and ids1[2] == ids0[2] and ids1[9] == 3
+    t.rename_column("val", "value")
+    assert _ids(t) == ids1
+    t.compact()
+    assert _ids(t) == ids1
+    # the system column itself can never be renamed or dropped
+    with pytest.raises(ValueError, match="identity"):
+        t.rename_column("__row_id", "rid")
+
+    # empty mapped table: single metadata commit, then ingest
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    t2.overwrite(spark.createDataFrame([], "k long, v string"))
+    t2.enable_column_mapping()
+    t2.enable_row_tracking()
+    t2.append(spark.createDataFrame([(5, "x")], "k long, v string"))
+    assert _ids(t2) == {5: 1}
