@@ -9673,36 +9673,37 @@ def q_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def stage_counts(prev_v, cur_v):
         """(rows, distinct ids, stable survivors, fresh keys) between
-        two snapshots — three bounded scalar aggregates."""
-        prev, cur = ids(prev_v), ids(cur_v)
-        row = cur.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct("rid").alias("d"),
+        two snapshots — ONE full-outer key join and ONE bounded
+        scalar aggregate per stage (keys are unique per snapshot, so
+        the join is 1:1; fused from three separate aggregates, which
+        halved this row's bench cost)."""
+        prev = ids(prev_v).withColumnRenamed("rid", "pid")
+        cur = ids(cur_v).withColumnRenamed("rid", "cid")
+        pid, cid = F.col("pid"), F.col("cid")
+        is_fresh = pid.isNull() & cid.isNotNull()
+        r = prev.join(cur, "shop", "full_outer").agg(
+            F.count("cid").alias("n"),
+            F.countDistinct("cid").alias("d"),
+            F.count(F.when(pid == cid, 1)).alias("st"),
+            F.count(F.when(pid.isNotNull() & cid.isNotNull(), 1)
+                    ).alias("surv"),
+            F.count(F.when(is_fresh, 1)).alias("fn"),
+            F.countDistinct(F.when(is_fresh, cid)).alias("fd"),
+            F.min(F.when(is_fresh, cid)).alias("lo"),
+            F.max(F.when(is_fresh, cid)).alias("hi"),
+            F.max("pid").alias("pmax"),
         ).collect()[0]
-        j = prev.withColumnRenamed("rid", "pid").join(cur, "shop")
-        srow = j.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.col("pid") == F.col("rid"), 1)
-                  .otherwise(0)).alias("st"),
-        ).collect()[0]
-        _require(srow["st"] == (srow["n"] or 0),
+        _require(r["st"] == r["surv"],
                  "a rewrite churned a surviving row's id")
-        fresh = cur.join(prev, "shop", "left_anti")
-        fr = fresh.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct("rid").alias("d"),
-            F.min("rid").alias("lo"), F.max("rid").alias("hi"),
-        ).collect()[0]
-        if fr["n"]:
+        if r["fn"]:
             # fresh ids continue the watermark: dense, above every
             # previously assigned id
-            _require(fr["d"] == fr["n"] and
-                     fr["hi"] - fr["lo"] + 1 == fr["n"],
+            _require(r["fd"] == r["fn"] and
+                     r["hi"] - r["lo"] + 1 == r["fn"],
                      "fresh ids must be dense")
-            pmax = prev.agg(F.max("rid").alias("m")).collect()[0]["m"]
-            _require(pmax is None or fr["lo"] > pmax,
+            _require(r["pmax"] is None or r["lo"] > r["pmax"],
                      "fresh ids must never reuse")
-        return int(row["n"]), int(row["d"]), int(srow["st"] or 0), int(fr["n"])
+        return int(r["n"]), int(r["d"]), int(r["st"]), int(r["fn"])
 
     t.append(base)
     t.enable_row_tracking(backfill=True)  # v2: one distributed rewrite
@@ -9744,14 +9745,14 @@ def q_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ch = t.read_changes(v_up, v_mrg, keys=("shop",))
     cj = ch.select("shop", F.col("__row_id").alias("cid")).join(
-        ids(v_up).withColumnRenamed("rid", "pid"), "shop")
+        ids(v_up).withColumnRenamed("rid", "pid"), "shop", "left")
     crow = cj.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("cid").alias("d"),
-        F.sum(F.when(F.col("cid") == F.col("pid"), 1)
-              .otherwise(0)).alias("st"),
+        F.count(F.when(F.col("cid") == F.col("pid"), 1)).alias("st"),
+        F.count(F.when(F.col("pid").isNull(), 1)).alias("orphans"),
     ).collect()[0]
-    _require(crow["n"] == ch.count(),
+    _require(crow["orphans"] == 0,
              "every change row must resolve a pre-merge key")
     _require(crow["st"] == crow["n"],
              "CDF change rows must carry the stable pre-merge ids")
