@@ -3852,11 +3852,35 @@ class SnapshotTable:
         m0 = self.manifest(from_version) if from_version else {"entries": []}
         pcol = m1.get("partition_col")
         if from_version and m0.get("column_mapping") != m1.get("column_mapping"):
-            raise ValueError(
-                "read_changes across a column-mapping change (rename/drop/"
-                "add under mapping) is ambiguous — read the two snapshots "
-                "and diff them explicitly"
+            # a PURELY ADDITIVE mapping change (add_columns, the mapped
+            # row-tracking enable) is unambiguous: every pre-existing
+            # logical->physical pair is intact and nothing was dropped,
+            # so the feed simply serves the window at the NEW logical
+            # schema (pre-change files surface the new columns as
+            # NULLs, like any add_columns read).  Renames and drops
+            # stay refused — a diff keyed on mutated logical names
+            # would misclassify every row.
+            c1 = m1.get("column_mapping") or {"cols": {}, "dropped": []}
+            c0 = m0.get("column_mapping")
+            if c0 is None:
+                # pre-mapping files store logical names physically, so
+                # the window is additive iff the new mapping is the
+                # IDENTITY on every column the old schema had
+                old_cols = [
+                    f.name for f in StructType.fromJson(
+                        json.loads(m0["schema"])).fields
+                ] if m0.get("schema") else []
+                c0 = {"cols": {k: k for k in old_cols}, "dropped": []}
+            additive = (
+                all(c1["cols"].get(k) == v for k, v in c0["cols"].items())
+                and (c0.get("dropped") or []) == (c1.get("dropped") or [])
             )
+            if not additive:
+                raise ValueError(
+                    "read_changes across a column-mapping change (rename/"
+                    "drop under mapping) is ambiguous — read the two "
+                    "snapshots and diff them explicitly"
+                )
         schema = StructType.fromJson(json.loads(m1["schema"]))
         table_cols = [f.name for f in schema.fields]
 

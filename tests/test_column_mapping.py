@@ -227,3 +227,38 @@ def test_enable_requires_schema_and_is_idempotent_guarded(spark, tmp_path):
         t.enable_column_mapping()
     with pytest.raises(ValueError, match="cannot drop the last column"):
         t.drop_column("k")
+
+
+def test_cdf_allows_additive_mapping_changes_only(spark, tmp_path):
+    """r8: read_changes across a PURELY ADDITIVE mapping change
+    (enable_column_mapping, add_columns, mapped row-tracking enable)
+    serves the window at the new logical schema — pre-change rows
+    surface new columns as NULLs; renames/drops stay refused."""
+    from pixelspark.table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    v0 = t.latest_version()
+    t.enable_column_mapping()          # None -> identity: additive
+    t.add_columns({"score": "double"})  # additive
+    t.append(spark.createDataFrame([(2, "b", 0.5)],
+                                   "k long, v string, score double"))
+    ch = {r["k"]: (r["change_type"], r["score"])
+          for r in t.read_changes(v0).collect()}
+    assert ch == {2: ("inserted", 0.5)}  # appended window only
+    # whole-history feed serves pre-mapping rows with NULL score
+    allch = {r["k"]: r["score"] for r in t.read_changes(0).collect()}
+    assert allch == {1: None, 2: 0.5}
+
+    v1 = t.latest_version()
+    t.rename_column("v", "val")        # mutating: refused
+    t.append(spark.createDataFrame([(3, "c", 1.0)],
+                                   "k long, val string, score double"))
+    with pytest.raises(ValueError, match="rename"):
+        t.read_changes(v1).collect()
+    # ...but a window strictly after the rename flows again
+    v2 = t.latest_version()
+    t.append(spark.createDataFrame([(4, "d", 2.0)],
+                                   "k long, val string, score double"))
+    got = {r["k"] for r in t.read_changes(v2).collect()}
+    assert got == {4}
