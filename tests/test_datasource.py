@@ -694,3 +694,32 @@ def test_pacing_sidecar_rejects_nonlocal_and_defaults_from_checkpoint(
                                 "maxversionspertrigger": "3",
                                 "checkpointlocation": ckpt})
     assert r6._cursor == 6
+
+
+def test_stream_keeps_flowing_across_add_columns(reg, spark, tmp_path):
+    """r8: an add_columns commit mid-stream must neither crash the
+    tail nor drop rows.  A RESTARTED query (even on the same
+    checkpoint) re-resolves the source schema, so post-DDL batches
+    deliver the widened schema — the sink's pre-DDL files simply
+    lack the column (mergeSchema surfaces it as NULL); a fresh query
+    over the whole history serves every row at the wide schema with
+    pre-DDL rows NULL-filled."""
+    root = str(tmp_path / "t")
+    out1, ck1 = str(tmp_path / "o1"), str(tmp_path / "c1")
+    t = SnapshotTable(spark, root)
+    t.append(_df(spark, [(1, "a")]))
+    _tail_once(spark, root, ck1, out1)
+
+    t.add_columns({"score": "double"})
+    t.append(spark.createDataFrame([(2, "b", 0.5)],
+                                   "k long, v string, score double"))
+    _tail_once(spark, root, ck1, out1)  # restart: widened schema flows
+    got = {(r["k"], r["v"], r["score"]) for r in spark.read.option(
+        "mergeSchema", "true").parquet(out1).collect()}
+    assert got == {(1, "a", None), (2, "b", 0.5)}
+
+    # fresh query over the whole history: every row at the wide schema
+    out2, ck2 = str(tmp_path / "o2"), str(tmp_path / "c2")
+    _tail_once(spark, root, ck2, out2)
+    rows = {r["k"]: r["score"] for r in spark.read.parquet(out2).collect()}
+    assert rows == {1: None, 2: 0.5}
