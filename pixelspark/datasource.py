@@ -443,11 +443,19 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             tag = hashlib.md5(self.root.encode()).hexdigest()[:12]
             self._pace_file = os.path.join(
                 psd, f"pixelspark-pace-{tag}.json")
-            try:
-                with open(self._pace_file, "r", encoding="utf-8") as f:
-                    self._cursor = int(json.load(f)["version"])
-            except (OSError, ValueError, KeyError, json.JSONDecodeError):
-                pass  # no sidecar yet: fresh start, or dir was wiped
+            # r9 (advisor): pre-r8 deployments wrote an un-namespaced
+            # pixelspark-pace.json — read it as a fallback so the
+            # first post-upgrade restart stays paced (writes keep the
+            # namespaced name; the legacy file goes stale harmlessly)
+            for cand in (self._pace_file,
+                         os.path.join(psd, "pixelspark-pace.json")):
+                try:
+                    with open(cand, "r", encoding="utf-8") as f:
+                        self._cursor = int(json.load(f)["version"])
+                    break
+                except (OSError, ValueError, KeyError,
+                        json.JSONDecodeError):
+                    continue  # no sidecar yet: fresh start / wiped dir
 
     def initialOffset(self) -> dict:
         # fresh query starts only — restarts recover the cursor from

@@ -1030,6 +1030,18 @@ class SnapshotTable:
 
         col, step, high = spec["col"], spec["step"], spec["high"]
         isnull = F.col(col).isNull()
+        # Originally-non-null rows must still be carried ids (< the
+        # PRE-assignment watermark): once this call assigns anything,
+        # the column leaves the write-plan audit set
+        # (_unassigned_id_cols), so a mixed frame smuggling an
+        # explicit id at/above the watermark would bypass the
+        # sys_bound guard in _write_snap and collide with a future
+        # assignment.  Guard it here inline, against the same high the
+        # fill starts from — _write_snap's wrapper translates the mark.
+        carried = F.when(
+            F.col(col) >= F.lit(high).cast("long"),
+            F.raise_error(F.lit(_IDENTITY_NULL_MARK)),
+        ).otherwise(F.col(col))
         tagged = df.withColumn("__pid", F.spark_partition_id())
         counts = {
             r["__pid"]: r["c"]
@@ -1057,7 +1069,7 @@ class SnapshotTable:
                 isnull,
                 F.lit(high).cast("long")
                 + (off + rn - 1) * F.lit(step).cast("long"),
-            ).otherwise(F.col(col)),
+            ).otherwise(carried),
         ).drop("__pid").select(*df.columns)
         return out, high + acc * step
 
@@ -1127,6 +1139,19 @@ class SnapshotTable:
         same ids to different tables (forks are forks)."""
         if backfill:
             if self._row_tracking_spec():
+                # r9 (advisor): the mapped path is two commits
+                # (metadata enable, then the compact fill) — a crash
+                # between them leaves pre-enable rows with NULL ids
+                # and the spec already present.  Re-running with
+                # backfill=True RESUMES the fill instead of stranding
+                # the operator behind "already enabled": one cheap
+                # column-pruned NULL probe decides.
+                pending = (
+                    self.read().where(F.col("__row_id").isNull())
+                    .limit(1).count() > 0
+                )
+                if pending:
+                    return self.compact()
                 raise ValueError("row tracking is already enabled")
             mapped = False
             v0 = self.latest_version()

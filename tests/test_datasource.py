@@ -560,6 +560,48 @@ def test_pacing_survives_restart_via_sidecar_and_recovery_call(
     assert r5.latestOffset() == {"version": 6}  # 3 + 3, not head 8
 
 
+def test_legacy_pacing_sidecar_filename_is_read_as_fallback(
+    reg, spark, tmp_path
+):
+    """ADVICE r8: pre-r8 deployments wrote an un-namespaced
+    pixelspark-pace.json; after the per-source rename an upgrade
+    restart must still seed from the legacy file (read fallback),
+    while writes use the namespaced name — and the namespaced file,
+    when present, wins over the legacy one."""
+    import json as _json
+    import os as _os
+
+    from pixelspark.datasource import _SnapshotStreamReader
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    for i in range(6):
+        t.append(_df(spark, [(i, f"v{i}")]))
+    schema = t.read().schema
+    psd = str(tmp_path / "pace")
+    _os.makedirs(psd)
+    with open(_os.path.join(psd, "pixelspark-pace.json"), "w") as fh:
+        fh.write('{"version": 2}')  # legacy, pre-upgrade cursor
+
+    r = _SnapshotStreamReader(root, schema,
+                              {"startingversion": "latest",
+                               "maxversionspertrigger": "2",
+                               "pacingstatedir": psd})
+    # seeded from the legacy file: next batch is 2+2, not head 6
+    assert r.latestOffset() == {"version": 4}
+    # and the WRITE landed under the namespaced name
+    with open(r._pace_file) as fh:
+        assert _json.load(fh)["version"] == 4
+    assert _os.path.basename(r._pace_file) != "pixelspark-pace.json"
+
+    # namespaced file present → it wins over the (stale) legacy one
+    r2 = _SnapshotStreamReader(root, schema,
+                               {"startingversion": "latest",
+                                "maxversionspertrigger": "2",
+                                "pacingstatedir": psd})
+    assert r2.latestOffset() == {"version": 6}  # 4 + 2 from namespaced
+
+
 def test_widened_table_reads_through_format(reg, spark, tmp_path):
     """Type widening through the DataSource: _read_ref_batches casts
     every Arrow batch to the DECLARED schema, so files written at the

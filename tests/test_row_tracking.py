@@ -315,6 +315,24 @@ def test_explicit_out_of_watermark_row_id_is_refused(spark, tmp_path):
     t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
     assert sorted(_ids(t).values()) == [1, 2, 3]
 
+    # r9 (advisor): a MIXED frame — one NULL (triggers assignment,
+    # which drops the column from the write-plan audit set) plus one
+    # explicit id at/above the watermark — must be refused too; the
+    # guard lives inside _fill_null_ids against the pre-assignment
+    # high, so the smuggled 999 can't ride in under the fill.
+    with pytest.raises(ConstraintViolation, match="identity"):
+        t.append(spark.createDataFrame(
+            [(8, "y", None), (9, "z", 999)],
+            "k long, v string, __row_id long"))
+    assert sorted(_ids(t).values()) == [1, 2, 3]  # nothing landed
+    # a mixed frame whose explicit ids are genuinely carried (< high)
+    # still fills its NULLs fine — the upsert/merge shape
+    cur_high = t.manifest(t.latest_version())["row_tracking"]["high"]
+    t.overwrite(spark.createDataFrame(
+        [(1, "a", 1), (4, "d", None)], "k long, v string, __row_id long"))
+    ids = _ids(t)
+    assert ids[1] == 1 and ids[4] >= cur_high  # carried kept, NULL filled fresh
+
 
 def test_row_tracking_composes_with_column_mapping(spark, tmp_path):
     """r8: row tracking on a column-mapping-enabled table (Delta
@@ -357,3 +375,29 @@ def test_row_tracking_composes_with_column_mapping(spark, tmp_path):
     t2.enable_row_tracking()
     t2.append(spark.createDataFrame([(5, "x")], "k long, v string"))
     assert _ids(t2) == {5: 1}
+
+
+def test_mapped_backfill_resumes_after_crash(spark, tmp_path):
+    """r9 (advisor): the mapped backfill is two commits — a crash
+    between the metadata enable and the compact fill leaves pre-enable
+    rows with NULL __row_id and the spec present.  Re-running
+    enable_row_tracking(backfill=True) must RESUME the fill, not raise
+    'already enabled'; on a completed table it still raises."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")],
+                                   "k long, v string"))
+    t.enable_column_mapping()
+    # simulate the crash: the first of the two commits only
+    t.enable_row_tracking(backfill=False, _allow_rows=True)
+    nulls = t.read().where(F.col("__row_id").isNull()).count()
+    assert nulls == 2  # the documented NULL-id window
+
+    t.enable_row_tracking(backfill=True)  # resumes: runs the fill
+    ids = _ids(t)
+    assert sorted(ids.values()) == [1, 2]
+    assert t.read().where(F.col("__row_id").isNull()).count() == 0
+
+    # fully backfilled: a third call is genuinely 'already enabled'
+    with pytest.raises(ValueError, match="already enabled"):
+        t.enable_row_tracking(backfill=True)
+    assert _ids(t) == ids  # and nothing churned
