@@ -456,6 +456,27 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 except (OSError, ValueError, KeyError,
                         json.JSONDecodeError):
                     continue  # no sidecar yet: fresh start / wiped dir
+        if self.max_versions is not None and self._pace_file is None:
+            # r9 (VERDICT item 6): pacing is ON but no sidecar could
+            # be resolved (no pacingStateDir, and checkpointLocation
+            # absent on the READ side or non-local).  Pacing still
+            # works — the recovery partitions() call re-seeds the
+            # cursor in Spark's documented restart order — but a
+            # restart ordering that skips the recovery call replans
+            # the first batch unpaced.  Say so LOUDLY once instead of
+            # leaving the degradation silent.
+            import warnings
+
+            warnings.warn(
+                f"snapshot_table stream at {self.root}: "
+                "maxVersionsPerTrigger is set but no durable pacing "
+                "sidecar could be resolved — pass pacingStateDir (or "
+                "checkpointLocation as a READ option; Spark does not "
+                "forward the writer-side one) pointing at local disk "
+                "to keep pacing exact across restarts",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     def initialOffset(self) -> dict:
         # fresh query starts only — restarts recover the cursor from

@@ -484,6 +484,7 @@ class SnapshotTable:
         self.root = root.rstrip("/")
         self.st: Storage = storage if storage is not None else storage_for(root, spark)
         self.max_retries = max_retries
+        self._id_pins: list[DataFrame] = []  # see _pin_for_assignment
         self.stats_cols = tuple(stats_cols) if stats_cols else ()
         self.bloom_cols = tuple(bloom_cols) if bloom_cols else ()
         self.bloom_bits = bloom_bits
@@ -766,15 +767,20 @@ class SnapshotTable:
     def _write_snap(
         self, df: DataFrame, partition_col: str | None,
         audit_cols: list[str] | None = None,
-    ) -> tuple[str, list[str], bool, dict | None]:
+    ) -> tuple[str, list[str], bool, dict | None, int | None]:
         """Write one immutable data dir; returns (relative dir, list of
         `col=value` subdirectory names — empty for unpartitioned,
-        whether any parquet data file landed, and the column-mapping
+        whether any parquet data file landed, the column-mapping
         manifest value the write was translated under — commit builds
         that add this dir's entry must raise _Conflicted if the
         table's mapping has moved since, or a rename racing a write
         would publish data whose physical names no longer match the
-        mapping).  An empty DataFrame can produce a dir with no data
+        mapping — and the row count OBSERVED on the write job itself
+        (None when the observation didn't resolve): riding the count
+        on the write via df.observe saves _entry_for a whole second
+        Spark job per commit, the dominant fixed cost of the
+        lifecycle bench rows (r9 profiling: ~150-250 ms/job floor
+        locally).  An empty DataFrame can produce a dir with no data
         files at all (always, under partitionBy) — committing such an
         entry would give read() zero scannable paths, so callers
         short-circuit on `has_data=False`."""
@@ -837,8 +843,18 @@ class SnapshotTable:
                     "schema-evolution-first contract)"
                 )
             df = df.select(*[F.col(c).alias(cols[c]) for c in df.columns])
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         rel = self._new_snap()
         full = f"{self.root}/{rel}"
+
+        def observed() -> int | None:
+            try:
+                return int(obs.get["n"])
+            except Exception:
+                return None  # listener raced/missed: fall back to a count
 
         def write(w):
             try:
@@ -853,19 +869,24 @@ class SnapshotTable:
                         "(system id columns are engine-owned)"
                     ) from None
                 raise
+            finally:
+                # frames _pin_for_assignment cached are consumed by
+                # exactly this write action (the entry count rides on
+                # the write's observation) — release them here
+                self._drain_id_pins()
 
         if partition_col is None:
             write(lambda: df.write.mode("errorifexists").parquet(full))
             has = self.st.has_parquet(full)
             if metrics is not None and has:
                 self._write_expectation_metrics(full, metrics)
-            return rel, [], has, cmap
+            return rel, [], has, cmap, observed()
         write(lambda: df.write.mode("errorifexists")
               .partitionBy(partition_col).parquet(full))
         parts = [p for p in self.st.list(full) if p.startswith(f"{partition_col}=")]
         if metrics is not None and parts:
             self._write_expectation_metrics(full, metrics)
-        return rel, parts, bool(parts), cmap
+        return rel, parts, bool(parts), cmap, observed()
 
     def _generation_exprs(self) -> dict[str, str]:
         """The table's persisted generation expressions (manifest wins
@@ -1073,6 +1094,32 @@ class SnapshotTable:
         ).drop("__pid").select(*df.columns)
         return out, high + acc * step
 
+    def _pin_for_assignment(self, df: DataFrame) -> DataFrame:
+        """Persist a batch that is about to get ids assigned: the
+        assignment's per-partition count executes the source plan
+        once, and the write would execute it a SECOND time — for an
+        upsert/merge whose source is itself a multi-join plan, that
+        doubles the stage's cost (measured ~2x on the row-tracking
+        lifecycle, r9).  Pinning (MEMORY_AND_DISK: spills, never
+        recomputes — recomputation is also what the deterministic-
+        replay contract otherwise has to assume away) makes the count
+        the only full execution; _write_snap unpersists after the
+        write lands.  Delta materializes merge sources for the same
+        reason."""
+        from pyspark.storagelevel import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        self._id_pins.append(df)
+        return df
+
+    def _drain_id_pins(self) -> None:
+        for p in self._id_pins:
+            try:
+                p.unpersist()
+            except Exception:
+                pass
+        self._id_pins.clear()
+
     def _identity_prepare(
         self, df: DataFrame, spec: dict | None
     ) -> tuple[DataFrame, int | None]:
@@ -1085,8 +1132,10 @@ class SnapshotTable:
         if not spec:
             return df, None
         if spec["col"] not in df.columns:
+            df = self._pin_for_assignment(df)
             out, nh = self._assign_identity(df, spec)
         elif spec.get("system"):
+            df = self._pin_for_assignment(df)
             out, nh = self._fill_null_ids(df, spec)
         else:
             return df, None
@@ -1189,10 +1238,11 @@ class SnapshotTable:
                 assigned = assigned.select(
                     *[f.name for f in schema.fields], "__row_id")
                 pcol = m.get("partition_col")
-                rel, parts, has_data, wmap = self._write_snap(
+                rel, parts, has_data, wmap, nrows = self._write_snap(
                     assigned, pcol)  # default: audit carried user ids
                 entry = self._entry_for(
-                    rel, sorted(parts), has_data, assigned.schema, wmap)
+                    rel, sorted(parts), has_data, assigned.schema, wmap,
+                    row_count=nrows)
 
                 def build(prev: dict | None) -> dict:
                     self._check_expected(prev, read_v)
@@ -1700,7 +1750,8 @@ class SnapshotTable:
         return out
 
     def _entry_for(self, rel: str, parts: list[str], has_data: bool,
-                   df_schema: StructType, cmap: dict | None = None) -> dict:
+                   df_schema: StructType, cmap: dict | None = None,
+                   row_count: int | None = None) -> dict:
         entry: dict = {"base": rel, "parts": parts or None}
         if has_data:
             # per-part (or whole-dir) row counts: COUNT(*) on parquet
@@ -1708,23 +1759,33 @@ class SnapshotTable:
             # recording this is nearly free and makes row_count() a
             # manifest read at any table size (the Delta fast-count
             # path).  Keyed per `col=value` part so replace_partitions
-            # subsets keep exact counts.
-            scan = self.spark.read.parquet(f"{self.root}/{rel}")
-            if parts:
-                pcol = parts[0].split("=", 1)[0]
-                got = {
-                    f"{pcol}={r['__p']}": int(r["__n"])
-                    for r in scan.groupBy(
-                        F.col(pcol).cast("string").alias("__p")
-                    ).agg(F.count(F.lit(1)).alias("__n")).collect()
-                }
-                # record only when every directory name round-trips
-                # through the value's string form — an encoding
-                # mismatch must lose the optimization, never the count
-                if set(got) == set(parts):
-                    entry["rows"] = got
+            # subsets keep exact counts.  `row_count` is the total the
+            # WRITE job already observed (df.observe in _write_snap) —
+            # when it covers the case (unpartitioned, or exactly one
+            # partition value) the whole re-read job disappears; the
+            # scan below is the multi-value / missed-observation
+            # fallback only.
+            if not parts and row_count is not None:
+                entry["rows"] = {"": int(row_count)}
+            elif len(parts) == 1 and row_count is not None:
+                entry["rows"] = {parts[0]: int(row_count)}
             else:
-                entry["rows"] = {"": int(scan.count())}
+                scan = self.spark.read.parquet(f"{self.root}/{rel}")
+                if parts:
+                    pcol = parts[0].split("=", 1)[0]
+                    got = {
+                        f"{pcol}={r['__p']}": int(r["__n"])
+                        for r in scan.groupBy(
+                            F.col(pcol).cast("string").alias("__p")
+                        ).agg(F.count(F.lit(1)).alias("__n")).collect()
+                    }
+                    # record only when every directory name round-trips
+                    # through the value's string form — an encoding
+                    # mismatch must lose the optimization, never the count
+                    if set(got) == set(parts):
+                        entry["rows"] = got
+                else:
+                    entry["rows"] = {"": int(scan.count())}
         if has_data and self.stats_cols:
             st = self._file_stats(rel, df_schema, cmap)
             if st:
@@ -1814,10 +1875,11 @@ class SnapshotTable:
                 if last is not None and last >= txn[1]:
                     return None  # replay detected before paying the write
         out_df, highs = self._prepare_ids(df)
-        rel, parts, has_data, wmap = self._write_snap(
+        rel, parts, has_data, wmap, nrows = self._write_snap(
             out_df, partition_col,
             audit_cols=self._unassigned_id_cols(highs))
-        entry = self._entry_for(rel, parts, has_data, out_df.schema, wmap)
+        entry = self._entry_for(rel, parts, has_data, out_df.schema, wmap,
+                                row_count=nrows)
         schema = out_df.schema.json()
 
         def build(prev: dict | None) -> dict:
@@ -1857,9 +1919,10 @@ class SnapshotTable:
         so the schema is established."""
         for _ in range(self.max_retries):
             out_df, highs = self._prepare_ids(df)
-            rel, _, has_data, wmap = self._write_snap(
+            rel, _, has_data, wmap, nrows = self._write_snap(
                 out_df, None, audit_cols=self._unassigned_id_cols(highs))
-            entry = self._entry_for(rel, [], has_data, out_df.schema, wmap)
+            entry = self._entry_for(rel, [], has_data, out_df.schema, wmap,
+                                    row_count=nrows)
             schema = out_df.schema.json()
             if not has_data:
                 v = self.latest_version()
@@ -1920,9 +1983,10 @@ class SnapshotTable:
                 return None  # replay detected before paying the write
         for _ in range(self.max_retries):
             out_df, highs = self._prepare_ids(df)
-            rel, _, has_data, wmap = self._write_snap(
+            rel, _, has_data, wmap, nrows = self._write_snap(
                 out_df, None, audit_cols=self._unassigned_id_cols(highs))
-            entry = self._entry_for(rel, [], has_data, out_df.schema, wmap)
+            entry = self._entry_for(rel, [], has_data, out_df.schema, wmap,
+                                    row_count=nrows)
             schema = out_df.schema.json()
             try:
                 return self._append_once_commit(
@@ -2004,11 +2068,11 @@ class SnapshotTable:
                 if last is not None and last >= txn[1]:
                     return None  # replay: skip before paying the write
         out_df, highs = self._prepare_ids(df)
-        rel, parts, has_data, wmap = self._write_snap(
+        rel, parts, has_data, wmap, nrows = self._write_snap(
             out_df, partition_col,
             audit_cols=self._unassigned_id_cols(highs))
         entry = self._entry_for(rel, sorted(parts), has_data, out_df.schema,
-                                wmap)
+                                wmap, row_count=nrows)
         new_parts = set(parts)  # subdirs that actually exist in the new snap
         replaced = set(new_parts)  # values retired from previous entries
         if replace_values is not None:
@@ -2587,17 +2651,22 @@ class SnapshotTable:
             # fresh ids here (a user identity keeps the refuse-NULLs
             # stance — sources must carry ids explicitly)
             new_data, highs_dv = self._prepare_ids(new_data)
-            rel_new, parts, has_data, wmap_new = self._write_snap(
+            rel_new, parts, has_data, wmap_new, nrows = self._write_snap(
                 new_data, pcol,
                 audit_cols=self._unassigned_id_cols(highs_dv))
             # an empty unpartitioned write can still leave a zero-row
-            # part file (has_data=True); read the (tiny or empty) snap
-            # back so a fully-no-op merge commits nothing
-            if has_data and self.spark.read.parquet(
-                f"{self.root}/{rel_new}"
-            ).limit(1).isEmpty():
+            # part file (has_data=True); the write-job observation
+            # already knows (isEmpty re-read only when it missed) so a
+            # fully-no-op merge commits nothing
+            if has_data and (
+                nrows == 0
+                or (nrows is None and self.spark.read.parquet(
+                    f"{self.root}/{rel_new}").limit(1).isEmpty())
+            ):
                 has_data = False
-            entry = self._entry_for(rel_new, parts, has_data, new_data.schema, wmap_new)
+            entry = self._entry_for(rel_new, parts, has_data,
+                                    new_data.schema, wmap_new,
+                                    row_count=nrows)
             if not has_data:
                 # the data dir is empty either way — drop it now rather
                 # than leaving unreferenced garbage for vacuum (a
@@ -2930,8 +2999,11 @@ class SnapshotTable:
             if self.spark.read.parquet(full_dv).limit(1).isEmpty():
                 self.st.delete(full_dv)
                 return read_v  # nothing matched
-            rel_new, parts, has_data, wmap_upd = self._write_snap(updated, pcol)
-            entry = self._entry_for(rel_new, parts, has_data, updated.schema, wmap_upd)
+            rel_new, parts, has_data, wmap_upd, nrows = self._write_snap(
+                updated, pcol)
+            entry = self._entry_for(rel_new, parts, has_data,
+                                    updated.schema, wmap_upd,
+                                    row_count=nrows)
 
             def build(prev: dict | None) -> dict:
                 self._check_expected(prev, read_v)
@@ -3717,15 +3789,43 @@ class SnapshotTable:
         return out
 
     def _declared_scan_schema(self, m: dict) -> StructType | None:
-        """The LOGICAL schema the scan must be handed explicitly, or
-        None for the default mergeSchema scan.  Only type-widened
-        tables need it: their declared types are wider than some data
-        files', which schema merging refuses but the parquet reader's
-        widening promotion applies when the wide schema is the
-        requested one."""
-        if not m.get("type_widened") or not m.get("schema"):
+        """The LOGICAL schema the scan is handed explicitly, or None
+        for the mergeSchema fallback (schema-less legacy manifests
+        only).  The declared schema is the table contract (Delta/
+        Iceberg read with it, never by inference): files written
+        before a column existed serve typed NULLs, files written at a
+        pre-widening width get the parquet reader's promotion, and —
+        the scale reason this is the DEFAULT since r9 — the scan skips
+        mergeSchema's footer-merge pass entirely, which is a whole
+        Spark job growing O(files) at every read (at 100 TB, reading
+        every footer to discover a schema the manifest already records
+        is pure waste).
+
+        GENERATED columns are materialized into the data files but the
+        recorded schema predates _apply_generated, so their types are
+        recovered by analyzing the generation expression against the
+        recorded schema (driver-side plan analysis, no job); the one
+        generated column that is also the partition column is excluded
+        like any layout column (directory discovery restores it)."""
+        if not m.get("schema"):
             return None
-        return StructType.fromJson(json.loads(m["schema"]))
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        gen = m.get("generated") or {}
+        have = {f.name for f in schema.fields}
+        missing = {
+            n: e for n, e in gen.items()
+            if n not in have and n != m.get("partition_col")
+        }
+        for n, e in missing.items():
+            try:
+                dt = (
+                    self.spark.createDataFrame([], schema)
+                    .selectExpr(f"({e}) AS __g").schema[0].dataType
+                )
+            except Exception:
+                return None  # un-analyzable: mergeSchema fallback
+            schema = schema.add(n, dt)
+        return schema
 
     def _scan_entries(
         self, entries: list[dict], pcol: str | None, with_pos: bool = False,
@@ -3876,36 +3976,45 @@ class SnapshotTable:
         )
         m0 = self.manifest(from_version) if from_version else {"entries": []}
         pcol = m1.get("partition_col")
+        rename_map: dict[str, str] = {}
         if from_version and m0.get("column_mapping") != m1.get("column_mapping"):
-            # a PURELY ADDITIVE mapping change (add_columns, the mapped
-            # row-tracking enable) is unambiguous: every pre-existing
-            # logical->physical pair is intact and nothing was dropped,
-            # so the feed simply serves the window at the NEW logical
-            # schema (pre-change files surface the new columns as
-            # NULLs, like any add_columns read).  Renames and drops
-            # stay refused — a diff keyed on mutated logical names
-            # would misclassify every row.
+            # Mapping changes are resolved at the PHYSICAL level —
+            # field ids (fresh physical names) are stable for a
+            # column's whole life, so ADDITIVE changes (add_columns,
+            # the mapped row-tracking enable) and RENAMES are both
+            # unambiguous: the feed serves the whole window at the
+            # LATEST logical names, translating historical entries
+            # through m1's mapping (their physical names never moved;
+            # r9, VERDICT item 3).  Pre-change files surface newly
+            # added columns as NULLs, like any add_columns read.
+            # DROPS stay refused: a column present on one side of the
+            # window and erased on the other has no faithful diff.
             c1 = m1.get("column_mapping") or {"cols": {}, "dropped": []}
             c0 = m0.get("column_mapping")
             if c0 is None:
-                # pre-mapping files store logical names physically, so
-                # the window is additive iff the new mapping is the
-                # IDENTITY on every column the old schema had
+                # pre-mapping files store logical names physically
                 old_cols = [
                     f.name for f in StructType.fromJson(
                         json.loads(m0["schema"])).fields
                 ] if m0.get("schema") else []
                 c0 = {"cols": {k: k for k in old_cols}, "dropped": []}
-            additive = (
-                all(c1["cols"].get(k) == v for k, v in c0["cols"].items())
+            phys0 = {v: k for k, v in c0["cols"].items()}
+            phys1 = {v: k for k, v in c1["cols"].items()}
+            traversable = (
+                all(p in phys1 for p in phys0)  # every physical survived
                 and (c0.get("dropped") or []) == (c1.get("dropped") or [])
             )
-            if not additive:
+            if not traversable:
                 raise ValueError(
-                    "read_changes across a column-mapping change (rename/"
-                    "drop under mapping) is ambiguous — read the two "
-                    "snapshots and diff them explicitly"
+                    "read_changes across a column DROP is ambiguous — "
+                    "read the two snapshots and diff them explicitly "
+                    "(additive changes and renames flow through)"
                 )
+            # old-logical -> new-logical, for the time-travel (DV)
+            # path whose reads serve each version's OWN names
+            rename_map = {
+                phys0[p]: phys1[p] for p in phys0 if phys0[p] != phys1[p]
+            }
         schema = StructType.fromJson(json.loads(m1["schema"]))
         table_cols = [f.name for f in schema.fields]
 
@@ -3968,6 +4077,15 @@ class SnapshotTable:
                     "vectors; pass `keys` to classify changes"
                 )
             old_full = self.read(version=from_version)
+            if rename_map:
+                # the old snapshot serves its OWN logical names —
+                # translate to the latest ones before aligning, or a
+                # mid-window rename would NULL the column and
+                # misclassify every row as updated
+                old_full = old_full.select(*[
+                    F.col(c).alias(rename_map.get(c, c))
+                    for c in old_full.columns
+                ])
             old_full = old_full.select(*[
                 F.col(f.name) if f.name in old_full.columns
                 else F.lit(None).cast(f.dataType).alias(f.name)

@@ -157,16 +157,23 @@ def test_merge_on_mapped_table(spark, tbl):
 
 
 def test_read_changes_refuses_mapping_drift(spark, tbl):
+    """r9 relaxation: renames traverse (the feed serves the latest
+    logical names); only DROPS keep the refusal."""
     v1 = tbl.latest_version()
     tbl.enable_column_mapping()
     tbl.rename_column("v", "label")
     v3 = tbl.latest_version()
-    with pytest.raises(ValueError, match="column-mapping change"):
-        tbl.read_changes(from_version=v1, to_version=v3)
+    # a rename-spanning no-op window: no entry changes, no rows
+    assert tbl.read_changes(from_version=v1, to_version=v3).count() == 0
     # within a stable mapping CDF works
     tbl.append(spark.createDataFrame([(5, "e", 5.0)], "k long, label string, amt double"))
     ch = tbl.read_changes(from_version=v3, to_version=tbl.latest_version())
     assert {(r["k"], r["change_type"]) for r in ch.collect()} == {(5, "inserted")}
+    # a DROP inside the window still refuses
+    v4 = tbl.latest_version()
+    tbl.drop_column("amt")
+    with pytest.raises(ValueError, match="DROP"):
+        tbl.read_changes(from_version=v4, to_version=tbl.latest_version())
 
 
 def test_stale_mapping_write_restages_and_retries(spark, tbl, tmp_path):
@@ -230,10 +237,12 @@ def test_enable_requires_schema_and_is_idempotent_guarded(spark, tmp_path):
 
 
 def test_cdf_allows_additive_mapping_changes_only(spark, tmp_path):
-    """r8: read_changes across a PURELY ADDITIVE mapping change
+    """r8+r9: read_changes across ADDITIVE mapping changes
     (enable_column_mapping, add_columns, mapped row-tracking enable)
-    serves the window at the new logical schema — pre-change rows
-    surface new columns as NULLs; renames/drops stay refused."""
+    AND RENAMES serves the window at the latest logical schema —
+    physical field ids are stable, so historical entries translate
+    through the latest mapping; pre-change rows surface new columns
+    as NULLs.  Drops stay refused."""
     from pixelspark.table import SnapshotTable
 
     t = SnapshotTable(spark, str(tmp_path / "t"))
@@ -250,15 +259,56 @@ def test_cdf_allows_additive_mapping_changes_only(spark, tmp_path):
     allch = {r["k"]: r["score"] for r in t.read_changes(0).collect()}
     assert allch == {1: None, 2: 0.5}
 
+    # rename mid-window (r9, VERDICT item 3): flows at the NEW names
     v1 = t.latest_version()
-    t.rename_column("v", "val")        # mutating: refused
+    t.rename_column("v", "val")
     t.append(spark.createDataFrame([(3, "c", 1.0)],
                                    "k long, val string, score double"))
-    with pytest.raises(ValueError, match="rename"):
-        t.read_changes(v1).collect()
-    # ...but a window strictly after the rename flows again
+    got = {r["k"]: r["val"] for r in t.read_changes(v1).collect()}
+    assert got == {3: "c"}  # the appended row, at the renamed name
+    # pre-rename rows flow with IDENTICAL values under the new name
+    full = {r["k"]: r["val"] for r in t.read_changes(0).collect()}
+    assert full == {1: "a", 2: "b", 3: "c"}
+
+    # rename + rewrite mid-window: the keyed diff classifies at the
+    # new names and pre-rename values compare correctly (no phantom
+    # updates from the rename itself)
     v2 = t.latest_version()
-    t.append(spark.createDataFrame([(4, "d", 2.0)],
-                                   "k long, val string, score double"))
-    got = {r["k"] for r in t.read_changes(v2).collect()}
-    assert got == {4}
+    t.rename_column("val", "value")
+    t.upsert(spark.createDataFrame([(1, "a2", 9.0)],
+                                   "k long, value string, score double"),
+             keys=("k",))
+    ch2 = {r["k"]: (r["change_type"], r["value"])
+           for r in t.read_changes(v2, keys=("k",)).collect()}
+    assert ch2 == {1: ("updated", "a2")}  # 2 and 3 untouched: no rows
+
+    # drop mid-window: still refused
+    v3 = t.latest_version()
+    t.drop_column("score")
+    t.append(spark.createDataFrame([(4, "d")], "k long, value string"))
+    with pytest.raises(ValueError, match="DROP"):
+        t.read_changes(v3).collect()
+    # ...but a window strictly after the drop flows again
+    v4 = t.latest_version()
+    t.append(spark.createDataFrame([(5, "e")], "k long, value string"))
+    assert {r["k"] for r in t.read_changes(v4).collect()} == {5}
+
+
+def test_cdf_rename_traverses_dv_window(spark, tmp_path):
+    """r9: the DV fallback path reads each version with its OWN
+    logical names — a mid-window rename must translate the old side
+    to the latest names, or every row would misclassify as updated."""
+    from pixelspark.table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"))
+    t.enable_column_mapping()
+    v0 = t.latest_version()
+    t.rename_column("v", "val")
+    t.delete(F.col("k") == 2, mode="dv")  # DV inside the window
+    ch = {r["k"]: (r["change_type"], r["val"])
+          for r in t.read_changes(v0, keys=("k",)).collect()}
+    # only the deleted row changed; 1 and 3 must NOT appear (their
+    # values are identical under the rename translation)
+    assert ch == {2: ("deleted", "b")}

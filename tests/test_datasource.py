@@ -560,6 +560,39 @@ def test_pacing_survives_restart_via_sidecar_and_recovery_call(
     assert r5.latestOffset() == {"version": 6}  # 3 + 3, not head 8
 
 
+def test_sidecarless_pacing_warns_loudly_once(reg, spark, tmp_path):
+    """VERDICT r8 item 6: pacing with no resolvable sidecar (no
+    pacingStateDir, no read-side checkpointLocation) degrades to
+    recovery-call-only restart seeding — that's now a loud
+    RuntimeWarning at construction instead of a silent hole; readers
+    WITH a sidecar (or without pacing) stay silent."""
+    import warnings as _warnings
+
+    from pixelspark.datasource import _SnapshotStreamReader
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.append(_df(spark, [(1, "a")]))
+    schema = t.read().schema
+
+    with pytest.warns(RuntimeWarning, match="pacing sidecar"):
+        _SnapshotStreamReader(root, schema,
+                              {"maxversionspertrigger": "1"})
+    # non-local checkpointLocation habit-copied to the read side:
+    # same degradation, same loud warning
+    with pytest.warns(RuntimeWarning, match="pacing sidecar"):
+        _SnapshotStreamReader(root, schema,
+                              {"maxversionspertrigger": "1",
+                               "checkpointlocation": "s3://bkt/ck"})
+    # sidecar resolvable, or pacing off: silent
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        _SnapshotStreamReader(root, schema,
+                              {"maxversionspertrigger": "1",
+                               "pacingstatedir": str(tmp_path / "p")})
+        _SnapshotStreamReader(root, schema, {})
+
+
 def test_legacy_pacing_sidecar_filename_is_read_as_fallback(
     reg, spark, tmp_path
 ):

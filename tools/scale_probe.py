@@ -949,6 +949,75 @@ def identity_experiment(spark) -> dict:
             **results}
 
 
+def row_tracking_backfill_experiment(spark) -> dict:
+    """Backfill cost curve (VERDICT r8 item 4):
+    enable_row_tracking(backfill=True) is ONE distributed rewrite
+    (per-partition identity-assign, no global sort) committed like
+    compact — so its cost must be ~LINEAR in table size, and on a
+    partitioned table the rewrite must preserve the layout (the
+    partition column's subdirectory set is unchanged and a
+    partition-pruned read still prunes afterwards).  100-TB guidance
+    recorded in BASELINE.md: run the backfill PRE-publication (it is
+    the one whole-table write the feature ever pays; afterwards every
+    assignment is O(batch), pinned flat by the identity_append probe).
+    """
+    import tempfile
+
+    from pixelspark.table import SnapshotTable
+
+    results: dict = {}
+    for n in (200_000, 2_000_000):
+        base = tempfile.mkdtemp(prefix=f"probe_bf_{n}_")
+        t = SnapshotTable(spark, base + "/t")
+        t.append(spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v")))
+        t0 = time.time()
+        t.enable_row_tracking(backfill=True)
+        sec = time.time() - t0
+        m = t.manifest(t.latest_version())
+        assert m["row_tracking"]["high"] == n + 1, m["row_tracking"]
+        results[f"{n}_rows"] = {"backfill_sec": round(sec, 3)}
+    results["backfill_ratio_at_10x_table"] = round(
+        results["2000000_rows"]["backfill_sec"]
+        / results["200000_rows"]["backfill_sec"], 2)
+
+    # partition preservation at the larger size: same layout before
+    # and after, and manifest-level pruning still works
+    base = tempfile.mkdtemp(prefix="probe_bf_part_")
+    t = SnapshotTable(spark, base + "/t")
+    days = 30
+    t.overwrite(
+        spark.range(2_000_000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % days).alias("day"),
+        ),
+        partition_col="day",
+    )
+    parts_before = sorted(
+        p for e in t.manifest(t.latest_version())["entries"]
+        for p in (e["parts"] or []))
+    t0 = time.time()
+    t.enable_row_tracking(backfill=True)
+    sec = time.time() - t0
+    parts_after = sorted(
+        p for e in t.manifest(t.latest_version())["entries"]
+        for p in (e["parts"] or []))
+    assert {p.split("=")[0] for p in parts_after} == {"day"}
+    assert len(parts_after) == days and parts_before == parts_after
+    pruned = t.read(partition_values=[3])
+    assert pruned.count() == 2_000_000 // days
+    ids = t.read().agg(
+        F.countDistinct("__row_id").alias("d"),
+        F.count(F.lit(1)).alias("n")).collect()[0]
+    assert ids["d"] == ids["n"] == 2_000_000
+    results["partitioned_2m_30days"] = {
+        "backfill_sec": round(sec, 3),
+        "layout_preserved": True,
+        "partition_pruning_intact": True,
+    }
+    return {"experiment": "row_tracking_backfill", **results}
+
+
 def topn_matview_experiment(spark) -> dict:
     """TOP-N view refresh cost model (ops/matview.py
     refresh_topn_view): a DAY-partitioned source whose boards are
@@ -1331,6 +1400,7 @@ def main() -> None:
             "join_matview": join_matview_experiment,
             "topn_matview": topn_matview_experiment,
             "identity": identity_experiment,
+            "row_tracking_backfill": row_tracking_backfill_experiment,
         }[sys.argv[1]]
         print(json.dumps(fn(spark)))
         return
