@@ -446,9 +446,24 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             # r9 (advisor): pre-r8 deployments wrote an un-namespaced
             # pixelspark-pace.json — read it as a fallback so the
             # first post-upgrade restart stays paced (writes keep the
-            # namespaced name; the legacy file goes stale harmlessly)
-            for cand in (self._pace_file,
-                         os.path.join(psd, "pixelspark-pace.json")):
+            # namespaced name; the legacy file goes stale harmlessly).
+            # The legacy file is only consulted when the dir holds NO
+            # namespaced sidecars at all: with several post-upgrade
+            # sources sharing the dir, the un-attributable shared
+            # cursor could cross-seed another source's position (the
+            # exact hole the r8 namespacing closed) — there we prefer
+            # one recovery-call-seeded restart over a wrong seed.
+            cands = [self._pace_file]
+            try:
+                import glob as _glob
+
+                if not _glob.glob(
+                        os.path.join(psd, "pixelspark-pace-*.json")):
+                    cands.append(
+                        os.path.join(psd, "pixelspark-pace.json"))
+            except OSError:
+                pass
+            for cand in cands:
                 try:
                     with open(cand, "r", encoding="utf-8") as f:
                         self._cursor = int(json.load(f)["version"])

@@ -851,10 +851,26 @@ class SnapshotTable:
         full = f"{self.root}/{rel}"
 
         def observed() -> int | None:
-            try:
-                return int(obs.get["n"])
-            except Exception:
-                return None  # listener raced/missed: fall back to a count
+            # BOUNDED wait: Observation.get blocks indefinitely if the
+            # listener bus dropped the event, so poll the JVM-side
+            # getOrEmpty (itself a 100 ms bounded wait; throws while
+            # the row is unset on this Spark build) and give up after
+            # ~1 s — the caller then falls back to a count job, never
+            # hangs the commit.
+            import time as _time
+
+            jo = getattr(obs, "_jo", None)
+            if jo is None:
+                return None
+            for _ in range(10):
+                try:
+                    m = jo.getOrEmpty()
+                    if not m.isEmpty():
+                        return int(m.apply("n"))
+                except Exception:
+                    pass
+                _time.sleep(0.05)
+            return None  # listener missed: fall back to a count
 
         def write(w):
             try:
@@ -943,17 +959,29 @@ class SnapshotTable:
         return out
 
     def _prepare_ids(
-        self, df: DataFrame
+        self, df: DataFrame, pin: bool = False
     ) -> tuple[DataFrame, dict[str, tuple[dict, int]]]:
         """Apply every id spec to a batch (absent column → assign the
         whole batch; system column with NULLs → fill only those).
         Returns (df, {manifest_key: (spec as staged, new high)}) for
-        exactly the specs that assigned something."""
+        exactly the specs that assigned something.  `pin` persists the
+        batch around the assignment pre-count (see
+        _pin_for_assignment) — set ONLY by callers whose source is an
+        engine-composed multi-join plan (upsert, dv-merge); a full
+        rewrite (compact/overwrite) must NOT pin, or the whole table
+        lands in executor memory/disk before the write starts."""
         highs: dict[str, tuple[dict, int]] = {}
-        for key, spec in self._id_specs():
-            df, nh = self._identity_prepare(df, spec)
-            if nh is not None:
-                highs[key] = (spec, nh)
+        try:
+            for key, spec in self._id_specs():
+                df, nh = self._identity_prepare(df, spec, pin=pin)
+                if nh is not None:
+                    highs[key] = (spec, nh)
+        except Exception:
+            # the assignment pre-count failed before any write could
+            # drain the pins — release them here, or the cached frame
+            # leaks until the next write on this table object
+            self._drain_id_pins()
+            raise
         return df, highs
 
     def _unassigned_id_cols(self, highs: dict) -> list[str]:
@@ -1113,6 +1141,11 @@ class SnapshotTable:
         return df
 
     def _drain_id_pins(self) -> None:
+        """Unpersist every pinned assignment source.  Thread note: two
+        threads writing through ONE SnapshotTable object could drain
+        each other's pins — benign by construction (persist is purely
+        a cache; losing it reverts that write to the recompute
+        behavior, correctness unaffected)."""
         for p in self._id_pins:
             try:
                 p.unpersist()
@@ -1121,7 +1154,7 @@ class SnapshotTable:
         self._id_pins.clear()
 
     def _identity_prepare(
-        self, df: DataFrame, spec: dict | None
+        self, df: DataFrame, spec: dict | None, pin: bool = False
     ) -> tuple[DataFrame, int | None]:
         """The one assignment decision every write path shares: absent
         column → assign the whole batch; present column on a SYSTEM
@@ -1132,10 +1165,12 @@ class SnapshotTable:
         if not spec:
             return df, None
         if spec["col"] not in df.columns:
-            df = self._pin_for_assignment(df)
+            if pin:
+                df = self._pin_for_assignment(df)
             out, nh = self._assign_identity(df, spec)
         elif spec.get("system"):
-            df = self._pin_for_assignment(df)
+            if pin:
+                df = self._pin_for_assignment(df)
             out, nh = self._fill_null_ids(df, spec)
         else:
             return df, None
@@ -1854,6 +1889,7 @@ class SnapshotTable:
         op: dict | None = None,
         txn: tuple[str, int] | None = None,
         clear_txn: tuple[str, ...] | None = None,
+        _pin_ids: bool = False,
     ) -> int | None:
         """Full snapshot replacement.  An empty `df` is a truncate: the
         manifest commits with zero entries but keeps the schema, so
@@ -1874,7 +1910,7 @@ class SnapshotTable:
                 last = self.manifest(v).get("txn", {}).get(txn[0])
                 if last is not None and last >= txn[1]:
                     return None  # replay detected before paying the write
-        out_df, highs = self._prepare_ids(df)
+        out_df, highs = self._prepare_ids(df, pin=_pin_ids)
         rel, parts, has_data, wmap, nrows = self._write_snap(
             out_df, partition_col,
             audit_cols=self._unassigned_id_cols(highs))
@@ -2161,6 +2197,7 @@ class SnapshotTable:
         read-merge-write re-runs against the new snapshot — rebasing
         blindly would discard the rival's rows (lost update)."""
         for _ in range(self.max_retries):
+            self._drain_id_pins()  # reclaim any prior attempt's pin
             read_v = self.latest_version()
             try:
                 if read_v is None:
@@ -2200,7 +2237,15 @@ class SnapshotTable:
                         existing.groupBy(*keys)
                         .agg(F.min(spec["col"]).alias(spec["col"]))
                     )
-                    src = df.join(ids, list(keys), "left")
+                    # pin the SOURCE side only (O(source) — the Delta
+                    # merge-source materialization): the id pre-count
+                    # and the write each execute the union, but the
+                    # table side column-prunes on the count pass while
+                    # the source side (often a multi-join plan) would
+                    # re-execute in full.  Never pin the unioned full-
+                    # table frame — at scale that caches the table.
+                    src = self._pin_for_assignment(
+                        df.join(ids, list(keys), "left"))
                 merged = keep.unionByName(src, allowMissingColumns=True)
                 # preserve the table's partitioning — a keyed merge must
                 # not silently rewrite a partitioned table as unpartitioned
@@ -2650,7 +2695,7 @@ class SnapshotTable:
             # through out(); insert-leg rows arrive NULL and get
             # fresh ids here (a user identity keeps the refuse-NULLs
             # stance — sources must carry ids explicitly)
-            new_data, highs_dv = self._prepare_ids(new_data)
+            new_data, highs_dv = self._prepare_ids(new_data, pin=True)
             rel_new, parts, has_data, wmap_new, nrows = self._write_snap(
                 new_data, pcol,
                 audit_cols=self._unassigned_id_cols(highs_dv))

@@ -811,8 +811,7 @@ def test_maintain_on_mapped_tracked_dv_table(spark, tmp_path):
     t.append(_df(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)]))
     t.enable_column_mapping()
     t.rename_column("status", "state")
-    t.enable_row_tracking(backfill=True)
-    t.compact()  # complete the mapped two-commit backfill eagerly
+    t.enable_row_tracking(backfill=True)  # mapped: runs its fill compact
     for i in range(9):  # fragment: union-width debt
         t.append(spark.createDataFrame(
             [(10 + i, f"x{i}", i)], "k long, state string, views long"))

@@ -256,9 +256,13 @@ class StorageMachine(RuleBasedStateMachine):
         if not self.rows:
             return
         k = data.draw(st.sampled_from(sorted(self.rows)))
-        self.t.update({"v": F.lit(f"upd:{k}")}, condition=F.col("k") == k,
-                      mode=mode)
-        self.rows[k]["v"] = f"upd:{k}"
+        # target the v-slot by its CURRENT name (rename may have moved
+        # it) — a hardcoded 'v' would silently no-op on both sides
+        # after a rename, erasing UPDATE coverage mid-program
+        vcol = self.cols[1][0]
+        self.t.update({vcol: F.lit(f"upd:{k}")},
+                      condition=F.col("k") == k, mode=mode)
+        self.rows[k][vcol] = f"upd:{k}"
 
     @rule()
     def compact(self) -> None:

@@ -966,7 +966,12 @@ def row_tracking_backfill_experiment(spark) -> dict:
     from pixelspark.table import SnapshotTable
 
     results: dict = {}
-    for n in (200_000, 2_000_000):
+    warm = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="probe_bf_warm_") + "/t")
+    warm.append(spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")))
+    warm.enable_row_tracking(backfill=True)  # session warm-up
+    for n in (200_000, 2_000_000, 20_000_000):
         base = tempfile.mkdtemp(prefix=f"probe_bf_{n}_")
         t = SnapshotTable(spark, base + "/t")
         t.append(spark.range(n).select(
@@ -977,9 +982,12 @@ def row_tracking_backfill_experiment(spark) -> dict:
         m = t.manifest(t.latest_version())
         assert m["row_tracking"]["high"] == n + 1, m["row_tracking"]
         results[f"{n}_rows"] = {"backfill_sec": round(sec, 3)}
-    results["backfill_ratio_at_10x_table"] = round(
+    results["backfill_ratio_2m_over_200k"] = round(
         results["2000000_rows"]["backfill_sec"]
         / results["200000_rows"]["backfill_sec"], 2)
+    results["backfill_ratio_20m_over_2m"] = round(
+        results["20000000_rows"]["backfill_sec"]
+        / results["2000000_rows"]["backfill_sec"], 2)
 
     # partition preservation at the larger size: same layout before
     # and after, and manifest-level pruning still works
@@ -1005,7 +1013,8 @@ def row_tracking_backfill_experiment(spark) -> dict:
     assert {p.split("=")[0] for p in parts_after} == {"day"}
     assert len(parts_after) == days and parts_before == parts_after
     pruned = t.read(partition_values=[3])
-    assert pruned.count() == 2_000_000 // days
+    expect = (2_000_000 - 3 - 1) // days + 1  # ids ≡ 3 (mod days)
+    assert pruned.count() == expect
     ids = t.read().agg(
         F.countDistinct("__row_id").alias("d"),
         F.count(F.lit(1)).alias("n")).collect()[0]
