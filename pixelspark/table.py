@@ -945,6 +945,21 @@ class SnapshotTable:
         legacy = m.get("identity")
         return legacy if (legacy and legacy.get("system")) else None
 
+    @staticmethod
+    def _slot_of(m: dict, key: str) -> dict | None:
+        """The id-slot spec recorded in an ARBITRARY manifest `m`
+        (`_identity_spec`/`_row_tracking_spec` read the latest one).
+        Handles legacy v1 manifests that stored the system
+        row-tracking spec in the identity slot."""
+        if key == "row_tracking":
+            rt = m.get("row_tracking")
+            if rt:
+                return rt
+            legacy = m.get("identity")
+            return legacy if (legacy and legacy.get("system")) else None
+        stored = m.get("identity")
+        return None if (stored is None or stored.get("system")) else stored
+
     def _id_specs(self) -> list[tuple[str, dict]]:
         """Every watermarked id column as (manifest_key, spec) — the
         user identity slot and the system row-tracking slot, which
@@ -4578,7 +4593,17 @@ class SnapshotTable:
         The streaming-txn watermark map is NOT restored: replayed
         batches stayed replayed — a restore rolls back data, not the
         exactly-once ledger (otherwise a re-delivered batch after the
-        restore would double-append)."""
+        restore would double-append).
+
+        Refused across an id-slot ENABLEMENT boundary: if the head
+        manifest carries a row-tracking or identity spec the target
+        manifest lacks, the restored files physically lack the id
+        column, so the table would claim the feature while serving
+        none of it (NULL `__row_id`s break every downstream consumer
+        of id stability).  Restore to a post-enablement version
+        instead.  For allowed restores the slot and its HIGH
+        watermark carry over from the head (ids burned by the
+        rolled-back-over versions are never reissued)."""
         m = self.manifest(version)
         for e in m["entries"]:
             if not self.st.exists(f"{e.get('root') or self.root}/{e['base']}"):
@@ -4588,6 +4613,15 @@ class SnapshotTable:
                 )
 
         def build(prev: dict | None) -> dict:
+            for key in ("row_tracking", "identity"):
+                if prev and self._slot_of(prev, key) and not self._slot_of(m, key):
+                    feat = ("row tracking" if key == "row_tracking"
+                            else "the identity column")
+                    raise ValueError(
+                        f"cannot restore v{version}: {feat} was enabled "
+                        "after it, so the restored files carry no id "
+                        "column — restore to a post-enablement version"
+                    )
             return {
                 "partition_col": m.get("partition_col"),
                 "entries": m["entries"],

@@ -401,3 +401,63 @@ def test_mapped_backfill_resumes_after_crash(spark, tmp_path):
     with pytest.raises(ValueError, match="already enabled"):
         t.enable_row_tracking(backfill=True)
     assert _ids(t) == ids  # and nothing churned
+
+
+def test_restore_across_enablement_boundary_is_refused(spark, tmp_path):
+    """restore() to a version whose files predate row tracking would
+    serve a tracked table with no __row_id at all — refused (found by
+    the r9 storage fuzz extension)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    t.enable_row_tracking(backfill=True)
+    with pytest.raises(ValueError, match="row tracking was enabled after"):
+        t.restore(2)
+    # the refusal must not have committed anything
+    assert [h["op"]["name"] for h in t.history()][0] != "restore"
+
+
+def test_restore_after_enablement_reverts_ids_keeps_watermark(
+    spark, tmp_path
+):
+    """An ALLOWED restore (target already tracked) brings rows back
+    with their ORIGINAL ids, and the head watermark carries over so
+    ids burned by rolled-back-over versions are never reissued."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([], "k long, v string"))
+    t.enable_row_tracking()
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    v_target = t.latest_version()
+    ids_then = _ids(t)
+
+    t.delete(F.col("k") == 1)
+    t.append(spark.createDataFrame([(9, "z")], "k long, v string"))
+    burned = set(_ids(t).values())
+
+    t.restore(v_target)
+    ids_back = _ids(t)
+    assert ids_back == ids_then  # restored rows hold their original ids
+
+    # fresh rows must draw ids past EVERYTHING ever assigned,
+    # including the rolled-back-over k=9 row's id
+    t.append(spark.createDataFrame([(10, "y")], "k long, v string"))
+    new_id = _ids(t)[10]
+    assert new_id not in burned and new_id not in ids_then.values()
+
+
+def test_restore_across_identity_enablement_is_refused(spark, tmp_path):
+    """Same boundary rule for the USER identity slot: restoring to a
+    pre-identity version would resurrect a schema without the column
+    while the spec still claims it."""
+    t0 = SnapshotTable(spark, str(tmp_path / "t"))
+    t0.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t = SnapshotTable(spark, str(tmp_path / "t"),
+                      identity={"col": "uid", "start": 100})
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    with pytest.raises(ValueError, match="identity column was enabled"):
+        t.restore(1)
+    # restoring to the post-enablement version is fine
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    t.restore(2)
+    got = {r["k"]: r["uid"] for r in t.read().collect()}
+    assert set(got) == {1, 2} and got[2] is not None

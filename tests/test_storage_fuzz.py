@@ -1,13 +1,13 @@
-"""Model-based storage fuzz (VERDICT r8 item 1).
+"""Model-based storage fuzz (VERDICT r8 item 1; extended r9).
 
 A hypothesis stateful machine drives a random interleaved sequence of
 the full DML/DDL surface on ONE SnapshotTable — append / upsert /
 merge (dv & rewrite) / update (dv & rewrite) / delete (dv & rewrite) /
 compact / add_columns / enable_column_mapping / rename_column /
 drop_column / widen_column / enable_row_tracking(backfill) /
-overwrite — against a driver-side reference model (a plain dict of
-rows keyed by `k` plus expected schema / id / watermark state), and
-checks after EVERY step:
+overwrite / evolve_partitioning / restore — against a driver-side
+reference model (a plain dict of rows keyed by `k` plus expected
+schema / id / watermark state), and checks after EVERY step:
 
   * read-back equality (multiset of rows vs the model),
   * `__row_id` stability (rows that survive keep the id they were
@@ -18,6 +18,29 @@ checks after EVERY step:
     feature, recorded features match the derived set),
   * CDF consistency on the clean-semantics ops (append => pure
     inserts of exactly the appended rows; compact => zero changes).
+
+Randomly interleaved AUDIT rules re-check history against the model:
+
+  * audit_time_travel — `read(version=v)` for a random past version
+    must serve exactly the model's recorded rows, schema (that
+    version's OWN column names) and row-id map;
+  * audit_changes — `read_changes(v, keys)` for a random past version
+    must equal the NET diff between the model state then and now
+    (inserted / updated post-image / deleted old-values, translated
+    to the LATEST column names via stable field ids), and must raise
+    the documented refusal when the window crosses a column DROP or
+    any other non-traversable mapping change.
+
+Columns are tracked as (name, type, fid) triples — the fid is the
+model's analog of the engine's column-mapping field id, which is what
+makes cross-rename history comparison well-defined.
+
+`restore` exercises the r9 boundary rule directly: restoring to a
+pre-row-tracking version must be REFUSED (the restored files carry no
+id column), while an allowed restore reverts rows to their
+recorded-then values AND ids without ever reissuing ids burned by the
+rolled-back-over versions (the all_ids freshness set is deliberately
+NOT restored).
 
 Every composition bug this project found by hand in rounds 6-8
 (bloom x widening, stream x add_columns, upsert id fan-out,
@@ -37,6 +60,7 @@ whose correctness contract is exactly read-back-after-rewrites.
 """
 from __future__ import annotations
 
+import copy
 import os
 import shutil
 import tempfile
@@ -67,8 +91,8 @@ _SPARK = None  # injected by the test functions (hypothesis machines
 # are instantiated by the engine, so fixtures can't reach __init__)
 
 
-def _schema_str(cols: list[tuple[str, str]]) -> str:
-    return ", ".join(f"{n} {t}" for n, t in cols)
+def _schema_str(cols: list[tuple[str, str, int]]) -> str:
+    return ", ".join(f"{n} {t}" for n, t, _ in cols)
 
 
 class StorageMachine(RuleBasedStateMachine):
@@ -77,9 +101,14 @@ class StorageMachine(RuleBasedStateMachine):
     # -- model ------------------------------------------------------
     # rows: {k: {col: value}} for the LOGICAL data columns (never
     #   __row_id — ids are engine-assigned, learned then pinned).
-    # cols: [(name, sql_type)] logical schema, 'k' always first.
+    # cols: [(name, sql_type, fid)] logical schema, 'k' always first;
+    #   fid is a stable per-column identity surviving renames (the
+    #   model analog of the engine's column-mapping field id).
     # ids: {k: learned __row_id}; all_ids: every id ever observed.
     # highs: {slot: last seen watermark} for monotonicity.
+    # history: {version: snapshot of the model} recorded after every
+    #   green invariant pass — the oracle for time travel, CDF and
+    #   restore.
 
     def __init__(self) -> None:
         super().__init__()
@@ -87,14 +116,19 @@ class StorageMachine(RuleBasedStateMachine):
         self.dir = tempfile.mkdtemp(prefix="pixelspark-fuzz-")
         self.t = SnapshotTable(self.spark, f"{self.dir}/t")
         self.rows: dict[int, dict] = {}
-        self.cols: list[tuple[str, str]] = [("k", "long"), ("v", "string")]
+        self.cols: list[tuple[str, str, int]] = [
+            ("k", "long", 0), ("v", "string", 1)]
         self.next_k = 0
         self.next_col = 0
+        self.next_fid = 2
         self.tracking = False
         self.mapped = False
+        self.pcol: str | None = None
+        self.dropped_fids: tuple[int, ...] = ()
         self.ids: dict[int, int] = {}
         self.all_ids: set[int] = set()
         self.highs: dict[str, int] = {}
+        self.history: dict[int, dict] = {}
 
     def teardown(self) -> None:
         shutil.rmtree(self.dir, ignore_errors=True)
@@ -107,7 +141,7 @@ class StorageMachine(RuleBasedStateMachine):
         return ks
 
     def _mk_df(self, rows: list[dict]):
-        data = [tuple(r.get(c) for c, _ in self.cols) for r in rows]
+        data = [tuple(r.get(c) for c, _, _ in self.cols) for r in rows]
         return self.spark.createDataFrame(
             data, _schema_str(self.cols)).coalesce(4)
 
@@ -115,12 +149,39 @@ class StorageMachine(RuleBasedStateMachine):
         """A full row for key k; non-key columns get deterministic,
         step-tagged values so every rewrite is observable."""
         out = {"k": k}
-        for name, typ in self.cols[1:]:
+        for name, typ, _ in self.cols[1:]:
             if typ in ("int", "long", "bigint"):
                 out[name] = k * 10 + len(tag)
             else:
                 out[name] = f"{tag}:{k}"
         return out
+
+    def _map_token(self):
+        """Canonical model image of the engine's column_mapping dict:
+        None when mapping is off; otherwise the live (fid, logical
+        name) set plus the ordered dropped-fid list.  Two versions
+        have equal mapping dicts iff their tokens are equal."""
+        if not self.mapped:
+            return None
+        return (
+            frozenset((fid, n) for n, _, fid in self.cols),
+            self.dropped_fids,
+        )
+
+    def _now_tuple(self, k: int) -> tuple:
+        row = self.rows[k]
+        return tuple(row.get(c) for c, _, _ in self.cols)
+
+    def _then_tuple(self, snap: dict, k: int) -> tuple:
+        """snap's row for k, projected onto the CURRENT columns via
+        field ids (renamed columns translate, later-added columns are
+        None) — how the change feed serves historical rows."""
+        then_name = {fid: n for n, _, fid in snap["cols"]}
+        row = snap["rows"][k]
+        return tuple(
+            row.get(then_name[fid]) if fid in then_name else None
+            for _, _, fid in self.cols
+        )
 
     # -- the invariant pack (runs after every rule) -------------------
 
@@ -131,14 +192,14 @@ class StorageMachine(RuleBasedStateMachine):
             return
         df = self.t.read()
         got_cols = set(df.columns) - {"__row_id"}
-        want_cols = {c for c, _ in self.cols}
+        want_cols = {c for c, _, _ in self.cols}
         assert got_cols == want_cols, (got_cols, want_cols)
         recs = df.collect()
         got = sorted(
-            tuple(r[c] for c, _ in self.cols) for r in recs
+            tuple(r[c] for c, _, _ in self.cols) for r in recs
         )
         want = sorted(
-            tuple(row.get(c) for c, _ in self.cols)
+            tuple(row.get(c) for c, _, _ in self.cols)
             for row in self.rows.values()
         )
         assert got == want, f"read-back mismatch:\n got {got}\nwant {want}"
@@ -163,6 +224,21 @@ class StorageMachine(RuleBasedStateMachine):
             # rows gone from the table free their key, but the id
             # must never come back (all_ids keeps it)
             self.ids = {k: i for k, i in self.ids.items() if k in id_map}
+
+        # record the now-verified model state as this version's
+        # oracle snapshot (time travel / CDF / restore audits)
+        v = self.t.latest_version()
+        if v is not None and v not in self.history:
+            self.history[v] = {
+                "rows": copy.deepcopy(self.rows),
+                "ids": dict(self.ids),
+                "cols": list(self.cols),
+                "tracking": self.tracking,
+                "mapped": self.mapped,
+                "pcol": self.pcol,
+                "dropped_fids": self.dropped_fids,
+                "map_token": self._map_token(),
+            }
 
     @invariant()
     def manifest_invariants(self) -> None:
@@ -277,7 +353,8 @@ class StorageMachine(RuleBasedStateMachine):
         name = f"c{self.next_col}"
         self.next_col += 1
         self.t.add_columns({name: "string"})
-        self.cols.append((name, "string"))
+        self.cols.append((name, "string", self.next_fid))
+        self.next_fid += 1
         for r in self.rows.values():
             r[name] = None
 
@@ -290,42 +367,45 @@ class StorageMachine(RuleBasedStateMachine):
     @precondition(lambda self: self.mapped)
     @rule(data=st.data())
     def rename(self, data) -> None:
-        renameable = [c for c, _ in self.cols[1:]]
+        renameable = [c for c, _, _ in self.cols[1:]]
         if not renameable:
             return
         old = data.draw(st.sampled_from(renameable))
         new = f"{old}_r"
         self.t.rename_column(old, new)
-        self.cols = [(new if c == old else c, t) for c, t in self.cols]
+        self.cols = [
+            (new if c == old else c, t, f) for c, t, f in self.cols]
         for r in self.rows.values():
             r[new] = r.pop(old, None)
 
     @precondition(lambda self: self.mapped)
     @rule(data=st.data())
     def drop(self, data) -> None:
-        droppable = [c for c, _ in self.cols[2:]]  # keep k and v-slot
+        droppable = [(c, f) for c, _, f in self.cols[2:]]  # keep k, v-slot
         if not droppable:
             return
-        col = data.draw(st.sampled_from(droppable))
+        col, fid = data.draw(st.sampled_from(droppable))
         self.t.drop_column(col)
-        self.cols = [(c, t) for c, t in self.cols if c != col]
+        self.cols = [(c, t, f) for c, t, f in self.cols if c != col]
+        self.dropped_fids = self.dropped_fids + (fid,)
         for r in self.rows.values():
             r.pop(col, None)
 
     @rule()
     def widen(self) -> None:
         # add an int column once, widen it on a later draw
-        narrow = [c for c, t in self.cols if t == "int"]
+        narrow = [c for c, t, _ in self.cols if t == "int"]
         if narrow:
             col = narrow[0]
             self.t.widen_column(col, "bigint")
             self.cols = [
-                (c, "long" if c == col else t) for c, t in self.cols]
+                (c, "long" if c == col else t, f) for c, t, f in self.cols]
         else:
             name = f"w{self.next_col}"
             self.next_col += 1
             self.t.add_columns({name: "int"})
-            self.cols.append((name, "int"))
+            self.cols.append((name, "int", self.next_fid))
+            self.next_fid += 1
             for r in self.rows.values():
                 r[name] = None
 
@@ -343,6 +423,110 @@ class StorageMachine(RuleBasedStateMachine):
         self.rows = {r["k"]: r for r in rows}
         # a fresh frame carries no ids: every surviving key is new
         self.ids = {}
+        # a plain overwrite lays the new snapshot out UNPARTITIONED
+        self.pcol = None
+
+    @precondition(lambda self: not self.mapped)
+    @rule(col=st.sampled_from([None, "k"]))
+    def evolve_partitioning(self, col) -> None:
+        """Iceberg-style partition evolution: future writes use the
+        new layout, existing entries keep theirs — logical content
+        must be untouched (the read-back invariant checks that)."""
+        self.t.evolve_partitioning(col)
+        self.pcol = col
+
+    @rule(data=st.data())
+    def restore(self, data) -> None:
+        versions = sorted(self.history)
+        if not versions:
+            return
+        v = data.draw(st.sampled_from(versions))
+        snap = self.history[v]
+        if self.tracking and not snap["tracking"]:
+            # r9 boundary rule: the restored files carry no id column
+            before = self.t.latest_version()
+            with pytest.raises(ValueError, match="enabled after"):
+                self.t.restore(v)
+            assert self.t.latest_version() == before, (
+                "refused restore must not commit")
+            return
+        self.t.restore(v)
+        self.rows = copy.deepcopy(snap["rows"])
+        self.ids = dict(snap["ids"])   # restored rows hold their old ids
+        self.cols = list(snap["cols"])
+        self.mapped = snap["mapped"]
+        self.pcol = snap["pcol"]
+        self.dropped_fids = snap["dropped_fids"]
+        # deliberately NOT restored: all_ids (ids burned by the
+        # rolled-back-over versions stay burned — the head watermark
+        # carries over), next_k/next_col/next_fid (freshness is global)
+
+    # -- audit rules (read-only checks of history vs the model) ------
+
+    @rule(data=st.data())
+    def audit_time_travel(self, data) -> None:
+        versions = sorted(self.history)
+        if not versions:
+            return
+        v = data.draw(st.sampled_from(versions))
+        snap = self.history[v]
+        df = self.t.read(version=v)
+        got_cols = set(df.columns) - {"__row_id"}
+        assert got_cols == {c for c, _, _ in snap["cols"]}, (
+            f"time travel to v{v}: schema mismatch")
+        recs = df.collect()
+        got = sorted(
+            tuple(r[c] for c, _, _ in snap["cols"]) for r in recs)
+        want = sorted(
+            tuple(row.get(c) for c, _, _ in snap["cols"])
+            for row in snap["rows"].values())
+        assert got == want, (
+            f"time travel to v{v}:\n got {got}\nwant {want}")
+        if snap["tracking"]:
+            id_map = {r["k"]: r["__row_id"] for r in recs}
+            assert id_map == snap["ids"], (
+                f"time travel to v{v}: id map {id_map} != {snap['ids']}")
+
+    @rule(data=st.data())
+    def audit_changes(self, data) -> None:
+        versions = sorted(self.history)
+        if not versions:
+            return
+        v = data.draw(st.sampled_from(versions))
+        snap = self.history[v]
+        if snap["map_token"] != self._map_token():
+            # the engine refuses any window whose mapping change is
+            # not traversable: a drop on either side, or a column of
+            # the FROM side whose physical no longer survives
+            then_fids = {f for _, _, f in snap["cols"]}
+            now_fids = {f for _, _, f in self.cols}
+            traversable = (
+                then_fids <= now_fids
+                and snap["dropped_fids"] == self.dropped_fids
+            )
+            if not traversable:
+                with pytest.raises(ValueError, match="DROP|diff"):
+                    self.t.read_changes(v, keys=("k",)).collect()
+                return
+        ch = self.t.read_changes(v, keys=("k",)).collect()
+        got = {}
+        for r in ch:
+            assert r["k"] not in got, (
+                f"duplicate change row for k={r['k']}: {ch}")
+            got[r["k"]] = (
+                r["change_type"],
+                tuple(r[c] for c, _, _ in self.cols))
+        exp = {}
+        then_keys, now_keys = set(snap["rows"]), set(self.rows)
+        for k in now_keys - then_keys:
+            exp[k] = ("inserted", self._now_tuple(k))
+        for k in then_keys - now_keys:
+            exp[k] = ("deleted", self._then_tuple(snap, k))
+        for k in then_keys & now_keys:
+            if self._then_tuple(snap, k) != self._now_tuple(k):
+                exp[k] = ("updated", self._now_tuple(k))
+        assert got == exp, (
+            f"changes since v{v}:\n got {got}\nwant {exp}")
 
 
 def test_storage_fuzz(spark):
@@ -399,6 +583,43 @@ def test_fuzz_catches_seeded_id_churn_bug(spark, monkeypatch):
             machine._mk_df([machine._value(k, "ups")]), keys=("k",))
         machine.rows[k] = machine._value(k, "ups")
         with pytest.raises(AssertionError, match="id churn|recycled id"):
+            machine.engine_matches_model()
+    finally:
+        machine.teardown()
+
+
+def test_fuzz_catches_seeded_restore_boundary_bug(spark, monkeypatch):
+    """Detection-power proof for the r9 restore rules: disable the
+    enablement-boundary refusal (restore blindly, pre-fix behavior)
+    and assert the machine flags the tracked-table-serving-no-ids
+    state on the very next invariant pass."""
+    global _SPARK
+    _SPARK = spark
+
+    from pixelspark import table as table_mod
+
+    # BUG (deliberate): pretend every manifest carries every slot, so
+    # the boundary refusal in restore() never fires
+    monkeypatch.setattr(
+        table_mod.SnapshotTable, "_slot_of",
+        staticmethod(lambda m, key: {"col": "__row_id"}))
+
+    machine = StorageMachine()
+    try:
+        machine.create()
+        machine.engine_matches_model()       # record v1 in history
+        v1 = machine.t.latest_version()
+        machine.enable_tracking()
+        machine.engine_matches_model()
+        # drive the restore rule deterministically at the bad target
+        snap = machine.history[v1]
+        assert machine.tracking and not snap["tracking"]
+        machine.t.restore(v1)                # pre-fix: silently allowed
+        machine.rows = copy.deepcopy(snap["rows"])
+        # the broken state surfaces as a missing/NULL __row_id on the
+        # very next invariant pass (AssertionError, or the Row access
+        # failing outright on the absent column)
+        with pytest.raises((AssertionError, KeyError, ValueError)):
             machine.engine_matches_model()
     finally:
         machine.teardown()
