@@ -688,6 +688,60 @@ class SnapshotTable:
                 idn = (prev or {}).get("identity") or self.identity_seed
                 if idn and not idn.get("system"):
                     new["identity"] = idn
+            # USER identity column ENTERING the schema (a constructor
+            # seed adopted onto an existing table): allowed only when
+            # this commit replaces every old entry (overwrite /
+            # whole-table compact / upsert — the rewrite assigns the
+            # column everywhere).  A commit that keeps old files alive
+            # while the column enters the schema would leave their
+            # rows NULL in the identity column, and the refuse-NULLs
+            # write audit then wedges every later rewrite (compact
+            # included) permanently.  Delta sidesteps this by only
+            # allowing identity at CREATE TABLE; we additionally
+            # accept empty tables, tables already carrying the column,
+            # and full-rewrite first writes.  Keyed on the SCHEMA
+            # transition (not the slot's first persistence) so a
+            # spec-persisting-but-schema-neutral commit in between
+            # (e.g. a dv-delete) cannot launder the wedge.
+            _idn = new.get("identity")
+            if (
+                _idn
+                and not _idn.get("system")
+                and prev is not None
+                and prev.get("entries")
+                and prev.get("schema")
+                and new.get("schema")
+                and _idn["col"] not in {
+                    f.name for f in StructType.fromJson(
+                        json.loads(prev["schema"])).fields}
+                and _idn["col"] in {
+                    f.name for f in StructType.fromJson(
+                        json.loads(new["schema"])).fields}
+            ):
+                def _has_rows(e: dict) -> bool:
+                    # zero-row entries (truncate leftovers) cannot
+                    # hold NULL ids; unknown counts block conservatively
+                    r = e.get("rows")
+                    return r is None or sum(r.values()) > 0
+
+                prev_bases = {
+                    (e.get("root"), e["base"])
+                    for e in prev["entries"] if _has_rows(e)}
+                new_bases = {
+                    (e.get("root"), e["base"])
+                    for e in new.get("entries") or []}
+                if prev_bases & new_bases:
+                    raise ValueError(
+                        f"cannot adopt identity column {_idn['col']!r} "
+                        "on a non-empty table that lacks it: rows in "
+                        "retained files would hold NULL ids and every "
+                        "later rewrite would be refused by the identity "
+                        "NULL audit — define identity at table creation "
+                        "(Delta semantics), or make the first write "
+                        "under the spec a full rewrite "
+                        "(overwrite/compact), which assigns the column "
+                        "to every row"
+                    )
             if "row_tracking" not in new:
                 rt = (prev or {}).get("row_tracking")
                 if rt is None:

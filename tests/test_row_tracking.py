@@ -453,11 +453,46 @@ def test_restore_across_identity_enablement_is_refused(spark, tmp_path):
     t0.append(spark.createDataFrame([(1, "a")], "k long, v string"))
     t = SnapshotTable(spark, str(tmp_path / "t"),
                       identity={"col": "uid", "start": 100})
-    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    t.compact()  # full rewrite: persists the seed, assigns everywhere
     with pytest.raises(ValueError, match="identity column was enabled"):
         t.restore(1)
     # restoring to the post-enablement version is fine
     t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
     t.restore(2)
     got = {r["k"]: r["uid"] for r in t.read().collect()}
-    assert set(got) == {1, 2} and got[2] is not None
+    assert set(got) == {1} and got[1] is not None
+
+
+def test_identity_seed_on_nonempty_table_refuses_wedging_writes(
+    spark, tmp_path
+):
+    """Adopting a constructor identity seed on a table that already
+    has data WITHOUT the column is only allowed through a full
+    rewrite: a commit retaining old files would leave their rows NULL
+    in the identity column, and the refuse-NULLs audit would then
+    wedge every later rewrite (found by probing for the r9 fuzz
+    identity wave — Delta avoids the state by allowing identity only
+    at CREATE TABLE)."""
+    t0 = SnapshotTable(spark, str(tmp_path / "t"))
+    t0.append(spark.createDataFrame([(1, "a"), (2, "b")],
+                                    "k long, v string"))
+    t = SnapshotTable(spark, str(tmp_path / "t"),
+                      identity={"col": "uid", "start": 100})
+    # append keeps the old entry alive -> refused, nothing committed
+    with pytest.raises(ValueError, match="cannot adopt identity"):
+        t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    assert t.latest_version() == 1
+    # a schema-neutral commit (dv-delete) may persist the SPEC, but it
+    # cannot launder the wedge: the column-introducing write after it
+    # is still refused (the check keys on the schema transition)
+    t.delete(F.col("k") == 2, mode="dv")
+    with pytest.raises(ValueError, match="cannot adopt identity"):
+        t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    # the sanctioned path: a full rewrite assigns the column everywhere
+    t.compact()
+    got = {r["k"]: r["uid"] for r in t.read().collect()}
+    assert got == {1: 100}  # k=2 died with the dv-delete
+    # and the table is NOT wedged afterwards
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    t.compact()
+    assert {r["k"]: r["uid"] for r in t.read().collect()}[3] == 101

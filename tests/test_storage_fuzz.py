@@ -80,6 +80,7 @@ from pyspark.sql import functions as F
 
 from pixelspark.table import (
     SnapshotTable,
+    entry_layout,
     reader_features,
     writer_features,
 )
@@ -110,11 +111,26 @@ class StorageMachine(RuleBasedStateMachine):
     #   green invariant pass — the oracle for time travel, CDF and
     #   restore.
 
+    # uid (user identity column, enabled at CREATION for half the
+    # programs — Delta semantics: identity is a creation-time spec):
+    #   * append/overwrite frames OMIT it -> the engine assigns;
+    #     values are learned-then-pinned like __row_id,
+    #   * upsert/merge sources MUST carry it (the refuse-NULLs
+    #     stance) -> the model provides the LEARNED value for hit
+    #     keys and an explicit far-band value for new keys, so every
+    #     uid is known to the model after one read,
+    #   * assigned values stay < _UID_BAND and explicit ones start
+    #     there, so the freshness check never false-positives.
+    _UID_BAND = 1_000_000
+
     def __init__(self) -> None:
         super().__init__()
         self.spark = _SPARK
         self.dir = tempfile.mkdtemp(prefix="pixelspark-fuzz-")
         self.t = SnapshotTable(self.spark, f"{self.dir}/t")
+        self.identity_on = False
+        self.uids: dict[int, int] = {}
+        self.all_uids: set[int] = set()
         self.rows: dict[int, dict] = {}
         self.cols: list[tuple[str, str, int]] = [
             ("k", "long", 0), ("v", "string", 1)]
@@ -145,6 +161,26 @@ class StorageMachine(RuleBasedStateMachine):
         return self.spark.createDataFrame(
             data, _schema_str(self.cols)).coalesce(4)
 
+    def _mk_df_uid(self, rows: list[dict], uids: dict[int, int]):
+        """Source frame CARRYING explicit uids (upsert/merge sources
+        must: the user identity column refuses NULLs)."""
+        data = [
+            tuple(r.get(c) for c, _, _ in self.cols) + (uids[r["k"]],)
+            for r in rows
+        ]
+        return self.spark.createDataFrame(
+            data, _schema_str(self.cols) + ", uid long").coalesce(4)
+
+    def _source_uids(self, rows: list[dict]) -> dict[int, int]:
+        """uid per source key: the LEARNED value for existing keys
+        (an upsert must not churn it), a fresh far-band explicit value
+        for new keys (never collides with engine-assigned ones)."""
+        out = {}
+        for r in rows:
+            k = r["k"]
+            out[k] = self.uids.get(k, self._UID_BAND + k)
+        return out
+
     def _value(self, k: int, tag: str) -> dict:
         """A full row for key k; non-key columns get deterministic,
         step-tagged values so every rewrite is observable."""
@@ -170,7 +206,23 @@ class StorageMachine(RuleBasedStateMachine):
 
     def _now_tuple(self, k: int) -> tuple:
         row = self.rows[k]
-        return tuple(row.get(c) for c, _, _ in self.cols)
+        out = tuple(row.get(c) for c, _, _ in self.cols)
+        if self.identity_on:
+            out += (self.uids.get(k),)
+        return out
+
+    def _mixed_layout(self) -> bool:
+        """True while partition evolution is IN PROGRESS: the table is
+        partitioned but some entry still has a different layout (the
+        documented state in which partition-scoped ops refuse)."""
+        v = self.t.latest_version()
+        if v is None:
+            return False
+        m = self.t.manifest(v)
+        pc = m.get("partition_col")
+        if pc is None:
+            return False
+        return any(entry_layout(e) != pc for e in m["entries"])
 
     def _then_tuple(self, snap: dict, k: int) -> tuple:
         """snap's row for k, projected onto the CURRENT columns via
@@ -178,10 +230,13 @@ class StorageMachine(RuleBasedStateMachine):
         None) — how the change feed serves historical rows."""
         then_name = {fid: n for n, _, fid in snap["cols"]}
         row = snap["rows"][k]
-        return tuple(
+        out = tuple(
             row.get(then_name[fid]) if fid in then_name else None
             for _, _, fid in self.cols
         )
+        if self.identity_on:
+            out += (snap["uids"].get(k),)
+        return out
 
     # -- the invariant pack (runs after every rule) -------------------
 
@@ -192,6 +247,9 @@ class StorageMachine(RuleBasedStateMachine):
             return
         df = self.t.read()
         got_cols = set(df.columns) - {"__row_id"}
+        if self.identity_on:
+            assert "uid" in got_cols, "identity column vanished"
+            got_cols -= {"uid"}
         want_cols = {c for c, _, _ in self.cols}
         assert got_cols == want_cols, (got_cols, want_cols)
         recs = df.collect()
@@ -225,6 +283,24 @@ class StorageMachine(RuleBasedStateMachine):
             # must never come back (all_ids keeps it)
             self.ids = {k: i for k, i in self.ids.items() if k in id_map}
 
+        # uid: same learned-then-pinned discipline as __row_id, plus
+        # non-NULL everywhere (identity-from-creation tables never
+        # hold a pre-enablement row)
+        if self.identity_on:
+            uid_map = {r["k"]: r["uid"] for r in recs}
+            assert None not in uid_map.values(), "NULL uid served"
+            for k, u in uid_map.items():
+                if k in self.uids:
+                    assert self.uids[k] == u, (
+                        f"uid churn for k={k}: {self.uids[k]} -> {u}")
+                else:
+                    assert u not in self.all_uids, (
+                        f"recycled uid {u} for new k={k}")
+                    self.uids[k] = u
+                    self.all_uids.add(u)
+            self.uids = {k: u for k, u in self.uids.items()
+                         if k in uid_map}
+
         # record the now-verified model state as this version's
         # oracle snapshot (time travel / CDF / restore audits)
         v = self.t.latest_version()
@@ -232,6 +308,7 @@ class StorageMachine(RuleBasedStateMachine):
             self.history[v] = {
                 "rows": copy.deepcopy(self.rows),
                 "ids": dict(self.ids),
+                "uids": dict(self.uids),
                 "cols": list(self.cols),
                 "tracking": self.tracking,
                 "mapped": self.mapped,
@@ -267,8 +344,13 @@ class StorageMachine(RuleBasedStateMachine):
 
     # -- rules ------------------------------------------------------
 
-    @initialize()
-    def create(self) -> None:
+    @initialize(ident=st.booleans())
+    def create(self, ident: bool) -> None:
+        if ident:
+            self.identity_on = True
+            self.t = SnapshotTable(
+                self.spark, f"{self.dir}/t",
+                identity={"col": "uid", "start": 100, "step": 1})
         ks = self._fresh_ks(3)
         rows = [self._value(k, "init") for k in ks]
         self.t.append(self._mk_df(rows))
@@ -298,7 +380,13 @@ class StorageMachine(RuleBasedStateMachine):
         if not hit and not new:
             return
         rows = [self._value(k, "ups") for k in hit + new]
-        self.t.upsert(self._mk_df(rows), keys=("k",))
+        if self.identity_on:
+            uids = self._source_uids(rows)
+            self.t.upsert(self._mk_df_uid(rows, uids), keys=("k",))
+            self.uids.update(uids)
+            self.all_uids.update(uids.values())
+        else:
+            self.t.upsert(self._mk_df(rows), keys=("k",))
         for r in rows:
             self.rows[r["k"]] = r
 
@@ -312,7 +400,24 @@ class StorageMachine(RuleBasedStateMachine):
         if not hit and not new:
             return
         rows = [self._value(k, "mrg") for k in hit + new]
-        self.t.merge(self._mk_df(rows), keys=("k",), mode=mode)
+        if mode == "rewrite" and self.pcol == "k" and self._mixed_layout():
+            # documented scoping: a merge keyed on the partition
+            # column is partition-scoped, and partition-scoped reads
+            # refuse while layouts are mixed (evolve_partitioning
+            # docstring) — a full compact() restores them
+            before = self.t.latest_version()
+            with pytest.raises(ValueError, match="partition evolution"):
+                self.t.merge(self._mk_df(rows), keys=("k",), mode=mode)
+            assert self.t.latest_version() == before
+            return
+        if self.identity_on:
+            uids = self._source_uids(rows)
+            self.t.merge(self._mk_df_uid(rows, uids), keys=("k",),
+                         mode=mode)
+            self.uids.update(uids)
+            self.all_uids.update(uids.values())
+        else:
+            self.t.merge(self._mk_df(rows), keys=("k",), mode=mode)
         for r in rows:
             self.rows[r["k"]] = r
 
@@ -423,6 +528,7 @@ class StorageMachine(RuleBasedStateMachine):
         self.rows = {r["k"]: r for r in rows}
         # a fresh frame carries no ids: every surviving key is new
         self.ids = {}
+        self.uids = {}
         # a plain overwrite lays the new snapshot out UNPARTITIONED
         self.pcol = None
 
@@ -453,6 +559,7 @@ class StorageMachine(RuleBasedStateMachine):
         self.t.restore(v)
         self.rows = copy.deepcopy(snap["rows"])
         self.ids = dict(snap["ids"])   # restored rows hold their old ids
+        self.uids = dict(snap["uids"])
         self.cols = list(snap["cols"])
         self.mapped = snap["mapped"]
         self.pcol = snap["pcol"]
@@ -460,6 +567,19 @@ class StorageMachine(RuleBasedStateMachine):
         # deliberately NOT restored: all_ids (ids burned by the
         # rolled-back-over versions stay burned — the head watermark
         # carries over), next_k/next_col/next_fid (freshness is global)
+
+    @precondition(lambda self: self.identity_on and self.mapped)
+    @rule(op=st.sampled_from(["rename", "drop"]))
+    def identity_ddl_refused(self, op: str) -> None:
+        """The identity column can be neither renamed nor dropped —
+        the manifest spec addresses it by logical name."""
+        before = self.t.latest_version()
+        with pytest.raises(ValueError, match="identity column"):
+            if op == "rename":
+                self.t.rename_column("uid", "uid_r")
+            else:
+                self.t.drop_column("uid")
+        assert self.t.latest_version() == before
 
     # -- audit rules (read-only checks of history vs the model) ------
 
@@ -472,6 +592,8 @@ class StorageMachine(RuleBasedStateMachine):
         snap = self.history[v]
         df = self.t.read(version=v)
         got_cols = set(df.columns) - {"__row_id"}
+        if self.identity_on:
+            got_cols -= {"uid"}
         assert got_cols == {c for c, _, _ in snap["cols"]}, (
             f"time travel to v{v}: schema mismatch")
         recs = df.collect()
@@ -486,6 +608,11 @@ class StorageMachine(RuleBasedStateMachine):
             id_map = {r["k"]: r["__row_id"] for r in recs}
             assert id_map == snap["ids"], (
                 f"time travel to v{v}: id map {id_map} != {snap['ids']}")
+        if self.identity_on:
+            uid_map = {r["k"]: r["uid"] for r in recs}
+            assert uid_map == snap["uids"], (
+                f"time travel to v{v}: uid map {uid_map} != "
+                f"{snap['uids']}")
 
     @rule(data=st.data())
     def audit_changes(self, data) -> None:
@@ -513,9 +640,10 @@ class StorageMachine(RuleBasedStateMachine):
         for r in ch:
             assert r["k"] not in got, (
                 f"duplicate change row for k={r['k']}: {ch}")
-            got[r["k"]] = (
-                r["change_type"],
-                tuple(r[c] for c, _, _ in self.cols))
+            vals = tuple(r[c] for c, _, _ in self.cols)
+            if self.identity_on:
+                vals += (r["uid"],)
+            got[r["k"]] = (r["change_type"], vals)
         exp = {}
         then_keys, now_keys = set(snap["rows"]), set(self.rows)
         for k in now_keys - then_keys:
@@ -575,7 +703,7 @@ def test_fuzz_catches_seeded_id_churn_bug(spark, monkeypatch):
 
     machine = Seeded()
     try:
-        machine.create()
+        machine.create(ident=False)
         machine.enable_tracking()
         machine.engine_matches_model()  # learn ids
         k = sorted(machine.rows)[0]
@@ -606,7 +734,7 @@ def test_fuzz_catches_seeded_restore_boundary_bug(spark, monkeypatch):
 
     machine = StorageMachine()
     try:
-        machine.create()
+        machine.create(ident=False)
         machine.engine_matches_model()       # record v1 in history
         v1 = machine.t.latest_version()
         machine.enable_tracking()
