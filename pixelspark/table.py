@@ -4230,10 +4230,23 @@ class SnapshotTable:
         j = o.join(n, list(keys), "full_outer")
         old_p = F.coalesce(F.col("__in_old"), F.lit(False))
         new_p = F.coalesce(F.col("__in_new"), F.lit(False))
+        # the SYSTEM row-tracking column is served in the feed (CDC
+        # consumers key durable state on the stable ids) but excluded
+        # from change DETECTION: its only possible transition for a
+        # surviving key is NULL -> assigned during the
+        # enable_row_tracking backfill, and that rewrite is a metadata
+        # operation on the logical data — emitting every row as
+        # 'updated' there would retract/reapply whole downstream
+        # matviews for no data change (Delta's backfill is likewise
+        # CDF-silent).  The USER identity column stays in: it is user
+        # data, and its values appearing is a real change.
+        _rt = self._slot_of(m1, "row_tracking")
+        diff_cols = [c for c in cols if not (_rt and c == _rt["col"])]
         differs = reduce(
             lambda a, b: a | b,
-            [~F.col(f"__old_{c}").eqNullSafe(F.col(f"__new_{c}")) for c in cols],
-        ) if cols else F.lit(False)
+            [~F.col(f"__old_{c}").eqNullSafe(F.col(f"__new_{c}"))
+             for c in diff_cols],
+        ) if diff_cols else F.lit(False)
         change = (
             F.when(old_p & ~new_p, "deleted")
             .when(new_p & ~old_p, "inserted")

@@ -496,3 +496,24 @@ def test_identity_seed_on_nonempty_table_refuses_wedging_writes(
     t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
     t.compact()
     assert {r["k"]: r["uid"] for r in t.read().collect()}[3] == 101
+
+
+def test_backfill_is_cdf_silent_but_ids_still_served(spark, tmp_path):
+    """enable_row_tracking(backfill=True) rewrites every file to
+    materialize __row_id, but the LOGICAL data is untouched — the
+    change feed across the backfill must be empty (Delta's backfill is
+    likewise CDF-silent; found by the r9 storage fuzz).  Real changes
+    in the same window still flow, and their rows still CARRY the
+    stable ids."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    v1 = t.latest_version()
+    t.enable_row_tracking(backfill=True)
+    assert t.read_changes(v1, keys=("k",)).collect() == []
+
+    # a real update in a window that also spans the backfill flows,
+    # and the feed serves the stable id for the changed key
+    t.update({"v": F.lit("a2")}, condition=F.col("k") == 1)
+    ch = t.read_changes(v1, keys=("k",)).collect()
+    assert [(c["k"], c["change_type"]) for c in ch] == [(1, "updated")]
+    assert ch[0]["__row_id"] == _ids(t)[1]

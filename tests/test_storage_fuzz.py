@@ -5,9 +5,9 @@ the full DML/DDL surface on ONE SnapshotTable — append / upsert /
 merge (dv & rewrite) / update (dv & rewrite) / delete (dv & rewrite) /
 compact / add_columns / enable_column_mapping / rename_column /
 drop_column / widen_column / enable_row_tracking(backfill) /
-overwrite / evolve_partitioning / restore — against a driver-side
-reference model (a plain dict of rows keyed by `k` plus expected
-schema / id / watermark state), and checks after EVERY step:
+overwrite / evolve_partitioning / restore / vacuum — against a
+driver-side reference model (a plain dict of rows keyed by `k` plus
+expected schema / id / watermark state), and checks after EVERY step:
 
   * read-back equality (multiset of rows vs the model),
   * `__row_id` stability (rows that survive keep the id they were
@@ -567,6 +567,21 @@ class StorageMachine(RuleBasedStateMachine):
         # deliberately NOT restored: all_ids (ids burned by the
         # rolled-back-over versions stay burned — the head watermark
         # carries over), next_k/next_col/next_fid (freshness is global)
+
+    @rule(keep=st.integers(min_value=2, max_value=4))
+    def vacuum(self, keep: int) -> None:
+        """Retention: prune old manifests + unreferenced data dirs.
+        Current-state reads must be untouched (the read-back invariant
+        checks that a live dir was never deleted); pruned versions
+        lose time travel / CDF / restore."""
+        self.t.vacuum(keep_versions=keep)
+        vs = set(self.t.versions())
+        gone = sorted(v for v in self.history if v not in vs)
+        if gone:
+            with pytest.raises((FileNotFoundError, OSError)):
+                self.t.read(version=gone[0]).collect()
+        self.history = {
+            v: s for v, s in self.history.items() if v in vs}
 
     @precondition(lambda self: self.identity_on and self.mapped)
     @rule(op=st.sampled_from(["rename", "drop"]))
