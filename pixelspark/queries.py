@@ -9707,6 +9707,14 @@ def q_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(base)
     t.enable_row_tracking(backfill=True)  # v2: one distributed rewrite
     v_load = t.latest_version()
+    # late-r9 semantic pin: the backfill materializes __row_id but
+    # changes no logical data — the change feed across it is EMPTY
+    # (Delta's backfill is likewise CDF-silent; a matview fold across
+    # the enable must not retract/reapply its whole state)
+    _require(
+        t.read_changes(1, keys=("shop",)).limit(1).count() == 0,
+        "backfill must be CDF-silent",
+    )
 
     ups = base.where("views > 0").withColumn("status", F.lit("active"))
     ins = _t(spark, sf_dir, "supplier").select(
