@@ -2021,12 +2021,33 @@ class SnapshotTable:
         dir; all previous entries carry over untouched.  Appending an
         empty DataFrame to an existing table is a no-op (returns the
         current version); to a missing table it creates an empty one
-        so the schema is established."""
+        so the schema is established.
+
+        On a PARTITIONED table the appended dir is laid out by the
+        current partition column (Delta append semantics: new files
+        join the partition layout; late-r9 — previously refused), so
+        `read(partition_values=...)` pruning, partition-scoped merge
+        and `replace_partitions` address the new rows exactly like
+        the old ones.  Several append entries can carry the same
+        partition value — `maybe_compact`'s entry-debt trigger folds
+        them.  A partition-evolution commit racing the staged write
+        is caught by the layout guard in the commit build and the
+        append re-stages under the fresh layout, like a mapping DDL
+        race."""
         for _ in range(self.max_retries):
+            v0 = self.latest_version()
+            pcol = (self.manifest(v0).get("partition_col")
+                    if v0 is not None else None)
             out_df, highs = self._prepare_ids(df)
-            rel, _, has_data, wmap, nrows = self._write_snap(
-                out_df, None, audit_cols=self._unassigned_id_cols(highs))
-            entry = self._entry_for(rel, [], has_data, out_df.schema, wmap,
+            if pcol is not None and pcol not in out_df.columns:
+                raise ValueError(
+                    f"append to a table partitioned by {pcol!r} needs "
+                    f"that column in the batch"
+                )
+            rel, parts, has_data, wmap, nrows = self._write_snap(
+                out_df, pcol, audit_cols=self._unassigned_id_cols(highs))
+            entry = self._entry_for(rel, sorted(parts) if pcol else [],
+                                    has_data, out_df.schema, wmap,
                                     row_count=nrows)
             schema = out_df.schema.json()
             if not has_data:
@@ -2037,15 +2058,14 @@ class SnapshotTable:
             def build(prev: dict | None) -> dict:
                 if (prev or {}).get("column_mapping") != wmap:
                     raise _Conflicted
+                if ((prev or {}).get("partition_col")) != pcol:
+                    # partition evolution landed after this append
+                    # staged its dir under the old layout — re-stage
+                    raise _Conflicted
                 entries = list(prev["entries"]) if prev else []
-                if prev and prev.get("partition_col"):
-                    raise ValueError(
-                        "append() on a partitioned snapshot table — use "
-                        "replace_partitions() so partition pruning stays intact"
-                    )
                 if has_data:
                     entries = entries + [entry]
-                out = {"partition_col": None, "entries": entries,
+                out = {"partition_col": pcol, "entries": entries,
                        "schema": schema, "op": {"name": "append"}}
                 # a rival that assigned from the range we staged would
                 # collide with our written ids — CAS and re-stage
@@ -2087,16 +2107,25 @@ class SnapshotTable:
             if last is not None and last >= batch_id:
                 return None  # replay detected before paying the write
         for _ in range(self.max_retries):
+            v0 = self.latest_version()
+            pcol = (self.manifest(v0).get("partition_col")
+                    if v0 is not None else None)
             out_df, highs = self._prepare_ids(df)
-            rel, _, has_data, wmap, nrows = self._write_snap(
-                out_df, None, audit_cols=self._unassigned_id_cols(highs))
-            entry = self._entry_for(rel, [], has_data, out_df.schema, wmap,
+            if pcol is not None and pcol not in out_df.columns:
+                raise ValueError(
+                    f"append to a table partitioned by {pcol!r} needs "
+                    f"that column in the batch"
+                )
+            rel, parts, has_data, wmap, nrows = self._write_snap(
+                out_df, pcol, audit_cols=self._unassigned_id_cols(highs))
+            entry = self._entry_for(rel, sorted(parts) if pcol else [],
+                                    has_data, out_df.schema, wmap,
                                     row_count=nrows)
             schema = out_df.schema.json()
             try:
                 return self._append_once_commit(
                     out_df, app_id, batch_id, rel, entry, has_data, wmap,
-                    schema, highs=highs,
+                    schema, highs=highs, pcol=pcol,
                 )
             except ConcurrentWriteConflict:
                 # mapping DDL raced the write (see append): re-stage
@@ -2112,7 +2141,7 @@ class SnapshotTable:
 
     def _append_once_commit(
         self, df, app_id, batch_id, rel, entry, has_data, wmap, schema,
-        highs: dict | None = None,
+        highs: dict | None = None, pcol: str | None = None,
     ) -> int | None:
         def build(prev: dict | None) -> dict:
             if (prev or {}).get("column_mapping") != wmap:
@@ -2121,8 +2150,10 @@ class SnapshotTable:
             last = txn.get(app_id)
             if last is not None and last >= batch_id:
                 raise _SkipCommit  # rival committed this batch mid-race
-            if prev and prev.get("partition_col"):
-                raise ValueError("append_once() on a partitioned snapshot table")
+            if ((prev or {}).get("partition_col")) != pcol:
+                # partition evolution raced the staged write: the dir
+                # is laid out under the old layout — re-stage
+                raise _Conflicted
             txn[app_id] = batch_id
             entries = list(prev["entries"]) if prev else []
             # an empty batch still records its txn watermark (the
@@ -2130,7 +2161,7 @@ class SnapshotTable:
             # just without a dataless entry
             if has_data:
                 entries = entries + [entry]
-            out = {"partition_col": None, "entries": entries,
+            out = {"partition_col": pcol, "entries": entries,
                    "txn": txn, "schema": schema,
                    "op": {"name": "append_once", "app_id": app_id,
                           "batch_id": batch_id}}

@@ -428,6 +428,16 @@ class StorageMachine(RuleBasedStateMachine):
         victims = data.draw(st.lists(
             st.sampled_from(sorted(self.rows)), min_size=1, max_size=2,
             unique=True))
+        if (mode == "rewrite" and self.pcol is not None
+                and self._mixed_layout()):
+            # documented: rewrite-mode DELETE is touched-partitions-
+            # only on a partitioned table, and partition-scoped reads
+            # refuse while layouts are mixed
+            before = self.t.latest_version()
+            with pytest.raises(ValueError, match="partition evolution"):
+                self.t.delete(F.col("k").isin(victims), mode=mode)
+            assert self.t.latest_version() == before
+            return
         self.t.delete(F.col("k").isin(victims), mode=mode)
         for k in victims:
             del self.rows[k]
@@ -441,6 +451,16 @@ class StorageMachine(RuleBasedStateMachine):
         # it) — a hardcoded 'v' would silently no-op on both sides
         # after a rename, erasing UPDATE coverage mid-program
         vcol = self.cols[1][0]
+        if (mode == "rewrite" and self.pcol is not None
+                and self._mixed_layout()):
+            # documented: rewrite-mode UPDATE is touched-partitions-
+            # only on a partitioned table — refused while mixed
+            before = self.t.latest_version()
+            with pytest.raises(ValueError, match="partition evolution"):
+                self.t.update({vcol: F.lit(f"upd:{k}")},
+                              condition=F.col("k") == k, mode=mode)
+            assert self.t.latest_version() == before
+            return
         self.t.update({vcol: F.lit(f"upd:{k}")},
                       condition=F.col("k") == k, mode=mode)
         self.rows[k][vcol] = f"upd:{k}"

@@ -2066,3 +2066,69 @@ def test_maybe_compact_review_guards(spark, tmp_path):
     t3.delete("k < 5", mode="dv")
     assert t3.maybe_compact(max_masked_fraction=0.05) is not None
     assert t3.dv_metrics()["dv_masked_rows"] == 0
+
+
+def test_append_on_partitioned_table_joins_the_layout(spark, tmp_path):
+    """late-r9: append on a partitioned table lands its dir in the
+    CURRENT layout (Delta append semantics — previously refused), so
+    partition pruning and replace_partitions address the new rows
+    like the old ones."""
+    t = SnapshotTable(spark, str(tmp_path / "p"))
+    t.replace_partitions(
+        spark.createDataFrame([(7, 1, "a"), (8, 2, "b")],
+                              "day int, k long, v string"), "day")
+    t.append(spark.createDataFrame([(8, 3, "c"), (9, 4, "d")],
+                                   "day int, k long, v string"))
+    got = sorted((r["day"], r["k"]) for r in t.read().collect())
+    assert got == [(7, 1), (8, 2), (8, 3), (9, 4)]
+    # pruned read sees BOTH the old and the appended day-8 rows
+    d8 = sorted(r["k"] for r in t.read(partition_values=[8]).collect())
+    assert d8 == [2, 3]
+    # the appended entry carries its col=value parts in the manifest
+    m = t.manifest(t.latest_version())
+    assert m["partition_col"] == "day"
+    appended = m["entries"][-1]
+    assert sorted(appended["parts"]) == ["day=8", "day=9"]
+    # replace_partitions retires the appended day too
+    t.replace_partitions(
+        spark.createDataFrame([(8, 9, "z")], "day int, k long, v string"),
+        "day")
+    got2 = sorted((r["day"], r["k"]) for r in t.read().collect())
+    assert got2 == [(7, 1), (8, 9), (9, 4)]
+    # missing partition column refused loudly
+    with pytest.raises(ValueError, match="needs that column"):
+        t.append(spark.createDataFrame([(5, "e")], "k long, v string"))
+
+
+def test_append_once_on_partitioned_table_and_replay(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "p"))
+    t.replace_partitions(
+        spark.createDataFrame([(7, 1)], "day int, k long"), "day")
+    assert t.append_once(
+        spark.createDataFrame([(8, 2)], "day int, k long"), "app", 1
+    ) is not None
+    # replay: commits nothing
+    assert t.append_once(
+        spark.createDataFrame([(8, 2)], "day int, k long"), "app", 1
+    ) is None
+    got = sorted((r["day"], r["k"]) for r in t.read().collect())
+    assert got == [(7, 1), (8, 2)]
+
+
+def test_append_during_partition_evolution_uses_new_layout(
+    spark, tmp_path
+):
+    """While evolution is in progress (mixed layouts), appends join
+    the NEW layout; a full compact unifies and restores
+    partition_values addressing."""
+    t = SnapshotTable(spark, str(tmp_path / "p"))
+    t.append(spark.createDataFrame([(7, 1)], "day int, k long"))
+    t.evolve_partitioning("day")
+    t.append(spark.createDataFrame([(8, 2)], "day int, k long"))
+    m = t.manifest(t.latest_version())
+    assert m["entries"][-1]["parts"] == ["day=8"]   # new layout
+    assert m["entries"][0]["parts"] is None          # old layout kept
+    with pytest.raises(ValueError, match="partition evolution"):
+        t.read(partition_values=[8])
+    t.compact()
+    assert [r["k"] for r in t.read(partition_values=[8]).collect()] == [2]
