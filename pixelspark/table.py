@@ -323,6 +323,33 @@ def _widen_merge_schema(prev_json: str, new_json: str) -> str:
     return StructType(fields).json()
 
 
+def _evolve_merge_schema(prev_json: str, new_json: str) -> str:
+    """Reconcile a write's schema with the declared one on an ORDINARY
+    (non-type-widened) table: keep every declared column — a batch
+    that carries a SUBSET of columns must not narrow the DDL (the
+    declared-schema scan would silently drop the missing column's
+    data from every read) — and append genuinely new columns
+    (mergeSchema evolution).  Any TYPE change is refused: ordinary
+    tables have one physical width per column; widening needs the
+    explicit widen_column DDL (which flags the reader feature)."""
+    prev_s = StructType.fromJson(json.loads(prev_json))
+    new_s = StructType.fromJson(json.loads(new_json))
+    new_by_name = {f.name: f for f in new_s.fields}
+    fields = []
+    for f in prev_s.fields:
+        g = new_by_name.pop(f.name, None)
+        if g is not None and g.dataType != f.dataType:
+            raise ValueError(
+                f"column {f.name!r}: written type "
+                f"{g.dataType.simpleString()} != declared "
+                f"{f.dataType.simpleString()} — type changes need the "
+                "widen_column DDL (type-widening reader feature)"
+            )
+        fields.append(f)
+    fields += [new_by_name[f.name] for f in new_s.fields if f.name in new_by_name]
+    return StructType(fields).json()
+
+
 def _range_admits(rng, op: str, val) -> bool:
     """Can a file whose column spans [mn, mx] contain a row satisfying
     `col op val`?  Conservative: unknown stats, open bounds (all-null
@@ -665,6 +692,35 @@ class SnapshotTable:
                 new["schema"] = _widen_merge_schema(
                     prev["schema"], new["schema"]
                 )
+            # same reconciliation on ORDINARY tables (r10): a batch
+            # carrying a SUBSET of columns must not narrow the DDL —
+            # the declared-schema scan would silently drop the missing
+            # column's data from every read.  Declared columns stay,
+            # new columns evolve in, type changes are refused (they
+            # need widen_column).  Same op exclusions as the widened
+            # path, plus any commit that replaced EVERY old entry
+            # (overwrite, whole-table compact, a full-rewrite upsert):
+            # with no old file surviving, the written schema is
+            # materialized everywhere and legitimately becomes the DDL
+            # (that is how upsert retypes a string day to date).
+            elif (
+                not new.get("type_widened")
+                and not _full_rewrite
+                and new.get("schema")
+                and prev is not None
+                and prev.get("schema")
+                and new["schema"] != prev["schema"]
+                and _op not in ("widen_column", "restore",
+                                "rename_column", "drop_column")
+            ):
+                _prev_bases = {(e.get("root"), e["base"])
+                               for e in prev.get("entries") or []}
+                _new_bases = {(e.get("root"), e["base"])
+                              for e in new.get("entries") or []}
+                if _prev_bases & _new_bases:
+                    new["schema"] = _evolve_merge_schema(
+                        prev["schema"], new["schema"]
+                    )
             # deletion vectors survive commits that keep the data they
             # mask (append, replace_partitions, ...); ops that
             # materialize the masked rows (overwrite/compact) set
@@ -691,8 +747,10 @@ class SnapshotTable:
             # USER identity column ENTERING the schema (a constructor
             # seed adopted onto an existing table): allowed only when
             # this commit replaces every old entry (overwrite /
-            # whole-table compact / upsert — the rewrite assigns the
-            # column everywhere).  A commit that keeps old files alive
+            # whole-table compact — the rewrite assigns the column
+            # everywhere; an upsert canNOT adopt, since it has no ids
+            # to give unmatched pre-existing rows, and its write audit
+            # refuses the NULLs).  A commit that keeps old files alive
             # while the column enters the schema would leave their
             # rows NULL in the identity column, and the refuse-NULLs
             # write audit then wedges every later rewrite (compact
@@ -947,10 +1005,17 @@ class SnapshotTable:
 
         if partition_col is None:
             write(lambda: df.write.mode("errorifexists").parquet(full))
-            has = self.st.has_parquet(full)
+            n = observed()
+            # an empty unpartitioned write DOES land one (schema-only)
+            # parquet file — file existence alone would commit a 0-row
+            # entry, breaking append's empty-batch no-op contract and
+            # append_once's entry-less watermark commit.  The observed
+            # count settles it; an unresolved observation (None) stays
+            # conservative (entry kept, harmless debt).
+            has = self.st.has_parquet(full) and n != 0
             if metrics is not None and has:
                 self._write_expectation_metrics(full, metrics)
-            return rel, [], has, cmap, observed()
+            return rel, [], has, cmap, n
         write(lambda: df.write.mode("errorifexists")
               .partitionBy(partition_col).parquet(full))
         parts = [p for p in self.st.list(full) if p.startswith(f"{partition_col}=")]
@@ -2040,6 +2105,11 @@ class SnapshotTable:
                     if v0 is not None else None)
             out_df, highs = self._prepare_ids(df)
             if pcol is not None and pcol not in out_df.columns:
+                # the empty-batch no-op outranks the layout refusal
+                # (docstring contract); isEmpty runs only on this
+                # would-be-error path, never on the hot append
+                if out_df.isEmpty():
+                    return self.latest_version()
                 raise ValueError(
                     f"append to a table partitioned by {pcol!r} needs "
                     f"that column in the batch"
@@ -2111,13 +2181,22 @@ class SnapshotTable:
             pcol = (self.manifest(v0).get("partition_col")
                     if v0 is not None else None)
             out_df, highs = self._prepare_ids(df)
+            write_pcol = pcol
             if pcol is not None and pcol not in out_df.columns:
-                raise ValueError(
-                    f"append to a table partitioned by {pcol!r} needs "
-                    f"that column in the batch"
-                )
+                # an EMPTY batch must still record its txn watermark
+                # (exactly-once contract), so instead of the append()
+                # no-op it stages a dataless, unpartitioned snap —
+                # has_data=False discards the entry, only txn commits
+                if out_df.isEmpty():
+                    write_pcol = None
+                else:
+                    raise ValueError(
+                        f"append to a table partitioned by {pcol!r} "
+                        f"needs that column in the batch"
+                    )
             rel, parts, has_data, wmap, nrows = self._write_snap(
-                out_df, pcol, audit_cols=self._unassigned_id_cols(highs))
+                out_df, write_pcol,
+                audit_cols=self._unassigned_id_cols(highs))
             entry = self._entry_for(rel, sorted(parts) if pcol else [],
                                     has_data, out_df.schema, wmap,
                                     row_count=nrows)
@@ -4262,22 +4341,29 @@ class SnapshotTable:
         old_p = F.coalesce(F.col("__in_old"), F.lit(False))
         new_p = F.coalesce(F.col("__in_new"), F.lit(False))
         # the SYSTEM row-tracking column is served in the feed (CDC
-        # consumers key durable state on the stable ids) but excluded
-        # from change DETECTION: its only possible transition for a
-        # surviving key is NULL -> assigned during the
-        # enable_row_tracking backfill, and that rewrite is a metadata
-        # operation on the logical data — emitting every row as
-        # 'updated' there would retract/reapply whole downstream
+        # consumers key durable state on the stable ids) but its
+        # NULL -> assigned transition is excluded from change
+        # DETECTION: that is the enable_row_tracking backfill, a
+        # metadata operation on the logical data — emitting every row
+        # as 'updated' there would retract/reapply whole downstream
         # matviews for no data change (Delta's backfill is likewise
-        # CDF-silent).  The USER identity column stays in: it is user
-        # data, and its values appearing is a real change.
+        # CDF-silent).  An assigned -> DIFFERENT-assigned transition
+        # (a key deleted and re-inserted with identical logical
+        # values inside one window gets a fresh id) IS detected:
+        # consumers keying durable state on the stable id must learn
+        # the retraction/new id.  The USER identity column stays in
+        # unconditionally: it is user data.
         _rt = self._slot_of(m1, "row_tracking")
-        diff_cols = [c for c in cols if not (_rt and c == _rt["col"])]
+        _rt_col = _rt["col"] if _rt else None
+        def _differs_expr(c):
+            base = ~F.col(f"__old_{c}").eqNullSafe(F.col(f"__new_{c}"))
+            if c == _rt_col:
+                # ignore only the backfill's NULL -> assigned edge
+                return F.col(f"__old_{c}").isNotNull() & base
+            return base
         differs = reduce(
-            lambda a, b: a | b,
-            [~F.col(f"__old_{c}").eqNullSafe(F.col(f"__new_{c}"))
-             for c in diff_cols],
-        ) if diff_cols else F.lit(False)
+            lambda a, b: a | b, [_differs_expr(c) for c in cols],
+        ) if cols else F.lit(False)
         change = (
             F.when(old_p & ~new_p, "deleted")
             .when(new_p & ~old_p, "inserted")

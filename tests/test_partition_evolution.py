@@ -79,9 +79,14 @@ def test_evolve_from_unpartitioned_history(spark, tmp_path):
     )
     got = {(r["day"], r["k"]) for r in t.read().collect()}
     assert got == {("d1", 1), ("d2", 2)}
-    # appending to a now-partitioned table is still refused
-    with pytest.raises(ValueError, match="partitioned"):
-        t.append(spark.createDataFrame([("d3", 3)], "day string, k long"))
+    # late-r9 (191eb79): appending to a now-partitioned table JOINS the
+    # current layout instead of being refused — mirror of
+    # tests/test_table.py::test_append_on_partitioned_table_joins_the_layout
+    t.append(spark.createDataFrame([("d3", 3)], "day string, k long"))
+    got = {(r["day"], r["k"]) for r in t.read().collect()}
+    assert got == {("d1", 1), ("d2", 2), ("d3", 3)}
+    m = t.manifest(t.latest_version())
+    assert m["entries"][-1]["parts"] == ["day=d3"]
 
 
 def test_evolution_guards(spark, tbl):

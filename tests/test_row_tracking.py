@@ -517,3 +517,38 @@ def test_backfill_is_cdf_silent_but_ids_still_served(spark, tmp_path):
     ch = t.read_changes(v1, keys=("k",)).collect()
     assert [(c["k"], c["change_type"]) for c in ch] == [(1, "updated")]
     assert ch[0]["__row_id"] == _ids(t)[1]
+
+
+def test_delete_reinsert_same_values_surfaces_new_id_in_cdf(
+    spark, tmp_path
+):
+    """r10 (advisor medium): a key deleted and re-inserted with
+    IDENTICAL logical values inside one CDF window gets a fresh
+    __row_id.  The feed must classify it 'updated' (assigned ->
+    different-assigned is a real identity change a CDC consumer keyed
+    on the stable id has to learn), while the backfill's
+    NULL -> assigned edge stays silent (previous test)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([], "k long, v string"))
+    t.enable_row_tracking()
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    old_ids = _ids(t)
+    v0 = t.latest_version()
+
+    t.delete("k = 2")
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    new_ids = _ids(t)
+    assert new_ids[2] != old_ids[2]  # reinsert got a fresh id
+
+    ch = t.read_changes(v0, keys=("k",), preimages=True).collect()
+    got = sorted((r["k"], r["change_type"], r["__row_id"]) for r in ch)
+    assert got == [
+        (2, "update_postimage", new_ids[2]),
+        (2, "update_preimage", old_ids[2]),
+    ]
+
+    # non-preimage shape: one 'updated' row carrying the NEW id
+    ch2 = t.read_changes(v0, keys=("k",)).collect()
+    assert [(r["k"], r["change_type"], r["__row_id"]) for r in ch2] == [
+        (2, "updated", new_ids[2])
+    ]

@@ -14,6 +14,7 @@ import os
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from pixelspark.ops import rollup as R
 from pixelspark.schemas import load_table
@@ -2132,3 +2133,67 @@ def test_append_during_partition_evolution_uses_new_layout(
         t.read(partition_values=[8])
     t.compact()
     assert [r["k"] for r in t.read(partition_values=[8]).collect()] == [2]
+
+
+def test_empty_append_without_partition_column_is_noop(spark, tmp_path):
+    """r10 (advisor low): the empty-batch no-op outranks the
+    missing-partition-column refusal — appending an EMPTY DataFrame
+    that lacks the partition column must not raise (docstring
+    contract).  append_once still records its txn watermark."""
+    t = SnapshotTable(spark, str(tmp_path / "p"))
+    t.replace_partitions(
+        spark.createDataFrame([(7, 1)], "day int, k long"), "day")
+    v = t.latest_version()
+    assert t.append(spark.createDataFrame([], "k long")) == v
+    assert t.latest_version() == v
+
+    # append_once: empty batch lacking the column commits ONLY the
+    # txn watermark (exactly-once), no data entry, layout untouched
+    got = t.append_once(spark.createDataFrame([], "k long"), "app", 5)
+    assert got == v + 1
+    m = t.manifest(t.latest_version())
+    assert m["txn"]["app"] == 5
+    assert m["partition_col"] == "day"
+    assert len(m["entries"]) == 1  # no dataless entry appended
+    # replay of the empty batch: nothing
+    assert t.append_once(spark.createDataFrame([], "k long"), "app", 5) is None
+    assert sorted((r["day"], r["k"]) for r in t.read().collect()) == [(7, 1)]
+
+
+def test_subset_schema_append_does_not_narrow_declared_schema(
+    spark, tmp_path
+):
+    """r10: an append whose batch carries a SUBSET of columns used to
+    REPLACE the declared schema, silently dropping the missing
+    column's data from every declared-schema read.  Declared columns
+    must survive; new columns evolve in; type changes are refused
+    (widen_column owns those)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.append(spark.createDataFrame([(2,)], "k long"))
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == [
+        (1, "a"), (2, None)]
+    # the DDL kept both columns
+    sch = StructType.fromJson(
+        json.loads(t.manifest(t.latest_version())["schema"]))
+    assert [f.name for f in sch.fields] == ["k", "v"]
+    # evolution still works: a NEW column joins the schema tail
+    t.append(spark.createDataFrame([(3, "c", 9)], "k long, v string, w long"))
+    assert sorted(
+        (r["k"], r["v"], r["w"]) for r in t.read().collect()
+    ) == [(1, "a", None), (2, None, None), (3, "c", 9)]
+    # a type change without the widening DDL is refused at write time
+    with pytest.raises(ValueError, match="widen_column"):
+        t.append(spark.createDataFrame([(4,)], "k int"))
+
+
+def test_empty_unpartitioned_append_is_a_true_noop(spark, tmp_path):
+    """r10: the empty unpartitioned write lands one schema-only
+    parquet file — file existence alone used to commit a 0-row entry
+    and bump the version, contradicting append's no-op contract."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    v = t.latest_version()
+    assert t.append(spark.createDataFrame([], "k long, v string")) == v
+    assert t.latest_version() == v
+    assert len(t.manifest(v)["entries"]) == 1
