@@ -9867,18 +9867,18 @@ _WINDOW_QUERIES = [
     # q_left_join_matview's slot (in-window green r6e-r8; stays
     # registered + sweep-checked)
     "q_table_tail",
-    # r6e rotation: the exact COUNT(DISTINCT) view flagship (chained
-    # support/ndv folds, last-occurrence semantics value-oracled)
-    # takes q_json_extract's slot (F12, in-window green r1-r5; stays
+    # r10 rotation (VERDICT item 5): the star-contraction connected
+    # components variant (value-oracled since r4, never driver-hashed)
+    # takes q_distinct_matview's slot (in-window green r6e-r9; stays
     # registered + sweep-checked)
-    "q_distinct_matview",
+    "q_dedup_clusters_star",
     "q_target_date",
     "q_unbilled_shops",
-    # r7 rotation: the arbitrary-aggregate (percentile) recompute
-    # view takes q_billed_shops_semi's slot (J4 twin, in-window green
-    # r1-r6; stays registered + sweep-checked; q_unbilled_shops keeps
-    # the semi/anti seat)
-    "q_percentile_matview",
+    # r10 rotation (VERDICT item 5): the search pack takes its first
+    # window seat — hybrid lexical+dense RRF fusion (BM25 + cosine,
+    # value-oracled since r6) replaces q_percentile_matview (in-window
+    # green r7-r9; stays registered + sweep-checked)
+    "q_hybrid_search",
     # r7 rotation: the FULL-outer join-view flagship takes
     # q_enrich_results' slot (J3, in-window green r1-r6; stays
     # registered + sweep-checked; q_daily_billing keeps the outer-
