@@ -1,0 +1,313 @@
+"""Concurrent-writer interleaving fuzz (r10, VERDICT item 3).
+
+The optimistic-concurrency surface — commit rebase, id-watermark CAS,
+the partition-evolution-races-append layout guard — was pinned by
+targeted tests only; the storage fuzz is single-threaded.  This fuzz
+drives TWO writers with a CONTROLLED interleave at the exact CAS
+boundary: writer A runs its op normally, but an intercepting storage
+wrapper fires writer B's ENTIRE op (through a separate, unwrapped
+table handle) immediately before A's Nth manifest put-if-absent.
+A's attempt then loses the create race and its machinery must rebase
+(re-run the read-merge-write, re-stage under the new layout/mapping,
+re-draw ids past the rival's watermark) or refuse with the documented
+conflict error.  Deterministic — no threads, no sleeps, every
+interleaving replays exactly.
+
+Invariants, per VERDICT r9 item 3:
+  * SERIALIZABILITY — the surviving table state equals applying the
+    two ops to the model in SOME serial order (B-then-A or A-then-B);
+    if A refused (ConcurrentWriteConflict / ConcurrentCommitError /
+    the documented ValueError refusals), the state equals B alone.
+  * WATERMARK MONOTONICITY — the row-tracking high watermark never
+    decreases across the surviving history.
+  * NO ID REUSE — across every readable version, a given __row_id is
+    attached to exactly one key, ever (a rebased writer must re-draw
+    ids the rival burned, never re-issue them).
+
+Seeded (always-run) cases: the append-races-partition-evolution layout
+guard from late-r9, and the upsert/upsert rebase (the lost-update
+classic).
+"""
+from __future__ import annotations
+
+import os
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pixelspark.table import (
+    ConcurrentCommitError,
+    ConcurrentWriteConflict,
+    SnapshotTable,
+)
+
+FUZZ_EXAMPLES = int(os.environ.get("PIXELSPARK_FUZZ_EXAMPLES", "8"))
+
+SCHEMA = "k long, day int, v long"
+
+_SANCTIONED = (ConcurrentWriteConflict, ConcurrentCommitError, ValueError)
+
+
+class InterceptStorage:
+    """Delegating storage that fires `hook` ONCE, immediately before
+    the `nth` manifest put-if-absent — the CAS boundary."""
+
+    def __init__(self, inner, hook, nth: int = 1) -> None:
+        self._inner = inner
+        self._hook = hook
+        self._countdown = nth
+
+    def write_text_atomic(self, path: str, content: str) -> bool:
+        if "/_manifests/" in path and self._hook is not None:
+            self._countdown -= 1
+            if self._countdown <= 0:
+                hook, self._hook = self._hook, None
+                hook()
+        return self._inner.write_text_atomic(path, content)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+# -- the op pool ------------------------------------------------------
+# Each op is (name, param); realize(op, band) returns
+# (apply(table) -> None, model(dict) -> dict).  `band` gives each
+# writer a disjoint fresh-key range; SHARED keys 0..5 come from the
+# seed so upserts/deletes/updates collide on purpose.
+
+
+def _df(spark, rows: dict[int, tuple]):
+    return spark.createDataFrame(
+        [(k, d, v) for k, (d, v) in sorted(rows.items())], SCHEMA
+    ).coalesce(2)
+
+
+def _batch(ks, tag: int) -> dict[int, tuple]:
+    return {k: (k % 3, k * 10 + tag) for k in ks}
+
+
+OPS = ["append", "append_once", "upsert", "delete", "dv_delete",
+       "update", "compact", "evolve"]
+
+
+def realize(spark, op: str, param: int, band: int):
+    fresh = [band + param, band + param + 1]
+    if op == "append":
+        rows = _batch(fresh, tag=band % 97)
+
+        def apply(t):
+            t.append(_df(spark, rows))
+
+        def model(m):
+            return {**m, **rows}
+
+    elif op == "append_once":
+        rows = _batch(fresh, tag=band % 89)
+
+        def apply(t):
+            t.append_once(_df(spark, rows), "fuzzapp", param + 1)
+
+        def model(m):
+            return {**m, **rows}
+
+    elif op == "upsert":
+        hits = [param % 6, (param + 1) % 6]  # seed keys: collide
+        rows = {**_batch(hits, tag=band % 83), **_batch(fresh, tag=7)}
+
+        def apply(t):
+            t.upsert(_df(spark, rows), keys=("k",))
+
+        def model(m):
+            return {**{k: r for k, r in m.items() if k not in rows}, **rows}
+
+    elif op in ("delete", "dv_delete"):
+        mod = 2 + param % 3
+
+        def apply(t):
+            t.delete(f"k % {mod} = 0",
+                     mode="dv" if op == "dv_delete" else "rewrite")
+
+        def model(m):
+            return {k: r for k, r in m.items() if k % mod != 0}
+
+    elif op == "update":
+        mod = 2 + param % 3
+
+        def apply(t):
+            t.update({"v": F.lit(band + 500)},
+                     condition=F.expr(f"k % {mod} = 0"))
+
+        def model(m):
+            return {k: ((d, band + 500) if k % mod == 0 else (d, v))
+                    for k, (d, v) in m.items()}
+
+    elif op == "compact":
+        def apply(t):
+            t.compact()
+
+        def model(m):
+            return m
+
+    elif op == "evolve":
+        def apply(t):
+            t.evolve_partitioning("day")
+
+        def model(m):
+            return m
+
+    else:  # pragma: no cover
+        raise AssertionError(op)
+    return apply, model
+
+
+def _read_rows(t: SnapshotTable, version=None) -> dict[int, tuple]:
+    return {r["k"]: (r["day"], r["v"])
+            for r in t.read(version=version)
+                      .select("k", "day", "v").collect()}
+
+
+def _run_interleaved(spark, tmp_path, a, b, tracking: bool, nth: int):
+    """Build a seeded table, run op B inside op A's CAS window, audit."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    seed = _batch(range(6), tag=1)
+    t.overwrite(_df(spark, seed))
+    if tracking:
+        t.enable_row_tracking(backfill=True)
+    v_pre = t.latest_version()
+
+    a_apply, a_model = realize(spark, a[0], a[1], band=1000)
+    b_apply, b_model = realize(spark, b[0], b[1], band=2000)
+
+    rival = SnapshotTable(spark, root)  # unwrapped handle for B
+    b_err: list = []
+
+    def fire_b():
+        try:
+            b_apply(rival)
+        except Exception as e:  # B must ALWAYS succeed: it runs alone
+            b_err.append(e)
+
+    t.st = InterceptStorage(t.st, fire_b, nth=nth)
+    a_landed = True
+    try:
+        a_apply(t)
+    except _SANCTIONED:
+        a_landed = False
+    if t.st._hook is not None:
+        # A needed fewer CAS attempts than `nth`: the window never
+        # opened, so B runs strictly after — the degenerate (serial)
+        # interleaving, still a valid order to audit against
+        t.st._hook = None
+        fire_b()
+    assert not b_err, f"rival op {b} failed while running alone: {b_err[0]}"
+
+    # -- serializability ------------------------------------------------
+    final = _read_rows(SnapshotTable(spark, root))
+    want_ba = a_model(b_model(dict(seed)))
+    want_ab = b_model(a_model(dict(seed)))
+    if a_landed:
+        assert final in (want_ba, want_ab), (
+            f"A={a} interleaved with B={b} (nth={nth}) produced a state "
+            f"matching NO serial order:\n got {final}\n BA  {want_ba}\n"
+            f" AB  {want_ab}"
+        )
+    else:
+        assert final == b_model(dict(seed)), (
+            f"A={a} refused, so only B={b} may be visible; got {final}"
+        )
+
+    if not tracking:
+        return
+
+    # -- watermark monotonicity + id non-reuse across history -----------
+    audit = SnapshotTable(spark, root)
+    id_owner: dict[int, int] = {}
+    last_high = -1
+    for v in audit.versions():
+        if v < v_pre:
+            continue  # pre-tracking history carries no ids
+        m = audit.manifest(v)
+        high = (m.get("row_tracking") or {}).get("high", last_high)
+        assert high >= last_high, (
+            f"row-id watermark regressed at v{v}: {high} < {last_high}"
+        )
+        last_high = high
+        for r in audit.read(version=v).select("k", "__row_id").collect():
+            k, rid = r["k"], r["__row_id"]
+            assert id_owner.setdefault(rid, k) == k, (
+                f"__row_id {rid} reused: owned by k={id_owner[rid]}, "
+                f"reissued to k={k} at v{v}"
+            )
+
+
+# -- seeded always-run cases -------------------------------------------
+
+
+def test_append_races_partition_evolution(spark, tmp_path):
+    """The late-r9 layout guard: evolve commits inside append's CAS
+    window; the append must re-stage under the NEW layout (or refuse),
+    never publish an old-layout dir into a partitioned manifest."""
+    _run_interleaved(spark, tmp_path, ("append", 0), ("evolve", 0),
+                     tracking=False, nth=1)
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    m = t.manifest(t.latest_version())
+    if m.get("partition_col") == "day":
+        for e in m["entries"]:
+            assert e["parts"] is None or all(
+                p.startswith("day=") for p in e["parts"])
+
+
+def test_upsert_upsert_rebase(spark, tmp_path):
+    """The lost-update classic: rival upsert commits inside ours'
+    window; the rebase must re-run read-merge-write so BOTH writers'
+    non-overlapping keys survive."""
+    _run_interleaved(spark, tmp_path, ("upsert", 0), ("upsert", 2),
+                     tracking=True, nth=1)
+
+
+def test_append_races_append_id_watermark(spark, tmp_path):
+    """Both writers draw ids from the same watermark; the loser's CAS
+    must re-draw past the winner's burn — no id issued twice."""
+    _run_interleaved(spark, tmp_path, ("append", 0), ("append", 2),
+                     tracking=True, nth=1)
+
+
+# -- the fuzz ----------------------------------------------------------
+
+_op = st.tuples(st.sampled_from(OPS), st.integers(0, 3))
+
+
+@pytest.mark.parametrize("tracking", [False, True])
+@given(a=_op, b=_op, nth=st.integers(1, 2))
+@settings(max_examples=FUZZ_EXAMPLES, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture,
+                                 HealthCheck.data_too_large])
+def test_interleaving_fuzz(spark, tmp_path_factory, tracking, a, b, nth):
+    tmp = tmp_path_factory.mktemp("ilv")
+    _run_interleaved(spark, tmp, a, b, tracking, nth)
+
+
+def test_fuzz_catches_seeded_watermark_cas_bypass(spark, tmp_path,
+                                                  monkeypatch):
+    """Detection-power proof: disable the id-watermark CAS (the bug a
+    naive 'last write wins' watermark merge would have) — two appends
+    drawing from the same watermark then publish OVERLAPPING ids, and
+    the audit's no-id-reuse invariant must catch it."""
+    from pixelspark import table as table_mod
+
+    real = table_mod.SnapshotTable._stamp_highs
+
+    def no_cas(self, out, prev, highs, cas=True):
+        # BUG (deliberate): append-shaped commits merge monotone
+        # instead of refusing the raced range
+        return real(self, out, prev, highs, cas=False)
+
+    monkeypatch.setattr(table_mod.SnapshotTable, "_stamp_highs", no_cas)
+    with pytest.raises(AssertionError, match="reused|serial order"):
+        _run_interleaved(spark, tmp_path, ("append", 0), ("append", 2),
+                         tracking=True, nth=1)
