@@ -371,6 +371,49 @@ class StorageMachine(RuleBasedStateMachine):
         assert sorted(c["k"] for c in ch) == sorted(ks)
 
     @rule(data=st.data())
+    def append_subset_schema(self, data) -> None:
+        """r10: a batch carrying a strict SUBSET of the declared
+        columns must not narrow the DDL — the declared schema
+        survives the commit and the batch's missing columns read
+        NULL (the model's row.get(col) contract)."""
+        if self.t.latest_version() is None:
+            return
+        non_key = self.cols[1:]
+        if not non_key:
+            return
+        kept = data.draw(st.lists(
+            st.sampled_from(non_key), unique=True,
+            max_size=len(non_key) - 1))  # strict subset
+        if self.pcol is not None:  # partitioned appends need the col
+            pcol_t = next(c for c in self.cols if c[0] == self.pcol)
+            if pcol_t != self.cols[0] and pcol_t not in kept:
+                kept.append(pcol_t)
+                if len(kept) == len(non_key):
+                    return  # no longer a strict subset
+        sub = [self.cols[0]] + [c for c in non_key if c in kept]
+        ks = self._fresh_ks(data.draw(st.integers(1, 2)))
+        rows = [{c: self._value(k, "sub").get(c)
+                 for c, _, _ in sub} | {"k": k} for k in ks]
+        df = self.spark.createDataFrame(
+            [tuple(r.get(c) for c, _, _ in sub) for r in rows],
+            _schema_str(sub)).coalesce(2)
+        self.t.append(df)
+        for r in rows:
+            self.rows[r["k"]] = r  # missing cols absent -> None
+
+    @rule()
+    def append_empty(self) -> None:
+        """r10: appending an EMPTY batch to an existing table is a
+        true no-op — no version bump, no 0-row entry (the observed
+        write count, not file existence, decides has_data)."""
+        v = self.t.latest_version()
+        if v is None:
+            return
+        got = self.t.append(self._mk_df([]))
+        assert got == v, f"empty append bumped version {v} -> {got}"
+        assert self.t.latest_version() == v
+
+    @rule(data=st.data())
     def upsert(self, data) -> None:
         if not self.rows:
             return
