@@ -317,6 +317,11 @@ class CatalogMachine(RuleBasedStateMachine):
         self.rows.pop(name)
         self.rows[new] = {}
         self.pub.pop(name, None)
+        # purge is documented-irreversible: older catalog versions
+        # still BIND the name, but the data tree is gone — time travel
+        # to them cannot serve the snapshot any more
+        for snaps in self.audit.values():
+            snaps.pop(name, None)
         self._record_audit()
 
     # -- history audit ---------------------------------------------------
