@@ -338,7 +338,13 @@ def _evolve_merge_schema(prev_json: str, new_json: str) -> str:
     fields = []
     for f in prev_s.fields:
         g = new_by_name.pop(f.name, None)
-        if g is not None and g.dataType != f.dataType:
+        # nullability-insensitive compare (simpleString drops
+        # containsNull/nested nullability): a batch whose array column
+        # merely differs in containsNull is the same type, and the
+        # DECLARED field wins — same discipline as the widened path
+        if g is not None and (
+            g.dataType.simpleString() != f.dataType.simpleString()
+        ):
             raise ValueError(
                 f"column {f.name!r}: written type "
                 f"{g.dataType.simpleString()} != declared "
