@@ -107,7 +107,12 @@ def realize(spark, op: str, param: int, band: int):
         rows = _batch(fresh, tag=band % 89)
 
         def apply(t):
-            t.append_once(_df(spark, rows), "fuzzapp", param + 1)
+            # app id is per-writer: two WRITERS sharing an (app_id,
+            # batch_id) with DIFFERENT rows would violate append_once's
+            # deterministic-replay contract (the engine would rightly
+            # dedup one of them away); the legitimate same-batch race
+            # has its own seeded test below
+            t.append_once(_df(spark, rows), f"fuzzapp{band}", param + 1)
 
         def model(m):
             return {**m, **rows}
@@ -267,6 +272,32 @@ def test_upsert_upsert_rebase(spark, tmp_path):
     non-overlapping keys survive."""
     _run_interleaved(spark, tmp_path, ("upsert", 0), ("upsert", 2),
                      tracking=True, nth=1)
+
+
+def test_append_once_same_batch_race_lands_exactly_once(spark, tmp_path):
+    """Two writers racing the SAME (app_id, batch_id) with the same
+    rows (foreachBatch speculative re-delivery): the loser's CAS must
+    detect the winner's txn watermark mid-race and commit NOTHING —
+    the batch lands exactly once, not twice."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    seed = _batch(range(2), tag=1)
+    t.overwrite(_df(spark, seed))
+    rows = _batch([100, 101], tag=5)
+    rival = SnapshotTable(spark, root)
+    landed = []
+
+    def fire_b():
+        landed.append(rival.append_once(_df(spark, rows), "sameapp", 7))
+
+    t.st = InterceptStorage(t.st, fire_b, nth=1)
+    got = t.append_once(_df(spark, rows), "sameapp", 7)
+    assert landed[0] is not None  # the rival (running alone) landed it
+    assert got is None            # we detected the replay mid-race
+    final = _read_rows(SnapshotTable(spark, root))
+    assert final == {**seed, **rows}
+    m = SnapshotTable(spark, root)
+    assert m.manifest(m.latest_version())["txn"]["sameapp"] == 7
 
 
 def test_append_races_append_id_watermark(spark, tmp_path):
