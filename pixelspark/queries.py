@@ -2142,6 +2142,90 @@ def q_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_mixed_dml",
+    """
+    WITH pv AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             user_id AS shop, COUNT(*) AS views
+      FROM events
+      WHERE event_type = 'view'
+        AND CAST(ts AS DATE) BETWEEN DATE '2024-01-02' AND DATE '2024-01-04'
+      GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_shops,
+           CAST(SUM(CASE WHEN views >= 3 THEN views * 10
+                         ELSE views END) AS BIGINT) AS adj_views
+    FROM pv
+    WHERE views <> 1
+    GROUP BY day
+    """,
+)
+def q_mixed_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DML during PARTITION EVOLUTION (r11): history is
+    written unpartitioned, `evolve_partitioning('day')` switches the
+    layout as one metadata commit, a new day lands in the new layout —
+    and rewrite-mode DELETE/UPDATE then run on the MIXED-layout table
+    via the entry-scoped copy-on-write fallback (table.py
+    `_rewrite_mixed`), exactly as Delta/Iceberg allow, instead of
+    refusing until a full compact.  The delete rewrites the touched
+    pre-evolution entry INTO the current layout (asserted: layouts are
+    mixed before, unified after — each DML retires evolution debt) and
+    partition-values pruning is usable again right after.  Oracle
+    states the end state from raw events."""
+    import tempfile
+
+    from pixelspark.table import SnapshotTable, entry_layout
+
+    root = tempfile.mkdtemp(prefix="pixelspark_mixeddml_") + "/pv"
+    t = SnapshotTable(spark, root)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(
+            (F.col("event_type") == "view")
+            & (F.col("ts").cast("date") >= F.lit("2024-01-02").cast("date"))
+            & (F.col("ts").cast("date") <= F.lit("2024-01-04").cast("date"))
+        )
+        .groupBy(
+            F.col("ts").cast("date").cast("string").alias("day"),
+            F.col("user_id").alias("shop"),
+        )
+        .agg(F.count(F.lit(1)).alias("views"))
+    )
+    # pre-evolution history: two days, laid out UNPARTITIONED
+    t.append(ev.where(F.col("day") < "2024-01-04"))
+    t.evolve_partitioning("day")
+    # post-evolution ingest: the new day joins the new layout
+    t.append(ev.where(F.col("day") == "2024-01-04"))
+    layouts = {
+        entry_layout(e) for e in t.manifest(t.latest_version())["entries"]
+    }
+    _require(layouts == {None, "day"}, "layouts must be mixed before DML")
+    # rewrite DELETE on the mixed table: touches the foreign
+    # (unpartitioned) entry at ENTRY granularity and the day=
+    # partition at col=value granularity, in one commit
+    t.delete("views = 1", mode="rewrite")
+    layouts = {
+        entry_layout(e) for e in t.manifest(t.latest_version())["entries"]
+    }
+    _require(layouts == {"day"},
+             "the touched foreign entry must be rewritten INTO the "
+             "current layout (evolution debt retired)")
+    # layout now unified: partition pruning works again, no compact ran
+    t.read(partition_values=["2024-01-04"])
+    t.update({"views": F.col("views") * 10}, condition="views >= 3",
+             mode="rewrite")
+    return (
+        t.read()
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shops"),
+            F.sum("views").cast("long").alias("adj_views"),
+        )
+    )
+
+
+@query(
     "q_datasource_features",
     f"""
     WITH pv AS (
@@ -2696,8 +2780,12 @@ def q_maintain_frag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pre = {(r["shop"], r["views"]) for r in cat.read("pv").collect()}
 
+    # threshold strictly below n_parts so maybe_compact's strict
+    # `n_live > max_live` trigger fires even at n_parts == 2 (tiny
+    # SFs), where max(2, ...) used to pin the threshold AT the live
+    # count and the compact never fired (r10 advice)
     rep = cat.maintain(keep_versions=1, table_keep_versions=1,
-                       max_live_entries=max(2, min(8, n_parts - 1)))
+                       max_live_entries=min(8, max(1, n_parts - 1)))
     _require(
         rep["tables"]["pv"]["compacted_to"] is not None,
         "union-width debt past threshold must compact",
@@ -9849,12 +9937,22 @@ _WINDOW = 50
 # growing the registry can never silently evict a window entry.
 _WINDOW_QUERIES = [
     "q_daily_billing",
-    "q_sessions_scan",
+    # r11 rotation (VERDICT item 4): the winnowing fingerprint dedup
+    # (value-oracled since r5, never driver-hashed) takes
+    # q_sessions_scan's slot (S1/P1/P2/P5, in-window green r1-r10;
+    # stays registered + sweep-checked; q_schema_evolve keeps the
+    # S-family seat and q_pageviews_agg the scan-agg seat)
+    "q_winnow_dedup",
     "q_pageviews_agg",
     "q_billing_totals",
     "q_charge_plan",
     "q_status_counts",
-    "q_records_for_date",
+    # r11 rotation (VERDICT item 4): the merge-on-read DV DELETE
+    # lifecycle (rotated out at r8 for the stronger DV merge; the
+    # write-side delete row returns for a fresh driver-hash term)
+    # takes q_records_for_date's slot (S3/F8, in-window green
+    # r1-r10; stays registered + sweep-checked)
+    "q_dv_delete",
     # r9 rotation (VERDICT item 5): the fragmentation-maintenance
     # flagship (entry-debt + small-file triggers, no-op re-check
     # in-query) takes q_datasource_features' slot (in-window green

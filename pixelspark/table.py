@@ -723,7 +723,13 @@ class SnapshotTable:
                                for e in prev.get("entries") or []}
                 _new_bases = {(e.get("root"), e["base"])
                               for e in new.get("entries") or []}
-                if _prev_bases & _new_bases:
+                # an entry-less prev (truncated/empty table) still has
+                # a DECLARED schema; no old file can conflict with
+                # keeping it, so a subset-column batch must reconcile
+                # there too (r10 advice: an empty-table append was
+                # silently narrowing the DDL — and could drop the
+                # partition column from the recorded schema)
+                if (_prev_bases & _new_bases) or not _prev_bases:
                     new["schema"] = _evolve_merge_schema(
                         prev["schema"], new["schema"]
                     )
@@ -1016,9 +1022,14 @@ class SnapshotTable:
             # parquet file — file existence alone would commit a 0-row
             # entry, breaking append's empty-batch no-op contract and
             # append_once's entry-less watermark commit.  The observed
-            # count settles it; an unresolved observation (None) stays
-            # conservative (entry kept, harmless debt).
-            has = self.st.has_parquet(full) and n != 0
+            # count settles it; when the observation misses (listener
+            # timeout → None) a limit(1) re-read of the staged dir
+            # decides, same as the dv-merge path — otherwise the no-op
+            # contract would flake nondeterministically (r10 advice).
+            has = self.st.has_parquet(full)
+            if has and (n == 0 or (n is None and self.spark.read.parquet(
+                    full).limit(1).isEmpty())):
+                has = False
             if metrics is not None and has:
                 self._write_expectation_metrics(full, metrics)
             return rel, [], has, cmap, n
@@ -2127,6 +2138,11 @@ class SnapshotTable:
                                     row_count=nrows)
             schema = out_df.schema.json()
             if not has_data:
+                # the staged dir is schema-only either way — no commit
+                # will ever reference it, so reclaim it now instead of
+                # leaving vacuum garbage on every empty batch (the
+                # dv-merge path already does this; r10 advice)
+                self.st.delete(f"{self.root}/{rel}")
                 v = self.latest_version()
                 if v is not None:
                     return v
@@ -2207,6 +2223,11 @@ class SnapshotTable:
                                     has_data, out_df.schema, wmap,
                                     row_count=nrows)
             schema = out_df.schema.json()
+            if not has_data:
+                # empty batch: only the txn watermark commits — the
+                # schema-only staged dir is never referenced, reclaim
+                # it rather than leaving vacuum garbage (r10 advice)
+                self.st.delete(f"{self.root}/{rel}")
             try:
                 return self._append_once_commit(
                     out_df, app_id, batch_id, rel, entry, has_data, wmap,
@@ -2497,6 +2518,10 @@ class SnapshotTable:
         not 100 TB.  (Matched rows live in the source's partition
         values precisely because the partition column is part of the
         join key.)  Unpartitioned tables rewrite fully, like `upsert`.
+        While partition layouts are MIXED (after `evolve_partitioning`)
+        the scoped path is unsound and the merge falls back to a
+        whole-table rewrite for that call — it succeeds, and heals the
+        layout as a side effect.
 
         `schema_evolution=True` (Delta `withSchemaEvolution()`): source
         columns absent from the target are ADDED to the table schema by
@@ -2577,6 +2602,14 @@ class SnapshotTable:
             read_v = self.latest_version()
             pcol = self.manifest(read_v).get("partition_col") if read_v is not None else None
             partition_scoped = pcol is not None and pcol in keys
+            if partition_scoped and self._layouts_mixed(self.manifest(read_v)):
+                # partition evolution in progress: `col=value` names
+                # cannot address pre-evolution entries, and a scoped
+                # replace would duplicate their rows — fall back to
+                # the whole-table rewrite for THIS merge (which also
+                # materializes everything into the current layout,
+                # retiring the evolution debt) instead of refusing
+                partition_scoped = False
             try:
                 if read_v is None:
                     # missing table: every source row is "not matched";
@@ -2969,7 +3002,12 @@ class SnapshotTable:
         via the replace_partitions manifest edit — a GDPR delete of
         one user's one day touches one partition of a 100-TB table.
         A partition whose every row matched is retired outright.
-        Unpartitioned tables rewrite fully.
+        Unpartitioned tables rewrite fully.  While partition layouts
+        are MIXED (after `evolve_partitioning`, before a full
+        compact) the rewrite stays available via the entry-scoped
+        copy-on-write of `_rewrite_mixed` — touched current-layout
+        partitions plus only the foreign-layout entries that contain
+        matched rows are rewritten, into the current layout.
 
         `mode="dv"` (merge-on-read, the Delta deletion-vector /
         Iceberg positional-delete shape): NO data is rewritten at all
@@ -3009,6 +3047,13 @@ class SnapshotTable:
                         self.read(version=read_v).where(~doomed_cond),
                         expected_version=read_v, op=op,
                     )
+                if self._layouts_mixed(self.manifest(read_v)):
+                    # partition evolution in progress: `col=value`
+                    # names cannot address pre-evolution entries —
+                    # entry-scoped copy-on-write instead of refusing
+                    return self._rewrite_mixed(
+                        read_v, doomed_cond,
+                        lambda df: df.where(~doomed_cond), op)
                 touched = [
                     r[0]
                     for r in self.read(version=read_v)
@@ -3095,6 +3140,200 @@ class SnapshotTable:
             f"times at {self.root}"
         )
 
+    @staticmethod
+    def _layouts_mixed(m: dict) -> bool:
+        """True when some entry's physical layout differs from the
+        manifest's current partition column — partition evolution in
+        progress, not yet fully compacted."""
+        pcol = m.get("partition_col")
+        return pcol is not None and any(
+            entry_layout(e) != pcol for e in m["entries"]
+        )
+
+    def _rewrite_mixed(
+        self, read_v: int, hit: Column, transform, op: dict
+    ) -> int:
+        """Row-level copy-on-write on a MIXED-layout partitioned table
+        (partition evolution in progress) — lets DELETE / UPDATE
+        (mode="rewrite") run right after `evolve_partitioning` instead
+        of refusing until a full compact() (Delta/Iceberg serve
+        row-level DML there too; the refusal was a real ergonomic gap).
+
+        Still touched-storage-only, at two granularities:
+
+          * entries already laid out by the CURRENT partition column
+            are addressed at `col=value` granularity exactly like the
+            single-layout path — untouched partitions are carried by
+            the manifest edit, never read or even listed;
+          * FOREIGN-layout entries (pre-evolution dirs, including
+            unpartitioned `parts=None` dirs) are addressed at ENTRY
+            granularity: one position-scan finds which of them
+            physically CONTAIN matched rows, and only those are
+            rewritten — whole, INTO the current layout, so each
+            mixed-layout DML also retires a slice of the evolution
+            debt; foreign entries with no matched rows carry over
+            untouched.
+
+        `transform(df) -> df` maps the touched rows to their
+        post-image (delete: drop matched rows; update: assign matched
+        rows).  The commit is pinned to `read_v`;
+        ConcurrentWriteConflict propagates to the caller's retry loop
+        after the staged dir is reclaimed."""
+        m = self.manifest(read_v)
+        pcol = m["partition_col"]
+        entries = m["entries"]
+        cmap = m.get("column_mapping")
+        cur = [e for e in entries if self._entry_layout(e) == pcol]
+        foreign = [e for e in entries if self._entry_layout(e) != pcol]
+        if any("__snap=" not in e["base"] for e in foreign):
+            raise ValueError(
+                f"table has legacy pre-__snap entries not laid out by "
+                f"{pcol!r}: row positions cannot address them — run a "
+                "full compact() first"
+            )
+
+        def masked(es: list[dict]) -> DataFrame:
+            df = self._scan_entries(
+                es, pcol, with_pos=True, cmap=cmap,
+                read_schema=self._declared_scan_schema(m),
+            )
+            dv = self._dv_scan(m)
+            if dv is not None:
+                df = df.join(
+                    F.broadcast(dv), ["__dv_file", "__dv_row"], "left_anti"
+                )
+            return self._fill_schema_columns(df, m)
+
+        # which FOREIGN storage units contain matched rows: distinct
+        # (snap dir, part subdir) pairs — a tiny driver list, bounded
+        # by the number of touched DIRECTORIES, never rows or files
+        f_units: set[tuple] = set()
+        if foreign:
+            seg = F.split(F.col("__dv_file"), "/")
+            sub = F.element_at(seg, 2)
+            f_units = {
+                (r["d"], r["p"])
+                for r in masked(foreign).where(hit)
+                .select(
+                    F.element_at(seg, 1).alias("d"),
+                    F.when(sub.contains("="), sub).alias("p"),
+                )
+                .distinct().collect()
+            }
+
+        def touches(e: dict) -> bool:
+            d = e["base"].rsplit("/", 1)[-1]
+            hit_parts = {p for (dd, p) in f_units if dd == d}
+            if not hit_parts:
+                return False
+            if e["parts"] is None:
+                return True  # whole-dir entry: the dir match decides
+            return bool(set(e["parts"]) & hit_parts)
+
+        touched_f = [e for e in foreign if touches(e)]
+
+        # which CURRENT-layout partitions contain matched rows
+        touched_vals: list = []
+        if cur:
+            touched_vals = [
+                r[0] for r in masked(cur).where(hit)
+                .select(pcol).distinct().collect()
+            ]
+            if any(v is None for v in touched_vals):
+                raise ValueError(
+                    "matching rows in the NULL partition are not "
+                    "partition-addressable; compact first"
+                )
+        if not touched_f and not touched_vals:
+            return read_v  # nothing matched anywhere: no-op
+
+        wanted = {f"{pcol}={v}" for v in map(str, touched_vals)}
+        cur_sub = [
+            {**e, "parts": kept}
+            for e in cur
+            if (kept := [p for p in e["parts"] if p in wanted])
+        ]
+        frames = []
+        if touched_f:
+            frames.append(masked(touched_f).drop("__dv_file", "__dv_row"))
+        if cur_sub:
+            frames.append(
+                masked(cur_sub).drop("__dv_file", "__dv_row")
+                .where(F.col(pcol).isin(touched_vals))
+            )
+        src = frames[0]
+        for extra in frames[1:]:
+            src = src.unionByName(extra)
+        out_df, highs = self._prepare_ids(transform(src))
+        rel, parts, has_data, wmap, nrows = self._write_snap(
+            out_df, pcol, audit_cols=self._unassigned_id_cols(highs))
+        entry = self._entry_for(rel, sorted(parts), has_data,
+                                out_df.schema, wmap, row_count=nrows)
+        schema = out_df.schema.json()
+        if not has_data:
+            # every touched row deleted: the staged dir is empty —
+            # reclaim it; the commit below just retires entries
+            self.st.delete(f"{self.root}/{rel}")
+
+        def ekey(e: dict) -> tuple:
+            return (e.get("root"), e["base"], tuple(e["parts"] or ()))
+
+        touched_keys = {ekey(e) for e in touched_f}
+
+        def build(prev: dict | None) -> dict:
+            self._check_expected(prev, read_v)
+            out_entries = []
+            for e in prev["entries"]:
+                if ekey(e) in touched_keys:
+                    continue  # rewritten into the new dir (or retired)
+                if self._entry_layout(e) == pcol:
+                    kept = [p for p in e["parts"] if p not in wanted]
+                    if not kept:
+                        continue  # every partition replaced: retired
+                    if len(kept) < len(e["parts"]):
+                        # same kept-parts metadata subsetting as
+                        # replace_partitions: untouched files keep
+                        # their counts / stats / bloom sidecars
+                        sub_e: dict = {"base": e["base"], "parts": kept}
+                        if e.get("root"):
+                            sub_e["root"] = e["root"]
+                        if e.get("rows"):
+                            sub_e["rows"] = {
+                                p: e["rows"][p] for p in kept
+                                if p in e["rows"]
+                            }
+                        if e.get("stats"):
+                            st_sub = {
+                                f: s for f, s in e["stats"].items()
+                                if f.split("/", 1)[0] in kept
+                            }
+                            if st_sub:
+                                sub_e["stats"] = st_sub
+                        if e.get("bloom"):
+                            sub_e["bloom"] = True
+                        out_entries.append(sub_e)
+                    else:
+                        out_entries.append(e)
+                    continue
+                out_entries.append(e)  # untouched foreign: carried whole
+            if has_data:
+                out_entries.append(entry)
+            out = {"partition_col": pcol, "entries": out_entries,
+                   "schema": schema, "op": op}
+            # a kept entry's rival rows can collide with staged ids —
+            # CAS like append/replace_partitions; conflict propagates
+            self._stamp_highs(out, prev, highs, cas=True)
+            return out
+
+        try:
+            v = self._commit(build)
+        except ConcurrentWriteConflict:
+            if has_data:
+                self.st.delete(f"{self.root}/{rel}")
+            raise
+        assert v is not None
+        return v
+
     def update(self, set: dict, condition=None, mode: str = "rewrite") -> int:
         """Row-level UPDATE (Delta `UPDATE ... SET ... WHERE`): `set`
         maps column -> expression (Column or SQL string over the
@@ -3104,7 +3343,8 @@ class SnapshotTable:
         `mode="rewrite"` (copy-on-write): the partition column cannot
         be assigned (a row may not migrate partitions in a
         partition-scoped rewrite); same touched-partitions-only
-        rewrite and conflict discipline as delete().
+        rewrite, mixed-layout entry-scoped fallback, and conflict
+        discipline as delete().
 
         `mode="dv"` (merge-on-read, the Iceberg MOR-update shape):
         the matched rows' positions land in a deletion vector and
@@ -3150,6 +3390,15 @@ class SnapshotTable:
                         ),
                         expected_version=read_v, op=op,
                     )
+                if self._layouts_mixed(self.manifest(read_v)):
+                    # partition evolution in progress: entry-scoped
+                    # copy-on-write instead of refusing (see delete)
+                    return self._rewrite_mixed(
+                        read_v, hit,
+                        lambda df: self._recompute_generated(
+                            apply(df), assigned=assigns, keep=(pcol,)
+                        ),
+                        op)
                 touched = [
                     r[0]
                     for r in self.read(version=read_v)
@@ -3395,12 +3644,17 @@ class SnapshotTable:
         stays readable — scans group per layout, nothing is rewritten.
 
         Scoping (documented, enforced): while layouts are MIXED,
-        `read(partition_values=...)` — and therefore partition-scoped
-        merge and partition-subset compact — refuse with a clear
-        error, because a partition-values read that silently returned
-        old-layout rows whole would let a subsequent replace write
-        duplicate them.  A full `compact()` rewrites history into the
-        current layout and restores all of it.  Refused on
+        `read(partition_values=...)` — and therefore partition-subset
+        compact — refuses with a clear error, because a
+        partition-values read that silently returned old-layout rows
+        whole would let a subsequent replace write duplicate them.
+        Row-level DML stays AVAILABLE while mixed (r11, matching
+        Delta/Iceberg): rewrite-mode delete/update switch to the
+        entry-scoped copy-on-write of `_rewrite_mixed`, a merge keyed
+        on the partition column falls back to the whole-table rewrite
+        for that call, and dv-mode everything works unchanged.  A full
+        `compact()` rewrites history into the current layout and
+        restores partition-values reads.  Refused on
         column-mapping-enabled tables (the layout name is physical)."""
 
         def build(prev: dict | None) -> dict:

@@ -45,7 +45,7 @@ from pixelspark.table import (
 
 FUZZ_EXAMPLES = int(os.environ.get("PIXELSPARK_FUZZ_EXAMPLES", "8"))
 
-SCHEMA = "k long, day int, v long"
+SCHEMA = "k long, day int, v int"  # v int so the widen op has headroom
 
 _SANCTIONED = (ConcurrentWriteConflict, ConcurrentCommitError, ValueError)
 
@@ -89,7 +89,7 @@ def _batch(ks, tag: int) -> dict[int, tuple]:
 
 
 OPS = ["append", "append_once", "upsert", "delete", "dv_delete",
-       "update", "compact", "evolve"]
+       "update", "compact", "evolve", "add_col", "widen"]
 
 
 def realize(spark, op: str, param: int, band: int):
@@ -162,6 +162,27 @@ def realize(spark, op: str, param: int, band: int):
         def model(m):
             return m
 
+    elif op == "add_col":
+        # name embeds the writer's band so two writers never collide
+        # on the duplicate-column refusal by accident; a REPLAYED
+        # identical op (same band+param on both sides) still can —
+        # that is exactly the sanctioned-refusal case the harness
+        # models via b_landed
+        def apply(t):
+            t.add_columns({f"c{band}_{param}": "string"})
+
+        def model(m):
+            return m  # rows (k, day, v) unchanged
+
+    elif op == "widen":
+        # metadata-only type widening racing DML: v int -> long.
+        # Idempotence refusal (already long) is sanctioned.
+        def apply(t):
+            t.widen_column("v", "long")
+
+        def model(m):
+            return m  # values compare as python ints either way
+
     else:  # pragma: no cover
         raise AssertionError(op)
     return apply, model
@@ -173,61 +194,33 @@ def _read_rows(t: SnapshotTable, version=None) -> dict[int, tuple]:
                       .select("k", "day", "v").collect()}
 
 
-def _run_interleaved(spark, tmp_path, a, b, tracking: bool, nth: int):
-    """Build a seeded table, run op B inside op A's CAS window, audit."""
+def _seed_table(spark, tmp_path, tracking: bool):
     root = str(tmp_path / "t")
     t = SnapshotTable(spark, root)
     seed = _batch(range(6), tag=1)
     t.overwrite(_df(spark, seed))
     if tracking:
         t.enable_row_tracking(backfill=True)
-    v_pre = t.latest_version()
+    return root, t, seed, t.latest_version()
 
-    a_apply, a_model = realize(spark, a[0], a[1], band=1000)
-    b_apply, b_model = realize(spark, b[0], b[1], band=2000)
 
-    rival = SnapshotTable(spark, root)  # unwrapped handle for B
-    b_err: list = []
-
-    def fire_b():
-        try:
-            b_apply(rival)
-        except Exception as e:  # B must ALWAYS succeed: it runs alone
-            b_err.append(e)
-
-    t.st = InterceptStorage(t.st, fire_b, nth=nth)
-    a_landed = True
+def _fire(apply, handle, landed: list, unexpected: list):
+    """Run a rival op; a SANCTIONED refusal (the engine's documented
+    conflict/refusal errors) marks it not-landed — the audit then
+    compares against the serial orders where it no-ops, mirroring how
+    the victim's refusals are treated (r10 verdict item 1).  Anything
+    else is a real failure."""
     try:
-        a_apply(t)
+        apply(handle)
     except _SANCTIONED:
-        a_landed = False
-    if t.st._hook is not None:
-        # A needed fewer CAS attempts than `nth`: the window never
-        # opened, so B runs strictly after — the degenerate (serial)
-        # interleaving, still a valid order to audit against
-        t.st._hook = None
-        fire_b()
-    assert not b_err, f"rival op {b} failed while running alone: {b_err[0]}"
+        landed[0] = False
+    except Exception as e:  # noqa: BLE001 — re-asserted by the caller
+        landed[0] = False
+        unexpected.append(e)
 
-    # -- serializability ------------------------------------------------
-    final = _read_rows(SnapshotTable(spark, root))
-    want_ba = a_model(b_model(dict(seed)))
-    want_ab = b_model(a_model(dict(seed)))
-    if a_landed:
-        assert final in (want_ba, want_ab), (
-            f"A={a} interleaved with B={b} (nth={nth}) produced a state "
-            f"matching NO serial order:\n got {final}\n BA  {want_ba}\n"
-            f" AB  {want_ab}"
-        )
-    else:
-        assert final == b_model(dict(seed)), (
-            f"A={a} refused, so only B={b} may be visible; got {final}"
-        )
 
-    if not tracking:
-        return
-
-    # -- watermark monotonicity + id non-reuse across history -----------
+def _audit_tracking(spark, root: str, v_pre: int) -> None:
+    """Watermark monotonicity + id non-reuse across readable history."""
     audit = SnapshotTable(spark, root)
     id_owner: dict[int, int] = {}
     last_high = -1
@@ -246,6 +239,61 @@ def _run_interleaved(spark, tmp_path, a, b, tracking: bool, nth: int):
                 f"__row_id {rid} reused: owned by k={id_owner[rid]}, "
                 f"reissued to k={k} at v{v}"
             )
+
+
+def _run_interleaved(spark, tmp_path, a, b, tracking: bool, nth: int):
+    """Build a seeded table, run op B inside op A's CAS window, audit."""
+    root, t, seed, v_pre = _seed_table(spark, tmp_path, tracking)
+
+    a_apply, a_model = realize(spark, a[0], a[1], band=1000)
+    b_apply, b_model = realize(spark, b[0], b[1], band=2000)
+
+    rival = SnapshotTable(spark, root)  # unwrapped handle for B
+    b_landed, b_err = [True], []
+
+    def fire_b():
+        _fire(b_apply, rival, b_landed, b_err)
+
+    t.st = InterceptStorage(t.st, fire_b, nth=nth)
+    a_landed = True
+    try:
+        a_apply(t)
+    except _SANCTIONED:
+        a_landed = False
+    if t.st._hook is not None:
+        # A needed fewer CAS attempts than `nth`: the window never
+        # opened, so B runs strictly after — the degenerate (serial)
+        # interleaving, still a valid order to audit against
+        t.st._hook = None
+        fire_b()
+    assert not b_err, f"rival op {b} failed UNSANCTIONED: {b_err[0]}"
+
+    # -- serializability ------------------------------------------------
+    final = _read_rows(SnapshotTable(spark, root))
+    if a_landed and b_landed[0]:
+        want_ba = a_model(b_model(dict(seed)))
+        want_ab = b_model(a_model(dict(seed)))
+        assert final in (want_ba, want_ab), (
+            f"A={a} interleaved with B={b} (nth={nth}) produced a state "
+            f"matching NO serial order:\n got {final}\n BA  {want_ba}\n"
+            f" AB  {want_ab}"
+        )
+    elif a_landed:
+        assert final == a_model(dict(seed)), (
+            f"B={b} refused (sanctioned), so only A={a} may be visible; "
+            f"got {final}"
+        )
+    elif b_landed[0]:
+        assert final == b_model(dict(seed)), (
+            f"A={a} refused, so only B={b} may be visible; got {final}"
+        )
+    else:
+        assert final == dict(seed), (
+            f"both ops refused; the seed state must survive; got {final}"
+        )
+
+    if tracking:
+        _audit_tracking(spark, root, v_pre)
 
 
 # -- seeded always-run cases -------------------------------------------
@@ -342,3 +390,158 @@ def test_fuzz_catches_seeded_watermark_cas_bypass(spark, tmp_path,
     with pytest.raises(AssertionError, match="reused|serial order"):
         _run_interleaved(spark, tmp_path, ("append", 0), ("append", 2),
                          tracking=True, nth=1)
+
+
+# -- r11: THREE-writer interleavings ------------------------------------
+# C fires inside B's CAS window, which itself fires inside A's: the
+# commit order on disk is C, B(, A-rebased).  The audit accepts any
+# serial order of the ops that actually landed — refusals (sanctioned)
+# must leave no trace.
+
+
+def _run_interleaved3(spark, tmp_path, a, b, c, tracking: bool,
+                      nth_a: int):
+    root, t, seed, v_pre = _seed_table(spark, tmp_path, tracking)
+
+    a_apply, a_model = realize(spark, a[0], a[1], band=1000)
+    b_apply, b_model = realize(spark, b[0], b[1], band=2000)
+    c_apply, c_model = realize(spark, c[0], c[1], band=3000)
+
+    rival_b = SnapshotTable(spark, root)
+    rival_c = SnapshotTable(spark, root)
+    b_landed, c_landed = [True], [True]
+    errs: list = []
+
+    def fire_c():
+        _fire(c_apply, rival_c, c_landed, errs)
+
+    def fire_b():
+        rival_b.st = InterceptStorage(rival_b.st, fire_c, nth=1)
+        _fire(b_apply, rival_b, b_landed, errs)
+        if rival_b.st._hook is not None:
+            rival_b.st._hook = None
+            fire_c()
+
+    t.st = InterceptStorage(t.st, fire_b, nth=nth_a)
+    a_landed = True
+    try:
+        a_apply(t)
+    except _SANCTIONED:
+        a_landed = False
+    if t.st._hook is not None:
+        t.st._hook = None
+        fire_b()
+    assert not errs, f"rival failed UNSANCTIONED: {errs[0]}"
+
+    final = _read_rows(SnapshotTable(spark, root))
+    landed = [m for ok, m in ((a_landed, a_model), (b_landed[0], b_model),
+                              (c_landed[0], c_model)) if ok]
+    import itertools
+    wants = []
+    for perm in itertools.permutations(landed):
+        s = dict(seed)
+        for mod in perm:
+            s = mod(s)
+        wants.append(s)
+    if not wants:
+        wants = [dict(seed)]
+    assert final in wants, (
+        f"A={a} B={b} C={c} (nth_a={nth_a}, landed="
+        f"{(a_landed, b_landed[0], c_landed[0])}) matches NO serial "
+        f"order of the landed ops:\n got {final}\n orders {wants}"
+    )
+    if tracking:
+        _audit_tracking(spark, root, v_pre)
+
+
+@pytest.mark.parametrize("tracking", [False, True])
+@given(a=_op, b=_op, c=_op, nth_a=st.integers(1, 2))
+@settings(max_examples=FUZZ_EXAMPLES, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture,
+                                 HealthCheck.data_too_large])
+def test_three_writer_fuzz(spark, tmp_path_factory, tracking, a, b, c,
+                           nth_a):
+    tmp = tmp_path_factory.mktemp("ilv3")
+    _run_interleaved3(spark, tmp, a, b, c, tracking, nth_a)
+
+
+def test_three_writer_ddl_races_dml_seeded(spark, tmp_path):
+    """Always-run: widen (A) raced by delete (B) raced by append (C),
+    with row tracking — DDL rebase, rewrite-DML rebase, and watermark
+    CAS all in one interleave."""
+    _run_interleaved3(spark, tmp_path, ("widen", 0), ("delete", 0),
+                      ("append", 2), tracking=True, nth_a=1)
+
+
+def test_three_writer_double_widen_one_lands(spark, tmp_path):
+    """Always-run: the widen/widen idempotence refusal is SANCTIONED —
+    exactly one widen lands, the other refuses cleanly, rows and the
+    third writer's append survive."""
+    _run_interleaved3(spark, tmp_path, ("widen", 0), ("widen", 1),
+                      ("append", 0), tracking=False, nth_a=1)
+    # whoever won: the declared type is long now
+
+
+def test_evolve_then_delete_serial_composition(spark, tmp_path):
+    """The exact composition that failed at r10 close (hypothesis
+    example a=('evolve',0), b=('delete',0), nth=2: the window never
+    opens and B runs serially AFTER the evolution) — now served by the
+    mixed-layout rewrite fallback instead of refusing."""
+    _run_interleaved(spark, tmp_path, ("evolve", 0), ("delete", 0),
+                     tracking=True, nth=2)
+
+
+# -- r11: catalog maintenance racing a writer (deterministic) ----------
+
+
+def test_catalog_maintain_races_writer_seeded(spark, tmp_path):
+    """Catalog.maintain (vacuum + compaction sweep) fires INSIDE a
+    writer's CAS window — the r8 thread-race pin, now deterministic.
+    The writer must rebase (or refuse cleanly); maintenance must never
+    eat the writer's committed rows or corrupt the published pin."""
+    from pixelspark.catalog import Catalog
+
+    root = str(tmp_path / "cat")
+    cat = Catalog(spark, root)
+    t = cat.create_table("t")
+    for i in range(8):  # fragmented: maintenance has real work
+        t.append(spark.createDataFrame([(i, i % 3, i * 10)], SCHEMA))
+    cat.publish("t")
+
+    fired = []
+
+    def fire_maintain():
+        # NOTE: default min_age retention on purpose — zero-retention
+        # vacuum (min_age_hours=0) may legally eat a rival's staged,
+        # not-yet-committed data dir (it is unreferenced garbage until
+        # the commit), exactly the hazard Delta's retention-duration
+        # check exists for.  The race under test is the COMPACTION
+        # sweep vs the writer's CAS, which age-based retention leaves
+        # fully active.
+        c2 = Catalog(spark, root)
+        fired.append(c2.maintain(keep_versions=2, table_keep_versions=2,
+                                 max_live_entries=4))
+
+    t.st = InterceptStorage(t.st, fire_maintain, nth=1)
+    rows = {100: (1, 42)}
+    try:
+        t.append(_df(spark, rows))
+        appended = True
+    except _SANCTIONED:
+        appended = False
+    assert fired and fired[0]["tables"]["t"]["compacted_to"] is not None
+
+    got = {r["k"]: (r["day"], r["v"])
+           for r in SnapshotTable(spark, f"{root}/tables/t").read()
+           .select("k", "day", "v").collect()}
+    want = {i: (i % 3, i * 10) for i in range(8)}
+    if appended:
+        want.update(rows)
+    assert got == want
+    # a quiet follow-up pass runs clean and changes nothing visible
+    Catalog(spark, root).maintain(keep_versions=2, table_keep_versions=2)
+    got2 = {r["k"]: (r["day"], r["v"])
+            for r in Catalog(spark, root).table("t").read()
+            .select("k", "day", "v").collect()}
+    assert got2 == want

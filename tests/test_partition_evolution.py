@@ -95,3 +95,128 @@ def test_evolution_guards(spark, tbl):
     tbl.enable_column_mapping()
     with pytest.raises(ValueError, match="column-mapping"):
         tbl.evolve_partitioning("region")
+
+
+# -- r11: row-level DML on MIXED layouts (the _rewrite_mixed fallback;
+# Delta/Iceberg serve DML right after evolution, so must we) ----------
+
+
+def _rows(t):
+    return {(r["day"], r["region"], r["k"]) for r in t.read().collect()}
+
+
+def test_mixed_layout_delete_rewrite_succeeds(spark, tbl):
+    tbl.evolve_partitioning("region")
+    tbl.replace_partitions(
+        spark.createDataFrame([("d3", "r3", 3)],
+                              "day string, region string, k long"),
+        "region",
+    )
+    v = tbl.delete(F.col("k") == 1, mode="rewrite")
+    assert _rows(tbl) == {("d2", "r2", 2), ("d3", "r3", 3)}
+    # commit really landed (no silent no-op)
+    assert v == tbl.latest_version()
+
+
+def test_mixed_layout_delete_matches_dv_mode(spark, tmp_path):
+    """VERDICT r10 item 2 'done' pin: evolve→delete end state equals
+    the dv-mode result row-for-row."""
+    frames = {}
+    for mode in ("rewrite", "dv"):
+        t = SnapshotTable(spark, str(tmp_path / f"eq-{mode}"))
+        t.append(spark.createDataFrame(
+            [("d1", i) for i in range(6)], "day string, k long"))
+        t.evolve_partitioning("day")
+        t.delete("k % 2 = 0", mode=mode)
+        frames[mode] = {(r["day"], r["k"]) for r in t.read().collect()}
+    assert frames["rewrite"] == frames["dv"] == {
+        ("d1", 1), ("d1", 3), ("d1", 5)}
+
+
+def test_mixed_layout_delete_is_entry_scoped(spark, tmp_path):
+    """Only the foreign entries that CONTAIN matched rows are
+    rewritten; the rest (and untouched current-layout partitions)
+    carry over by the manifest edit, byte-identical."""
+    t = SnapshotTable(spark, str(tmp_path / "scoped"))
+    t.append(spark.createDataFrame([("d1", 1), ("d1", 2)],
+                                   "day string, k long"))
+    t.append(spark.createDataFrame([("d2", 3), ("d2", 4)],
+                                   "day string, k long"))
+    t.evolve_partitioning("day")
+    t.replace_partitions(
+        spark.createDataFrame([("d9", 9)], "day string, k long"), "day")
+    pre = {e["base"]: e["parts"]
+           for e in t.manifest(t.latest_version())["entries"]}
+    untouched_foreign = next(
+        b for b, p in pre.items()
+        if p is None and 3 in {r["k"] for r in spark.read.parquet(
+            f"{t.root.rstrip('/')}/{b}").collect()})
+    t.delete(F.col("k") == 1, mode="rewrite")
+    post = {e["base"]: e["parts"]
+            for e in t.manifest(t.latest_version())["entries"]}
+    # the untouched foreign entry and the day=d9 entry survive as-is
+    assert untouched_foreign in post
+    assert any(p == ["day=d9"] for p in post.values())
+    # the touched foreign entry was rewritten INTO the current layout
+    assert all(p is None or all(x.startswith("day=") for x in p)
+               or b == untouched_foreign
+               for b, p in post.items())
+    got = {(r["day"], r["k"]) for r in t.read().collect()}
+    assert got == {("d1", 2), ("d2", 3), ("d2", 4), ("d9", 9)}
+
+
+def test_mixed_layout_update_rewrite(spark, tbl):
+    tbl.evolve_partitioning("region")
+    v0 = tbl.latest_version()
+    tbl.update({"k": F.col("k") + 100}, condition="region = 'r1'",
+               mode="rewrite")
+    assert _rows(tbl) == {("d1", "r1", 101), ("d2", "r2", 2)}
+    # no-op on mixed: no version burned
+    v1 = tbl.latest_version()
+    tbl.update({"k": F.lit(0)}, condition="region = 'zzz'",
+               mode="rewrite")
+    assert tbl.latest_version() == v1
+    assert v1 == v0 + 1
+
+
+def test_mixed_layout_merge_keyed_on_pcol_falls_back(spark, tbl):
+    tbl.evolve_partitioning("region")
+    tbl.merge(
+        spark.createDataFrame([("dU", "r1", 11), ("dN", "r9", 99)],
+                              "day string, region string, k long"),
+        keys=("region",),
+    )
+    assert _rows(tbl) == {("dU", "r1", 11), ("d2", "r2", 2),
+                          ("dN", "r9", 99)}
+    # the whole-table fallback heals the layout as a side effect
+    m = tbl.manifest(tbl.latest_version())
+    assert {tbl._entry_layout(e) for e in m["entries"]} == {"region"}
+    tbl.read(partition_values=["r2"])  # pruning restored
+
+
+def test_mixed_layout_delete_respects_dv_masks(spark, tmp_path):
+    """Rows already masked by a deletion vector must not resurrect
+    when their entry is rewritten by the mixed-layout fallback."""
+    t = SnapshotTable(spark, str(tmp_path / "dvmask"))
+    t.append(spark.createDataFrame([("d1", i) for i in range(5)],
+                                   "day string, k long"))
+    t.delete(F.col("k") == 2, mode="dv")
+    t.evolve_partitioning("day")
+    t.delete(F.col("k") == 3, mode="rewrite")
+    got = {r["k"] for r in t.read().collect()}
+    assert got == {0, 1, 4}
+
+
+def test_mixed_layout_delete_preserves_row_ids(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "ids"))
+    t.append(spark.createDataFrame([("d1", i) for i in range(4)],
+                                   "day string, k long"))
+    t.enable_row_tracking(backfill=True)
+    ids0 = {r["k"]: r["__row_id"]
+            for r in t.read().select("k", "__row_id").collect()}
+    t.evolve_partitioning("day")
+    t.delete(F.col("k") == 0, mode="rewrite")
+    ids1 = {r["k"]: r["__row_id"]
+            for r in t.read().select("k", "__row_id").collect()}
+    # survivors keep their ids through the rewrite (carried columns)
+    assert ids1 == {k: v for k, v in ids0.items() if k != 0}

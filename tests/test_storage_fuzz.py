@@ -443,16 +443,10 @@ class StorageMachine(RuleBasedStateMachine):
         if not hit and not new:
             return
         rows = [self._value(k, "mrg") for k in hit + new]
-        if mode == "rewrite" and self.pcol == "k" and self._mixed_layout():
-            # documented scoping: a merge keyed on the partition
-            # column is partition-scoped, and partition-scoped reads
-            # refuse while layouts are mixed (evolve_partitioning
-            # docstring) — a full compact() restores them
-            before = self.t.latest_version()
-            with pytest.raises(ValueError, match="partition evolution"):
-                self.t.merge(self._mk_df(rows), keys=("k",), mode=mode)
-            assert self.t.latest_version() == before
-            return
+        # r11: a merge keyed on the partition column no longer refuses
+        # while layouts are mixed — it falls back to the whole-table
+        # rewrite for that call (same visible rows), so the fuzz just
+        # runs it and audits the state like any other merge
         if self.identity_on:
             uids = self._source_uids(rows)
             self.t.merge(self._mk_df_uid(rows, uids), keys=("k",),
@@ -471,16 +465,8 @@ class StorageMachine(RuleBasedStateMachine):
         victims = data.draw(st.lists(
             st.sampled_from(sorted(self.rows)), min_size=1, max_size=2,
             unique=True))
-        if (mode == "rewrite" and self.pcol is not None
-                and self._mixed_layout()):
-            # documented: rewrite-mode DELETE is touched-partitions-
-            # only on a partitioned table, and partition-scoped reads
-            # refuse while layouts are mixed
-            before = self.t.latest_version()
-            with pytest.raises(ValueError, match="partition evolution"):
-                self.t.delete(F.col("k").isin(victims), mode=mode)
-            assert self.t.latest_version() == before
-            return
+        # r11: rewrite-mode DELETE runs on mixed layouts too (the
+        # entry-scoped _rewrite_mixed fallback) — no exclusion needed
         self.t.delete(F.col("k").isin(victims), mode=mode)
         for k in victims:
             del self.rows[k]
@@ -494,16 +480,8 @@ class StorageMachine(RuleBasedStateMachine):
         # it) — a hardcoded 'v' would silently no-op on both sides
         # after a rename, erasing UPDATE coverage mid-program
         vcol = self.cols[1][0]
-        if (mode == "rewrite" and self.pcol is not None
-                and self._mixed_layout()):
-            # documented: rewrite-mode UPDATE is touched-partitions-
-            # only on a partitioned table — refused while mixed
-            before = self.t.latest_version()
-            with pytest.raises(ValueError, match="partition evolution"):
-                self.t.update({vcol: F.lit(f"upd:{k}")},
-                              condition=F.col("k") == k, mode=mode)
-            assert self.t.latest_version() == before
-            return
+        # r11: rewrite-mode UPDATE runs on mixed layouts too (the
+        # entry-scoped _rewrite_mixed fallback) — no exclusion needed
         self.t.update({vcol: F.lit(f"upd:{k}")},
                       condition=F.col("k") == k, mode=mode)
         self.rows[k][vcol] = f"upd:{k}"

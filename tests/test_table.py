@@ -2197,3 +2197,60 @@ def test_empty_unpartitioned_append_is_a_true_noop(spark, tmp_path):
     assert t.append(spark.createDataFrame([], "k long, v string")) == v
     assert t.latest_version() == v
     assert len(t.manifest(v)["entries"]) == 1
+
+
+def test_subset_append_on_entryless_table_keeps_declared_schema(
+    spark, tmp_path
+):
+    """r10 advice: the subset-column reconciliation used to be skipped
+    when prev had ZERO entries (truncated/empty table), so the append
+    narrowed the DDL anyway.  With no old file to conflict, keeping
+    declared columns is always safe — they must survive."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([], "k long, v string"))  # empty, schema'd
+    assert t.manifest(t.latest_version())["entries"] == []
+    t.append(spark.createDataFrame([(2,)], "k long"))
+    got = t.read()
+    assert set(got.columns) == {"k", "v"}
+    assert [(r["k"], r["v"]) for r in got.collect()] == [(2, None)]
+
+
+def test_empty_append_once_on_entryless_partitioned_table_keeps_pcol(
+    spark, tmp_path
+):
+    """r10 advice: an empty append_once lacking the partition column
+    on an ENTRY-LESS partitioned table used to record a manifest
+    schema missing the partition column while partition_col stayed
+    set.  The declared schema must keep it."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.replace_partitions(
+        spark.createDataFrame([], "day int, k long"), "day")
+    assert t.manifest(t.latest_version())["partition_col"] == "day"
+    t.append_once(spark.createDataFrame([], "k long"), "app", 1)
+    m = t.manifest(t.latest_version())
+    assert m["txn"]["app"] == 1
+    import json as _json
+    names = {f["name"]
+             for f in _json.loads(m["schema"])["fields"]}
+    assert "day" in names and "k" in names
+    # and the table still accepts a normal partitioned append
+    t.append(spark.createDataFrame([(3, 30)], "day int, k long"))
+    assert [(r["day"], r["k"]) for r in t.read().collect()] == [(3, 30)]
+
+
+def test_empty_batches_leave_no_staged_garbage(spark, tmp_path):
+    """r10 advice: empty append / append_once used to leave their
+    schema-only staged dir as unreferenced vacuum garbage on every
+    empty batch; the dv-merge path already reclaimed its dir.  All
+    three must reclaim now."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1,)], "k long"))
+
+    def data_dirs():
+        return {d for d in t.st.list(f"{t.root}/data")
+                if d.startswith("__snap=")}
+
+    pre = data_dirs()
+    t.append(spark.createDataFrame([], "k long"))          # no-op
+    t.append_once(spark.createDataFrame([], "k long"), "a", 1)  # txn only
+    assert data_dirs() == pre
