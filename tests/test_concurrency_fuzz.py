@@ -496,10 +496,12 @@ def test_evolve_then_delete_serial_composition(spark, tmp_path):
 
 
 def test_catalog_maintain_races_writer_seeded(spark, tmp_path):
-    """Catalog.maintain (vacuum + compaction sweep) fires INSIDE a
-    writer's CAS window — the r8 thread-race pin, now deterministic.
-    The writer must rebase (or refuse cleanly); maintenance must never
-    eat the writer's committed rows or corrupt the published pin."""
+    """TWO Catalog.maintain sweeps (vacuum + compaction) fire INSIDE a
+    writer's CAS window — the r8 thread-race pin (two maintains racing
+    a writer), now deterministic.  The writer must rebase (or refuse
+    cleanly); the second sweep must see the first's compaction as a
+    healthy no-op; maintenance must never eat the writer's committed
+    rows or corrupt the published pin."""
     from pixelspark.catalog import Catalog
 
     root = str(tmp_path / "cat")
@@ -522,6 +524,11 @@ def test_catalog_maintain_races_writer_seeded(spark, tmp_path):
         c2 = Catalog(spark, root)
         fired.append(c2.maintain(keep_versions=2, table_keep_versions=2,
                                  max_live_entries=4))
+        # the SECOND sweep lands in the same window: the first's fold
+        # already retired the entry debt, so it must be a clean no-op
+        c3 = Catalog(spark, root)
+        fired.append(c3.maintain(keep_versions=2, table_keep_versions=2,
+                                 max_live_entries=4))
 
     t.st = InterceptStorage(t.st, fire_maintain, nth=1)
     rows = {100: (1, 42)}
@@ -531,6 +538,7 @@ def test_catalog_maintain_races_writer_seeded(spark, tmp_path):
     except _SANCTIONED:
         appended = False
     assert fired and fired[0]["tables"]["t"]["compacted_to"] is not None
+    assert fired[1]["tables"]["t"]["compacted_to"] is None  # 2nd: no-op
 
     got = {r["k"]: (r["day"], r["v"])
            for r in SnapshotTable(spark, f"{root}/tables/t").read()

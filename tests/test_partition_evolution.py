@@ -220,3 +220,46 @@ def test_mixed_layout_delete_preserves_row_ids(spark, tmp_path):
             for r in t.read().select("k", "__row_id").collect()}
     # survivors keep their ids through the rewrite (carried columns)
     assert ids1 == {k: v for k, v in ids0.items() if k != 0}
+
+
+def test_mixed_layout_delete_all_rows(spark, tmp_path):
+    """Every row matches: the rewrite writes NOTHING (the staged dir
+    is reclaimed), touched entries are retired outright, and the
+    table reads back empty with its schema intact."""
+    t = SnapshotTable(spark, str(tmp_path / "all"))
+    t.append(spark.createDataFrame([("d1", 1), ("d2", 2)],
+                                   "day string, k long"))
+    t.evolve_partitioning("day")
+    t.replace_partitions(
+        spark.createDataFrame([("d3", 3)], "day string, k long"), "day")
+    t.delete(F.col("k") >= 0, mode="rewrite")
+    assert t.read().count() == 0
+    assert set(t.read().columns) == {"day", "k"}
+    assert t.manifest(t.latest_version())["entries"] == []
+
+
+def test_mixed_layout_delete_across_three_layouts(spark, tmp_path):
+    """History carrying THREE layouts at once (unpartitioned -> day ->
+    region): the foreign scan groups per layout and the rewrite folds
+    every touched entry into the CURRENT layout."""
+    t = SnapshotTable(spark, str(tmp_path / "tri"))
+    t.append(spark.createDataFrame(
+        [("d1", "r1", 1)], "day string, region string, k long"))
+    t.evolve_partitioning("day")
+    t.replace_partitions(
+        spark.createDataFrame([("d2", "r2", 2)],
+                              "day string, region string, k long"), "day")
+    t.evolve_partitioning("region")
+    t.replace_partitions(
+        spark.createDataFrame([("d3", "r3", 3)],
+                              "day string, region string, k long"),
+        "region")
+    layouts = {t._entry_layout(e)
+               for e in t.manifest(t.latest_version())["entries"]}
+    assert layouts == {None, "day", "region"}
+    t.delete(F.col("k").isin([1, 2]), mode="rewrite")
+    got = {(r["day"], r["region"], r["k"]) for r in t.read().collect()}
+    assert got == {("d3", "r3", 3)}
+    layouts = {t._entry_layout(e)
+               for e in t.manifest(t.latest_version())["entries"]}
+    assert layouts == {"region"}
