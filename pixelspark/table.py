@@ -356,6 +356,24 @@ def _evolve_merge_schema(prev_json: str, new_json: str) -> str:
     return StructType(fields).json()
 
 
+def _evolve_merge_schema_empty(prev_json: str, new_json: str) -> str:
+    """Reconciliation for a write onto an ENTRY-LESS table (created
+    empty, or truncated): declared columns the batch OMITS are kept —
+    a subset batch must not narrow the DDL, and with no old file to
+    conflict, keeping them is always safe (r10 advice) — but a column
+    the batch DOES carry adopts the WRITTEN field wholesale: zero rows
+    are materialized at the declared type, so the written type is the
+    only physical truth (the same license a full rewrite has; this is
+    how an empty agg-view seeded at decimal(28,6) adopts the first
+    fold's wider SUM decimal without the widen_column DDL)."""
+    prev_s = StructType.fromJson(json.loads(prev_json))
+    new_s = StructType.fromJson(json.loads(new_json))
+    new_by_name = {f.name: f for f in new_s.fields}
+    fields = [new_by_name.pop(f.name, f) for f in prev_s.fields]
+    fields += [new_by_name[f.name] for f in new_s.fields if f.name in new_by_name]
+    return StructType(fields).json()
+
+
 def _range_admits(rng, op: str, val) -> bool:
     """Can a file whose column spans [mn, mx] contain a row satisfying
     `col op val`?  Conservative: unknown stats, open bounds (all-null
@@ -728,9 +746,16 @@ class SnapshotTable:
                 # keeping it, so a subset-column batch must reconcile
                 # there too (r10 advice: an empty-table append was
                 # silently narrowing the DDL — and could drop the
-                # partition column from the recorded schema)
-                if (_prev_bases & _new_bases) or not _prev_bases:
+                # partition column from the recorded schema).  The
+                # empty variant adopts written TYPES (nothing is
+                # materialized at the declared ones) while still
+                # keeping omitted columns.
+                if _prev_bases & _new_bases:
                     new["schema"] = _evolve_merge_schema(
+                        prev["schema"], new["schema"]
+                    )
+                elif not _prev_bases:
+                    new["schema"] = _evolve_merge_schema_empty(
                         prev["schema"], new["schema"]
                     )
             # deletion vectors survive commits that keep the data they

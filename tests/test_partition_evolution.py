@@ -263,3 +263,49 @@ def test_mixed_layout_delete_across_three_layouts(spark, tmp_path):
     layouts = {t._entry_layout(e)
                for e in t.manifest(t.latest_version())["entries"]}
     assert layouts == {"region"}
+
+
+def test_mixed_layout_delete_crash_before_commit_is_invisible(
+    spark, tmp_path
+):
+    """Kill the writer between _rewrite_mixed's staged write and its
+    manifest commit: no version lands, reads are untouched, the
+    orphaned staged dir is vacuum-able garbage, and the delete simply
+    re-runs to completion afterwards (the add-then-commit crash
+    model every other write follows)."""
+    t = SnapshotTable(spark, str(tmp_path / "crash"))
+    t.append(spark.createDataFrame([("d1", 1), ("d1", 2)],
+                                   "day string, k long"))
+    t.evolve_partitioning("day")
+    v0 = t.latest_version()
+    n_dirs0 = len([d for d in t.st.list(f"{t.root}/data")
+                   if d.startswith("__snap=")])
+
+    class _KillBeforeManifest:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def write_text_atomic(self, path, content):
+            if "/_manifests/" in path:
+                raise RuntimeError("injected crash before commit")
+            return self._inner.write_text_atomic(path, content)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    real_st = t.st
+    t.st = _KillBeforeManifest(real_st)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        t.delete(F.col("k") == 1, mode="rewrite")
+    t.st = real_st
+    assert t.latest_version() == v0
+    assert {r["k"] for r in t.read().collect()} == {1, 2}
+    # the staged rewrite dir is unreferenced garbage; vacuum reclaims
+    n_dirs1 = len([d for d in t.st.list(f"{t.root}/data")
+                   if d.startswith("__snap=")])
+    assert n_dirs1 == n_dirs0 + 1
+    removed = t.vacuum(keep_versions=100)
+    assert any("__snap=" in p for p in removed)
+    assert {r["k"] for r in t.read().collect()} == {1, 2}
+    t.delete(F.col("k") == 1, mode="rewrite")
+    assert {r["k"] for r in t.read().collect()} == {2}

@@ -2254,3 +2254,34 @@ def test_empty_batches_leave_no_staged_garbage(spark, tmp_path):
     t.append(spark.createDataFrame([], "k long"))          # no-op
     t.append_once(spark.createDataFrame([], "k long"), "a", 1)  # txn only
     assert data_dirs() == pre
+
+
+def test_entryless_table_adopts_written_types_keeps_omitted_columns(
+    spark, tmp_path
+):
+    """The two halves of the entry-less reconciliation: a column the
+    batch CARRIES adopts the written type (nothing is materialized at
+    the declared one — how an empty agg-view seed adopts the fold's
+    wider SUM decimal), while a column the batch OMITS survives at its
+    declared type."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame(
+        [], "k long, amt decimal(28,6), v string"))
+    t.append(
+        spark.range(1).select(
+            F.col("id").alias("k"),
+            F.lit("1.5").cast("decimal(38,6)").alias("amt"),
+        )
+    )
+    sch = dict(t.read().dtypes)
+    assert sch["amt"] == "decimal(38,6)"  # written type adopted
+    assert "v" in sch                     # omitted column kept
+    # with DATA on the old type, the same retype is refused (ordinary
+    # tables have one physical width; widen_column owns type changes)
+    with pytest.raises(ValueError, match="widen_column"):
+        t.append(
+            spark.range(2, 3).select(
+                F.col("id").alias("k"),
+                F.lit("9.5").cast("decimal(10,6)").alias("amt"),
+            )
+        )

@@ -1370,6 +1370,95 @@ def fragmentation_maintain_experiment(spark) -> dict:
     }
 
 
+def mixed_dml_scoping_experiment(spark) -> dict:
+    """r11 `_rewrite_mixed` cost shape (DELETE during partition
+    evolution): find = ONE column-pruned position-scan of the foreign
+    entries, rewrite = touched entries only.  Receipts:
+      (a) doubling the UNTOUCHED foreign data grows the delete far
+          sublinearly (the rewrite term is flat; only the find scan
+          grows),
+      (b) the pre-r11 user path (full compact() first, then the
+          delete) costs a multiple of the scoped path,
+      (c) exactly one foreign entry is rewritten (manifest diff)."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pixelspark.table import SnapshotTable
+
+    rows_per = 250_000
+
+    def build(n_entries: int) -> SnapshotTable:
+        root = tempfile.mkdtemp(prefix="probe_mixdml_") + "/t"
+        t = SnapshotTable(spark, root)
+        for i in range(n_entries):
+            t.append(
+                spark.range(i * rows_per, (i + 1) * rows_per).select(
+                    (F.col("id") % 30).cast("int").alias("day"),
+                    F.col("id").alias("k"),
+                    F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+                )
+            )
+        t.evolve_partitioning("day")
+        # one post-evolution batch so layouts are genuinely mixed;
+        # keys outside every delete condition below
+        t.append(
+            spark.range(10).select(
+                F.lit(99).cast("int").alias("day"),
+                (F.col("id") - 1000).alias("k"),
+                F.lit("tail").alias("payload"),
+            )
+        )
+        return t
+
+    cond = "k >= 0 AND k < 1000"  # rows living in foreign entry 0 only
+
+    def foreign_bases(t):
+        m = t.manifest(t.latest_version())
+        return {e["base"] for e in m["entries"]
+                if t._entry_layout(e) != m.get("partition_col")}
+
+    t1 = build(8)
+    pre = foreign_bases(t1)
+    t0 = time.time()
+    t1.delete(cond, mode="rewrite")
+    scoped_1x = round(time.time() - t0, 3)
+    post = foreign_bases(t1)
+    rewritten = sorted(pre - post)
+
+    t2 = build(16)  # 2x foreign data, same touched footprint
+    t0 = time.time()
+    t2.delete(cond, mode="rewrite")
+    scoped_2x = round(time.time() - t0, 3)
+
+    t3 = build(8)  # the pre-r11 path: full compact, then the delete
+    t0 = time.time()
+    t3.compact()
+    t3.delete(cond, mode="rewrite")
+    compact_then_delete = round(time.time() - t0, 3)
+
+    same = (
+        t1.read().agg(F.count(F.lit(1)), F.sum("k")).collect()[0][0:2]
+        == t3.read().agg(F.count(F.lit(1)), F.sum("k")).collect()[0][0:2]
+    )
+    return {
+        "experiment": "mixed_dml_scoping",
+        "rows_1x": 8 * rows_per,
+        "rows_2x": 16 * rows_per,
+        "deleted_rows": 1000,
+        "scoped_1x_sec": scoped_1x,
+        "scoped_2x_sec": scoped_2x,
+        "growth_at_2x": round(scoped_2x / scoped_1x, 2) if scoped_1x else None,
+        "compact_then_delete_sec": compact_then_delete,
+        "ratio_vs_pre_r11_path": (
+            round(compact_then_delete / scoped_1x, 2) if scoped_1x else None
+        ),
+        "foreign_entries_rewritten": len(rewritten),
+        "results_identical": bool(same),
+    }
+
+
 def main() -> None:
     spark = get_spark("pixelspark-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -1448,6 +1537,7 @@ def main() -> None:
     print(json.dumps(dv_delete_experiment(spark)))
     print(json.dumps(ann_scale_experiment(spark)))
     print(json.dumps(index_compaction_experiment(spark)))
+    print(json.dumps(mixed_dml_scoping_experiment(spark)))
 
 
 if __name__ == "__main__":
