@@ -614,24 +614,30 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
+        # carry a per-row `changed` flag INTO the checkpointed frame:
+        # the join pipeline then executes exactly once per round (the
+        # checkpoint materializes labels and flags together) and the
+        # convergence test is a trivial scan of the checkpointed rows.
+        # Before this fold the round ran the join twice — once for the
+        # changed-count, once for the checkpoint — which doubled both
+        # the per-round shuffle cost and the tiny-job count that
+        # amplifies scheduler latency on iterative rows (r11 verdict).
+        ckpt = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
+                (
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                    < F.col("cluster_id")
+                ).alias("changed"),
             )
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.localCheckpoint(eager=True) if changed else new_labels
-        if not changed:
+        labels = ckpt.select("id", "cluster_id")
+        if ckpt.where("changed").limit(1).count() == 0:
             converged = True
             break
     if stats is not None:
