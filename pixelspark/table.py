@@ -3230,25 +3230,34 @@ class SnapshotTable:
             return self._fill_schema_columns(df, m)
 
         # which FOREIGN storage units contain matched rows: distinct
-        # (snap dir, part subdir) pairs — a tiny driver list, bounded
-        # by the number of touched DIRECTORIES, never rows or files
+        # (owning root, snap dir, part subdir) triples — a tiny driver
+        # list, bounded by the number of touched DIRECTORIES, never
+        # rows or files.  __dv_file is root-RELATIVE, so the probe
+        # runs per owning root (shallow-clone entries may span roots
+        # and two roots can hold same-named uuid dirs); the ordinary
+        # table is a single root, so this is still one scan there.
         f_units: set[tuple] = set()
         if foreign:
             seg = F.split(F.col("__dv_file"), "/")
             sub = F.element_at(seg, 2)
-            f_units = {
-                (r["d"], r["p"])
-                for r in masked(foreign).where(hit)
-                .select(
-                    F.element_at(seg, 1).alias("d"),
-                    F.when(sub.contains("="), sub).alias("p"),
-                )
-                .distinct().collect()
-            }
+            by_root: dict[str, list] = {}
+            for e in foreign:
+                by_root.setdefault(e.get("root") or self.root, []).append(e)
+            for froot, es in by_root.items():
+                f_units |= {
+                    (froot, r["d"], r["p"])
+                    for r in masked(es).where(hit)
+                    .select(
+                        F.element_at(seg, 1).alias("d"),
+                        F.when(sub.contains("="), sub).alias("p"),
+                    )
+                    .distinct().collect()
+                }
 
         def touches(e: dict) -> bool:
             d = e["base"].rsplit("/", 1)[-1]
-            hit_parts = {p for (dd, p) in f_units if dd == d}
+            eroot = e.get("root") or self.root
+            hit_parts = {p for (rr, dd, p) in f_units if rr == eroot and dd == d}
             if not hit_parts:
                 return False
             if e["parts"] is None:

@@ -47,7 +47,22 @@ FUZZ_EXAMPLES = int(os.environ.get("PIXELSPARK_FUZZ_EXAMPLES", "8"))
 
 SCHEMA = "k long, day int, v int"  # v int so the widen op has headroom
 
-_SANCTIONED = (ConcurrentWriteConflict, ConcurrentCommitError, ValueError)
+# SANCTIONED refusals: the engine's documented conflict errors, plus
+# the SPECIFIC ValueError refusal texts the op pool can legitimately
+# hit when racing (duplicate add_columns replay; idempotent re-widen —
+# long->long is "not a supported widening").  Bare ValueError was too
+# wide (r11 advisor): it would have absorbed a real regression that
+# raised ValueError mid-op.  Any OTHER ValueError now surfaces as an
+# unsanctioned failure.
+_SANCTIONED = (ConcurrentWriteConflict, ConcurrentCommitError)
+_REFUSAL_TEXTS = ("columns already exist", "cannot widen")
+
+
+def _is_sanctioned(e: BaseException) -> bool:
+    return isinstance(e, _SANCTIONED) or (
+        isinstance(e, ValueError)
+        and any(t in str(e) for t in _REFUSAL_TEXTS)
+    )
 
 
 class InterceptStorage:
@@ -212,11 +227,10 @@ def _fire(apply, handle, landed: list, unexpected: list):
     else is a real failure."""
     try:
         apply(handle)
-    except _SANCTIONED:
-        landed[0] = False
     except Exception as e:  # noqa: BLE001 — re-asserted by the caller
         landed[0] = False
-        unexpected.append(e)
+        if not _is_sanctioned(e):
+            unexpected.append(e)
 
 
 def _audit_tracking(spark, root: str, v_pre: int) -> None:
@@ -258,7 +272,9 @@ def _run_interleaved(spark, tmp_path, a, b, tracking: bool, nth: int):
     a_landed = True
     try:
         a_apply(t)
-    except _SANCTIONED:
+    except Exception as e:  # noqa: BLE001
+        if not _is_sanctioned(e):
+            raise
         a_landed = False
     if t.st._hook is not None:
         # A needed fewer CAS attempts than `nth`: the window never
@@ -426,7 +442,9 @@ def _run_interleaved3(spark, tmp_path, a, b, c, tracking: bool,
     a_landed = True
     try:
         a_apply(t)
-    except _SANCTIONED:
+    except Exception as e:  # noqa: BLE001
+        if not _is_sanctioned(e):
+            raise
         a_landed = False
     if t.st._hook is not None:
         t.st._hook = None
@@ -535,7 +553,9 @@ def test_catalog_maintain_races_writer_seeded(spark, tmp_path):
     try:
         t.append(_df(spark, rows))
         appended = True
-    except _SANCTIONED:
+    except Exception as e:  # noqa: BLE001
+        if not _is_sanctioned(e):
+            raise
         appended = False
     assert fired and fired[0]["tables"]["t"]["compacted_to"] is not None
     assert fired[1]["tables"]["t"]["compacted_to"] is None  # 2nd: no-op
