@@ -365,12 +365,27 @@ def exact_dedup(docs: DataFrame, key: Column | str = "text") -> DataFrame:
 
 
 def word_shingles(toks: Column, k: int = 3) -> Column:
-    """k-word shingles from a token array (docs shorter than k yield
-    one shingle of the whole doc so they still get a signature)."""
+    """k-word shingles from a token array.  Docs shorter than k yield
+    one shingle of the whole doc so they still get a signature;
+    ZERO-token docs (empty/whitespace text) yield NO shingles, which
+    excludes them from near-dup pair generation entirely — set
+    similarity over empty sets is undefined, exact dedup owns the
+    empty-doc class, and at corpus scale a million empty docs must
+    not become a half-trillion quadratic 'near-dup' pairs (r12 shape
+    fuzz: the DuckDB oracles agree, reaching the same exclusion
+    through SQL NULL propagation on empty-array slices)."""
     n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    # size(NULL) is NULL (or -1 under legacy sizeOfNull): coalesce so
+    # NULL-text docs (no token array at all) take the empty branch
+    # instead of falling through `when` to a [''] whole-doc shingle
+    return F.when(
+        F.coalesce(F.size(toks), F.lit(0)) <= 0,
+        F.array().cast("array<string>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
     )
 
 

@@ -2192,8 +2192,15 @@ def q_mixed_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("views"))
     )
-    # pre-evolution history: two days, laid out UNPARTITIONED
-    t.append(ev.where(F.col("day") < "2024-01-04"))
+    # pre-evolution history: two days, laid out UNPARTITIONED.  A
+    # synthetic views=1 row rides along so the later delete ALWAYS
+    # matches inside the foreign entry — without it the layout-unified
+    # assertion below would be data-dependent (at an SF where no
+    # 02/03 shop has exactly one view the delete would no-op on the
+    # foreign entry).  The seed itself is deleted by that same DML,
+    # so the end state the oracle checks is unchanged.
+    seed = spark.createDataFrame([("2024-01-02", -1, 1)], ev.schema)
+    t.append(ev.where(F.col("day") < "2024-01-04").unionByName(seed))
     t.evolve_partitioning("day")
     # post-evolution ingest: the new day joins the new layout
     t.append(ev.where(F.col("day") == "2024-01-04"))
@@ -2322,8 +2329,8 @@ def q_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH flags AS (
       SELECT doc_id,
-             (length(text) >= 150) AS long_enough,
-             (lang IN ('en', 'de', 'fr', 'es')) AS lang_known
+             COALESCE(length(text) >= 150, FALSE) AS long_enough,
+             COALESCE(lang IN ('en', 'de', 'fr', 'es'), FALSE) AS lang_known
       FROM documents
     )
     SELECT 'kept' AS bucket,
@@ -2347,9 +2354,12 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule (known language); the oracle restates the policy outcomes —
     rows failing the quarantine rule route to the sibling table
     regardless of the drop rule, rows failing ONLY the drop rule
-    vanish, clean rows land.  The in-plan assert pins that every
-    policy actually fired on this data; the recorded per-rule metrics
-    feed the dropped-only arithmetic the oracle restates."""
+    vanish, clean rows land.  The in-query invariant is
+    DISTRIBUTION-FREE (r12 shape fuzz): the three buckets partition
+    the input exactly — kept + quarantined + dropped == rows in — so
+    the routing is conservation-checked on ANY data shape, including
+    empty input (where the quarantine sibling is never created and
+    must read as zero, the S6 missing-table rule)."""
     import tempfile
 
     from pixelspark.table import SnapshotTable
@@ -2362,15 +2372,28 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("lang_known", "lang IN ('en', 'de', 'fr', 'es')", "quarantine"),
         ],
     )
-    t.append(_t(spark, sf_dir, "documents").select("doc_id", "text", "lang"))
+    src = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    n_in = src.count()
+    t.append(src)
     kept = t.read().count()
-    quarantined = SnapshotTable(spark, root + "_quarantine").read().count()
+    qt = SnapshotTable(spark, root + "_quarantine")
+    quarantined = qt.read().count() if qt.exists() else 0
     metrics = t.expectation_metrics()
-    dropped_only = metrics["long_enough"] - (
-        SnapshotTable(spark, root + "_quarantine")
-        .read().where(F.length("text") < 150).count()
+    quar_short = (
+        qt.read().where(F.coalesce(F.length("text"), F.lit(0)) < 150).count()
+        if qt.exists() else 0
     )
-    _require(kept and quarantined and dropped_only, 'all three policies fire')
+    if metrics:
+        dropped_only = metrics["long_enough"] - quar_short
+        _require(kept + quarantined + dropped_only == n_in,
+                 'expectation buckets must partition the input')
+    else:
+        # the metrics sidecar rides the DATA commit, so an append whose
+        # every row was dropped/quarantined (or an empty input) commits
+        # no sidecar — derive the dropped bucket by conservation; the
+        # oracle still value-checks it against the raw-input arithmetic
+        _require(kept == 0, 'missing metrics implies nothing landed')
+        dropped_only = n_in - quarantined
     rows = [("kept", kept), ("quarantined", quarantined), ("dropped", dropped_only)]
     return spark.createDataFrame(rows, "bucket string, n long")
 
@@ -7786,6 +7809,27 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_ann_ivfpq_index")  # trained quantizer is approximate -> rows-only
+def q_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM — IVF-PQ against the train-once persistent `VectorIndex`
+    (ops/pq.py), the PRODUCTION shape of q_ann_ivfpq: quantizers are
+    trained once and parked on disk, every query pays only the
+    sidecar read + the coarse-pruned ADC scan of the stored codes
+    table (file-skipping on the cluster stats column prunes the
+    non-probed inverted lists before Spark plans the scan).  The
+    bench row exists to separate train cost from query cost — the
+    in-bench-training rows overstate production query cost 3-5x
+    (r11 verdict item 5).  Same recall gates as q_ann_ivfpq
+    (tests/test_pq.py)."""
+    from pixelspark.ops.pq import ensure_demo_index
+
+    idx = ensure_demo_index(spark, sf_dir)
+    return idx.query(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4],
+        k=5, n_probe=3, shortlist=100,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Behavioral-analytics completion pack: sequence-pattern detection
 # (MATCH_RECOGNIZE-style CEP on batch), co-occurrence mining, triangle
@@ -10080,11 +10124,12 @@ _WINDOW_QUERIES = [
     # q_recent_records' slot (L3, in-window green r6-r7 after its r6
     # rotation-in; stays registered + sweep-checked)
     "q_scd2",
-    # r8 rotation: the JSONL source-sink roundtrip takes
-    # q_dsir_weights' slot (in-window green r5c-r7; stays registered
-    # + sweep-checked; the data-selection family keeps q_domain_mix
-    # in-window)
-    "q_jsonl_roundtrip",
+    # r12 rotation (VERDICT item 4): write-side EXPECTATIONS (the
+    # quality-gate storage flagship, rotated out at r8 before the
+    # driver ever hashed a fresh term) takes q_jsonl_roundtrip's slot
+    # (in-window green r8-r11; stays registered + sweep-checked;
+    # q_schema_evolve keeps the sink-roundtrip family seat)
+    "q_expectations",
     # r6c rotation: the Gopher repetition pack (round-6b quality
     # flagship, value-oracled) takes q_ngram_jaccard's slot (in-window
     # green r1-r5; stays registered + sweep-checked)
@@ -10107,7 +10152,12 @@ _WINDOW_QUERIES = [
     "q_domain_mix",
     "q_quality_logreg",
     "q_ann_topk",
-    "q_media_features",
+    # r12 rotation (VERDICT item 4): BLOOM-filter file skipping
+    # (rotated out at r8, never re-seated) takes q_media_features'
+    # slot (in-window green r3-r11; stays registered +
+    # sweep-checked; the multimodal plumbing stays pytest-gated and
+    # the LLM pack keeps 8+ other window seats)
+    "q_bloom_prune",
     # r8 rotation: ROW TRACKING (new this round — the r7 verdict's
     # top ask: the one storage feature without a driver-checkable
     # row) takes q_intersect's slot (§2.7 set-op, in-window green
