@@ -126,11 +126,34 @@ def dsir_log_weights(
     bucket LLRs (unrounded — callers round at their single compare
     point).  Columns: (id_col, n_grams, log_weight).  Every gram is by
     construction present in the raw counts, so the inner join drops
-    nothing.  Plan: fit pass + score pass, LLR table broadcast."""
-    llr = dsir_bucket_llr(docs, target_cond, num_buckets, text_col)
+    nothing.
+
+    Plan (r12 optimization): the exploded gram-bucket stream is
+    computed ONCE (lazy localCheckpoint) and feeds both the fit
+    aggregation and the scoring join — before this, fit and score
+    each ran their own tokenize+md5 explode over the corpus (guide
+    §1.2: don't compute things twice).  The fitted LLR table stays
+    broadcast-sized (num_buckets rows)."""
     ex = docs.select(
         F.col(id_col),
+        F.coalesce(target_cond, F.lit(False)).alias("is_target"),
         F.explode(hashed_ngram_buckets(text_col, num_buckets)).alias("bucket"),
+    ).localCheckpoint(eager=False)
+    counts = ex.groupBy("bucket").agg(
+        F.count_if("is_target").cast("long").alias("t_cnt"),
+        F.count(F.lit(1)).cast("long").alias("r_cnt"),
+    ).localCheckpoint(eager=False)
+    totals = counts.agg(
+        F.sum("t_cnt").cast("long").alias("nt"),
+        F.sum("r_cnt").cast("long").alias("nr"),
+    )
+    b = float(num_buckets)
+    llr = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("t_cnt") + 1).cast("double") / (F.col("nt") + F.lit(b)))
+            - F.log((F.col("r_cnt") + 1).cast("double") / (F.col("nr") + F.lit(b)))
+        ).alias("llr"),
     )
     return (
         ex.join(F.broadcast(llr), "bucket")

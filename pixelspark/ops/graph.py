@@ -52,6 +52,16 @@ def pagerank(
 
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     for i in range(iterations):
+        # materialize the rank vector once per round (lazy
+        # localCheckpoint): both the dangling-mass broadcast aggregate
+        # and the contribution join consume `ranks`, so without this
+        # the un-checkpointed tail of the lineage re-executed twice
+        # per round — and compounded up to 4x between the every-3rd-
+        # round checkpoints (r12; guide §2.4 — same relation, one
+        # computation).  Values are unchanged: the checkpoint
+        # preserves rows and partitioning, so aggregate accumulation
+        # order is identical.
+        ranks = ranks.localCheckpoint(eager=False)
         with_deg = ranks.join(out_deg, ranks.id == out_deg.src, "left")
         # mass of vertices with no out-edges, shared with every vertex.
         # Folded into the plan as a broadcast 1-row aggregate instead
@@ -86,8 +96,9 @@ def pagerank(
                 ),
             )
         )
-        if (i + 1) % CHECKPOINT_EVERY == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+        # no periodic eager checkpoint needed any more: the per-round
+        # lazy checkpoint above already truncates the lineage without
+        # launching a driver-blocking job per CHECKPOINT_EVERY rounds
     return ranks
 
 

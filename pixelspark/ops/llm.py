@@ -498,23 +498,30 @@ def near_dup_pairs(
     MinHash approximates shingle-set Jaccard, so verifying on a
     different token space would filter with an unrelated similarity.
 
-    The shingle sets are computed ONCE and cached: both the signature
-    explode and the verification join read the cached arrays (~40%
-    faster than recomputing the shingling; at 100 TB swap .cache() for
-    persist(DISK_ONLY) or a checkpoint so the reuse survives executor
-    memory pressure).
+    The shingle sets are computed ONCE and materialized (lazy
+    localCheckpoint): both the signature explode and the verification
+    join read the stored arrays (~40% faster than recomputing the
+    shingling; localCheckpoint persists MEMORY_AND_DISK so the reuse
+    survives executor memory pressure at scale).  localCheckpoint
+    rather than .cache() (r12): CacheManager matches cached plans
+    globally, so a *second identical invocation* — e.g. a later bench
+    pass — would silently read the first invocation's blocks instead
+    of recomputing; checkpoint blocks are scoped to this DataFrame.
+    The signature table is materialized too, so the bucket self-join
+    inside lsh_candidate_pairs reads one computed stage instead of
+    duplicating the explode+groupBy pipeline per join side.
     """
     rows_per_band = num_hashes // bands
     shingle_sets = spread(docs).select(
         F.col(id_col),
         F.array_distinct(word_shingles(tokens(text_col), shingle_k)).alias("shset"),
-    ).cache()
+    ).localCheckpoint(eager=False)
     sh = shingle_sets.select(F.col(id_col), F.explode("shset").alias("shingle")).select(
         F.col(id_col), F.xxhash64("shingle").alias("h0")
     )
     sigs = sh.groupBy(id_col).agg(
         *[F.min(F.xxhash64("h0", F.lit(j))).alias(f"mh_{j}") for j in range(num_hashes)]
-    )
+    ).localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band, max_bucket_size)
     return (
         cands.join(shingle_sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("shset", "sh_a"), "id_a")
@@ -698,6 +705,7 @@ def dedup_clusters_star(
     )
     edges = sym
     stars = None
+    stars_count: int | None = None
     converged = False
     rounds = 0
     for _ in range(max_iter):
@@ -731,13 +739,24 @@ def dedup_clusters_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        if stars is not None:
-            same_size = new_stars.count() == stars.count()
-            if same_size and new_stars.exceptAll(stars).limit(1).count() == 0:
+        # convergence probe cost (r12): the previous round's count is
+        # held driver-side (both frames are checkpointed, the count
+        # cannot drift), and the set-difference probe is a left_anti
+        # join — equivalent to exceptAll on these DISTINCT frames but
+        # a plain hash join instead of exceptAll's tagged union +
+        # re-aggregation.  Per round: one count job, plus one anti
+        # probe only when the counts tie.
+        new_count = new_stars.count()
+        if stars is not None and new_count == stars_count:
+            if (
+                new_stars.join(stars, ["u", "v"], "left_anti").limit(1).count()
+                == 0
+            ):
                 stars = new_stars
                 converged = True
                 break
         stars = new_stars
+        stars_count = new_count
         # new_stars is already distinct and its two orientations are
         # disjoint (u>v vs v<u), so the symmetric union needs no
         # distinct; and the consumers (groupBy-min, emit-then-dedup)
@@ -787,17 +806,26 @@ def _portable_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     return coeffs
 
 
-def portable_minhash_signatures(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = 32,
-    shingle_k: int = 3,
+def _portable_shingle_sets(
+    docs: DataFrame, id_col: str, text_col: str, shingle_k: int
 ) -> DataFrame:
-    """MinHash signatures from the portable (md5, mod-p) family."""
-    sh = spread(docs).select(
+    """(id, shset) — each document's DISTINCT k-shingle set, the one
+    artifact both signature generation and Jaccard verification read."""
+    return spread(docs).select(
         F.col(id_col),
-        F.explode(word_shingles(tokens(text_col), shingle_k)).alias("shingle"),
+        F.array_distinct(word_shingles(tokens(text_col), shingle_k)).alias("shset"),
+    )
+
+
+def _portable_sigs_from_sets(
+    shingle_sets: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    """Portable MinHash signatures from precomputed shingle SETS.
+    min() over the distinct set equals min() over the raw shingle
+    multiset, so hashing each distinct shingle once is free — md5 is
+    the dominant per-row cost of this family."""
+    sh = shingle_sets.select(
+        F.col(id_col), F.explode("shset").alias("shingle")
     ).select(
         F.col(id_col),
         (F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long") % MERSENNE_P).alias("hp"),
@@ -807,6 +835,21 @@ def portable_minhash_signatures(
         for j, (a, b) in enumerate(_portable_coeffs(num_hashes))
     ]
     return sh.groupBy(id_col).agg(*aggs)
+
+
+def portable_minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signatures from the portable (md5, mod-p) family."""
+    return _portable_sigs_from_sets(
+        _portable_shingle_sets(docs, id_col, text_col, shingle_k),
+        id_col,
+        num_hashes,
+    )
 
 
 def portable_near_dup_pairs(
@@ -820,9 +863,27 @@ def portable_near_dup_pairs(
 ) -> DataFrame:
     """The full banded MinHash-LSH pipeline on the portable family —
     candidate generation AND verification reproducible in DuckDB, so
-    the driver's oracle checks the pipeline value-for-value."""
+    the driver's oracle checks the pipeline value-for-value.
+
+    Shape (r12 optimization, guide §2.3/§2.4): the distinct shingle
+    sets are materialized ONCE (lazy localCheckpoint) and feed BOTH
+    the signature explode and the Jaccard verification joins — before
+    this the self-join on buckets duplicated the entire
+    shingle+md5+groupBy pipeline per side and the verification re-ran
+    the shingling twice more (4 executions total; the before/after
+    plans are plans/r12/q_minhash_pairs_*.txt).  md5 now hashes each
+    DISTINCT shingle once — min() over the distinct set equals min()
+    over the multiset — and the bucket table is materialized so the
+    candidate self-join reads one stage, not two pipeline copies.
+    localCheckpoint (not .cache()) on purpose: it is scoped to this
+    DataFrame, so a later identical invocation can never silently
+    reuse a previous run's blocks the way CacheManager plan-matching
+    does — every bench pass recomputes from parquet."""
     rows_per_band = num_hashes // bands
-    sigs = portable_minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    shingle_sets = _portable_shingle_sets(
+        docs, id_col, text_col, shingle_k
+    ).localCheckpoint(eager=False)
+    sigs = _portable_sigs_from_sets(shingle_sets, id_col, num_hashes)
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -831,7 +892,9 @@ def portable_near_dup_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sigs.select(F.col(id_col), F.posexplode(band_keys).alias("band_idx", "band_key"))
+    buckets = sigs.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band_idx", "band_key")
+    ).localCheckpoint(eager=False)
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (
         a.join(
@@ -843,10 +906,6 @@ def portable_near_dup_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    shingle_sets = docs.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(tokens(text_col), shingle_k)).alias("shset"),
-    )
     return (
         cands.join(shingle_sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("shset", "sh_a"), "id_a")
         .join(shingle_sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("shset", "sh_b"), "id_b")
@@ -855,13 +914,11 @@ def portable_near_dup_pairs(
     )
 
 
-def _portable_band_buckets(
-    docs: DataFrame, id_col: str, text_col: str, num_hashes: int, shingle_k: int, bands: int
+def _buckets_from_sigs(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """(id, band_idx, band_key) bucket table from portable signatures —
-    the precomputable/storable artifact of incremental dedup."""
+    """(id, band_idx, band_key) from a signature table."""
     rows_per_band = num_hashes // bands
-    sigs = portable_minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -871,6 +928,15 @@ def _portable_band_buckets(
         ]
     )
     return sigs.select(F.col(id_col), F.posexplode(band_keys).alias("band_idx", "band_key"))
+
+
+def _portable_band_buckets(
+    docs: DataFrame, id_col: str, text_col: str, num_hashes: int, shingle_k: int, bands: int
+) -> DataFrame:
+    """(id, band_idx, band_key) bucket table from portable signatures —
+    the precomputable/storable artifact of incremental dedup."""
+    sigs = portable_minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    return _buckets_from_sigs(sigs, id_col, num_hashes, bands)
 
 
 def cross_corpus_near_dup(
@@ -900,8 +966,18 @@ def cross_corpus_near_dup(
     million candidates.  None = exact oracle parity.
 
     Returns (id_a = existing doc, id_b = new doc, jaccard)."""
-    be = _portable_band_buckets(existing, id_col, text_col, num_hashes, shingle_k, bands).alias("a")
-    bn = _portable_band_buckets(new, id_col, text_col, num_hashes, shingle_k, bands).alias("b")
+    # each side's distinct shingle sets materialize once (lazy
+    # localCheckpoint) and feed both its bucket table and the
+    # verification join — same single-pass shape as
+    # portable_near_dup_pairs (r12; guide §2.3)
+    ss_e = _portable_shingle_sets(existing, id_col, text_col, shingle_k).localCheckpoint(eager=False)
+    ss_n = _portable_shingle_sets(new, id_col, text_col, shingle_k).localCheckpoint(eager=False)
+    be = _buckets_from_sigs(
+        _portable_sigs_from_sets(ss_e, id_col, num_hashes), id_col, num_hashes, bands
+    ).alias("a")
+    bn = _buckets_from_sigs(
+        _portable_sigs_from_sets(ss_n, id_col, num_hashes), id_col, num_hashes, bands
+    ).alias("b")
     if max_bucket_size is not None:
         survivors = (
             be.groupBy("band_idx", "band_key")
@@ -920,15 +996,15 @@ def cross_corpus_near_dup(
         .distinct()
     )
 
-    def shsets(df: DataFrame, out_id: str, out_sh: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.array_distinct(word_shingles(tokens(text_col), shingle_k)).alias(out_sh),
-        )
-
     return (
-        cands.join(shsets(existing, "id_a", "sh_a"), "id_a")
-        .join(shsets(new, "id_b", "sh_b"), "id_b")
+        cands.join(
+            ss_e.select(F.col(id_col).alias("id_a"), F.col("shset").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            ss_n.select(F.col(id_col).alias("id_b"), F.col("shset").alias("sh_b")),
+            "id_b",
+        )
         .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
@@ -1260,7 +1336,15 @@ def kmeans_centroids(
     (vectors are L2-normalized, so max-dot == min-angle), update =
     per-cluster mean via one groupBy.  Deterministic: seeds from the k
     lowest ids.  Centroids collect to the driver (k x dim floats) —
-    that is the only driver-side data at any corpus size."""
+    that is the only driver-side data at any corpus size.
+
+    The (id, vec) projection is materialized once (lazy
+    localCheckpoint): every Lloyd iteration ends in a collect, and
+    without this the seed job plus each iteration re-ran the upstream
+    scan/projection — n_iter+1 redundant corpus reads (r12 opt;
+    guide §5: reuse beats recompute when the input is re-read per
+    iteration)."""
+    emb = emb.select(F.col(id_col), F.col(vec_col)).localCheckpoint(eager=False)
     seeds = (
         emb.orderBy(id_col).limit(k).select(vec_col).collect()
     )
@@ -1929,7 +2013,12 @@ def duplicate_spans(
     postings lists above the cap are dropped before the join, bounding
     worst-case join output at grams x cap^2.  None (default) keeps
     exact parity with the DuckDB oracle."""
-    g = positioned_grams(docs, k, id_col, text_col)
+    # materialize the postings once (lazy localCheckpoint): the
+    # self-join otherwise duplicates the tokenize+md5 explode pipeline
+    # per join side (r12; guide §2.4 — at scale the two sides are the
+    # same relation and should be computed once, locally the broadcast
+    # conversion of one side was defeating ReusedExchange)
+    g = positioned_grams(docs, k, id_col, text_col).localCheckpoint(eager=False)
     if max_postings is not None:
         survivors = (
             g.groupBy("gram_fp")

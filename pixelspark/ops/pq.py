@@ -109,6 +109,11 @@ def pq_train(
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     dsub = dim // m
+    # materialize the (id, vec) projection once: the seed job and every
+    # Lloyd iteration are separate actions, and without this each
+    # re-ran the upstream plan — for the IVF-PQ path that upstream is
+    # itself an Arrow-batched residual computation (r12; guide §5)
+    emb = emb.select(F.col(id_col), F.col(vec_col)).localCheckpoint(eager=False)
     seed_rows = emb.orderBy(id_col).limit(ksub).select(vec_col).collect()
     if len(seed_rows) < ksub:
         raise ValueError(f"need >= {ksub} vectors to seed, got {len(seed_rows)}")
@@ -119,7 +124,9 @@ def pq_train(
         ]
         for j in range(m)
     ]
-    sub = _subvector_rows(emb, m, dsub, id_col, vec_col)
+    # the exploded subvector rows feed every iteration's assignment
+    # pass — materialize them once too (n_iter actions read them)
+    sub = _subvector_rows(emb, m, dsub, id_col, vec_col).localCheckpoint(eager=False)
     for _ in range(n_iter):
         assigned = sub.select(
             "j", "sv", _assign_subspace_pandas(codebooks).alias("c")
@@ -150,11 +157,14 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: list[str] | None = None,
 ) -> DataFrame:
-    """(id, codes) — each vector's length-m array of subspace centroid
-    ids.  One Arrow-batched kernel: reshape the batch to (n, m, dsub)
-    and argmin against every codebook; m bytes of index replace dim
-    floats of payload downstream."""
+    """(id, codes[, *keep]) — each vector's length-m array of subspace
+    centroid ids.  One Arrow-batched kernel: reshape the batch to
+    (n, m, dsub) and argmin against every codebook; m bytes of index
+    replace dim floats of payload downstream.  `keep` columns ride
+    along through the projection — cheaper than re-attaching them with
+    a join afterwards (r12; guide §2.4)."""
     import numpy as np
 
     from pyspark.sql.functions import pandas_udf
@@ -172,7 +182,11 @@ def pq_encode(
             codes = np.argmin(d, axis=2).astype("int32")
             yield pd.Series(list(codes))
 
-    return emb.select(F.col(id_col), encode(vec_col).alias("codes"))
+    return emb.select(
+        F.col(id_col),
+        encode(vec_col).alias("codes"),
+        *[F.col(c) for c in (keep or [])],
+    )
 
 
 def ivfpq_index(
@@ -201,12 +215,16 @@ def ivfpq_index(
     centroids = kmeans_centroids(
         emb, k=n_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col, dim=dim
     )
-    resid = _residuals(emb, centroids, id_col, vec_col)
+    # the residual table feeds BOTH codebook training and encoding:
+    # materialize it once instead of running the Arrow-batched
+    # assignment + centroid-subtract pass twice (r12; guide §4 — one
+    # Python-boundary crossing for the corpus, not two)
+    resid = _residuals(emb, centroids, id_col, vec_col).localCheckpoint(eager=False)
     codebooks = pq_train(
         resid, m=m, ksub=ksub, n_iter=n_iter, id_col=id_col,
         vec_col="resid", dim=dim,
     )
-    codes = ivfpq_encode(emb, centroids, codebooks, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(resid, codebooks, id_col=id_col, vec_col="resid", keep=["cluster"])
     return centroids, codebooks, codes
 
 
@@ -242,12 +260,13 @@ def ivfpq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, cluster, codes) for new vectors under an EXISTING index —
-    the ingest path: coarse-assign, residual-encode, no training."""
+    """(id, codes, cluster) for new vectors under an EXISTING index —
+    the ingest path: coarse-assign, residual-encode, no training.
+    The cluster column rides through the encode projection instead of
+    being re-attached with a join (r12: one shuffle join removed; the
+    residual pass runs once either way)."""
     resid = _residuals(emb, centroids, id_col, vec_col)
-    return pq_encode(resid, codebooks, id_col=id_col, vec_col="resid").join(
-        resid.select(F.col(id_col), "cluster"), id_col
-    )
+    return pq_encode(resid, codebooks, id_col=id_col, vec_col="resid", keep=["cluster"])
 
 
 def ann_ivfpq_topk(

@@ -23,7 +23,7 @@ defaults) and keep manual join-salting for the cases AQE cannot split.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -264,28 +264,35 @@ def assign_row_ids(
          ids;
       2. per-bucket row counts — a tiny aggregate collected to the
          driver, turned into cumulative offsets;
-      3. one hash exchange on the bucket id + in-partition sort on the
-         full order_by tuple, then a narrow Arrow-batched pass
-         (mapInPandas) stamps offset + per-bucket local index.
+      3. rid = per-bucket row_number() (a Window PARTITIONED by the
+         bucket id — never SinglePartition) plus the bucket's
+         broadcast-literal offset.
 
-    Two passes over the data, nothing ever concentrates on one node,
-    and correctness does not depend on any sampling being repeatable:
-    both passes share the same literal boundaries by construction.
-    The bucket id is monotone in the leading key and ties share a
-    bucket, so per-bucket numbering matches the global row_number
-    (make order_by a unique tuple for fully stable ids)."""
-    import pandas as pd
+    Nothing ever concentrates on one node, and correctness does not
+    depend on any sampling being repeatable: all passes share the same
+    literal boundaries by construction.  The bucket id is monotone in
+    the leading key and ties share a bucket, so per-bucket numbering
+    matches the global row_number (make order_by a unique tuple for
+    fully stable ids).
 
+    r12 optimization (guide §1.2/§4): the input is materialized ONCE
+    via lazy localCheckpoint — the quantile job, the count job and the
+    id pass previously each re-executed the full upstream plan (3x a
+    corpus aggregation for callers like q_zipf_slope) — and the
+    Arrow mapInPandas id-stamp is replaced by the JVM window above, so
+    the rows no longer cross the Python boundary at all
+    (plans/r12/q_zipf_slope_*.txt: MapInPandas node removed)."""
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     key = order_by[0]
+    src = df.localCheckpoint(eager=False)
     bounds: list = []
     if n_parts > 1:
         probs = [i / n_parts for i in range(1, n_parts)]
-        bounds = sorted(set(df.stat.approxQuantile(key, probs, 0.001)))
+        bounds = sorted(set(src.stat.approxQuantile(key, probs, 0.001)))
     pid = F.lit(0)
     for b in bounds:
         pid = pid + F.when(F.col(key) > F.lit(b), 1).otherwise(0)
-    tagged = df.withColumn("__pid", pid.cast("int"))
+    tagged = src.withColumn("__pid", pid.cast("int"))
     counts = {
         r["__pid"]: r["cnt"]
         for r in tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -295,31 +302,18 @@ def assign_row_ids(
     for p in sorted(counts):
         offsets[p] = acc
         acc += counts[p]
-    # fresh StructType — StructType.add mutates the instance, and
-    # df.schema is cached on the DataFrame, so .add would poison it
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    schema_out = StructType(list(df.schema.fields) + [StructField(id_col, LongType())])
-    placed = tagged.repartition(max(len(bounds) + 1, 1), "__pid").sortWithinPartitions(
-        *order_by
+    offset_expr = F.lit(0).cast("long")
+    for p, off in offsets.items():
+        if off:
+            offset_expr = F.when(F.col("__pid") == p, F.lit(off)).otherwise(offset_expr)
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c).asc() for c in order_by])
+    return (
+        tagged.withColumn(
+            id_col,
+            (F.row_number().over(w).cast("long") - 1 + offset_expr).cast("long"),
+        )
+        .drop("__pid")
     )
-
-    def stamp(batches):
-        seen: dict[int, int] = {}
-        for pdf in batches:
-            base = pdf["__pid"].map(offsets)
-            # rows are sorted, buckets are contiguous: cumcount within
-            # the batch + carry of rows already emitted per bucket
-            local = pdf.groupby("__pid").cumcount() + pdf["__pid"].map(
-                lambda p: seen.get(p, 0)
-            )
-            for p, c in pdf["__pid"].value_counts().items():
-                seen[p] = seen.get(p, 0) + int(c)
-            out = pdf.drop(columns="__pid")
-            out[id_col] = (base + local).astype("int64")
-            yield out
-
-    return placed.mapInPandas(stamp, schema_out)
 
 
 def fuzzy_pairs(

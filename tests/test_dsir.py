@@ -100,10 +100,12 @@ def test_registry_queries_run(spark, sf_dir):
 
 
 def test_fit_scan_runs_once_in_score_plan(spark, sf_dir):
-    """The LLR fit localCheckpoints its 256-row count table, so the
-    totals row derives from it WITHOUT re-running the corpus
-    aggregation: the scoring plan must contain exactly ONE corpus
-    FileScan (the score pass) — lazily it contained three."""
+    """Fit and score share ONE materialized gram-bucket stream (r12:
+    the exploded stream is localCheckpointed and feeds both), so the
+    scoring plan re-reads the checkpoint — at most one corpus
+    FileScan may remain anywhere in the final plan (zero when the
+    shared stream covers both passes; three when the fit ran lazily
+    per consumer, the regression this test pins against)."""
     from pixelspark.queries import QUERIES
 
     plan = (
@@ -112,4 +114,7 @@ def test_fit_scan_runs_once_in_score_plan(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert plan.count("FileScan parquet") == 1, plan[:2000]
+    assert plan.count("FileScan parquet") <= 1, plan[:2000]
+    # the shared stream itself must be present (both aggregate legs
+    # read the checkpointed RDD, not fresh scans)
+    assert "Scan ExistingRDD" in plan, plan[:2000]
