@@ -232,11 +232,29 @@ def repetition_signals(
     thresholds = {2: 0.20, 3: 0.18}
     if top_thresholds:
         thresholds.update(top_thresholds)
-    out = docs.select(F.col(id_col))
+    # tokenize ONCE and share the token arrays across every n branch
+    # (r12; guide §1.2): each branch previously re-scanned and
+    # re-tokenized the corpus to build its grams — the regex split is
+    # the dominant per-row cost, identical for every n.
+    tr = docs.select(F.col(id_col), tokens(text_col).alias("toks")).localCheckpoint(
+        eager=False
+    )
+    out = tr.select(F.col(id_col))
     pass_cond = F.lit(True)
+    def _gram_expr(n: int) -> Column:
+        idx = F.sequence(F.lit(1), F.size("toks") - (n - 1))
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("toks"), i + k) for k in range(n)]
+            ),
+        )
+
     for n in ns:
+        gram = _gram_expr(n)
         per_gram = (
-            ngram_rows(docs, n, id_col, text_col)
+            tr.where(F.size("toks") >= n)
+            .select(F.col(id_col), F.explode(gram).alias("gram"))
             .groupBy(id_col, "gram")
             .agg(F.count(F.lit(1)).alias("c"))
         )

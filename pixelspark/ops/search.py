@@ -86,7 +86,16 @@ def bm25_scores(
     not portable across engines); callers rank downstream.
     """
     stream = doc_token_stream(docs, text_col, id_col)
-    dl = stream.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    # dl feeds the (avgdl, N) scalar AND the scoring join; tf feeds the
+    # per-term df AND the scoring join — materialize each once (lazy
+    # localCheckpoint) so neither aggregation re-runs per consumer
+    # (r12; guide §2.4).  Both are doc-/term-bounded relations, far
+    # smaller than the token stream they derive from; the stream
+    # itself stays lazy (two pruned scans beat persisting a
+    # corpus-token-sized intermediate).
+    dl = stream.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    ).localCheckpoint(eager=False)
     stats = dl.agg(
         F.avg("dl").alias("avgdl"), F.count(F.lit(1)).cast("long").alias("n_docs")
     )
@@ -94,7 +103,7 @@ def bm25_scores(
         stream.where(F.col("tok").isin(terms))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
+    ).localCheckpoint(eager=False)
     df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1.0)

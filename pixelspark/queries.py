@@ -6299,7 +6299,11 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _t(spark, sf_dir, "documents").select(
         F.explode(tokens("text")).alias("tok")
     )
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    # vocab feeds the denominator total AND the top-k head: materialize
+    # it once so neither re-runs the corpus aggregation (r12)
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    ).localCheckpoint(eager=False)
     ks = [100, 500, 1000]
     total = vocab.agg(F.sum("tf").cast("double").alias("__n"))
     top = vocab.orderBy(F.col("tf").desc(), F.col("tok").asc()).limit(max(ks))
@@ -8556,7 +8560,11 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents")
         .select("doc_id", F.explode(tokens("text")).alias("tok"))
     )
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    # vocab feeds the broadcast lookup AND the total: materialize it
+    # once so the total does not re-run the corpus aggregation (r12)
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    ).localCheckpoint(eager=False)
     total = vocab.agg(F.sum("tf").cast("long").alias("n"))
     return (
         toks.join(F.broadcast(vocab), "tok")
@@ -8680,7 +8688,16 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     tr = docs.select("doc_id", tokens("text").alias("toks"))
     uni = tr.select(F.explode("toks").alias("tok"))
-    vocab = uni.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    # vocab feeds THREE consumers (tf1 lookup, tf2 lookup, the total)
+    # and the bigram stream TWO (bigram counts, the scored stream):
+    # materialize each once — before this the plan scanned and
+    # re-tokenized the corpus five times (r12; guide §2.4, see
+    # plans/r12/q_bigram_logprob_*.txt: 5 parquet scans -> 1)
+    vocab = (
+        uni.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     total = vocab.agg(F.sum("tf").cast("long").alias("n"))
     bi = tr.where(F.size("toks") >= 2).select(
         "doc_id",
@@ -8691,7 +8708,7 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2")
+    ).select("doc_id", "p.w1", "p.w2").localCheckpoint(eager=False)
     bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("bf"))
     v1 = vocab.select(F.col("tok").alias("w1"), F.col("tf").alias("tf1"))
     v2 = vocab.select(F.col("tok").alias("w2"), F.col("tf").alias("tf2"))
@@ -8769,7 +8786,11 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents")
         .select("doc_id", F.explode(tokens("text")).alias("tok"))
     )
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    # vocab feeds the broadcast lookup AND the total: materialize it
+    # once so the total does not re-run the corpus aggregation (r12)
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    ).localCheckpoint(eager=False)
     total = vocab.agg(F.sum("tf").cast("long").alias("n"))
     scored = (
         toks.join(F.broadcast(vocab), "tok")

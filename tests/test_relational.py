@@ -260,3 +260,58 @@ def test_cdc_apply_changelog_beats_base_at_equal_seq(spark):
     )
     rows = cdc_apply(base, changelog, keys=["k"], seq=["seq"]).collect()
     assert [(r["k"], r["v"]) for r in rows] == [(1, "feed")]
+
+
+def test_fuzzy_pairs_segment_filter_is_lossless(spark):
+    """The r12 PassJoin-style segment refinement (max_dist=1) must
+    return EXACTLY the plain blocked join's pairs: edits at every
+    suffix position (either segment), edits inside the prefix (missed
+    by BOTH, by blocker design), exact duplicates, empty suffixes
+    (name length == block_len), and length-changing edits."""
+    from pyspark.sql import functions as F
+
+    from pixelspark.ops.relational import fuzzy_pairs
+
+    rows = [
+        (1, "PRE-0000-alpha"),   # pairs with 2 (one suffix sub, seg 1)
+        (2, "PRE-0000-alphb"),
+        (3, "PRE-0000-aXpha"),   # one sub vs 1, seg 0
+        (4, "PRE-0000-alpha"),   # exact dup of 1 (dist 0)
+        (5, "PRX-0000-alpha"),   # edit inside prefix: blocked out
+        (6, "PRE-0000-alphaa"),  # longer: length mismatch, blocked out
+        (7, "PRE-0000-"),        # empty suffix (len == block_len)
+        (8, "PRE-0000-"),        # empty-suffix dup: pairs with 7
+        (9, "PRE-0000-abpha"),   # 1 sub vs 1 (seg 0), 2 subs vs 3
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    block_len = 9  # "PRE-0000-"
+
+    got = {
+        (r["id1"], r["id2"], r["dist"])
+        for r in fuzzy_pairs(df, "id", "name", block_len=block_len, max_dist=1).collect()
+    }
+
+    # brute-force reference: the plain blocked join semantics
+    left = df.select(
+        F.col("id").alias("id1"), F.col("name").alias("n1"),
+        F.length("name").alias("l1"), F.substring("name", 1, block_len).alias("b1"),
+    )
+    right = df.select(
+        F.col("id").alias("id2"), F.col("name").alias("n2"),
+        F.length("name").alias("l2"), F.substring("name", 1, block_len).alias("b2"),
+    )
+    want = {
+        (r["id1"], r["id2"], r["d"])
+        for r in left.join(
+            right,
+            (F.col("b1") == F.col("b2")) & (F.col("l1") == F.col("l2"))
+            & (F.col("id1") < F.col("id2")),
+        )
+        .where(F.levenshtein("n1", "n2") <= 1)
+        .select("id1", "id2", F.levenshtein("n1", "n2").cast("int").alias("d"))
+        .collect()
+    }
+    assert got == want
+    assert (1, 4, 0) in got and (1, 2, 1) in got and (1, 3, 1) in got
+    assert (7, 8, 0) in got
+    assert not any(5 in (a, b) or 6 in (a, b) for a, b, _ in got)
