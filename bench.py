@@ -173,6 +173,15 @@ def main() -> None:
     loadavg_start = os.getloadavg()
     spark = get_spark("pixelspark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # CPU-contract proof (r12 verdict item 2): the driver's scaling
+    # probe could not adjudicate from the JSON whether the env var
+    # took effect — emit the requested core count AND the live
+    # defaultParallelism of the session actually used for the timings.
+    global _CPU_PROOF
+    _CPU_PROOF = {
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+    }
 
     # warm up the JVM / parquet footer caches outside the measurement
     Q.QUERIES["q_sessions_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -231,6 +240,9 @@ def main() -> None:
     _emit(times, sf, loadavg_start)
 
 
+_CPU_PROOF: dict = {}
+
+
 def _emit(
     times: dict[str, float], sf: str, loadavg_start: tuple
 ) -> None:
@@ -259,6 +271,11 @@ def _emit(
                 # include scheduler contention, not engine cost.
                 "loadavg_start": [round(x, 2) for x in loadavg_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                # $SPARK_GRAFT_CPUS contract proof (r12 verdict item
+                # 2): the requested core count and the session's live
+                # defaultParallelism, so the 8-core scaling run is
+                # adjudicable from the artifact alone.
+                **_CPU_PROOF,
             }
         )
     )

@@ -97,9 +97,12 @@ def pagerank(
                 ),
             )
         )
-        # no periodic eager checkpoint needed any more: the per-round
-        # lazy checkpoint above already truncates the lineage without
-        # launching a driver-blocking job per CHECKPOINT_EVERY rounds
+        # no periodic every-3rd-round checkpoint needed any more: the
+        # per-round EAGER checkpoint above (one blocking job per
+        # round — the A/B winner) already truncates the lineage.
+        # Superseded rounds' checkpoint blocks are released by the
+        # ContextCleaner once the rebound `ranks` drops the last
+        # reference, so storage stays O(1) rounds, not O(iterations).
     return ranks
 
 

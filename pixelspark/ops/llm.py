@@ -239,35 +239,60 @@ def repetition_signals(
     tr = docs.select(F.col(id_col), tokens(text_col).alias("toks")).localCheckpoint(
         eager=False
     )
-    out = tr.select(F.col(id_col))
-    pass_cond = F.lit(True)
-    def _gram_expr(n: int) -> Column:
-        idx = F.sequence(F.lit(1), F.size("toks") - (n - 1))
+
+    # ONE gram-size-tagged stream (r13; guide §2.4): the per-n
+    # branches each paid their own (doc, gram) + (doc) aggregation
+    # shuffles and a doc-keyed join — tagging every gram with its n
+    # folds all branches into one explode, two aggregations and ONE
+    # join; the per-n columns come back via a conditional-aggregation
+    # pivot on the tag (same rows, same expressions, so the fractions
+    # are bit-identical).
+    def _gram_structs(n: int) -> Column:
+        idx = F.when(
+            F.size("toks") >= n, F.sequence(F.lit(1), F.size("toks") - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
         return F.transform(
             idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(F.col("toks"), i + k) for k in range(n)]
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(
+                    " ", *[F.element_at(F.col("toks"), i + k) for k in range(n)]
+                ).alias("gram"),
             ),
         )
 
+    tagged = F.flatten(F.array(*[_gram_structs(n) for n in ns]))
+    per_gram = (
+        tr.select(F.col(id_col), F.explode(tagged).alias("g"))
+        .select(F.col(id_col), F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        .groupBy(id_col, "n", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc_n = per_gram.groupBy(id_col, "n").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("topf"),
+        F.round(
+            (F.sum("c") - F.count(F.lit(1))).cast("double") / F.sum("c"), 6
+        ).alias("dupf"),
+    )
+
+    def _pick(n: int, col: str) -> Column:
+        return F.max(F.when(F.col("n") == n, F.col(col)))
+
+    wide = per_doc_n.groupBy(id_col).agg(
+        *[
+            agg
+            for n in ns
+            for agg in (
+                _pick(n, "total").alias(f"n_{n}grams"),
+                _pick(n, "topf").alias(f"top{n}_frac"),
+                _pick(n, "dupf").alias(f"dup{n}_frac"),
+            )
+        ]
+    )
+    out = tr.select(F.col(id_col)).join(wide, id_col, "left")
+    pass_cond = F.lit(True)
     for n in ns:
-        gram = _gram_expr(n)
-        per_gram = (
-            tr.where(F.size("toks") >= n)
-            .select(F.col(id_col), F.explode(gram).alias("gram"))
-            .groupBy(id_col, "gram")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        per_doc = per_gram.groupBy(id_col).agg(
-            F.sum("c").cast("long").alias(f"n_{n}grams"),
-            F.round(F.max("c").cast("double") / F.sum("c"), 6).alias(
-                f"top{n}_frac"
-            ),
-            F.round(
-                (F.sum("c") - F.count(F.lit(1))).cast("double") / F.sum("c"), 6
-            ).alias(f"dup{n}_frac"),
-        )
-        out = out.join(per_doc, id_col, "left")
         if n in thresholds:
             pass_cond = pass_cond & (
                 F.coalesce(
@@ -617,24 +642,54 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+_OBSERVED_LONG_WARNED = False
+
+
 def _observed_long(obs, key: str) -> int | None:
     """Bounded read of an Observation metric (same discipline as
     table.py's observed(): getOrEmpty polls, never the blocking get;
-    give up after ~0.5 s and let the caller run its fallback job)."""
+    give up after ~0.5 s and let the caller run its fallback job).
+
+    Depends on PySpark's private Observation._jo / JVM getOrEmpty; if
+    a Spark upgrade removes them every convergence round would
+    silently pay the 0.5 s poll plus the fallback probe job — so the
+    first fallback logs a one-time warning (r12 advice) instead of
+    degrading invisibly."""
     import time as _time
 
     jo = getattr(obs, "_jo", None)
     if jo is None:
+        _warn_observed_long_dead("Observation._jo is missing")
         return None
     for _ in range(10):
         try:
             m = jo.getOrEmpty()
             if not m.isEmpty():
                 return int(m.apply(key))
-        except Exception:
-            pass
+        except Exception as e:
+            # getOrEmpty legitimately throws while the row is unset on
+            # this build — only a MISSING METHOD (py4j "does not
+            # exist") means the private API moved under us
+            if "does not exist" in str(e):
+                _warn_observed_long_dead("JVM getOrEmpty is gone")
+                return None
         _time.sleep(0.05)
     return None
+
+
+def _warn_observed_long_dead(why: str) -> None:
+    global _OBSERVED_LONG_WARNED
+    if not _OBSERVED_LONG_WARNED:
+        _OBSERVED_LONG_WARNED = True
+        import warnings
+
+        warnings.warn(
+            f"observe-based convergence counter unavailable ({why}); "
+            "every dedup round will poll ~0.5s then run a fallback "
+            "probe job — a Spark-internals change likely broke "
+            "_observed_long",
+            RuntimeWarning,
+        )
 
 
 def dedup_clusters(
@@ -792,7 +847,10 @@ def dedup_clusters_star(
         # join — equivalent to exceptAll on these DISTINCT frames but
         # a plain hash join instead of exceptAll's tagged union +
         # re-aggregation.  Per round: one count job, plus one anti
-        # probe only when the counts tie.
+        # probe only when the counts tie.  NULL keys (r12 advice):
+        # anti-join never matches NULL u/v, but none can exist here —
+        # `sym`'s u != v filter drops NULL-endpoint rows at ingestion,
+        # and every later frame derives from sym.
         new_count = new_stars.count()
         if stars is not None and new_count == stars_count:
             if (

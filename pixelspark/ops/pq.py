@@ -206,7 +206,7 @@ def ivfpq_index(
     than raw vectors), every vector stores (cluster, m codes).
 
     Returns (centroids, codebooks, codes) where codes is a DataFrame
-    (id, cluster, codes).  Driver state: n_clusters*dim +
+    (id, codes, cluster).  Driver state: n_clusters*dim +
     m*ksub*(dim/m) floats — O(1) in corpus size.  At 100 TB `cluster`
     is the table's physical partitioning and `codes` is the 32x-
     compressed payload the probes actually scan."""
@@ -542,7 +542,7 @@ class VectorIndex:
       _index.json   codebooks + coarse centroids + params, published
                     with the same atomic no-overwrite discipline as
                     manifests (storage.write_text_atomic);
-      codes/        SnapshotTable (vec_id, cluster, codes) with
+      codes/        SnapshotTable (vec_id, codes, cluster) with
                     per-file min/max stats on `cluster`, so a probe
                     restricted to n_probe clusters FILE-SKIPS the
                     rest of the codes table before Spark plans the

@@ -76,34 +76,50 @@ def bm25_scores(
     with the Robertson/Sparck-Jones idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)
     (the Lucene variant — always positive).
 
-    Plan shape: one fact-scale aggregate computes per-doc length
-    (shuffle on doc_id); term frequencies for the query terms are a
-    FILTERED aggregate of the same stream (the `tok IN (...)`
-    predicate collapses it to matching docs only before the shuffle).
-    df-per-term and (N, avgdl) are term-count-sized / scalar and
-    broadcast.  No top-k LIMIT: the full scored set is returned so
-    the result is a deterministic set (float-tie top-k ordering is
-    not portable across engines); callers rank downstream.
+    Plan shape (r13; guide §1.2/§2.3 — aggregate before you shuffle,
+    one corpus pass): a SINGLE fact-scale aggregation on doc_id
+    computes the per-doc length AND one conditional-count column per
+    query term in the same map-side-partial pass; the query terms are
+    a tiny literal list, so the extra columns are a handful of longs
+    per doc.  That doc-sized relation is materialized once and feeds
+    everything: (avgdl, N) as a scalar aggregate, per-term df and the
+    scoring rows via an in-row unpivot (no join needed to re-attach
+    dl — it already rides the row).  r12 ran TWO full token-stream
+    aggregations (dl, tf) plus a dl⋈tf shuffle join; all of that is
+    now one shuffle of (doc_id) partial aggregates.  No top-k LIMIT:
+    the full scored set is returned so the result is a deterministic
+    set (float-tie top-k ordering is not portable across engines);
+    callers rank downstream.
     """
+    uniq = list(dict.fromkeys(terms))
+    if not uniq:
+        return docs.select(F.col(id_col).alias("doc_id")).limit(0).select(
+            "doc_id", F.lit(None).cast("double").alias("bm25")
+        )
     stream = doc_token_stream(docs, text_col, id_col)
-    # dl feeds the (avgdl, N) scalar AND the scoring join; tf feeds the
-    # per-term df AND the scoring join — materialize each once (lazy
-    # localCheckpoint) so neither aggregation re-runs per consumer
-    # (r12; guide §2.4).  Both are doc-/term-bounded relations, far
-    # smaller than the token stream they derive from; the stream
-    # itself stays lazy (two pruned scans beat persisting a
-    # corpus-token-sized intermediate).
-    dl = stream.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("dl")
+    per_doc = stream.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl"),
+        *[
+            F.count(F.when(F.col("tok") == F.lit(t), 1))
+            .cast("long")
+            .alias(f"__tf_{i}")
+            for i, t in enumerate(uniq)
+        ],
     ).localCheckpoint(eager=False)
-    stats = dl.agg(
+    stats = per_doc.agg(
         F.avg("dl").alias("avgdl"), F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(t).alias("tok"), F.col(f"__tf_{i}").alias("tf"))
+            for i, t in enumerate(uniq)
+        ]
+    )
     tf = (
-        stream.where(F.col("tok").isin(terms))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    ).localCheckpoint(eager=False)
+        per_doc.select("doc_id", "dl", F.explode(pairs).alias("p"))
+        .select("doc_id", "dl", F.col("p.tok").alias("tok"), F.col("p.tf").alias("tf"))
+        .where(F.col("tf") > 0)
+    )
     df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1.0)
@@ -113,7 +129,6 @@ def bm25_scores(
     )
     return (
         tf.join(F.broadcast(df_t), "tok")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(contrib), round_dp).alias("bm25"))

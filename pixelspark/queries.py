@@ -1044,7 +1044,11 @@ def q_catalog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = Catalog(spark, tempfile.mkdtemp(prefix="pixelspark_cattxn_"))
     orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
-    rows = orders.select("o_orderkey", "o_orderstatus")
+    # materialize once (r13; guide §1.2): six consumers (two
+    # overwrites, the moved filter feeding two append_once calls, the
+    # n_all count, the direct append) each re-scanned orders
+    rows = orders.select("o_orderkey", "o_orderstatus").localCheckpoint(
+        eager=True)
 
     staging = cat.create_table("staging")
     staging.overwrite(rows)
@@ -1486,7 +1490,11 @@ def q_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("page_views") == 0, "zero")
          .otherwise("low").alias("status"),
         F.col("page_views").cast("long").alias("views"),
-    )
+    # materialize the computed source ONCE (r13; guide §1.2 — the
+    # same discipline q_row_tracking adopted in r9): the overwrite
+    # executes it and the promote-merge re-derives from it; without
+    # this every consumer re-runs the daily_billing events join
+    ).localCheckpoint(eager=True)
 
     def refresh():
         return MV.refresh_agg_view(
@@ -1912,7 +1920,9 @@ def q_topn_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
          .when(F.col("page_views") == 1, "single")
          .otherwise("zero").alias("status"),
         F.col("page_views").cast("long").alias("views"),
-    )
+    # materialize once (r13; guide §1.2): feeds the overwrite AND the
+    # bump-merge source — without this each write re-runs daily_billing
+    ).localCheckpoint(eager=True)
 
     def refresh():
         return MV.refresh_topn_view(
@@ -2789,6 +2799,10 @@ def q_maintain_frag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("user_id").alias("shop"))
         .agg(F.count(F.lit(1)).cast("long").alias("views"))
+        # materialize once (r13; guide §1.2): TEN appends (plus the
+        # n_parts probe) each slice this aggregate — without this every
+        # append re-runs the events scan + groupBy
+        .localCheckpoint(eager=True)
     )
     for i in range(10):  # ten appends of disjoint shop ranges
         t.append(ev.where((F.col("shop") % 10) == i))
@@ -8699,31 +8713,49 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     total = vocab.agg(F.sum("tf").cast("long").alias("n"))
-    bi = tr.where(F.size("toks") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice("toks", 1, F.size("toks") - 1),
-                F.slice("toks", 2, F.size("toks") - 1),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2").localCheckpoint(eager=False)
-    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("bf"))
+    # r13 (r12 advice): the bigram OCCURRENCE stream was checkpointed
+    # whole — a corpus-token-sized executor-storage intermediate, the
+    # exact trade bm25_scores' discipline rejects.  Aggregate first:
+    # per-(doc, w1, w2) counts are the only thing either consumer
+    # needs (bigram totals = their sum; per-doc scoring weights each
+    # distinct doc-bigram by its count — every occurrence of a bigram
+    # in a doc scores identically, so the weighted mean is the same
+    # mean).  The checkpoint now holds distinct doc-bigrams, never
+    # occurrences, the stream is consumed ONCE, and the scoring joins
+    # process distinct rows only.
+    docbi = (
+        tr.where(F.size("toks") >= 2).select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    F.slice("toks", 2, F.size("toks") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    bc = docbi.groupBy("w1", "w2").agg(F.sum("c").cast("long").alias("bf"))
     v1 = vocab.select(F.col("tok").alias("w1"), F.col("tf").alias("tf1"))
     v2 = vocab.select(F.col("tok").alias("w2"), F.col("tf").alias("tf2"))
     lp = F.when(
         F.col("bf") > 0, F.log(F.col("bf").cast("double") / F.col("tf1"))
     ).otherwise(F.log(F.lit(0.4) * F.col("tf2") / F.col("n").cast("double")))
     return (
-        bi.join(F.broadcast(bc), ["w1", "w2"])
+        docbi.join(F.broadcast(bc), ["w1", "w2"])
         .join(F.broadcast(v1), "w1")
         .join(F.broadcast(v2), "w2")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.round(F.avg(-lp), 3).alias("avg_neg_logprob"),
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("c") * -lp) / F.sum("c"), 3).alias(
+                "avg_neg_logprob"
+            ),
         )
     )
 
@@ -9841,18 +9873,29 @@ def q_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shop", F.col("__row_id").alias("rid"))
 
     def stage_agg(stage, prev_v, cur_v):
-        """One 1-row aggregate DataFrame per stage: ONE full-outer key
-        join (keys unique per snapshot, so 1:1) folding to (rows,
+        """One 1-row aggregate DataFrame per stage folding to (rows,
         distinct ids, stable survivors, survivor count, fresh-key
-        stats).  Stages read PINNED versions, so every stage's
-        aggregate is built lazily here and executed below as a SINGLE
-        unioned action — r9: collapsing six sequential collects into
-        one cut this row's fixed driver-latency share."""
-        prev = ids(prev_v).withColumnRenamed("rid", "pid")
-        cur = ids(cur_v).withColumnRenamed("rid", "cid")
+        stats).  r13 (guide §2.4): the r9 shape was a FULL-OUTER key
+        join — which can never broadcast, so each stage paid two sort
+        exchanges + a sort-merge join; keys are unique per snapshot,
+        so tagging the two sides and folding with ONE groupBy(shop)
+        (max over the single-per-side values) produces the identical
+        (shop, pid, cid) rows with a single hash-aggregate exchange.
+        Stages read PINNED versions, so every stage's aggregate is
+        built lazily here and executed below as a SINGLE unioned
+        action — r9: collapsing six sequential collects into one cut
+        this row's fixed driver-latency share."""
+        prev = ids(prev_v).select(
+            "shop", F.col("rid").alias("pid"),
+            F.lit(None).cast("long").alias("cid"))
+        cur = ids(cur_v).select(
+            "shop", F.lit(None).cast("long").alias("pid"),
+            F.col("rid").alias("cid"))
         pid, cid = F.col("pid"), F.col("cid")
         is_fresh = pid.isNull() & cid.isNotNull()
-        return prev.join(cur, "shop", "full_outer").agg(
+        return prev.unionByName(cur).groupBy("shop").agg(
+            F.max("pid").alias("pid"), F.max("cid").alias("cid")
+        ).agg(
             F.lit(stage).alias("stage"),
             F.count("cid").alias("n"),
             F.countDistinct("cid").alias("d"),

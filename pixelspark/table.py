@@ -2427,6 +2427,11 @@ class SnapshotTable:
         commit fail with ConcurrentWriteConflict, and the WHOLE
         read-merge-write re-runs against the new snapshot — rebasing
         blindly would discard the rival's rows (lost update)."""
+        # materialize the source ONCE (r13; same rationale as merge():
+        # the anti-join key broadcast, the row-tracking dup check and
+        # the write's union leg otherwise each execute the caller's
+        # plan).  O(source), lazy — the first consumer triggers it.
+        df = df.localCheckpoint(eager=False)
         for _ in range(self.max_retries):
             self._drain_id_pins()  # reclaim any prior attempt's pin
             read_v = self.latest_version()
@@ -2574,6 +2579,19 @@ class SnapshotTable:
                 last = self.manifest(v).get("txn", {}).get(txn[0])
                 if last is not None and last >= txn[1]:
                     return None  # replay detected before paying any work
+
+        # Materialize the source ONCE (r13; guide §1.2 — the Delta
+        # merge-source materialization, same rationale as
+        # _pin_for_assignment): the key validation, the partition
+        # probe, the matched-clause join leg and the insert anti-join
+        # leg otherwise each execute the source plan in full — for a
+        # fold/multi-join source (the matview refreshes) that is 3-4
+        # executions per merge.  O(source) by the merge contract
+        # (never the table side); lazy, so a replayed txn above pays
+        # nothing and the first consumer triggers the one execution.
+        # A CAS retry reuses the blocks — the source is the caller's
+        # frame, independent of the target version the retry re-reads.
+        source = source.localCheckpoint(eager=False)
 
         def as_cond(c, default: bool):
             if c is None:

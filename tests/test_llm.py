@@ -1113,3 +1113,26 @@ def test_dedup_index_forget_erases_docs_but_not_replay_history(spark, tmp_path):
     idx.compact()
     assert idx.shingles.read().where("doc_id in (1, 10)").count() == 0
     assert idx.buckets.read().where("doc_id in (1, 10)").count() == 0
+
+
+def test_repetition_signals_single_tagged_stream_plan(spark):
+    """r13: repetition_signals folds every n-gram size into ONE
+    gram-size-tagged explode + two aggregations + one doc-keyed join
+    (the r12 shape exploded and shuffled once per n).  Pin: exactly
+    one Generate in the executed plan, and the token arrays read from
+    the shared checkpoint, never a second scan."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z"), (3, "q")],
+        "doc_id long, text string",
+    )
+    out = L.repetition_signals(docs, ns=(2, 3))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 1, plan[:2000]
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 1: 5 bigrams, top 'a b' x3 -> 0.6; 4 trigrams, top x2 -> 0.5
+    assert rows[1]["n_2grams"] == 5 and rows[1]["top2_frac"] == 0.6
+    assert rows[1]["n_3grams"] == 4 and rows[1]["top3_frac"] == 0.5
+    assert rows[1]["dup2_frac"] == round(3 / 5, 6)
+    # doc 3 is shorter than every n: NULL signals, passes by default
+    assert rows[3]["n_2grams"] is None and rows[3]["passes_repetition"]

@@ -100,3 +100,20 @@ def test_hybrid_rrf_fuses_both_lists(spark):
     assert by_id[2]["rrf"] == round(1 / 62, 6)
     # fusion order: doc 1 (two contributions) first
     assert out[0]["doc_id"] == 1
+
+
+def test_bm25_single_corpus_pass_plan(spark):
+    """r13: bm25 computes dl AND every per-term tf in ONE groupBy
+    (doc_id) aggregation over the token stream, materialized once —
+    the scoring plan must read the checkpointed per-doc relation
+    (Scan ExistingRDD), never a second corpus scan, and needs no
+    dl-side join (dl rides the unpivoted rows)."""
+    docs = _corpus(spark)
+    out = bm25_scores(docs, ["cat", "dog"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every consumer reads the one materialized per-doc aggregate
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+    assert plan.count("FileScan parquet") == 0, plan[:2000]
+    # the r12 shape re-attached dl with a second shuffle join; the
+    # only join left is the broadcast of the tiny per-term df
+    assert plan.count("SortMergeJoin") == 0, plan[:2000]

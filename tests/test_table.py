@@ -2285,3 +2285,57 @@ def test_entryless_table_adopts_written_types_keeps_omitted_columns(
                 F.lit("9.5").cast("decimal(10,6)").alias("amt"),
             )
         )
+
+
+def test_merge_executes_source_plan_once(spark, tmp_path):
+    """r13: merge materializes its source once (localCheckpoint) —
+    the key validation, the matched join leg and the insert anti leg
+    previously each executed the caller's plan.  A nondeterministic
+    counting UDF in the source pins the single execution (marked
+    nondeterministic so Catalyst cannot duplicate or collapse it)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udf
+
+    calls = spark.sparkContext.accumulator(0)
+
+    def _tick(v):
+        calls.add(1)
+        return v
+
+    tick = udf(_tick, "long").asNondeterministic()
+    t = SnapshotTable(spark, str(tmp_path / "m1"))
+    t.overwrite(spark.createDataFrame(
+        [(i, 0) for i in range(10)], "k long, v long"))
+    src = spark.createDataFrame(
+        [(i, 1) for i in range(5, 15)], "k long, v long"
+    ).withColumn("v", tick("v"))
+    t.merge(src, keys=("k",))
+    assert calls.value == 10, (
+        f"merge source ran {calls.value / 10:.1f}x, expected once")
+    got = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert got == {(i, 1 if i >= 5 else 0) for i in range(15)}
+
+
+def test_upsert_executes_source_plan_once(spark, tmp_path):
+    """r13: upsert materializes its source once — the anti-join key
+    broadcast and the write's union leg previously each executed it."""
+    from pyspark.sql.functions import udf
+
+    calls = spark.sparkContext.accumulator(0)
+
+    def _tick(v):
+        calls.add(1)
+        return v
+
+    tick = udf(_tick, "long").asNondeterministic()
+    t = SnapshotTable(spark, str(tmp_path / "u1"))
+    t.overwrite(spark.createDataFrame(
+        [(i, 0) for i in range(10)], "k long, v long"))
+    src = spark.createDataFrame(
+        [(i, 1) for i in range(5, 15)], "k long, v long"
+    ).withColumn("v", tick("v"))
+    t.upsert(src, keys=("k",))
+    assert calls.value == 10, (
+        f"upsert source ran {calls.value / 10:.1f}x, expected once")
+    got = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert got == {(i, 1 if i >= 5 else 0) for i in range(15)}

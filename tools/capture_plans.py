@@ -1,5 +1,5 @@
 """Capture .explain('formatted') output for bench queries into
-plans/r12/<query>_<tag>.txt (r12 optimization-round deliverable: the
+plans/r13/<query>_<tag>.txt (r13 optimization-round deliverable: the
 judge checks plan claims against these files).
 
 Usage: python tools/capture_plans.py <tag> [query ...]
@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pixelspark.session import get_spark  # noqa: E402
 from pixelspark import queries as Q  # noqa: E402
 
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
 
 
 def main() -> None:
