@@ -240,59 +240,45 @@ def repetition_signals(
         eager=False
     )
 
-    # ONE gram-size-tagged stream (r13; guide §2.4): the per-n
-    # branches each paid their own (doc, gram) + (doc) aggregation
-    # shuffles and a doc-keyed join — tagging every gram with its n
-    # folds all branches into one explode, two aggregations and ONE
-    # join; the per-n columns come back via a conditional-aggregation
-    # pivot on the tag (same rows, same expressions, so the fractions
-    # are bit-identical).
-    def _gram_structs(n: int) -> Column:
-        idx = F.when(
-            F.size("toks") >= n, F.sequence(F.lit(1), F.size("toks") - (n - 1))
-        ).otherwise(F.array().cast("array<int>"))
+    # Per-n independent branches over the shared token arrays.  A
+    # gram-size-TAGGED single-stream variant (one explode of (n, gram)
+    # structs, two aggregations, one join) was A/B'd in r13 and LOSES
+    # ~20% at sf0.1 and ~45% at 10x SF: the dominant shuffle — the
+    # (doc, gram) occurrence stream — is byte-identical in both shapes
+    # (the tag merges three exchanges into one of 3x the rows), so the
+    # "saved" shuffles never existed, while the struct-tagging explode
+    # is heavier per row and the independent branch subtrees lose
+    # their concurrent-stage scheduling.
+    out = tr.select(F.col(id_col))
+    pass_cond = F.lit(True)
+
+    def _gram_expr(n: int) -> Column:
+        idx = F.sequence(F.lit(1), F.size("toks") - (n - 1))
         return F.transform(
             idx,
-            lambda i: F.struct(
-                F.lit(n).alias("n"),
-                F.concat_ws(
-                    " ", *[F.element_at(F.col("toks"), i + k) for k in range(n)]
-                ).alias("gram"),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("toks"), i + k) for k in range(n)]
             ),
         )
 
-    tagged = F.flatten(F.array(*[_gram_structs(n) for n in ns]))
-    per_gram = (
-        tr.select(F.col(id_col), F.explode(tagged).alias("g"))
-        .select(F.col(id_col), F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
-        .groupBy(id_col, "n", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    per_doc_n = per_gram.groupBy(id_col, "n").agg(
-        F.sum("c").cast("long").alias("total"),
-        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("topf"),
-        F.round(
-            (F.sum("c") - F.count(F.lit(1))).cast("double") / F.sum("c"), 6
-        ).alias("dupf"),
-    )
-
-    def _pick(n: int, col: str) -> Column:
-        return F.max(F.when(F.col("n") == n, F.col(col)))
-
-    wide = per_doc_n.groupBy(id_col).agg(
-        *[
-            agg
-            for n in ns
-            for agg in (
-                _pick(n, "total").alias(f"n_{n}grams"),
-                _pick(n, "topf").alias(f"top{n}_frac"),
-                _pick(n, "dupf").alias(f"dup{n}_frac"),
-            )
-        ]
-    )
-    out = tr.select(F.col(id_col)).join(wide, id_col, "left")
-    pass_cond = F.lit(True)
     for n in ns:
+        gram = _gram_expr(n)
+        per_gram = (
+            tr.where(F.size("toks") >= n)
+            .select(F.col(id_col), F.explode(gram).alias("gram"))
+            .groupBy(id_col, "gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        per_doc = per_gram.groupBy(id_col).agg(
+            F.sum("c").cast("long").alias(f"n_{n}grams"),
+            F.round(F.max("c").cast("double") / F.sum("c"), 6).alias(
+                f"top{n}_frac"
+            ),
+            F.round(
+                (F.sum("c") - F.count(F.lit(1))).cast("double") / F.sum("c"), 6
+            ).alias(f"dup{n}_frac"),
+        )
+        out = out.join(per_doc, id_col, "left")
         if n in thresholds:
             pass_cond = pass_cond & (
                 F.coalesce(
@@ -1435,6 +1421,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    pre_materialized: bool = False,
 ) -> list[list[float]]:
     """Distributed Lloyd's k-means over the embedding column using only
     DataFrame ops: assignment = argmin over broadcast centroid dots
@@ -1448,20 +1435,31 @@ def kmeans_centroids(
     without this the seed job plus each iteration re-ran the upstream
     scan/projection — n_iter+1 redundant corpus reads (r12 opt;
     guide §5: reuse beats recompute when the input is re-read per
-    iteration)."""
-    emb = emb.select(F.col(id_col), F.col(vec_col)).localCheckpoint(eager=False)
+    iteration).  `pre_materialized=True` says the CALLER already
+    checkpointed the projection (r13: the ANN/semantic-dedup paths
+    share one corpus materialization between training and their own
+    assignment/encode/re-rank passes) — re-checkpointing would copy
+    the blocks."""
+    emb = emb.select(F.col(id_col), F.col(vec_col))
+    if not pre_materialized:
+        emb = emb.localCheckpoint(eager=False)
     seeds = (
         emb.orderBy(id_col).limit(k).select(vec_col).collect()
     )
     centroids = [[float(x) for x in row[vec_col]] for row in seeds]
     for _ in range(n_iter):
         assigned = emb.select(
-            F.col(id_col),
             F.col(vec_col),
             _nearest_centroid_pandas(vec_col, centroids).alias("cluster"),
         )
         # per-cluster elementwise mean: aggregate each dimension via the
-        # array fold (posexplode keeps it one shuffle on (cluster, dim))
+        # array fold (posexplode keeps it one shuffle on (cluster, dim)).
+        # r13 note: a one-groupBy variant with `dim` separate
+        # F.avg(vec[d]) columns was A/B'd and is ~2x SLOWER per
+        # iteration — 64 GetArrayItem aggregate buffers cost more in
+        # codegen/planning than the explode costs in rows, and both
+        # shapes partial-aggregate to k(x dim) rows before the
+        # exchange, so the shuffle was never the bottleneck.
         exploded = assigned.select(
             "cluster", F.posexplode(vec_col).alias("dim", "val")
         )
@@ -1534,8 +1532,16 @@ def ann_ivf_topk(
     clusters nearest each query.  The inverted-file structure is the
     cluster column; at 100 TB it is the table's physical partitioning
     and a probe reads corpus * n_probe/n_clusters."""
-    centroids = kmeans_centroids(emb, k=n_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col, dim=dim)
-    corpus = emb.select(
+    # one corpus materialization shared by training AND the corpus
+    # assignment below (r13): kmeans re-read the projection per
+    # iteration from its own checkpoint while the assignment re-ran
+    # the raw scan — now both read the same blocks
+    proj = emb.select(F.col(id_col), F.col(vec_col)).localCheckpoint(eager=False)
+    centroids = kmeans_centroids(
+        proj, k=n_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        dim=dim, pre_materialized=True,
+    )
+    corpus = proj.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("n_vec"),
         _nearest_centroid_pandas(vec_col, centroids).alias("cluster"),
@@ -1698,11 +1704,16 @@ def semantic_dedup(
             F.col(id_col), F.col(vec_col), F.lit(0).alias("cluster")
         )
     else:
-        centroids = kmeans_centroids(
-            emb, k=n_clusters, n_iter=n_iter, id_col=id_col,
-            vec_col=vec_col, dim=dim,
+        # share one corpus materialization between k-means training
+        # and the cluster-assignment pass below (r13)
+        proj = emb.select(F.col(id_col), F.col(vec_col)).localCheckpoint(
+            eager=False
         )
-        corpus = emb.select(
+        centroids = kmeans_centroids(
+            proj, k=n_clusters, n_iter=n_iter, id_col=id_col,
+            vec_col=vec_col, dim=dim, pre_materialized=True,
+        )
+        corpus = proj.select(
             F.col(id_col),
             F.col(vec_col),
             _nearest_centroid_pandas(vec_col, centroids).alias("cluster"),

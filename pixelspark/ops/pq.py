@@ -101,6 +101,7 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    pre_materialized: bool = False,
 ) -> list[list[list[float]]]:
     """Train m subspace codebooks (ksub centroids of dim/m floats
     each) with Lloyd iterations over ALL subspaces at once.  Seeds are
@@ -112,8 +113,13 @@ def pq_train(
     # materialize the (id, vec) projection once: the seed job and every
     # Lloyd iteration are separate actions, and without this each
     # re-ran the upstream plan — for the IVF-PQ path that upstream is
-    # itself an Arrow-batched residual computation (r12; guide §5)
-    emb = emb.select(F.col(id_col), F.col(vec_col)).localCheckpoint(eager=False)
+    # itself an Arrow-batched residual computation (r12; guide §5).
+    # pre_materialized=True: the caller already checkpointed this
+    # relation (ivfpq_index's residual table, ann_pq_topk's shared
+    # corpus projection) — re-checkpointing would copy the blocks (r13)
+    emb = emb.select(F.col(id_col), F.col(vec_col))
+    if not pre_materialized:
+        emb = emb.localCheckpoint(eager=False)
     seed_rows = emb.orderBy(id_col).limit(ksub).select(vec_col).collect()
     if len(seed_rows) < ksub:
         raise ValueError(f"need >= {ksub} vectors to seed, got {len(seed_rows)}")
@@ -131,14 +137,17 @@ def pq_train(
         assigned = sub.select(
             "j", "sv", _assign_subspace_pandas(codebooks).alias("c")
         )
+        # ONE groupBy(j, c) with per-dimension avg columns (r13; same
+        # rationale as kmeans_centroids: the posexplode + second
+        # re-fold aggregation per Lloyd iteration collapse into a
+        # single partial-aggregated hash aggregate — same Average
+        # over the same values, codebooks unchanged)
         means = (
-            assigned.select("j", "c", F.posexplode("sv").alias("d", "val"))
-            .groupBy("j", "c", "d")
-            .agg(F.avg("val").alias("mean"))
-            .groupBy("j", "c")
-            .agg(F.array_sort(F.collect_list(F.struct("d", "mean"))).alias("dims"))
-            .select(
-                "j", "c", F.transform("dims", lambda s: s["mean"]).alias("centroid")
+            assigned.groupBy("j", "c")
+            .agg(
+                F.array(*[F.avg(F.col("sv")[d]) for d in range(dsub)]).alias(
+                    "centroid"
+                )
             )
             .collect()
         )
@@ -198,6 +207,7 @@ def ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    pre_materialized: bool = False,
 ):
     """Build the FAISS-style IVF-PQ index: coarse k-means partitions
     the corpus into `n_clusters` lists, PQ codebooks train on the
@@ -212,17 +222,26 @@ def ivfpq_index(
     compressed payload the probes actually scan."""
     from pixelspark.ops.llm import kmeans_centroids
 
+    # one corpus materialization shared by coarse training and the
+    # residual pass (r13): kmeans checkpointed its own copy while
+    # _residuals re-ran the raw scan + projection
+    proj = emb.select(F.col(id_col), F.col(vec_col))
+    if not pre_materialized:
+        proj = proj.localCheckpoint(eager=False)
     centroids = kmeans_centroids(
-        emb, k=n_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col, dim=dim
+        proj, k=n_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        dim=dim, pre_materialized=True,
     )
     # the residual table feeds BOTH codebook training and encoding:
     # materialize it once instead of running the Arrow-batched
     # assignment + centroid-subtract pass twice (r12; guide §4 — one
-    # Python-boundary crossing for the corpus, not two)
-    resid = _residuals(emb, centroids, id_col, vec_col).localCheckpoint(eager=False)
+    # Python-boundary crossing for the corpus, not two).  pq_train
+    # reads it pre_materialized — r12 checkpointed it a second time
+    # inside pq_train, copying the blocks (r13)
+    resid = _residuals(proj, centroids, id_col, vec_col).localCheckpoint(eager=False)
     codebooks = pq_train(
         resid, m=m, ksub=ksub, n_iter=n_iter, id_col=id_col,
-        vec_col="resid", dim=dim,
+        vec_col="resid", dim=dim, pre_materialized=True,
     )
     codes = pq_encode(resid, codebooks, id_col=id_col, vec_col="resid", keep=["cluster"])
     return centroids, codebooks, codes
@@ -300,10 +319,17 @@ def ann_ivfpq_topk(
     recall@5 to ~0.6 while shortlist=100*scale holds ~0.97 at ~flat
     cost, because the re-rank join is tiny next to the ADC
     lookup-join either way."""
+    full_src = emb
     if index is None:
+        # in-bench-training shape: ONE corpus materialization feeds
+        # the whole index build and the exact re-rank below (r13);
+        # with a prebuilt index emb stays on its raw scan (pushdown)
+        full_src = emb.select(F.col(id_col), F.col(vec_col)).localCheckpoint(
+            eager=False
+        )
         index = ivfpq_index(
-            emb, n_clusters=n_clusters, m=m, ksub=ksub, n_iter=n_iter,
-            id_col=id_col, vec_col=vec_col, dim=dim,
+            full_src, n_clusters=n_clusters, m=m, ksub=ksub, n_iter=n_iter,
+            id_col=id_col, vec_col=vec_col, dim=dim, pre_materialized=True,
         )
     centroids, codebooks, codes = index
     m = len(codebooks)
@@ -391,7 +417,7 @@ def ann_ivfpq_topk(
         [(int(r["query_id"]), [float(x) for x in r["q_vec"]]) for r in q_rows],
         "query_id long, q_vec array<double>",
     )
-    full = emb.select(
+    full = full_src.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
     )
     rescored = (
@@ -439,15 +465,24 @@ def ann_pq_topk(
 
     Pass `codebooks`/`codes` to reuse a trained index (the production
     shape: train once, encode on ingest, query forever)."""
+    # in-bench-training shape: ONE corpus materialization feeds
+    # training, encoding AND the exact re-rank (r13); the production
+    # shape (codebooks+codes passed) leaves emb on its raw scan so
+    # parquet pushdown/file-skipping keeps serving the probes
+    full_src = emb
+    if codebooks is None or codes is None:
+        full_src = emb.select(F.col(id_col), F.col(vec_col)).localCheckpoint(
+            eager=False
+        )
     if codebooks is None:
         codebooks = pq_train(
-            emb, m=m, ksub=ksub, n_iter=n_iter,
-            id_col=id_col, vec_col=vec_col, dim=dim,
+            full_src, m=m, ksub=ksub, n_iter=n_iter,
+            id_col=id_col, vec_col=vec_col, dim=dim, pre_materialized=True,
         )
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     if codes is None:
-        codes = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
+        codes = pq_encode(full_src, codebooks, id_col=id_col, vec_col=vec_col)
 
     q_rows = (
         emb.where(F.col(id_col).isin(query_ids))
@@ -505,7 +540,7 @@ def ann_pq_topk(
         [(int(r["query_id"]), [float(x) for x in r["q_vec"]]) for r in q_rows],
         "query_id long, q_vec array<double>",
     )
-    full = emb.select(
+    full = full_src.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
     )
     rescored = (

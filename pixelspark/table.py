@@ -105,6 +105,28 @@ _PRED_OPS = {
 }
 
 
+def _observed_metric(obs, key: str) -> int | None:
+    """Bounded read of an Observation metric: poll the JVM-side
+    getOrEmpty (never the blocking get — it hangs if the listener bus
+    dropped the event) and give up after ~1 s so the caller can run
+    its fallback job instead.  Shared by _write_snap's row-count
+    observation and the dv-merge emptiness probe (r13)."""
+    import time as _time
+
+    jo = getattr(obs, "_jo", None)
+    if jo is None:
+        return None
+    for _ in range(10):
+        try:
+            m = jo.getOrEmpty()
+            if not m.isEmpty():
+                return int(m.apply(key))
+        except Exception:
+            pass
+        _time.sleep(0.05)
+    return None
+
+
 def entry_layout(e: dict) -> str | None:
     """The partition column an entry's data dirs are PHYSICALLY laid
     out by — self-described by its `col=value` part names (None for
@@ -1000,26 +1022,9 @@ class SnapshotTable:
         full = f"{self.root}/{rel}"
 
         def observed() -> int | None:
-            # BOUNDED wait: Observation.get blocks indefinitely if the
-            # listener bus dropped the event, so poll the JVM-side
-            # getOrEmpty (itself a 100 ms bounded wait; throws while
-            # the row is unset on this Spark build) and give up after
-            # ~1 s — the caller then falls back to a count job, never
-            # hangs the commit.
-            import time as _time
-
-            jo = getattr(obs, "_jo", None)
-            if jo is None:
-                return None
-            for _ in range(10):
-                try:
-                    m = jo.getOrEmpty()
-                    if not m.isEmpty():
-                        return int(m.apply("n"))
-                except Exception:
-                    pass
-                _time.sleep(0.05)
-            return None  # listener missed: fall back to a count
+            # bounded wait, shared helper (r13): listener missed ->
+            # None, and the caller falls back to a count job
+            return _observed_metric(obs, "n")
 
         def write(w):
             try:
@@ -1770,13 +1775,19 @@ class SnapshotTable:
         self, rel: str, df_schema: StructType, cmap: dict | None = None
     ) -> dict | None:
         """Per-file min/max for `stats_cols`, keyed by path relative to
-        the snap dir.  One extra scan of just-written data (bounded by
-        the write itself; Delta computes the same stats inline).  Files
-        with zero rows never appear — correct, they contribute no rows.
-        On a mapping-enabled table the written files carry PHYSICAL
-        column names, so `stats_cols` (logical) are translated and the
-        stat keys are physical — read() translates its predicates the
-        same way before probing."""
+        the snap dir.  Served from the just-written files' PARQUET
+        FOOTERS via the driver-side Hadoop/parquet-mr API (r13; guide
+        §1.2 — the writer already computed these statistics, so the
+        per-commit stats Spark job, ~2-3 jobs under AQE, disappears;
+        Delta records write-side stats the same way).  Any footer the
+        converter cannot serve exactly (unsupported physical/logical
+        type, absent statistics) falls back to the r12 scan-aggregate
+        for the whole call — recorded values must be identical either
+        way.  Files with zero rows never appear — correct, they
+        contribute no rows.  On a mapping-enabled table the written
+        files carry PHYSICAL column names, so `stats_cols` (logical)
+        are translated and the stat keys are physical — read()
+        translates its predicates the same way before probing."""
         trans = (cmap or {}).get("cols") or {}
         cols = [
             trans.get(c, c)
@@ -1785,6 +1796,130 @@ class SnapshotTable:
         ]
         if not cols:
             return None
+        try:
+            return self._file_stats_from_footers(rel, cols)
+        except Exception:
+            return self._file_stats_scan(rel, cols)
+
+    _FOOTER_STAT_TYPES = {
+        "INT32", "INT64", "BYTE_ARRAY", "BOOLEAN", "DOUBLE", "FLOAT",
+    }
+
+    def _local_data_files(self, rel: str) -> list[tuple[str, str]]:
+        """(key, absolute path) of every data file under the snap dir,
+        via plain os.walk — valid only for a LOCAL root (the engine's
+        test/bench posture).  A remote scheme raises and the caller
+        falls back to the Spark path, which speaks any Hadoop FS."""
+        import os as _os
+
+        base = f"{self.root}/{rel}"
+        if base.startswith("file:"):
+            base = base[len("file:"):]
+        if "://" in base:
+            raise ValueError(f"non-local root {self.root!r}")
+        out: list[tuple[str, str]] = []
+        for dirpath, _dirs, files in _os.walk(base):
+            for name in sorted(files):
+                if not name.endswith(".parquet") or name.startswith(("_", ".")):
+                    continue
+                p = _os.path.join(dirpath, name)
+                out.append((_os.path.relpath(p, base), p))
+        return out
+
+    def _file_stats_from_footers(self, rel: str, cols: list[str]) -> dict | None:
+        """Fold each data file's row-group statistics into the same
+        {file: {col: [min, max]}} the scan path records, zero Spark
+        jobs — read with pyarrow (one C++ footer parse per file; the
+        first cut of this went through py4j and paid ~10 JVM round
+        trips per column per row group, which was SLOWER than the
+        scan job it replaced).  Raises on anything it cannot convert
+        EXACTLY to the scan path's values (timestamps — Spark writes
+        INT96 whose stats are unreliable by spec; decimals — the scan
+        path's _stat_val already refuses them; absent statistics;
+        float/double whose footer min/max surfaced NaN), and the
+        caller falls back."""
+        import datetime
+
+        import pyarrow.parquet as papq
+
+        out: dict = {}
+        for key, path in self._local_data_files(rel):
+            if "/" in key and "=" in key.rsplit("/", 1)[0]:
+                # partitioned layout: the scan path serves the
+                # partition column's range from the directory value
+                # (Spark's partition inference) — footers cannot; let
+                # the fallback keep the recorded stats identical
+                raise ValueError("partitioned snap dir")
+            md = papq.ParquetFile(path).metadata
+            if md.num_rows == 0:
+                continue  # zero-row file: contributes no rows
+            ranges: dict = {}
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for j in range(rg.num_columns):
+                    col = rg.column(j)
+                    cname = col.path_in_schema
+                    if cname not in cols:
+                        continue
+                    st = col.statistics
+                    if st is None:
+                        raise ValueError("no statistics recorded")
+                    if not st.has_min_max:
+                        if st.has_null_count and st.null_count == rg.num_rows:
+                            ranges.setdefault(cname, [None, None])
+                            continue  # all-null group: no values
+                        raise ValueError("min/max absent but not all-null")
+                    ptn = st.physical_type
+                    lts = st.logical_type.type
+                    if ptn not in self._FOOTER_STAT_TYPES:
+                        raise ValueError(f"unsupported type {ptn}")
+                    if lts in ("DECIMAL", "TIMESTAMP", "TIME"):
+                        raise ValueError(f"unsupported logical {lts}")
+                    mn, mx = st.min, st.max
+                    if ptn == "BYTE_ARRAY":
+                        if lts != "STRING" or not isinstance(mn, str):
+                            raise ValueError("raw binary stats")
+                    elif lts == "DATE":
+                        if not isinstance(mn, datetime.date):
+                            raise ValueError("undecoded date stats")
+                        mn, mx = mn.isoformat(), mx.isoformat()
+                    elif ptn in ("INT32", "INT64"):
+                        mn, mx = int(mn), int(mx)
+                    elif ptn in ("DOUBLE", "FLOAT"):
+                        mn, mx = float(mn), float(mx)
+                        if mn != mn or mx != mx:  # NaN: order undefined
+                            raise ValueError("NaN in float stats")
+                    else:  # BOOLEAN
+                        mn, mx = bool(mn), bool(mx)
+                    cur = ranges.get(cname)
+                    if cur is None or cur[0] is None:
+                        ranges[cname] = [mn, mx]
+                    else:
+                        ranges[cname] = [min(cur[0], mn), max(cur[1], mx)]
+            # only columns physically present in the file — the
+            # partition column lives in directory names, and the
+            # scan path likewise excludes it
+            rec = {c: ranges[c] for c in cols if c in ranges}
+            if rec:
+                out[key] = rec
+        return out or None
+
+    def _row_counts_from_footers(self, rel: str) -> dict[str, int]:
+        """Exact per-file row counts from parquet footer metadata
+        (zero Spark jobs; pyarrow, same rationale as
+        _file_stats_from_footers), keyed like _file_stats: path under
+        the snap dir.  Zero-row files appear with 0."""
+        import pyarrow.parquet as papq
+
+        return {
+            key: int(papq.ParquetFile(path).metadata.num_rows)
+            for key, path in self._local_data_files(rel)
+        }
+
+    def _file_stats_scan(self, rel: str, cols: list[str]) -> dict | None:
+        """The r12 scan-aggregate stats pass (one Spark job over the
+        just-written files) — the fallback when a footer cannot be
+        converted exactly."""
         full = f"{self.root}/{rel}"
         scan = self.spark.read.parquet(full)
         cols = [c for c in cols if c in scan.columns]  # partition col excluded
@@ -1981,22 +2116,46 @@ class SnapshotTable:
             elif len(parts) == 1 and row_count is not None:
                 entry["rows"] = {parts[0]: int(row_count)}
             else:
-                scan = self.spark.read.parquet(f"{self.root}/{rel}")
-                if parts:
-                    pcol = parts[0].split("=", 1)[0]
-                    got = {
-                        f"{pcol}={r['__p']}": int(r["__n"])
-                        for r in scan.groupBy(
-                            F.col(pcol).cast("string").alias("__p")
-                        ).agg(F.count(F.lit(1)).alias("__n")).collect()
-                    }
-                    # record only when every directory name round-trips
-                    # through the value's string form — an encoding
-                    # mismatch must lose the optimization, never the count
-                    if set(got) == set(parts):
-                        entry["rows"] = got
+                # multi-partition-value / missed-observation fallback:
+                # row counts come from the parquet FOOTERS (block row
+                # counts are exact metadata, zero Spark jobs — r13);
+                # the scan job below only survives as the
+                # footer-unreadable fallback
+                got = None
+                try:
+                    per_file = self._row_counts_from_footers(rel)
+                except Exception:
+                    per_file = None
+                if per_file is not None and parts:
+                    agg: dict[str, int] = {}
+                    for key, n in per_file.items():
+                        agg[key.split("/", 1)[0]] = (
+                            agg.get(key.split("/", 1)[0], 0) + n
+                        )
+                    if set(agg) == set(parts):
+                        got = agg
+                elif per_file is not None:
+                    got = {"": sum(per_file.values())}
+                if got is not None:
+                    entry["rows"] = got
                 else:
-                    entry["rows"] = {"": int(scan.count())}
+                    scan = self.spark.read.parquet(f"{self.root}/{rel}")
+                    if parts:
+                        pcol = parts[0].split("=", 1)[0]
+                        got = {
+                            f"{pcol}={r['__p']}": int(r["__n"])
+                            for r in scan.groupBy(
+                                F.col(pcol).cast("string").alias("__p")
+                            ).agg(F.count(F.lit(1)).alias("__n")).collect()
+                        }
+                        # record only when every directory name
+                        # round-trips through the value's string form —
+                        # an encoding mismatch must lose the
+                        # optimization, never the count
+                        if set(got) == set(parts):
+                            entry["rows"] = got
+                    else:
+                        entry["rows"] = {"": int(scan.count())}
         if has_data and self.stats_cols:
             st = self._file_stats(rel, df_schema, cmap)
             if st:
@@ -2156,6 +2315,21 @@ class SnapshotTable:
                     f"append to a table partitioned by {pcol!r} needs "
                     f"that column in the batch"
                 )
+            if pcol is not None and not [
+                c for c in out_df.columns if c != pcol
+            ]:
+                # a subset batch carrying ONLY the partition column:
+                # parquet refuses a layout with zero data columns
+                # (ALL_PARTITION_COLUMNS_NOT_ALLOWED — found by the
+                # storage fuzz, r13).  Expand to the declared schema
+                # with typed NULLs, which is exactly what read() serves
+                # for subset appends anyway (missing columns -> NULL).
+                declared = StructType.fromJson(
+                    json.loads(self.manifest(v0)["schema"]))
+                for fld in declared.fields:
+                    if fld.name not in out_df.columns:
+                        out_df = out_df.withColumn(
+                            fld.name, F.lit(None).cast(fld.dataType))
             rel, parts, has_data, wmap, nrows = self._write_snap(
                 out_df, pcol, audit_cols=self._unassigned_id_cols(highs))
             entry = self._entry_for(rel, sorted(parts) if pcol else [],
@@ -2909,10 +3083,23 @@ class SnapshotTable:
             )
             rel_dv = f"{DATA_DIR}/__dv={uuid.uuid4().hex[:16]}"
             full_dv = f"{self.root}/{rel_dv}"
-            hits.select("__dv_file", "__dv_row").write.mode(
-                "errorifexists"
-            ).parquet(full_dv)
-            has_dv = not self.spark.read.parquet(full_dv).limit(1).isEmpty()
+            # the emptiness decision rides ON the dv write via observe
+            # (r13; same discipline as _write_snap's row count): the
+            # limit(1) re-read of the just-written dir was one more
+            # Spark job per dv-merge, kept only as the
+            # missed-observation fallback
+            from pyspark.sql import Observation
+
+            obs_dv = Observation()
+            hits.select("__dv_file", "__dv_row").observe(
+                obs_dv, F.count(F.lit(1)).alias("n")
+            ).write.mode("errorifexists").parquet(full_dv)
+            n_dv = _observed_metric(obs_dv, "n")
+            has_dv = (
+                n_dv > 0
+                if n_dv is not None
+                else not self.spark.read.parquet(full_dv).limit(1).isEmpty()
+            )
             if not has_dv:
                 self.st.delete(full_dv)
 

@@ -63,6 +63,13 @@ from pyspark.sql import functions as F
 from pixelspark.catalog import Catalog, CatalogVersionVacuumed
 from pixelspark.ops import matview as MV
 
+import pytest
+
+# SLOW TIER (r13): the catalog-namespace hypothesis sweep —
+# certification-depth work excluded from the default fast tier
+# (pytest.ini); run with -m slow, or -m "" for the whole suite.
+pytestmark = pytest.mark.slow
+
 FUZZ_EXAMPLES = int(os.environ.get("PIXELSPARK_FUZZ_EXAMPLES", "8"))
 STEPS = int(os.environ.get("PIXELSPARK_FUZZ_STEPS", "8"))
 

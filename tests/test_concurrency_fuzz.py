@@ -43,6 +43,11 @@ from pixelspark.table import (
     SnapshotTable,
 )
 
+# SLOW TIER (r13): the CAS-window interleaving sweeps —
+# certification-depth work excluded from the default fast tier
+# (pytest.ini); run with -m slow, or -m "" for the whole suite.
+pytestmark = pytest.mark.slow
+
 FUZZ_EXAMPLES = int(os.environ.get("PIXELSPARK_FUZZ_EXAMPLES", "8"))
 
 SCHEMA = "k long, day int, v int"  # v int so the widen op has headroom

@@ -1115,19 +1115,23 @@ def test_dedup_index_forget_erases_docs_but_not_replay_history(spark, tmp_path):
     assert idx.buckets.read().where("doc_id in (1, 10)").count() == 0
 
 
-def test_repetition_signals_single_tagged_stream_plan(spark):
-    """r13: repetition_signals folds every n-gram size into ONE
-    gram-size-tagged explode + two aggregations + one doc-keyed join
-    (the r12 shape exploded and shuffled once per n).  Pin: exactly
-    one Generate in the executed plan, and the token arrays read from
-    the shared checkpoint, never a second scan."""
+def test_repetition_signals_shared_tokenize_plan(spark):
+    """r13: repetition_signals keeps ONE independent explode branch
+    per n over the SHARED checkpointed token arrays.  A single
+    gram-size-tagged stream (one Generate, one join) was A/B'd and
+    lost ~20% at sf0.1 / ~45% at 10x SF — the (doc, gram) occurrence
+    shuffle is byte-identical in both shapes, so the fold saved
+    nothing and cost struct-tagging and branch concurrency.  Pin:
+    one Generate per n, token arrays read from the checkpoint (Scan
+    ExistingRDD), never a re-tokenize of the corpus (no second
+    relation scan)."""
     docs = spark.createDataFrame(
         [(1, "a b a b a b"), (2, "x y z"), (3, "q")],
         "doc_id long, text string",
     )
     out = L.repetition_signals(docs, ns=(2, 3))
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Generate") == 1, plan[:2000]
+    assert plan.count("Generate") == 2, plan[:2000]
     assert "Scan ExistingRDD" in plan, plan[:2000]
     rows = {r["doc_id"]: r for r in out.collect()}
     # doc 1: 5 bigrams, top 'a b' x3 -> 0.6; 4 trigrams, top x2 -> 0.5

@@ -15,6 +15,11 @@ from pyspark.sql.window import Window
 from pixelspark.ops import matview as MV
 from pixelspark.table import SnapshotTable
 
+# SLOW TIER (r13): the randomized view-family DML lifecycles —
+# certification-depth work excluded from the default fast tier
+# (pytest.ini); run with -m slow, or -m "" for the whole suite.
+pytestmark = pytest.mark.slow
+
 STATUSES = ["a", "b", "c", None]
 
 

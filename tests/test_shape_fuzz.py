@@ -35,6 +35,11 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+# SLOW TIER (r13): the data-shape profile sweep over the registry —
+# certification-depth work excluded from the default fast tier
+# (pytest.ini); run with -m slow, or -m "" for the whole suite.
+pytestmark = pytest.mark.slow
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 

@@ -85,6 +85,11 @@ from pixelspark.table import (
     writer_features,
 )
 
+# SLOW TIER (r13): the storage-machine hypothesis sweep —
+# certification-depth work excluded from the default fast tier
+# (pytest.ini); run with -m slow, or -m "" for the whole suite.
+pytestmark = pytest.mark.slow
+
 FUZZ_EXAMPLES = int(os.environ.get("PIXELSPARK_FUZZ_EXAMPLES", "8"))
 STEPS = int(os.environ.get("PIXELSPARK_FUZZ_STEPS", "8"))
 

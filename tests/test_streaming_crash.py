@@ -38,6 +38,11 @@ from pixelspark import table as table_mod
 from pixelspark.ops import matview as matview_mod
 from pixelspark.table import SnapshotTable
 
+# SLOW TIER (r13): the sink crash-recovery matrices —
+# certification-depth work excluded from the default fast tier
+# (pytest.ini); run with -m slow, or -m "" for the whole suite.
+pytestmark = pytest.mark.slow
+
 
 class InjectedCrash(RuntimeError):
     pass

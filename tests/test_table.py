@@ -2339,3 +2339,65 @@ def test_upsert_executes_source_plan_once(spark, tmp_path):
         f"upsert source ran {calls.value / 10:.1f}x, expected once")
     got = {(r["k"], r["v"]) for r in t.read().collect()}
     assert got == {(i, 1 if i >= 5 else 0) for i in range(15)}
+
+
+def test_footer_stats_match_scan_stats_exactly(spark, tmp_path):
+    """r13: per-file min/max stats come from the parquet FOOTERS (no
+    Spark job per commit); the footer converter must record values
+    IDENTICAL to the r12 scan-aggregate across every supported type —
+    long, date, string, double, bool, an all-null column — and fall
+    back (not crash, not diverge) on types it cannot serve."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "fs"),
+        stats_cols=("v", "d", "nm", "f", "b", "xn"))
+    df = spark.range(0, 50).select(
+        F.col("id").alias("v"),
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   F.col("id").cast("int")).alias("d"),
+        F.concat(F.lit("name-"), F.col("id")).alias("nm"),
+        (F.col("id") * 1.5).alias("f"),
+        (F.col("id") % 2 == 0).alias("b"),
+        F.lit(None).cast("double").alias("xn"),
+    )
+    t.append(df.repartition(3))
+    e = t.manifest(t.latest_version())["entries"][0]
+    stats = e["stats"]
+    assert len(stats) >= 1
+    scan = t._file_stats_scan(e["base"], ["v", "d", "nm", "f", "b", "xn"])
+    assert stats == scan, f"footer/scan divergence: {stats} vs {scan}"
+    # all-null column: open range, present
+    assert all(fs["xn"] == [None, None] for fs in stats.values())
+    # partitioned write: the partition column's range comes from the
+    # directory value via Spark's partition inference, which footers
+    # cannot serve — the call falls back to the scan path and the
+    # recorded stats stay identical (day INCLUDED, typed)
+    tp = SnapshotTable(spark, str(tmp_path / "fsp"), stats_cols=("day", "v"))
+    tp.replace_partitions(
+        spark.createDataFrame(
+            [(d, i) for d in (1, 2) for i in range(4)], "day int, v long"),
+        "day",
+    )
+    ep = tp.manifest(tp.latest_version())["entries"][0]
+    for fs in ep["stats"].values():
+        assert fs["day"][0] in (1, 2) and fs["v"][0] is not None
+    assert ep["stats"] == tp._file_stats_scan(ep["base"], ["day", "v"])
+
+
+def test_append_only_partition_column_after_evolution(spark, tmp_path):
+    """r13 storage-fuzz catch: a subset batch carrying ONLY the
+    partition column (legal — every other declared column reads NULL)
+    crashed the write with ALL_PARTITION_COLUMNS_NOT_ALLOWED, because
+    parquet cannot lay out files with zero data columns.  The append
+    now expands such batches to the declared schema with typed NULLs."""
+    t = SnapshotTable(spark, str(tmp_path / "apc"))
+    t.overwrite(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, s string, v long"))
+    t.evolve_partitioning("k")
+    t.append(spark.createDataFrame([(7,), (8,)], "k long"))
+    rows = {r["k"]: (r["s"], r["v"]) for r in t.read().collect()}
+    assert rows == {1: ("a", 10), 2: ("b", 20),
+                    7: (None, None), 8: (None, None)}
+    # after compaction retires the pre-evolution entry, the new rows
+    # are addressable through the partition layout
+    t.compact()
+    assert [r["k"] for r in t.read(partition_values=[7]).collect()] == [7]

@@ -52,7 +52,10 @@ def git_state() -> tuple[str, bool]:
 def run_pytest(extra: list[str]) -> tuple[bool, str]:
     t0 = time.time()
     p = subprocess.run(
-        [sys.executable, "-m", "pytest", "tests/", "-q", *extra],
+        # -m "" overrides pytest.ini's fast-tier default (the last -m
+        # wins): certification always runs the FULL suite, slow fuzz
+        # machines and crash matrices included
+        [sys.executable, "-m", "pytest", "tests/", "-q", "-m", "", *extra],
         cwd=REPO, text=True, capture_output=True,
     )
     tail = (p.stdout or "").strip().splitlines()
