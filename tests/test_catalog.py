@@ -797,6 +797,7 @@ def test_maintain_compacts_fragmented_dv_clean_table(spark, tmp_path):
     assert rep2["tables"]["t"]["compacted_to"] is None
 
 
+@pytest.mark.slow  # deep end-to-end matrix: certification tier (r13; pytest.ini)
 def test_maintain_on_mapped_tracked_dv_table(spark, tmp_path):
     """VERDICT r8 item 7: column mapping + row tracking + deletion
     vectors are individually pinned, but their TRIPLE composition is

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pixelspark.ops import classifier as CL
 from pixelspark.ops.llm import gopher_quality
 from pixelspark.schemas import load_table
+import pytest
 
 SF = "/root/testdata/sf0.001"
 
@@ -42,6 +43,7 @@ def test_fit_matches_sequential_reference(spark):
         assert abs(a - b) < 1e-6, (w_spark, w_ref)
 
 
+@pytest.mark.slow  # deep end-to-end matrix: certification tier (r13; pytest.ini)
 def test_distilled_model_reproduces_teacher_rule(spark):
     """After the full fit, the linear model must agree with the Gopher
     rule on every complete-feature document (the rule is linearly

@@ -204,6 +204,7 @@ def test_table_to_table_pipeline_exactly_once(reg, spark, tmp_path):
     assert got == [(1, 10), (1, 20), (2, 14), (3, 200)]
 
 
+@pytest.mark.slow  # deep end-to-end matrix: certification tier (r13; pytest.ini)
 def test_streaming_cdc_apply_sink_keeps_replica_in_lockstep(reg, spark, tmp_path):
     """CDC-apply as a stream: change rows (insert/update/delete +
     change_type) land as one multi-clause merge per micro-batch.  The
@@ -309,6 +310,7 @@ def test_batch_format_honors_shallow_clone_roots(reg, spark, tmp_path):
     assert got == [(1, "a"), (2, "b")]
 
 
+@pytest.mark.slow  # deep end-to-end matrix: certification tier (r13; pytest.ini)
 def test_stream_fails_on_dv_masking_delivered_rows(reg, spark, tmp_path):
     """A DV landing on an already-streamed entry is a change: the tail
     cannot retract delivered rows, so it fails under the default

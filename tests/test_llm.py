@@ -522,6 +522,7 @@ def _groups_df(spark, dim=64, per_group=6, n_groups=3, copies=2):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
+@pytest.mark.slow  # deep end-to-end matrix: certification tier (r13; pytest.ini)
 def test_semantic_dedup_matches_exact_on_separable_data(spark):
     """When k-means blocks align with the true groups (separable
     data), the clustered SemDeDup must equal the global exact rule."""
@@ -625,6 +626,7 @@ def _didx_docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+@pytest.mark.slow  # deep end-to-end matrix: certification tier (r13; pytest.ini)
 def test_dedup_index_incremental_equals_batch_cross_dedup(spark, tmp_path):
     """Three daily ingests through the persistent index must find
     exactly the pairs per-batch cross_corpus_near_dup finds against
@@ -689,6 +691,7 @@ def test_dedup_index_reopens_from_disk(spark, tmp_path):
     assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 5)}
 
 
+@pytest.mark.slow  # deep end-to-end matrix: certification tier (r13; pytest.ini)
 def test_dedup_index_compact_preserves_results_and_shrinks_entries(
     spark, tmp_path
 ):
@@ -1077,6 +1080,7 @@ def test_sequence_pack_string_ids_need_shard_col(spark):
         acc += i + 1
 
 
+@pytest.mark.slow  # deep end-to-end matrix: certification tier (r13; pytest.ini)
 def test_dedup_index_forget_erases_docs_but_not_replay_history(spark, tmp_path):
     """forget() masks a doc's buckets+shingles so future ingests can't
     pair against it, while a replayed batch (version-pinned pre-batch)

@@ -347,6 +347,7 @@ def _assert_jview_exact(left, right, view):
     assert got == want
 
 
+@pytest.mark.slow  # deep end-to-end matrix: certification tier (r13; pytest.ini)
 def test_join_view_tracks_both_sources(spark, triple):
     """The two-phase delta rule keeps view == exact aggregate of the
     inner join after every refresh: initial load, left appends, a
@@ -615,6 +616,7 @@ def _assert_ndv_exact(spark, src, view):
     assert got == want
 
 
+@pytest.mark.slow  # deep end-to-end matrix: certification tier (r13; pytest.ini)
 def test_distinct_view_counts_births_and_deaths(spark, dtriple):
     """ndv must only move when a value's LAST occurrence dies or its
     FIRST appears: deleting one of two copies holds, deleting the
@@ -653,6 +655,7 @@ def test_distinct_view_counts_births_and_deaths(spark, dtriple):
     assert _drefresh(src, supp, view) is None  # fully current
 
 
+@pytest.mark.slow  # deep end-to-end matrix: certification tier (r13; pytest.ini)
 def test_distinct_view_dv_deletes_and_value_churn(spark, dtriple):
     """Merge-on-read deletes and an update that changes a row's VALUE
     (retract old value occurrence, add new) keep ndv exact."""
@@ -703,6 +706,7 @@ def _assert_fview_exact(left, right, view):
     assert got == want
 
 
+@pytest.mark.slow  # deep end-to-end matrix: certification tier (r13; pytest.ini)
 def test_full_join_view_preserves_both_sides(spark, triple):
     """FULL OUTER: dangling left orders fold into the NULL segment,
     dangling right customers fold with NULL qty into their own
@@ -744,6 +748,7 @@ def test_full_join_view_preserves_both_sides(spark, triple):
     assert _frefresh(left, right, view) is None
 
 
+@pytest.mark.slow  # deep end-to-end matrix: certification tier (r13; pytest.ini)
 def test_full_join_view_mixed_dml_equals_recompute(spark, triple):
     """Randomized-ish churn on both sides (appends, cross-key update,
     DV delete, right segment move) stays exact after every refresh."""
@@ -970,6 +975,7 @@ def _assert_topn_exact(spark, src, view, n=2):
     assert got == want
 
 
+@pytest.mark.slow  # deep end-to-end matrix: certification tier (r13; pytest.ini)
 def test_topn_view_tracks_source_through_mixed_history(spark, pair):
     src, view = pair
     src.overwrite(_rows(spark, [
@@ -1097,6 +1103,7 @@ def test_right_join_view_equals_swapped_left(spark, triple):
     assert refresh() is None
 
 
+@pytest.mark.slow  # deep end-to-end matrix: certification tier (r13; pytest.ini)
 def test_chained_views_source_to_agg_to_topn(spark, tmp_path):
     """Views are snapshot tables, so a view's own CDF feeds the NEXT
     view: source -> per-(status, k%2) COUNT/SUM view -> top-1

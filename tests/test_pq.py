@@ -135,6 +135,7 @@ def test_registry_queries_run(spark, sf_dir):
             assert sorted(ranks) == [1, 2, 3, 4, 5]
 
 
+@pytest.mark.slow  # deep end-to-end matrix: certification tier (r13; pytest.ini)
 def test_vector_index_build_ingest_query_reopen(spark, sf_dir, tmp_path):
     """Persistent IVF-PQ index lifecycle: build stores quantizers +
     codes; query equals the in-memory path on the same state; ingest

@@ -6,6 +6,7 @@ from __future__ import annotations
 import math
 
 from hypothesis import given, settings, strategies as st
+import pytest
 
 
 def js_math_round_2dp(x: float) -> float:
@@ -31,6 +32,7 @@ def test_amount_half_up_parity(pv):
 
 @settings(max_examples=20, deadline=None)
 @given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=80))
+@pytest.mark.slow  # deep end-to-end matrix: certification tier (r13; pytest.ini)
 def test_normalize_text_idempotent(spark, s):
     from pyspark.sql import functions as F
 
@@ -78,6 +80,7 @@ def test_doc_chunks_python_parity(spark, texts):
         max_size=8,
     )
 )
+@pytest.mark.slow  # deep end-to-end matrix: certification tier (r13; pytest.ini)
 def test_sequence_pack_python_parity(spark, texts):
     """Packing offsets must equal the plain-Python cumulative sum of
     whitespace token counts in doc_id order."""
@@ -98,6 +101,7 @@ def test_sequence_pack_python_parity(spark, texts):
 
 @settings(max_examples=15, deadline=None)
 @given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=80))
+@pytest.mark.slow  # deep end-to-end matrix: certification tier (r13; pytest.ini)
 def test_pii_redact_idempotent(spark, s):
     """Redaction must be a fixpoint: the replacement tokens can never
     re-match the PII patterns."""

@@ -209,6 +209,7 @@ def test_backfill_on_partitioned_table_keeps_layout(spark, tmp_path):
     assert ids[1] == ids0[1] and ids[5] == 3
 
 
+@pytest.mark.slow  # deep end-to-end matrix: certification tier (r13; pytest.ini)
 def test_user_identity_and_row_tracking_coexist(spark, tmp_path):
     """v2: a user identity column and __row_id each keep their own
     manifest watermark slot (Delta ships both)."""

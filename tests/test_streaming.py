@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from pixelspark.ops.billing import pageviews_agg
@@ -666,6 +668,7 @@ def test_streaming_expectations_drop_and_quarantine(spark, sf_dir, tmp_path):
     )
 
 
+@pytest.mark.slow  # deep end-to-end matrix: certification tier (r13; pytest.ini)
 def test_streaming_curation_sink_end_to_end(spark, tmp_path):
     """The full curation ingest: quality gate -> batch-interior exact
     dedup -> near-dup gate vs the persistent DedupIndex -> exactly-once
@@ -731,6 +734,7 @@ def test_streaming_curation_sink_end_to_end(spark, tmp_path):
     assert t.latest_version() == n_versions
 
 
+@pytest.mark.slow  # deep end-to-end matrix: certification tier (r13; pytest.ini)
 def test_matview_sink_exactly_once_end_to_end(spark, tmp_path):
     """Streaming ingest + continuously-maintained incremental view:
     two triggers land distinct batches (view == batch aggregate after
@@ -778,6 +782,7 @@ def test_matview_sink_exactly_once_end_to_end(spark, tmp_path):
         == got
 
 
+@pytest.mark.slow  # deep end-to-end matrix: certification tier (r13; pytest.ini)
 def test_join_matview_sink_folds_stream_and_dim_changes(spark, tmp_path):
     """Streaming facts + out-of-band dim DML, one continuously-correct
     join view: trigger 1 folds the first fact batch against the dim;
@@ -829,6 +834,7 @@ def test_join_matview_sink_folds_stream_and_dim_changes(spark, tmp_path):
     assert view.latest_version() == view_v
 
 
+@pytest.mark.slow  # deep end-to-end matrix: certification tier (r13; pytest.ini)
 def test_join_matview_sink_left_outer_flips_between_triggers(spark, tmp_path):
     """LEFT view through the streaming sink: trigger 1 folds facts
     with a dangling customer (null-extended); a dim row for that
@@ -871,6 +877,7 @@ def test_join_matview_sink_left_outer_flips_between_triggers(spark, tmp_path):
     assert got == {"retail": (1, 2), "late": (2, 6)}  # extension flipped
 
 
+@pytest.mark.slow  # deep end-to-end matrix: certification tier (r13; pytest.ini)
 def test_topn_matview_sink_reboards_and_replays_exactly_once(spark, tmp_path):
     """Streaming top-N sink: trigger 1 builds the boards; an
     out-of-band DV delete evicts a board member between triggers;
@@ -918,6 +925,7 @@ def test_topn_matview_sink_reboards_and_replays_exactly_once(spark, tmp_path):
     assert view.latest_version() == view_v
 
 
+@pytest.mark.slow  # deep end-to-end matrix: certification tier (r13; pytest.ini)
 def test_published_matview_sink_atomic_visibility(spark, tmp_path):
     """Streaming ingest + view behind the catalog publication point:
     after each trigger the PUBLISHED facts and view are mutually

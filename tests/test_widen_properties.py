@@ -174,6 +174,7 @@ def _typed(spark, ks, sql_type):
     ks0=st.lists(st.integers(1, 50), min_size=1, max_size=5, unique=True),
     ks1=st.lists(st.integers(1, 50), min_size=1, max_size=5, unique=True),
 )
+@pytest.mark.slow  # deep end-to-end matrix: certification tier (r13; pytest.ini)
 def test_widening_composes_with_every_feature(spark, edge, feature, ks0, ks1):
     narrow, wide = edge
     if feature == "matview" and narrow == "date":
