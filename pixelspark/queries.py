@@ -8700,7 +8700,13 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pixelspark.ops.llm import tokens
 
     docs = _t(spark, sf_dir, "documents")
-    tr = docs.select("doc_id", tokens("text").alias("toks"))
+    # the token arrays feed the vocabulary AND (twice, lazily) the
+    # bigram stream: tokenize once — the regex split is the dominant
+    # per-row cost, and the checkpoint holds token arrays, not the
+    # bigram-occurrence blowup (r13; the A/B-winning shape)
+    tr = docs.select("doc_id", tokens("text").alias("toks")).localCheckpoint(
+        eager=False
+    )
     uni = tr.select(F.explode("toks").alias("tok"))
     # vocab feeds THREE consumers (tf1 lookup, tf2 lookup, the total)
     # and the bigram stream TWO (bigram counts, the scored stream):
